@@ -1,0 +1,100 @@
+"""Single-pass validation runner.
+
+The Spark analog of the reference's ``validate(schema, instance)`` entry
+point (`/root/reference/json_schema_rs/src/validator/mod.rs:53-55`), lifted
+from one instance to a whole DataFrame: one narrow ``select`` computes the
+full violation array per row (zero shuffle, whole-stage codegen), then
+
+- ``flagged``   = input + ``violations`` array + ``valid`` boolean
+  (``Ok iff errors.is_empty()``, validator/mod.rs:445-450);
+- ``violations`` = exploded violation rows
+  ``(key cols..., instance_path, code, message)`` — the violation-row
+  contract from SURVEY.md §2.3;
+- ``summary()``  = one aggregate pass (rows, valid rows, violation count).
+
+At 100 TB this plan is embarrassingly parallel: no data movement, scan →
+codegen'd select → sink; the only shuffles in the whole engine live in the
+table-level checks (:mod:`.table_checks`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.compiler import CompiledPlan, compile_table_spec
+from ..plans.spec import SchemaNode, parse_spec
+
+
+@dataclass
+class ValidationReport:
+    """Lazy DataFrames — nothing is computed until an action runs."""
+
+    flagged: DataFrame
+    violations: DataFrame
+
+    def summary(self) -> dict:
+        row = self.flagged.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("valid").cast("long")).alias("valid_rows"),
+            F.sum(F.size("violations").cast("long")).alias("violation_count"),
+        ).collect()[0]
+        rows = row["rows"]
+        valid = row["valid_rows"] or 0
+        return {
+            "rows": rows,
+            "valid_rows": valid,
+            "invalid_rows": rows - valid,
+            "violation_count": row["violation_count"] or 0,
+        }
+
+
+class ValidationEngine:
+    """Compiles a constraint spec once (driver-side) and validates any
+    DataFrame with the table's schema in a single vectorized pass.
+
+    The analog of EP2 in SURVEY.md §3: ``JsonSchema::try_from`` +
+    ``validate`` become ``ValidationEngine(spec)`` + ``engine.validate(df)``.
+    """
+
+    def __init__(
+        self,
+        spec: Union[str, bytes, dict, SchemaNode],
+        *,
+        key_cols: Sequence[str] = ("conv_id", "turn_idx"),
+        strict: bool = False,
+    ) -> None:
+        self.root = spec if isinstance(spec, SchemaNode) else parse_spec(spec, strict=strict)
+        self.key_cols = list(key_cols)
+        self._plan_cache: dict[str, CompiledPlan] = {}
+
+    def plan_for(self, df: DataFrame) -> CompiledPlan:
+        key = df.schema.simpleString()
+        if key not in self._plan_cache:
+            self._plan_cache[key] = compile_table_spec(self.root, df.schema)
+        return self._plan_cache[key]
+
+    def violations_array(self, df: DataFrame) -> Column:
+        return self.plan_for(df).violations_array()
+
+    def validate(self, df: DataFrame, *, keep_columns: Optional[Sequence[str]] = None) -> ValidationReport:
+        """Run the compiled plan. ``keep_columns`` restricts the flagged
+        output's payload columns (key columns are always kept)."""
+        arr = self.violations_array(df).alias("violations")
+        flagged = df.withColumn("violations", arr).withColumn(
+            "valid", F.size("violations") == 0
+        )
+        keys = [k for k in self.key_cols if k in df.columns]
+        violations = (
+            flagged
+            .filter(~F.col("valid"))
+            .select(*keys, F.explode("violations").alias("v"))
+            .select(*keys, "v.instance_path", "v.code", "v.message")
+        )
+        if keep_columns is not None:
+            keep = list(dict.fromkeys([*keys, *keep_columns, "violations", "valid"]))
+            flagged = flagged.select(*keep)
+        return ValidationReport(flagged=flagged, violations=violations)

@@ -1,0 +1,733 @@
+"""Spec -> vectorized check-plan compiler (typed-column fast path).
+
+Compiles a parsed :class:`~.spec.SchemaNode` tree into a flat list of
+Spark ``Column`` checks over a typed DataFrame, preserving the reference's
+evaluation precedence and message bytes (see
+`/root/reference/json_schema_rs/src/validator/mod.rs:58-450` and
+:mod:`..plans.pyvalidator`, the row-at-a-time twin of this compiler).
+
+Design (SURVEY.md §4.2): everything is built-in expressions — ``length``,
+``rlike``, ``size``, ``array_distinct``, ``transform``, ``filter``,
+``isin``, ``when`` — so the whole row-local validation pass is one
+zero-shuffle ``select`` inside WholeStageCodegen. No Python runs per row.
+
+Typed-column JSON mapping (documented engine semantics):
+
+- a ``NULL`` column value = the JSON key is **absent** (so ``required``
+  fires and the property subschema is skipped, like the reference skips
+  absent keys, validator/mod.rs:192-202);
+- a ``NULL`` *array element* is JSON ``null`` (present, so type checks
+  fire with ``got null``);
+- integral Spark types are JSON integers; float/double are JSON floats —
+  hence ``type:"integer"`` over a double column is ``ExpectedInteger`` for
+  every row, matching serde's "a float is never an integer"
+  (validator/mod.rs:291-297);
+- timestamps/dates serialize as their Spark string form and satisfy
+  ``type:"string"``.
+
+Message-byte caveat: values rendered from *columns* use Spark's
+double-to-string, which matches Rust's ``Display`` for integral doubles
+(< 1e15) and for fractional doubles with |x| in [1e-3, 1e7); outside that
+range Spark prints scientific notation where Rust would not. The
+pandas-UDF JSON mode (:mod:`..operators.json_mode`) is byte-exact
+everywhere.
+"""
+
+from __future__ import annotations
+
+import re as _re
+from dataclasses import dataclass
+from typing import Callable, Optional, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import formatting as fmt
+from ..functions.exprs import (
+    UUID_REGEX,
+    bool_and,
+    bool_or,
+    fmt_f64_col,
+    json_quote,
+    serde_json_bool,
+    serde_json_number,
+)
+from .pointer import escape_segment
+from .refs import RefResolutionError, resolve_transitive
+from .spec import ALLOW, FORBID, SchemaNode
+
+VIOLATION_FIELDS = "instance_path:string,code:string,message:string"
+VIOLATION_STRUCT_DDL = f"struct<{VIOLATION_FIELDS}>"
+VIOLATION_ARRAY_DDL = f"array<{VIOLATION_STRUCT_DDL}>"
+
+
+def _empty_violations() -> Column:
+    return F.array().cast(VIOLATION_ARRAY_DDL)
+
+
+def _viol_struct(path: Column, code: str, message: Column) -> Column:
+    return F.struct(
+        path.alias("instance_path"),
+        F.lit(code).alias("code"),
+        message.alias("message"),
+    )
+
+
+@dataclass
+class ScalarCheck:
+    """One check producing at most one violation per row."""
+
+    cond: Column          # true => violation (fully gated)
+    path: Column          # instance_path (string column; lit for static paths)
+    code: str
+    message: Column
+
+    def to_array(self) -> Column:
+        return F.when(
+            F.coalesce(self.cond, F.lit(False)),
+            F.array(_viol_struct(self.path, self.code, self.message)),
+        ).otherwise(_empty_violations())
+
+    def ok(self) -> Column:
+        return ~F.coalesce(self.cond, F.lit(False))
+
+
+@dataclass
+class ArrayCheck:
+    """Checks over array elements: already an ``array<struct>`` of
+    violations (possibly empty)."""
+
+    arr: Column
+
+    def to_array(self) -> Column:
+        return self.arr
+
+    def ok(self) -> Column:
+        return F.size(self.arr) == 0
+
+
+Check = Union[ScalarCheck, ArrayCheck]
+
+
+# --------------------------------------------------------------------------
+# Targets: what a schema node is being evaluated against.
+# --------------------------------------------------------------------------
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_FLOATING = (T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def _kind_of(dtype: T.DataType) -> str:
+    if isinstance(dtype, T.StringType):
+        return "string"
+    if isinstance(dtype, _INTEGRAL):
+        return "integer"
+    if isinstance(dtype, _FLOATING):
+        return "float"
+    if isinstance(dtype, T.BooleanType):
+        return "boolean"
+    if isinstance(dtype, T.ArrayType):
+        return "array"
+    if isinstance(dtype, T.StructType):
+        return "object"
+    if isinstance(dtype, (T.TimestampType, T.DateType)):
+        return "timestamp"
+    return "other"
+
+
+def _json_kind_name(kind: str) -> str:
+    """JSON type name used in ``got`` payloads (validator/mod.rs:15-24)."""
+    return {
+        "string": "string", "integer": "number", "float": "number",
+        "boolean": "boolean", "array": "array", "object": "object",
+        "timestamp": "string", "other": "string",
+    }[kind]
+
+
+@dataclass
+class Target:
+    """A value a schema node applies to: a column/element (scalar kinds) or
+    an object (the row itself, or a struct column)."""
+
+    col: Optional[Column]                 # None only for the row target
+    dtype: Optional[T.DataType]
+    kind: str                             # see _kind_of; "object" for row
+    # for object targets: name -> (Column, DataType)
+    fields: Optional[dict[str, tuple[Column, T.DataType]]] = None
+    null_is_absent: bool = True           # False for array elements
+
+    def got_expr(self) -> Column:
+        name = _json_kind_name(self.kind)
+        if self.col is None or self.null_is_absent:
+            return F.lit(name)
+        return F.when(self.col.isNull(), F.lit("null")).otherwise(F.lit(name))
+
+
+def row_target(df_or_schema: Union[DataFrame, T.StructType]) -> Target:
+    schema = df_or_schema.schema if isinstance(df_or_schema, DataFrame) else df_or_schema
+    fields = {f.name: (F.col(f.name), f.dataType) for f in schema.fields}
+    return Target(col=None, dtype=None, kind="object", fields=fields)
+
+
+def _struct_target(col: Column, dtype: T.StructType) -> Target:
+    fields = {f.name: (col.getField(f.name), f.dataType) for f in dtype.fields}
+    return Target(col=col, dtype=dtype, kind="object", fields=fields)
+
+
+# --------------------------------------------------------------------------
+# Value serialization (serde_json::to_string parity for column values)
+# --------------------------------------------------------------------------
+
+def _serde_value(tgt: Target) -> Column:
+    col, kind = tgt.col, tgt.kind
+    if kind == "string":
+        body = json_quote(col)
+    elif kind == "integer":
+        body = serde_json_number(col, is_float=False)
+    elif kind == "float":
+        body = serde_json_number(col, is_float=True)
+    elif kind == "boolean":
+        body = serde_json_bool(col)
+    elif kind == "timestamp":
+        body = json_quote(col.cast("string"))
+    elif kind == "array":
+        body = F.to_json(col)
+    elif kind == "object":
+        body = F.to_json(col) if col is not None else F.lit("{...}")
+    else:
+        body = json_quote(col.cast("string"))
+    if col is None:
+        return body
+    return F.when(col.isNull(), F.lit("null")).otherwise(body)
+
+
+# --------------------------------------------------------------------------
+# Compiler
+# --------------------------------------------------------------------------
+
+class CompileContext:
+    def __init__(self, root: SchemaNode) -> None:
+        self.root = root
+
+
+def _loc(path_str: str) -> str:
+    return "root" if path_str == "" else path_str
+
+
+def _msg(loc: Column, body: list[Column]) -> Column:
+    return F.concat(loc, F.lit(": "), *body)
+
+
+def _loc_col(path: Column, path_str: Optional[str]) -> Column:
+    """Display location: "root" for the empty pointer
+    (json_pointer.rs:230-236). Static paths resolve driver-side."""
+    if path_str is not None:
+        return F.lit(_loc(path_str))
+    return F.when(path == "", F.lit("root")).otherwise(path)
+
+
+def _const_eq(tgt: Target, value: object) -> Optional[Column]:
+    """Equality of a typed column with one JSON literal under serde
+    semantics (ints never equal floats, bools are not numbers —
+    pyvalidator.json_eq). Returns None when the literal can never equal a
+    value of this column type (compile-time constant false)."""
+    col, kind = tgt.col, tgt.kind
+    if value is None:
+        return col.isNull() if not tgt.null_is_absent else None
+    if isinstance(value, bool):
+        return (col == F.lit(value)) if kind == "boolean" else None
+    if isinstance(value, int):
+        return (col == F.lit(value)) if kind == "integer" else None
+    if isinstance(value, float):
+        if kind != "float":
+            return None
+        return col.cast("double") == F.lit(value)
+    if isinstance(value, str):
+        if kind == "string":
+            return col == F.lit(value)
+        if kind == "timestamp":
+            # engine convention: timestamps compare via Spark string form
+            return col.cast("string") == F.lit(value)
+        return None
+    # array/object literal vs typed column: compare canonical JSON text
+    if kind in ("array", "object") and isinstance(value, (list, dict)):
+        return F.to_json(col) == F.lit(fmt.json_compact(value))
+    return None
+
+
+def compile_node(
+    ctx: CompileContext,
+    node: SchemaNode,
+    tgt: Target,
+    path: Column,
+    path_str: Optional[str],
+    gate: Column,
+) -> list[Check]:
+    """Compile one schema node against one target; returns fully gated
+    checks. ``path_str`` is the static pointer when known (None inside
+    array-element lambdas). Precedence mirrors validator/mod.rs:68-171."""
+    root = ctx.root
+    loc = _loc_col(path, path_str)
+
+    # 1. $ref — resolved at plan time; failures become constant checks
+    try:
+        node = resolve_transitive(root, node)
+    except RefResolutionError as e:
+        ref_str = node.ref if node.ref is not None else "<missing>"
+        return [ScalarCheck(
+            cond=gate, path=path, code="InvalidRef",
+            message=_msg(loc, [F.lit(f'could not resolve $ref "{ref_str}": {e.rust_debug()}')]),
+        )]
+
+    checks: list[Check] = []
+
+    # 2. const (mismatch abandons the node; match falls through)
+    if node.has_const:
+        eq = _const_eq(tgt, node.const)
+        mismatch = gate if eq is None else (gate & ~F.coalesce(eq, F.lit(False)))
+        checks.append(ScalarCheck(
+            cond=mismatch, path=path, code="NotConst",
+            message=_msg(loc, [
+                F.lit("value "), _serde_value(tgt),
+                F.lit(f" does not match const (expected: {fmt.json_compact(node.const)})"),
+            ]),
+        ))
+        gate = gate & F.coalesce(eq, F.lit(False)) if eq is not None else F.lit(False)
+
+    # 3. enum, non-empty (miss abandons the node)
+    if node.enum is not None and len(node.enum) > 0:
+        eqs = [_const_eq(tgt, v) for v in node.enum]
+        eq_any = bool_or([F.coalesce(e, F.lit(False)) for e in eqs if e is not None])
+        allowed = ", ".join(fmt.json_compact(v) for v in node.enum)
+        checks.append(ScalarCheck(
+            cond=gate & ~eq_any, path=path, code="NotInEnum",
+            message=_msg(loc, [
+                F.lit("value "), _serde_value(tgt),
+                F.lit(f" not in enum (allowed: {allowed})"),
+            ]),
+        ))
+        gate = gate & eq_any
+
+    # 4. anyOf — handled exclusively
+    if node.any_of is not None:
+        n = len(node.any_of)
+        if n == 0:
+            checks.append(ScalarCheck(
+                cond=gate, path=path, code="NoSubschemaMatched",
+                message=_msg(loc, [F.lit("instance does not match any of the 0 subschema(s)")]),
+            ))
+        else:
+            validities = [_validity(ctx, sub, tgt) for sub in node.any_of]
+            checks.append(ScalarCheck(
+                cond=gate & ~bool_or(validities), path=path, code="NoSubschemaMatched",
+                message=_msg(loc, [F.lit(f"instance does not match any of the {n} subschema(s)")]),
+            ))
+        return checks
+
+    # 5. oneOf — handled exclusively
+    if node.one_of is not None:
+        n = len(node.one_of)
+        if n == 0:
+            checks.append(ScalarCheck(
+                cond=gate, path=path, code="NoSubschemaMatched",
+                message=_msg(loc, [F.lit("instance does not match any of the 0 subschema(s)")]),
+            ))
+        else:
+            validities = [_validity(ctx, sub, tgt) for sub in node.one_of]
+            cnt = None
+            for v in validities:
+                c = v.cast("int")
+                cnt = c if cnt is None else (cnt + c)
+            checks.append(ScalarCheck(
+                cond=gate & (cnt == 0), path=path, code="NoSubschemaMatched",
+                message=_msg(loc, [F.lit(f"instance does not match any of the {n} subschema(s)")]),
+            ))
+            checks.append(ScalarCheck(
+                cond=gate & (cnt > 1), path=path, code="MultipleSubschemasMatched",
+                message=_msg(loc, [
+                    F.lit("instance matches "), cnt.cast("string"),
+                    F.lit(f" of the {n} oneOf subschema(s), exactly one required"),
+                ]),
+            ))
+        return checks
+
+    # 6. allOf, non-empty — branches compiled in order, siblings ignored
+    if node.all_of is not None and len(node.all_of) > 0:
+        for sub in node.all_of:
+            checks.extend(compile_node(ctx, sub, tgt, path, path_str, gate))
+        return checks
+
+    # 7. type dispatch
+    checks.extend(_compile_type_scoped(ctx, node, tgt, path, path_str, gate, loc))
+    return checks
+
+
+def _validity(ctx: CompileContext, node: SchemaNode, tgt: Target) -> Column:
+    """Branch validity for anyOf/oneOf trials: true iff the branch yields
+    zero violations (validator/mod.rs:118-119, 143-144)."""
+    trial = compile_node(ctx, node, tgt, F.lit(""), "", F.lit(True))
+    return bool_and([c.ok() for c in trial])
+
+
+def _compile_type_scoped(
+    ctx: CompileContext,
+    node: SchemaNode,
+    tgt: Target,
+    path: Column,
+    path_str: Optional[str],
+    gate: Column,
+    loc: Column,
+) -> list[Check]:
+    t = node.type
+    checks: list[Check] = []
+
+    def type_error(kind_word: str, code: str) -> ScalarCheck:
+        return ScalarCheck(
+            cond=gate, path=path, code=code,
+            message=_msg(loc, [F.lit(f"expected {kind_word}, got "), tgt.got_expr()]),
+        )
+
+    if t == "object":
+        if tgt.kind != "object":
+            checks.append(type_error("object", "ExpectedObject"))
+            return checks
+        checks.extend(_compile_object(ctx, node, tgt, path, path_str, gate))
+        return checks
+
+    if t == "string":
+        if tgt.kind not in ("string", "timestamp"):
+            checks.append(type_error("string", "ExpectedString"))
+            return checks
+        s = tgt.col if tgt.kind == "string" else tgt.col.cast("string")
+        sgate = gate if tgt.null_is_absent else (gate & tgt.col.isNotNull())
+        if not tgt.null_is_absent:
+            # a null element is JSON null -> ExpectedString, got null
+            checks.append(ScalarCheck(
+                cond=gate & tgt.col.isNull(), path=path, code="ExpectedString",
+                message=_msg(loc, [F.lit("expected string, got null")]),
+            ))
+        n = F.length(s)  # Unicode code points, = Rust chars().count()
+        if node.min_length is not None:
+            checks.append(ScalarCheck(
+                cond=sgate & (n < F.lit(node.min_length)), path=path, code="TooShort",
+                message=_msg(loc, [
+                    F.lit("string has "), n.cast("string"),
+                    F.lit(f" code points, minLength is {node.min_length}"),
+                ]),
+            ))
+        if node.max_length is not None:
+            checks.append(ScalarCheck(
+                cond=sgate & (n > F.lit(node.max_length)), path=path, code="TooLong",
+                message=_msg(loc, [
+                    F.lit("string has "), n.cast("string"),
+                    F.lit(f" code points, maxLength is {node.max_length}"),
+                ]),
+            ))
+        if node.pattern is not None:
+            if not _pattern_is_valid(node.pattern):
+                checks.append(ScalarCheck(
+                    cond=sgate, path=path, code="InvalidPatternInSchema",
+                    message=_msg(loc, [F.lit(
+                        f'schema has invalid pattern "{node.pattern}"')]),
+                ))
+            else:
+                checks.append(ScalarCheck(
+                    cond=sgate & ~s.rlike(node.pattern), path=path, code="PatternMismatch",
+                    message=_msg(loc, [
+                        F.lit('string '), json_quote(s),
+                        F.lit(f' does not match pattern "{node.pattern}"'),
+                    ]),
+                ))
+        if node.format == "uuid":
+            checks.append(ScalarCheck(
+                cond=sgate & ~s.rlike(UUID_REGEX), path=path, code="InvalidUuidFormat",
+                message=_msg(loc, [
+                    F.lit("string "), json_quote(s), F.lit(" is not a valid UUID"),
+                ]),
+            ))
+        return checks
+
+    if t in ("integer", "number"):
+        is_num = tgt.kind in ("integer", "float")
+        if t == "integer" and tgt.kind != "integer":
+            # serde: a float is never an integer (validator/mod.rs:291-297)
+            got = tgt.got_expr() if not is_num else F.lit("number")
+            checks.append(ScalarCheck(
+                cond=gate, path=path, code="ExpectedInteger",
+                message=_msg(loc, [F.lit("expected integer, got "), got]),
+            ))
+            return checks
+        if t == "number" and not is_num:
+            checks.append(type_error("number", "ExpectedNumber"))
+            return checks
+        ngate = gate if tgt.null_is_absent else (gate & tgt.col.isNotNull())
+        if not tgt.null_is_absent:
+            code = "ExpectedInteger" if t == "integer" else "ExpectedNumber"
+            checks.append(ScalarCheck(
+                cond=gate & tgt.col.isNull(), path=path, code=code,
+                message=_msg(loc, [F.lit(f"expected {t}, got null")]),
+            ))
+        d = tgt.col.cast("double")
+        if node.minimum is not None:
+            checks.append(ScalarCheck(
+                cond=ngate & (d < F.lit(node.minimum)), path=path, code="BelowMinimum",
+                message=_msg(loc, [
+                    F.lit("value "), fmt_f64_col(tgt.col),
+                    F.lit(f" is below minimum {fmt.fmt_f64(node.minimum)}"),
+                ]),
+            ))
+        if node.maximum is not None:
+            checks.append(ScalarCheck(
+                cond=ngate & (d > F.lit(node.maximum)), path=path, code="AboveMaximum",
+                message=_msg(loc, [
+                    F.lit("value "), fmt_f64_col(tgt.col),
+                    F.lit(f" is above maximum {fmt.fmt_f64(node.maximum)}"),
+                ]),
+            ))
+        return checks
+
+    if t == "array":
+        if tgt.kind != "array":
+            checks.append(type_error("array", "ExpectedArray"))
+            return checks
+        checks.extend(_compile_array(ctx, node, tgt, path, path_str, gate, loc))
+        return checks
+
+    if t == "boolean":
+        if tgt.kind != "boolean":
+            checks.append(type_error("boolean", "ExpectedBoolean"))
+        elif not tgt.null_is_absent:
+            checks.append(ScalarCheck(
+                cond=gate & tgt.col.isNull(), path=path, code="ExpectedBoolean",
+                message=_msg(loc, [F.lit("expected boolean, got null")]),
+            ))
+        return checks
+
+    # type absent or not enforced: required/properties still apply to objects
+    # (validator/mod.rs:417-441)
+    if tgt.kind == "object":
+        checks.extend(_compile_required_properties(ctx, node, tgt, path, path_str, gate))
+    return checks
+
+
+def _compile_object(
+    ctx: CompileContext,
+    node: SchemaNode,
+    tgt: Target,
+    path: Column,
+    path_str: Optional[str],
+    gate: Column,
+) -> list[Check]:
+    """type:"object" body (validator/mod.rs:174-229): required, properties
+    descent, additionalProperties over undeclared fields."""
+    checks = _compile_required_properties(ctx, node, tgt, path, path_str, gate)
+    fields = tgt.fields or {}
+    extra = [k for k in fields if k not in node.properties]
+    ap = node.additional_properties
+    if ap == FORBID:
+        for k in extra:
+            kcol, _ = fields[k]
+            kpath_str = (path_str + "/" + escape_segment(k)) if path_str is not None else None
+            kpath = F.concat(path, F.lit("/" + escape_segment(k)))
+            checks.append(ScalarCheck(
+                cond=gate & kcol.isNotNull(), path=kpath,
+                code="DisallowedAdditionalProperty",
+                message=_msg(_loc_col(kpath, kpath_str),
+                             [F.lit(f'additional property "{k}" not allowed')]),
+            ))
+    elif isinstance(ap, SchemaNode):
+        for k in extra:
+            kcol, kdtype = fields[k]
+            checks.extend(_compile_property(ctx, ap, k, kcol, kdtype, path, path_str, gate))
+    return checks
+
+
+def _compile_required_properties(
+    ctx: CompileContext,
+    node: SchemaNode,
+    tgt: Target,
+    path: Column,
+    path_str: Optional[str],
+    gate: Column,
+) -> list[Check]:
+    checks: list[Check] = []
+    fields = tgt.fields or {}
+    if node.required is not None:
+        for name in node.required:
+            npath_str = (path_str + "/" + escape_segment(name)) if path_str is not None else None
+            npath = F.concat(path, F.lit("/" + escape_segment(name)))
+            nloc = _loc_col(npath, npath_str)
+            if name in fields:
+                cond = gate & fields[name][0].isNull()
+            else:
+                cond = gate  # column absent from the table: every row
+            checks.append(ScalarCheck(
+                cond=cond, path=npath, code="MissingRequired",
+                message=_msg(nloc, [F.lit(f'missing required property "{name}"')]),
+            ))
+    # deterministic BTreeMap order (json_schema.rs:306)
+    for key, sub in node.sorted_properties():
+        if key in fields:
+            kcol, kdtype = fields[key]
+            checks.extend(_compile_property(ctx, sub, key, kcol, kdtype, path, path_str, gate))
+    return checks
+
+
+def _compile_property(
+    ctx: CompileContext,
+    sub: SchemaNode,
+    key: str,
+    kcol: Column,
+    kdtype: T.DataType,
+    path: Column,
+    path_str: Optional[str],
+    gate: Column,
+) -> list[Check]:
+    kpath_str = (path_str + "/" + escape_segment(key)) if path_str is not None else None
+    kpath = F.concat(path, F.lit("/" + escape_segment(key)))
+    sub_tgt = _make_target(kcol, kdtype, null_is_absent=True)
+    # a present property = a non-null column value
+    kgate = gate & kcol.isNotNull()
+    return compile_node(ctx, sub, sub_tgt, kpath, kpath_str, kgate)
+
+
+def _make_target(col: Column, dtype: T.DataType, *, null_is_absent: bool) -> Target:
+    kind = _kind_of(dtype)
+    if kind == "object":
+        t = _struct_target(col, dtype)
+        t.null_is_absent = null_is_absent
+        return t
+    return Target(col=col, dtype=dtype, kind=kind, null_is_absent=null_is_absent)
+
+
+def _compile_array(
+    ctx: CompileContext,
+    node: SchemaNode,
+    tgt: Target,
+    path: Column,
+    path_str: Optional[str],
+    gate: Column,
+    loc: Column,
+) -> list[Check]:
+    """type:"array" body (validator/mod.rs:351-407)."""
+    checks: list[Check] = []
+    arr = tgt.col
+    n = F.size(arr)
+    if node.min_items is not None:
+        checks.append(ScalarCheck(
+            cond=gate & (n < F.lit(node.min_items)), path=path, code="TooFewItems",
+            message=_msg(loc, [
+                F.lit("array has "), n.cast("string"),
+                F.lit(f" item(s), minimum is {node.min_items}"),
+            ]),
+        ))
+    if node.max_items is not None:
+        checks.append(ScalarCheck(
+            cond=gate & (n > F.lit(node.max_items)), path=path, code="TooManyItems",
+            message=_msg(loc, [
+                F.lit("array has "), n.cast("string"),
+                F.lit(f" item(s), maximum is {node.max_items}"),
+            ]),
+        ))
+    if node.unique_items is True:
+        elem_dtype = tgt.dtype.elementType  # type: ignore[union-attr]
+        # first duplicate in (i, j) scan order = first element that already
+        # appeared earlier (validator/mod.rs:378-397)
+        first_dup = F.element_at(
+            F.filter(arr, lambda x, i: F.exists(
+                F.slice(arr, 1, i), lambda y: y.eqNullSafe(x))),
+            1,
+        )
+        dup_tgt = _make_target(first_dup, elem_dtype, null_is_absent=False)
+        checks.append(ScalarCheck(
+            cond=gate & (F.size(F.array_distinct(arr)) < n), path=path,
+            code="DuplicateArrayItems",
+            message=_msg(loc, [
+                F.lit("array has duplicate items (value: "),
+                _serde_value(dup_tgt), F.lit(")"),
+            ]),
+        ))
+    if node.items is not None:
+        elem_dtype = tgt.dtype.elementType  # type: ignore[union-attr]
+
+        def per_element(x: Column, i: Column) -> Column:
+            elem_tgt = _make_target(x, elem_dtype, null_is_absent=False)
+            epath = F.concat(path, F.lit("/"), i.cast("string"))
+            elem_checks = compile_node(ctx, node.items, elem_tgt, epath, None, F.lit(True))
+            arrays = [c.to_array() for c in elem_checks]
+            if not arrays:
+                return _empty_violations()
+            return F.concat(*arrays) if len(arrays) > 1 else arrays[0]
+
+        per_elem_arrays = F.transform(arr, per_element)
+        item_viols = F.when(gate, F.flatten(per_elem_arrays)).otherwise(_empty_violations())
+        checks.append(ArrayCheck(arr=item_viols))
+    return checks
+
+
+def _pattern_is_valid(pattern: str) -> bool:
+    """Plan-time pattern audit: the reference compiles the ECMA-262 regex
+    per instance (validator/mod.rs:259-277); we audit once at compile time
+    with Python ``re`` as the ECMA proxy and route valid patterns to Java
+    ``rlike`` (both unanchored partial match)."""
+    try:
+        _re.compile(pattern)
+        return True
+    except _re.error:
+        return False
+
+
+# --------------------------------------------------------------------------
+# Entry point
+# --------------------------------------------------------------------------
+
+@dataclass
+class CompiledPlan:
+    checks: list[Check]
+    referenced_columns: list[str]
+
+    def violations_array(self) -> Column:
+        """array<struct<instance_path,code,message>> of all violations for
+        one row — the reference's append-only error Vec lifted to a column
+        (validator/mod.rs:63, 445-450)."""
+        arrays = [c.to_array() for c in self.checks]
+        if not arrays:
+            return _empty_violations()
+        out = F.concat(*arrays) if len(arrays) > 1 else arrays[0]
+        return F.filter(out, lambda x: x.isNotNull())
+
+
+def compile_table_spec(root: SchemaNode, schema: T.StructType) -> CompiledPlan:
+    """Compile a spec whose root node describes one row (an object whose
+    keys are the table's columns)."""
+    ctx = CompileContext(root)
+    tgt = row_target(schema)
+    checks = compile_node(ctx, root, tgt, F.lit(""), "", F.lit(True))
+    referenced = _referenced_columns(root, schema)
+    return CompiledPlan(checks=checks, referenced_columns=referenced)
+
+
+def _referenced_columns(root: SchemaNode, schema: T.StructType) -> list[str]:
+    """Columns the spec actually constrains — lets the scan prune the rest
+    (column pruning is free once we select only these)."""
+    names = {f.name for f in schema.fields}
+    out: set[str] = set()
+
+    def walk(n: SchemaNode) -> None:
+        for k in n.properties:
+            if k in names:
+                out.add(k)
+        if n.required:
+            out.update(set(n.required) & names)
+        if n.additional_properties is not None and n.additional_properties != ALLOW:
+            out.update(names)  # additionalProperties inspects every column
+        for sub in (n.all_of or []) + (n.any_of or []) + (n.one_of or []):
+            walk(sub)
+        for m in (n.defs, n.definitions):
+            if m:
+                for sub in m.values():
+                    walk(sub)
+
+    walk(root)
+    return sorted(out)

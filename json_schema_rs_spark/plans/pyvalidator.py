@@ -1,0 +1,332 @@
+"""Reference-semantics JSON-document validator (pure Python).
+
+A faithful reimplementation of the reference's keyword-ladder interpreter
+(`/root/reference/json_schema_rs/src/validator/mod.rs:58-450`) used for:
+
+1. unit tests mirroring the reference's 139 validator tests;
+2. the Arrow-batched pandas-UDF "JSON document column" mode
+   (:mod:`..operators.json_mode`) — the slow path for arbitrarily nested
+   payloads the typed-column compiler can't express;
+3. golden cross-checks of the vectorized typed-column compiler.
+
+Evaluation precedence per schema node (each hit suppresses later keywords —
+validator/mod.rs:68-171):
+
+1. ``$ref`` (transitive; failure -> InvalidRef, node abandoned)
+2. ``const`` (mismatch -> NotConst, node abandoned; match falls through)
+3. ``enum`` non-empty (miss -> NotInEnum, node abandoned)
+4. ``anyOf`` (handled exclusively — siblings never evaluated)
+5. ``oneOf`` (handled exclusively)
+6. ``allOf`` non-empty (subschemas pushed, siblings ignored)
+7. ``type`` dispatch + type-scoped constraints
+
+All errors are collected; there is no fail-fast (validator/mod.rs:1-3).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Any
+
+from ..functions import formatting as fmt
+from .pointer import JsonPointer
+from .refs import RefResolutionError, resolve_transitive
+from .spec import FORBID, SchemaNode
+
+_UUID_HYPHENATED = re.compile(
+    r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
+)
+_UUID_SIMPLE = re.compile(r"[0-9a-fA-F]{32}")
+
+
+def is_valid_uuid(s: str) -> bool:
+    """``uuid::Uuid::parse_str`` accepts hyphenated, simple (32 hex),
+    ``urn:uuid:`` and braced forms (validator/mod.rs:279-289)."""
+    if s.startswith("urn:uuid:"):
+        return _UUID_HYPHENATED.fullmatch(s[9:]) is not None
+    if s.startswith("{") and s.endswith("}"):
+        return _UUID_HYPHENATED.fullmatch(s[1:-1]) is not None
+    return (_UUID_HYPHENATED.fullmatch(s) is not None
+            or _UUID_SIMPLE.fullmatch(s) is not None)
+
+
+def json_eq(a: Any, b: Any) -> bool:
+    """serde_json ``Value`` equality: booleans are not numbers, and an
+    integer is never equal to a float (``Number`` variant equality —
+    ``1`` != ``1.0``), unlike Python's ``==``."""
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool) and a is b
+    if isinstance(a, int) and isinstance(b, int):
+        return a == b
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b
+    if isinstance(a, (int, float)) or isinstance(b, (int, float)):
+        return False  # int vs float (or number vs non-number)
+    if type(a) is not type(b):
+        return False
+    if isinstance(a, list):
+        return len(a) == len(b) and all(json_eq(x, y) for x, y in zip(a, b))
+    if isinstance(a, dict):
+        return a.keys() == b.keys() and all(json_eq(v, b[k]) for k, v in a.items())
+    return a == b
+
+
+@dataclass(frozen=True)
+class Violation:
+    """One validation error: RFC 6901 path, variant code, and the byte-exact
+    Display line (error.rs:241-398)."""
+
+    path: str
+    code: str
+    message: str
+
+    def sort_key(self) -> tuple[str, str]:
+        return (self.path, self.code)
+
+
+def _is_integer(v: Any) -> bool:
+    """serde ``as_i64`` semantics: floats are never integers — ``1.0`` is
+    NOT a valid ``type:"integer"`` instance (validator/mod.rs:291-297;
+    design.md documents this as stricter than the spec)."""
+    return isinstance(v, int) and not isinstance(v, bool)
+
+
+def _is_number(v: Any) -> bool:
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
+def validate(root: SchemaNode, instance: Any) -> list[Violation]:
+    """Validate one JSON instance; returns all violations (empty = valid)."""
+    return validate_with_root(root, root, instance)
+
+
+def validate_with_root(root: SchemaNode, start: SchemaNode, instance: Any) -> list[Violation]:
+    """Interpreter: ``start`` is the node to evaluate, ``root`` the $ref
+    namespace (validator/mod.rs:58)."""
+    errors: list[Violation] = []
+    # explicit work stack — "no literal recursion" except combinator trials
+    # (validator/mod.rs:64-67)
+    stack: list[tuple[SchemaNode, Any, JsonPointer]] = [(start, instance, JsonPointer.root())]
+
+    while stack:
+        schema, inst, path = stack.pop()
+        loc = path.display_root_or_path()
+
+        # 1. $ref
+        try:
+            schema = resolve_transitive(root, schema)
+        except RefResolutionError as e:
+            ref_str = schema.ref if schema.ref is not None else "<missing>"
+            errors.append(Violation(path.as_str(), "InvalidRef",
+                                    fmt.msg_invalid_ref(loc, ref_str, e.rust_debug())))
+            continue
+
+        # 2. const
+        if schema.has_const and not json_eq(inst, schema.const):
+            errors.append(Violation(
+                path.as_str(), "NotConst",
+                fmt.msg_not_const(loc, fmt.json_compact(inst), fmt.json_compact(schema.const))))
+            continue
+
+        # 3. enum (non-empty)
+        if schema.enum is not None and len(schema.enum) > 0 \
+                and not any(json_eq(a, inst) for a in schema.enum):
+            errors.append(Violation(
+                path.as_str(), "NotInEnum",
+                fmt.msg_not_in_enum(loc, fmt.json_compact(inst),
+                                    [fmt.json_compact(a) for a in schema.enum])))
+            continue
+
+        # 4. anyOf — handled exclusively (validator/mod.rs:109-133)
+        if schema.any_of is not None:
+            if len(schema.any_of) == 0:
+                errors.append(Violation(path.as_str(), "NoSubschemaMatched",
+                                        fmt.msg_no_subschema_matched(loc, 0)))
+            elif not any(len(validate_with_root(root, s, inst)) == 0
+                         for s in schema.any_of):
+                errors.append(Violation(
+                    path.as_str(), "NoSubschemaMatched",
+                    fmt.msg_no_subschema_matched(loc, len(schema.any_of))))
+            continue
+
+        # 5. oneOf — handled exclusively (validator/mod.rs:134-163)
+        if schema.one_of is not None:
+            if len(schema.one_of) == 0:
+                errors.append(Violation(path.as_str(), "NoSubschemaMatched",
+                                        fmt.msg_no_subschema_matched(loc, 0)))
+            else:
+                passed = sum(1 for s in schema.one_of
+                             if len(validate_with_root(root, s, inst)) == 0)
+                if passed == 0:
+                    errors.append(Violation(
+                        path.as_str(), "NoSubschemaMatched",
+                        fmt.msg_no_subschema_matched(loc, len(schema.one_of))))
+                elif passed > 1:
+                    errors.append(Violation(
+                        path.as_str(), "MultipleSubschemasMatched",
+                        fmt.msg_multiple_subschemas_matched(loc, passed, len(schema.one_of))))
+            continue
+
+        # 6. allOf non-empty — push subschemas, siblings ignored (:164-171)
+        if schema.all_of is not None and len(schema.all_of) > 0:
+            for sub in reversed(schema.all_of):
+                stack.append((sub, inst, path))
+            continue
+
+        # 7. type dispatch
+        t = schema.type
+        if t == "object":
+            if not isinstance(inst, dict):
+                errors.append(Violation(
+                    path.as_str(), "ExpectedObject",
+                    fmt.msg_expected_type(loc, "object", fmt.json_type_name(inst))))
+                continue
+            _check_object(schema, inst, path, stack, errors)
+        elif t == "string":
+            _check_string(schema, inst, path, loc, errors)
+        elif t == "integer":
+            if not _is_integer(inst):
+                errors.append(Violation(
+                    path.as_str(), "ExpectedInteger",
+                    fmt.msg_expected_type(loc, "integer", fmt.json_type_name(inst))))
+            else:
+                _check_bounds(schema, float(inst), path, loc, errors)
+        elif t == "number":
+            if not _is_number(inst):
+                errors.append(Violation(
+                    path.as_str(), "ExpectedNumber",
+                    fmt.msg_expected_type(loc, "number", fmt.json_type_name(inst))))
+            else:
+                _check_bounds(schema, float(inst), path, loc, errors)
+        elif t == "array":
+            if not isinstance(inst, list):
+                errors.append(Violation(
+                    path.as_str(), "ExpectedArray",
+                    fmt.msg_expected_type(loc, "array", fmt.json_type_name(inst))))
+                continue
+            _check_array(schema, inst, path, loc, stack, errors)
+        elif t == "boolean":
+            if not isinstance(inst, bool):
+                errors.append(Violation(
+                    path.as_str(), "ExpectedBoolean",
+                    fmt.msg_expected_type(loc, "boolean", fmt.json_type_name(inst))))
+        else:
+            # type absent or not enforced (e.g. "null"): required/properties
+            # still apply to objects (validator/mod.rs:417-441)
+            if isinstance(inst, dict):
+                _check_required_and_properties(schema, inst, path, stack, errors)
+
+    return errors
+
+
+def _check_object(schema: SchemaNode, obj: dict, path: JsonPointer,
+                  stack: list, errors: list[Violation]) -> None:
+    """type:"object" body (validator/mod.rs:174-229)."""
+    _check_required_and_properties(schema, obj, path, stack, errors)
+    extra = [k for k in obj if k not in schema.properties]
+    if extra:
+        ap = schema.additional_properties
+        if ap == FORBID:
+            for k in extra:
+                p = path.push(k)
+                errors.append(Violation(
+                    p.as_str(), "DisallowedAdditionalProperty",
+                    fmt.msg_disallowed_additional_property(p.display_root_or_path(), k)))
+        elif isinstance(ap, SchemaNode):
+            for k in reversed(extra):
+                stack.append((ap, obj[k], path.push(k)))
+
+
+def _check_required_and_properties(schema: SchemaNode, obj: dict, path: JsonPointer,
+                                   stack: list, errors: list[Violation]) -> None:
+    """required + properties descent, shared by object and typeless nodes
+    (validator/mod.rs:183-202, 417-441). Note the MissingRequired path is
+    ``{path}/{name}`` (instance_path.push(name), :186)."""
+    if schema.required is not None:
+        for name in schema.required:
+            if name not in obj:
+                p = path.push(name)
+                errors.append(Violation(
+                    p.as_str(), "MissingRequired",
+                    fmt.msg_missing_required(p.display_root_or_path(), name)))
+    # BTreeMap order: sorted property keys, pushed in reverse so they pop
+    # first-key-first (validator/mod.rs:192-202)
+    pending = [(sub, obj[key], path.push(key))
+               for key, sub in schema.sorted_properties() if key in obj]
+    for item in reversed(pending):
+        stack.append(item)
+
+
+def _check_string(schema: SchemaNode, inst: Any, path: JsonPointer,
+                  loc: str, errors: list[Violation]) -> None:
+    """type:"string" body (validator/mod.rs:231-289). A non-string gets
+    ExpectedString but does NOT abandon the node — length/pattern/uuid simply
+    skip non-strings."""
+    if not isinstance(inst, str):
+        errors.append(Violation(
+            path.as_str(), "ExpectedString",
+            fmt.msg_expected_type(loc, "string", fmt.json_type_name(inst))))
+        return
+    n = len(inst)  # Python str length = Unicode code points = Rust chars().count()
+    if schema.min_length is not None and n < schema.min_length:
+        errors.append(Violation(path.as_str(), "TooShort",
+                                fmt.msg_too_short(loc, n, schema.min_length)))
+    if schema.max_length is not None and n > schema.max_length:
+        errors.append(Violation(path.as_str(), "TooLong",
+                                fmt.msg_too_long(loc, n, schema.max_length)))
+    if schema.pattern is not None:
+        try:
+            rx = re.compile(schema.pattern)
+        except re.error:
+            errors.append(Violation(
+                path.as_str(), "InvalidPatternInSchema",
+                fmt.msg_invalid_pattern_in_schema(loc, schema.pattern)))
+        else:
+            if rx.search(inst) is None:  # partial match, like regress .find()
+                errors.append(Violation(
+                    path.as_str(), "PatternMismatch",
+                    fmt.msg_pattern_mismatch(loc, inst, schema.pattern)))
+    if schema.format == "uuid" and not is_valid_uuid(inst):
+        errors.append(Violation(path.as_str(), "InvalidUuidFormat",
+                                fmt.msg_invalid_uuid_format(loc, inst)))
+
+
+def _check_bounds(schema: SchemaNode, x: float, path: JsonPointer,
+                  loc: str, errors: list[Violation]) -> None:
+    """Inclusive minimum/maximum compared as f64 (validator/mod.rs:298-349)."""
+    if schema.minimum is not None and x < schema.minimum:
+        errors.append(Violation(path.as_str(), "BelowMinimum",
+                                fmt.msg_below_minimum(loc, x, schema.minimum)))
+    if schema.maximum is not None and x > schema.maximum:
+        errors.append(Violation(path.as_str(), "AboveMaximum",
+                                fmt.msg_above_maximum(loc, x, schema.maximum)))
+
+
+def _check_array(schema: SchemaNode, arr: list, path: JsonPointer,
+                 loc: str, stack: list, errors: list[Violation]) -> None:
+    """type:"array" body (validator/mod.rs:351-407): minItems/maxItems,
+    uniqueItems (first duplicate by (i, j) scan order), items recursion with
+    element index as path segment."""
+    n = len(arr)
+    if schema.min_items is not None and n < schema.min_items:
+        errors.append(Violation(path.as_str(), "TooFewItems",
+                                fmt.msg_too_few_items(loc, n, schema.min_items)))
+    if schema.max_items is not None and n > schema.max_items:
+        errors.append(Violation(path.as_str(), "TooManyItems",
+                                fmt.msg_too_many_items(loc, n, schema.max_items)))
+    if schema.unique_items is True:
+        dup = None
+        for i in range(n):
+            for j in range(i + 1, n):
+                if json_eq(arr[i], arr[j]):
+                    dup = fmt.json_compact(arr[i])
+                    break
+            if dup is not None:
+                break
+        if dup is not None:
+            errors.append(Violation(path.as_str(), "DuplicateArrayItems",
+                                    fmt.msg_duplicate_array_items(loc, dup)))
+    if schema.items is not None:
+        for i in range(n - 1, -1, -1):
+            stack.append((schema.items, arr[i], path.push(str(i))))

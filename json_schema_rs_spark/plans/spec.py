@@ -1,0 +1,230 @@
+"""Constraint-spec model: a JSON-Schema-subset document parsed driver-side.
+
+The keyword vocabulary, parse behaviors, and validation precedence mirror the
+reference (`/root/reference/json_schema_rs/src/json_schema/json_schema.rs:279-403`):
+
+- ``type`` may be a string or an array of strings; only the **first** element
+  is used (json_schema.rs:96-114; design.md:405).
+- ``additionalProperties`` is Allow (true/absent), Forbid (false), or a
+  sub-schema (json_schema.rs:53-94).
+- Annotation-only keywords (``title``, ``description``, ``$comment``,
+  ``default``, ``examples``, ``deprecated``, ``$schema``, ``$id``, and any
+  ``format`` other than ``"uuid"``) are parsed and **ignored** for
+  validation (design.md:697-727).
+- Strict mode (``disallow_unknown_fields``) rejects unknown keywords at parse
+  time (json_schema.rs:138-205; settings.rs:16).
+
+This module is pure Python (no Spark): it is the plan-time half of the
+engine, shared by the vectorized compiler and the pandas-UDF JSON-document
+validator.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Union
+
+# Keywords the reference model understands (serde field set of JsonSchema,
+# json_schema.rs:279-403). Anything else is "unknown" in strict mode.
+KNOWN_KEYWORDS = {
+    "$schema", "$id", "$ref", "type", "$defs", "definitions", "properties",
+    "additionalProperties", "required", "title", "description", "$comment",
+    "enum", "const", "items", "uniqueItems", "minItems", "maxItems",
+    "minimum", "maximum", "minLength", "maxLength", "pattern", "format",
+    "default", "deprecated", "examples", "allOf", "anyOf", "oneOf",
+}
+
+# Spec-version inference (spec_version.rs:8-17; settings.rs:70-79): resolved
+# from the $schema URI, defaulting to Draft 2020-12.
+DRAFT_URIS = {
+    "https://json-schema.org/draft/2020-12/schema": "Draft202012",
+    "https://json-schema.org/draft/2019-09/schema": "Draft201909",
+    "http://json-schema.org/draft-07/schema#": "Draft07",
+    "http://json-schema.org/draft-06/schema#": "Draft06",
+    "http://json-schema.org/draft-04/schema#": "Draft04",
+}
+DEFAULT_SPEC_VERSION = "Draft202012"
+
+
+class SpecParseError(ValueError):
+    """Raised when a spec document cannot be parsed into the model."""
+
+
+# Sentinel distinguishing "const absent" from "const: null".
+_ABSENT = object()
+
+ALLOW = "allow"
+FORBID = "forbid"
+
+
+@dataclass
+class SchemaNode:
+    """One schema node — a struct of optionals, like the reference's
+    ``JsonSchema`` (deliberately not an enum of subtypes, design.md:56-58)."""
+
+    schema_uri: Optional[str] = None
+    id: Optional[str] = None
+    ref: Optional[str] = None
+    type: Optional[str] = None          # first element when given as array
+    defs: Optional[dict[str, "SchemaNode"]] = None
+    definitions: Optional[dict[str, "SchemaNode"]] = None
+    properties: dict[str, "SchemaNode"] = field(default_factory=dict)
+    # ALLOW | FORBID | SchemaNode; None means absent (= allow)
+    additional_properties: Optional[Union[str, "SchemaNode"]] = None
+    required: Optional[list[str]] = None
+    enum: Optional[list[Any]] = None
+    const: Any = _ABSENT
+    items: Optional["SchemaNode"] = None
+    unique_items: Optional[bool] = None
+    min_items: Optional[int] = None
+    max_items: Optional[int] = None
+    minimum: Optional[float] = None
+    maximum: Optional[float] = None
+    min_length: Optional[int] = None
+    max_length: Optional[int] = None
+    pattern: Optional[str] = None
+    format: Optional[str] = None
+    all_of: Optional[list["SchemaNode"]] = None
+    any_of: Optional[list["SchemaNode"]] = None
+    one_of: Optional[list["SchemaNode"]] = None
+
+    @property
+    def has_const(self) -> bool:
+        return self.const is not _ABSENT
+
+    def sorted_properties(self) -> list[tuple[str, "SchemaNode"]]:
+        """Deterministic (BTreeMap) property order — json_schema.rs:306,
+        design.md:50."""
+        return sorted(self.properties.items())
+
+
+def _expect(cond: bool, msg: str) -> None:
+    if not cond:
+        raise SpecParseError(msg)
+
+
+def _parse_type(v: Any) -> Optional[str]:
+    """`type` string-or-array-first-element (json_schema.rs:96-114)."""
+    if isinstance(v, str):
+        return v
+    if isinstance(v, list):
+        _expect(len(v) > 0, "type array must be non-empty")
+        _expect(isinstance(v[0], str), "type array elements must be strings")
+        return v[0]
+    raise SpecParseError(f"type must be a string or array of strings, got {v!r}")
+
+
+def _parse_node_map(v: Any, what: str, strict: bool) -> dict[str, SchemaNode]:
+    _expect(isinstance(v, dict), f"{what} must be an object")
+    return {k: parse_node(sub, strict=strict) for k, sub in v.items()}
+
+
+def _parse_uint(v: Any, what: str) -> int:
+    _expect(isinstance(v, int) and not isinstance(v, bool) and v >= 0,
+            f"{what} must be a non-negative integer")
+    return v
+
+
+def _parse_num(v: Any, what: str) -> float:
+    _expect(isinstance(v, (int, float)) and not isinstance(v, bool),
+            f"{what} must be a number")
+    return float(v)
+
+
+def parse_node(doc: Any, *, strict: bool = False) -> SchemaNode:
+    """Parse one schema object into a :class:`SchemaNode`.
+
+    ``strict=True`` mirrors ``disallow_unknown_fields``
+    (json_schema.rs:510-525): any key outside the reference vocabulary is a
+    parse error.
+    """
+    _expect(isinstance(doc, dict), f"schema must be a JSON object, got {type(doc).__name__}")
+    if strict:
+        unknown = sorted(set(doc) - KNOWN_KEYWORDS)
+        _expect(not unknown, f"unknown field(s) in strict mode: {', '.join(unknown)}")
+
+    n = SchemaNode()
+    n.schema_uri = doc.get("$schema")
+    n.id = doc.get("$id")
+    if "$ref" in doc:
+        _expect(isinstance(doc["$ref"], str), "$ref must be a string")
+        n.ref = doc["$ref"]
+    if "type" in doc:
+        n.type = _parse_type(doc["type"])
+    if "$defs" in doc:
+        n.defs = _parse_node_map(doc["$defs"], "$defs", strict)
+    if "definitions" in doc:
+        n.definitions = _parse_node_map(doc["definitions"], "definitions", strict)
+    if "properties" in doc:
+        n.properties = _parse_node_map(doc["properties"], "properties", strict)
+    if "additionalProperties" in doc:
+        ap = doc["additionalProperties"]
+        if ap is True:
+            n.additional_properties = ALLOW
+        elif ap is False:
+            n.additional_properties = FORBID
+        elif isinstance(ap, dict):
+            n.additional_properties = parse_node(ap, strict=strict)
+        else:
+            raise SpecParseError("additionalProperties must be a bool or a schema")
+    if "required" in doc:
+        req = doc["required"]
+        _expect(isinstance(req, list) and all(isinstance(x, str) for x in req),
+                "required must be an array of strings")
+        n.required = list(req)
+    if "enum" in doc:
+        _expect(isinstance(doc["enum"], list), "enum must be an array")
+        n.enum = list(doc["enum"])
+    if "const" in doc:
+        n.const = doc["const"]
+    if "items" in doc:
+        n.items = parse_node(doc["items"], strict=strict)
+    if "uniqueItems" in doc:
+        _expect(isinstance(doc["uniqueItems"], bool), "uniqueItems must be a bool")
+        n.unique_items = doc["uniqueItems"]
+    if "minItems" in doc:
+        n.min_items = _parse_uint(doc["minItems"], "minItems")
+    if "maxItems" in doc:
+        n.max_items = _parse_uint(doc["maxItems"], "maxItems")
+    if "minimum" in doc:
+        n.minimum = _parse_num(doc["minimum"], "minimum")
+    if "maximum" in doc:
+        n.maximum = _parse_num(doc["maximum"], "maximum")
+    if "minLength" in doc:
+        n.min_length = _parse_uint(doc["minLength"], "minLength")
+    if "maxLength" in doc:
+        n.max_length = _parse_uint(doc["maxLength"], "maxLength")
+    if "pattern" in doc:
+        _expect(isinstance(doc["pattern"], str), "pattern must be a string")
+        n.pattern = doc["pattern"]
+    if "format" in doc:
+        _expect(isinstance(doc["format"], str), "format must be a string")
+        n.format = doc["format"]
+    for kw, attr in (("allOf", "all_of"), ("anyOf", "any_of"), ("oneOf", "one_of")):
+        if kw in doc:
+            _expect(isinstance(doc[kw], list), f"{kw} must be an array")
+            setattr(n, attr, [parse_node(s, strict=strict) for s in doc[kw]])
+    return n
+
+
+def parse_spec(spec: Union[str, bytes, dict], *, strict: bool = False) -> SchemaNode:
+    """Parse a spec from a JSON string/bytes or an already-loaded dict
+    (the analog of ``JsonSchema::new_from_{str,slice,serde_value}``,
+    json_schema.rs:603-688)."""
+    if isinstance(spec, (str, bytes)):
+        try:
+            doc = json.loads(spec)
+        except json.JSONDecodeError as e:
+            raise SpecParseError(f"invalid JSON: {e}") from e
+    else:
+        doc = spec
+    return parse_node(doc, strict=strict)
+
+
+def resolved_spec_version(root: SchemaNode) -> str:
+    """Resolve the draft from ``$schema``, defaulting to Draft 2020-12
+    (settings.rs:70-79, spec_version.rs:8-17)."""
+    if root.schema_uri is None:
+        return DEFAULT_SPEC_VERSION
+    return DRAFT_URIS.get(root.schema_uri, DEFAULT_SPEC_VERSION)
