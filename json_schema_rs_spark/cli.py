@@ -1,0 +1,85 @@
+"""spark-submit entry point — the analog of the reference CLI
+(`/root/reference/json_schema_rs/src/cli/validate.rs:8-30`): validate a
+table against a spec, write violations + ledger, exit non-zero when any
+row fails (matching the reference's exit-code contract,
+cli/mod.rs:132-135).
+
+Usage:
+
+    spark-submit --py-files json_schema_rs_spark.zip -m json_schema_rs_spark.cli \
+        validate --spec spec.json --input /data/transcripts \
+        --output /out/run1 --run-id nightly --buckets 256
+
+Adding ``--resume`` with the same run-id skips buckets the ledger already
+records as done.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_session(app: str, master: str | None = None):
+    from pyspark.sql import SparkSession
+
+    b = (SparkSession.builder.appName(app)
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         .config("spark.sql.session.timeZone", "UTC"))
+    if master:
+        b = b.master(master)
+    return b.getOrCreate()
+
+
+def cmd_validate(args: argparse.Namespace) -> int:
+    from .sources.ledger import run_checkpointed_validation
+
+    spark = build_session("json_schema_rs_spark.validate", args.master)
+    with open(args.spec) as f:
+        spec = json.load(f)
+    source = spark.read.parquet(args.input)
+    summary = run_checkpointed_validation(
+        spark, source, spec, args.output,
+        run_id=args.run_id, n_buckets=args.buckets,
+        bucket_col=args.bucket_col,
+        key_cols=tuple(args.keys.split(",")),
+    )
+    print(json.dumps(summary))
+    # exit code reflects the WHOLE run (ledger totals), so a resume of an
+    # already-failed run still exits 1 — matching the reference's
+    # "validation failed with N error(s)" contract
+    from pyspark.sql import functions as F
+
+    from .sources.ledger import ValidationLedger
+    ledger = ValidationLedger(spark, f"{args.output}/ledger")
+    agg = ledger.entries(summary["run_id"]).agg(
+        F.sum("violation_count").alias("v")).collect()[0]
+    total_violations = int(agg["v"] or 0)
+    if total_violations > 0:
+        print(f"validation failed with {total_violations} error(s)",
+              file=sys.stderr)
+        return 1
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="json_schema_rs_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    v = sub.add_parser("validate", help="validate a parquet/Iceberg table")
+    v.add_argument("--spec", required=True, help="constraint spec JSON file")
+    v.add_argument("--input", required=True, help="input table path")
+    v.add_argument("--output", required=True, help="output dir (violations + ledger)")
+    v.add_argument("--run-id", default=None)
+    v.add_argument("--buckets", type=int, default=64)
+    v.add_argument("--bucket-col", default="conv_id")
+    v.add_argument("--keys", default="conv_id,turn_idx")
+    v.add_argument("--master", default=None, help="override spark master (tests)")
+    v.set_defaults(fn=cmd_validate)
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,193 @@
+"""Per-column stats profiling and distribution-drift checks.
+
+North-star requirements (BASELINE.json): per-column stats (null-rate,
+distinct via HyperLogLog, min/max, quantiles via approx_percentile /
+t-digest) feeding constraint predicates, and two-sample drift (KS on
+numeric columns, chi-square on categorical) computed from distributed
+sketches with the statistic assembled at the end.
+
+All heavy lifting stays distributed: profile = ONE aggregate pass over the
+table (map-side partial aggregation, one shuffle of tiny partial states);
+chi-square = two category-count aggregations + a categories-sized join;
+KS = per-partition t-digests (narrow) merged on the driver, or an exact
+ECDF path for oracle-checkable small scale.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.tdigest import TDigest, ks_from_digests
+
+
+def profile(
+    df: DataFrame,
+    columns: Optional[Sequence[str]] = None,
+    *,
+    exact_distinct: bool = False,
+    quantiles: Sequence[float] = (0.5, 0.95),
+) -> DataFrame:
+    """One aggregate pass producing one row per column:
+    ``(column, count, null_count, null_rate, distinct_count, min, max,
+    mean, q50, q95)``. ``distinct_count`` uses HyperLogLog
+    (``approx_count_distinct``) by default — exact only for oracle tests.
+    Non-numeric columns get null mean/quantiles; min/max as strings."""
+    columns = list(columns or df.columns)
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    numeric = {c for c in columns if dtypes[c] in
+               ("tinyint", "smallint", "int", "bigint", "float", "double")
+               or dtypes[c].startswith("decimal")}
+    for c in columns:
+        aggs.append(F.count(c).alias(f"{c}__nonnull"))
+        if exact_distinct:
+            aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
+        else:
+            aggs.append(F.approx_count_distinct(c).alias(f"{c}__distinct"))
+        aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
+        if c in numeric:
+            aggs.append(F.avg(F.col(c).cast("double")).alias(f"{c}__mean"))
+            for q in quantiles:
+                aggs.append(F.percentile_approx(F.col(c).cast("double"), q)
+                            .alias(f"{c}__q{int(q * 100)}"))
+    row = df.agg(*aggs)
+    # unpivot the single wide row into one row per column (driver-free:
+    # stack() on the aggregated 1-row DF)
+    parts = []
+    for c in columns:
+        mean = f"`{c}__mean`" if c in numeric else "cast(null as double)"
+        qs = [f"`{c}__q{int(q * 100)}`" if c in numeric else "cast(null as double)"
+              for q in quantiles]
+        parts.append(
+            f"struct('{c}' as column, _rows as count, "
+            f"_rows - `{c}__nonnull` as null_count, "
+            f"1.0 - `{c}__nonnull` / _rows as null_rate, "
+            f"`{c}__distinct` as distinct_count, "
+            f"`{c}__min` as min, `{c}__max` as max, {mean} as mean, "
+            + ", ".join(f"{e} as q{int(q * 100)}" for e, q in zip(qs, quantiles))
+            + ")"
+        )
+    stacked = row.select(F.explode(F.expr("array(" + ",".join(parts) + ")")).alias("s"))
+    return stacked.select("s.*")
+
+
+def category_counts(df: DataFrame, column: str) -> DataFrame:
+    return df.groupBy(F.col(column).alias("category")) \
+             .agg(F.count(F.lit(1)).alias("n"))
+
+
+def chi2_two_sample(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
+    """Pearson chi-square statistic comparing the category distributions of
+    ``column`` in two samples; returns one row
+    ``(chi2 double, dof bigint, n_a bigint, n_b bigint)``.
+
+    Fully distributed: two count aggregations, a categories-sized outer
+    join, one final sum. Expected counts under the pooled distribution:
+    ``E_si = n_s * (a_i + b_i) / (n_a + n_b)``.
+    """
+    ca = category_counts(df_a, column).withColumnRenamed("n", "na")
+    cb = category_counts(df_b, column).withColumnRenamed("n", "nb")
+    joined = ca.join(cb, "category", "full_outer").select(
+        "category",
+        F.coalesce("na", F.lit(0)).alias("na"),
+        F.coalesce("nb", F.lit(0)).alias("nb"),
+    )
+    totals = joined.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb")) \
+                   .collect()[0]
+    ta, tb = totals["ta"] or 0, totals["tb"] or 0
+    tot = ta + tb
+    with_exp = joined.select(
+        "category", "na", "nb",
+        (F.lit(ta) * (F.col("na") + F.col("nb")) / F.lit(tot)).alias("ea"),
+        (F.lit(tb) * (F.col("na") + F.col("nb")) / F.lit(tot)).alias("eb"),
+    )
+    return with_exp.agg(
+        F.sum(
+            F.when(F.col("ea") > 0, F.pow(F.col("na") - F.col("ea"), 2) / F.col("ea"))
+            .otherwise(F.lit(0.0))
+            + F.when(F.col("eb") > 0, F.pow(F.col("nb") - F.col("eb"), 2) / F.col("eb"))
+            .otherwise(F.lit(0.0))
+        ).alias("chi2"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("dof"),
+        F.lit(ta).cast("bigint").alias("n_a"),
+        F.lit(tb).cast("bigint").alias("n_b"),
+    )
+
+
+def ks_exact(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic via joint ECDFs.
+
+    Oracle-checkable small-scale path (SQL-expressible); the final window
+    runs unpartitioned over *distinct values only*, so it is safe up to
+    ~millions of distinct values. For 100 TB use :func:`ks_sketch`.
+    Returns one row ``(ks double)``.
+    """
+    a = df_a.select(F.col(column).cast("double").alias("v")).dropna()
+    b = df_b.select(F.col(column).cast("double").alias("v")).dropna()
+    na, nb = a.count(), b.count()
+    ga = a.groupBy("v").agg(F.count(F.lit(1)).alias("ca"))
+    gb = b.groupBy("v").agg(F.count(F.lit(1)).alias("cb"))
+    merged = ga.join(gb, "v", "full_outer").select(
+        "v",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    from pyspark.sql import Window
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = merged.select(
+        (F.sum("ca").over(w) / F.lit(float(na))).alias("fa"),
+        (F.sum("cb").over(w) / F.lit(float(nb))).alias("fb"),
+    )
+    return ecdf.agg(F.max(F.abs(F.col("fa") - F.col("fb"))).alias("ks"))
+
+
+_DIGEST_SCHEMA = T.StructType([
+    T.StructField("means", T.ArrayType(T.DoubleType())),
+    T.StructField("weights", T.ArrayType(T.DoubleType())),
+    T.StructField("mn", T.DoubleType()),
+    T.StructField("mx", T.DoubleType()),
+])
+
+
+def column_digest(df: DataFrame, column: str, *,
+                  compression: float = 200.0) -> TDigest:
+    """Distributed t-digest of a numeric column: one narrow
+    ``mapInPandas`` pass emits one tiny digest per partition (Arrow
+    batches, vectorized NumPy), merged on the driver. Sketch merge is
+    associative, so this is the same digest regardless of partitioning."""
+    src = df.select(F.col(column).cast("double").alias("v"))
+
+    def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        d = TDigest(compression)
+        seen = False
+        for pdf in batches:
+            vals = pdf["v"].to_numpy(dtype="float64", na_value=math.nan)
+            d.add(vals)
+            seen = True
+        if seen and d.total_weight > 0:
+            means, weights, mn, mx = d.to_arrays()
+            yield pd.DataFrame({"means": [means], "weights": [weights],
+                                "mn": [mn], "mx": [mx]})
+
+    rows = src.mapInPandas(per_partition, schema=_DIGEST_SCHEMA).collect()
+    return TDigest.merge_all(
+        (TDigest.from_arrays(r["means"], r["weights"], r["mn"], r["mx"],
+                             compression) for r in rows),
+        compression,
+    )
+
+
+def ks_sketch(df_a: DataFrame, df_b: DataFrame, column: str, *,
+              compression: float = 200.0) -> float:
+    """Approximate two-sample KS from t-digest sketches — the 100 TB path:
+    two narrow passes, no global sort, driver work O(compression)."""
+    da = column_digest(df_a, column, compression=compression)
+    db = column_digest(df_b, column, compression=compression)
+    return ks_from_digests(da, db)

@@ -1,0 +1,133 @@
+"""Checkpoint/resume ledger, CLI exit codes, streaming validation."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark import ValidationEngine
+from json_schema_rs_spark.sources.ledger import (
+    ValidationLedger,
+    run_checkpointed_validation,
+)
+from json_schema_rs_spark.sources.synth import synth_transcripts_pandas
+from json_schema_rs_spark.streaming.validate_stream import run_file_stream_once
+
+SPEC = {
+    "type": "object",
+    "required": ["conv_id", "turn_idx", "role", "text"],
+    "properties": {
+        "role": {"type": "string",
+                 "enum": ["system", "user", "assistant", "tool"]},
+        "text": {"type": "string", "minLength": 1, "maxLength": 4000},
+    },
+}
+
+SCHEMA = ("conv_id string, turn_idx int, role string, text string, "
+          "tool string, ts timestamp")
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    pdf = synth_transcripts_pandas(n_conversations=80, turns_per_conv=6,
+                                   seed=11, violation_rate=0.15)
+    return spark.createDataFrame(pdf, schema=SCHEMA).cache()
+
+
+class TestLedgerResume:
+    def test_full_run_then_rerun_skips_everything(self, spark, tdf, tmp_path):
+        out = str(tmp_path / "run1")
+        s1 = run_checkpointed_validation(
+            spark, tdf, SPEC, out, run_id="r1", n_buckets=8, buckets_per_chunk=3)
+        assert sorted(s1["processed_buckets"]) == list(range(8))
+        assert s1["rows"] == tdf.count()
+        # rerun: nothing to do
+        s2 = run_checkpointed_validation(
+            spark, tdf, SPEC, out, run_id="r1", n_buckets=8)
+        assert s2["processed_buckets"] == []
+        assert s2["skipped_buckets"] == list(range(8))
+
+    def test_crash_then_resume_completes(self, spark, tdf, tmp_path):
+        out = str(tmp_path / "run2")
+        s1 = run_checkpointed_validation(
+            spark, tdf, SPEC, out, run_id="r2", n_buckets=8,
+            buckets_per_chunk=2, fail_after_chunks=2)  # simulate crash
+        assert len(s1["processed_buckets"]) == 4
+        assert len(s1["remaining_buckets"]) == 4
+        s2 = run_checkpointed_validation(
+            spark, tdf, SPEC, out, run_id="r2", n_buckets=8, buckets_per_chunk=2)
+        assert sorted(s1["processed_buckets"] + s2["processed_buckets"]) \
+            == list(range(8))
+        # resumed totals cover only the second half; union of ledger rows
+        # covers the whole table
+        ledger = ValidationLedger(spark, f"{out}/ledger")
+        total = ledger.entries("r2").agg(F.sum("rows")).collect()[0][0]
+        assert total == tdf.count()
+
+    def test_violations_written_partitioned_and_complete(self, spark, tdf, tmp_path):
+        out = str(tmp_path / "run3")
+        run_checkpointed_validation(
+            spark, tdf, SPEC, out, run_id="r3", n_buckets=4)
+        written = spark.read.parquet(f"{out}/violations")
+        direct = ValidationEngine(SPEC).validate(tdf).violations
+        got = sorted(map(tuple, written.select(
+            "conv_id", "turn_idx", "instance_path", "code", "message").collect()))
+        want = sorted(map(tuple, direct.collect()))
+        assert got == want
+        assert "bucket" in written.columns  # partition pruning on re-read
+
+    def test_ledger_metrics_match_summary(self, spark, tdf, tmp_path):
+        out = str(tmp_path / "run4")
+        s = run_checkpointed_validation(
+            spark, tdf, SPEC, out, run_id="r4", n_buckets=4)
+        ledger = ValidationLedger(spark, f"{out}/ledger").entries("r4")
+        agg = ledger.agg(F.sum("rows"), F.sum("valid_rows"),
+                         F.sum("violation_count")).collect()[0]
+        assert (agg[0], agg[1], agg[2]) == (
+            s["rows"], s["valid_rows"], s["violation_count"])
+        fps = [r.spec_fingerprint for r in ledger.collect()]
+        assert len(set(fps)) == 1 and len(fps[0]) == 16
+
+
+class TestCli:
+    def test_cli_validate_exit_code_and_output(self, spark, tdf, tmp_path, capsys):
+        from json_schema_rs_spark.cli import main
+        inp = str(tmp_path / "input")
+        tdf.write.parquet(inp)
+        spec_file = tmp_path / "spec.json"
+        spec_file.write_text(json.dumps(SPEC))
+        rc = main(["validate", "--spec", str(spec_file), "--input", inp,
+                   "--output", str(tmp_path / "out"), "--run-id", "cli1",
+                   "--buckets", "4"])
+        captured = capsys.readouterr()
+        assert rc == 1  # injected violations -> non-zero, like the reference CLI
+        summary = json.loads(captured.out.strip().splitlines()[-1])
+        assert summary["rows"] == tdf.count()
+        assert "validation failed with" in captured.err
+
+    def test_cli_clean_data_exit_zero(self, spark, tmp_path, capsys):
+        from json_schema_rs_spark.cli import main
+        pdf = synth_transcripts_pandas(n_conversations=10, turns_per_conv=4,
+                                       seed=5, violation_rate=0.0)
+        df = spark.createDataFrame(pdf, schema=SCHEMA)
+        inp = str(tmp_path / "clean")
+        df.write.parquet(inp)
+        spec_file = tmp_path / "spec.json"
+        spec_file.write_text(json.dumps(SPEC))
+        rc = main(["validate", "--spec", str(spec_file), "--input", inp,
+                   "--output", str(tmp_path / "out"), "--buckets", "2"])
+        assert rc == 0
+
+
+class TestStreaming:
+    def test_stream_matches_batch(self, spark, tdf, tmp_path):
+        inp = str(tmp_path / "stream_in")
+        tdf.repartition(4).write.parquet(inp)
+        engine = ValidationEngine(SPEC)
+        streamed = run_file_stream_once(
+            spark, engine, inp, SCHEMA, query_name="v1",
+            max_files_per_trigger=2)  # force multiple micro-batches
+        batch = engine.validate(spark.read.parquet(inp)).violations
+        got = sorted(map(tuple, streamed.collect()))
+        want = sorted(map(tuple, batch.collect()))
+        assert got == want and len(got) > 0

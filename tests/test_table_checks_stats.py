@@ -1,0 +1,222 @@
+"""Table-level checks + stats/drift operators."""
+
+import math
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.functions.tdigest import TDigest, ks_from_digests
+from json_schema_rs_spark.operators import stats as S
+from json_schema_rs_spark.operators.table_checks import (
+    monotonic_ts_violations,
+    referential_violations,
+    turn_gap_violations,
+    uniqueness_violations,
+)
+
+SCHEMA = ("conv_id string, turn_idx int, role string, text string, "
+          "tool string, ts timestamp")
+
+
+@pytest.fixture(scope="module")
+def dirty(spark):
+    import datetime as dt
+    t0 = dt.datetime(2026, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # conv A: clean 0,1,2
+        ("A", 0, "system", "s", None, t0),
+        ("A", 1, "user", "u", None, t0 + m),
+        ("A", 2, "assistant", "a", None, t0 + 2 * m),
+        # conv B: duplicate turn 1, gap (no 2), bad role
+        ("B", 0, "system", "s", None, t0),
+        ("B", 1, "user", "u", None, t0 + m),
+        ("B", 1, "narrator", "dup", None, t0 + m),
+        ("B", 3, "assistant", "a", None, t0 + 3 * m),
+        # conv C: starts at 1, non-monotonic ts, unknown tool
+        ("C", 1, "user", "u", None, t0 + m),
+        ("C", 2, "tool", "t", "teleport", t0),
+    ]
+    return rows
+
+
+@pytest.fixture(scope="module")
+def ddf(spark, dirty):
+    return spark.createDataFrame(dirty, schema=SCHEMA).cache()
+
+
+class TestTableChecks:
+    def test_uniqueness(self, ddf):
+        v = uniqueness_violations(ddf).collect()
+        assert len(v) == 1
+        r = v[0]
+        assert (r.conv_id, r.turn_idx, r.code) == ("B", 1, "DuplicateKey")
+        assert r.message == ("root: duplicate key (conv_id, turn_idx) has 2 "
+                             "occurrences, expected 1")
+
+    def test_uniqueness_salted_same_result(self, ddf):
+        plain = {tuple(r) for r in uniqueness_violations(ddf).collect()}
+        salted = {tuple(r) for r in uniqueness_violations(ddf, salt=8).collect()}
+        assert plain == salted
+
+    def test_referential_vocab_df(self, spark, ddf):
+        roles = spark.createDataFrame(
+            [("system",), ("user",), ("assistant",), ("tool",)], "role string")
+        v = referential_violations(ddf, "role", roles, vocab_name="roles").collect()
+        assert len(v) == 1
+        assert v[0].message == '/role: value "narrator" not in vocabulary "roles"'
+
+    def test_referential_literal_vocab_broadcast_plan(self, spark, ddf):
+        # literal vocab compiles to isin: no join at all
+        v = referential_violations(
+            ddf, "tool", ["search", "calculator", "code_exec", "browser"])
+        plan = v._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        rows = v.collect()
+        assert [r.message for r in rows] == [
+            '/tool: value "teleport" not in vocabulary "tool"']
+
+    def test_referential_nulls_never_violate(self, spark, ddf):
+        v = referential_violations(ddf, "tool", ["search"]).collect()
+        assert all(r.conv_id == "C" for r in v)  # nulls skipped
+
+    def test_turn_gaps(self, ddf):
+        v = sorted((r.conv_id, r.turn_idx, r.message)
+                   for r in turn_gap_violations(ddf).collect())
+        # B: dup 1 -> second occupies position 2; 3 at position 3 OK;
+        # C: starts at 1 -> both turns offset
+        assert v == [
+            ("B", 1, "/turn_idx: turn index 1 at position 2 breaks gap-free ordering"),
+            ("C", 1, "/turn_idx: turn index 1 at position 0 breaks gap-free ordering"),
+            ("C", 2, "/turn_idx: turn index 2 at position 1 breaks gap-free ordering"),
+        ]
+
+    def test_monotonic_ts(self, ddf):
+        v = monotonic_ts_violations(ddf).collect()
+        assert len(v) == 1
+        assert (v[0].conv_id, v[0].turn_idx, v[0].code) == ("C", 2, "NonMonotonicTs")
+
+
+class TestProfile:
+    def test_profile_exact_parts(self, spark):
+        rows = [(1, "a", 1.0), (2, "b", None), (3, "a", 3.0), (4, None, 4.0)]
+        df = spark.createDataFrame(rows, "id int, cat string, x double")
+        p = {r.column: r for r in
+             S.profile(df, exact_distinct=True).collect()}
+        assert p["id"]["count"] == 4 and p["id"].null_count == 0
+        assert p["cat"].null_count == 1 and abs(p["cat"].null_rate - 0.25) < 1e-12
+        assert p["cat"].distinct_count == 2
+        assert p["x"].min == "1.0" and p["x"].max == "4.0"
+        assert abs(p["x"].mean - (8.0 / 3)) < 1e-9
+        assert p["cat"].mean is None
+
+    def test_profile_single_aggregate_pass(self, spark):
+        df = spark.range(100).withColumn("x", F.col("id").cast("double"))
+        plan = S.profile(df)._jdf.queryExecution().executedPlan().toString()
+        # one partial+final aggregate pair, no join, no extra scans
+        assert plan.count("Scan ") <= 1
+
+
+def _chi2_manual(ca: dict, cb: dict) -> float:
+    cats = set(ca) | set(cb)
+    ta, tb = sum(ca.values()), sum(cb.values())
+    tot = ta + tb
+    stat = 0.0
+    for c in cats:
+        a, b = ca.get(c, 0), cb.get(c, 0)
+        ea, eb = ta * (a + b) / tot, tb * (a + b) / tot
+        if ea > 0:
+            stat += (a - ea) ** 2 / ea
+        if eb > 0:
+            stat += (b - eb) ** 2 / eb
+    return stat
+
+
+class TestDrift:
+    def test_chi2_matches_manual(self, spark):
+        ca = {"x": 50, "y": 30, "z": 20}
+        cb = {"x": 30, "y": 45, "w": 10}
+        rows_a = [(k,) for k, n in ca.items() for _ in range(n)]
+        rows_b = [(k,) for k, n in cb.items() for _ in range(n)]
+        da = spark.createDataFrame(rows_a, "role string")
+        db = spark.createDataFrame(rows_b, "role string")
+        r = S.chi2_two_sample(da, db, "role").collect()[0]
+        assert abs(r.chi2 - _chi2_manual(ca, cb)) < 1e-9
+        assert r.dof == 3 and r.n_a == 100 and r.n_b == 85
+
+    def test_ks_exact_matches_numpy(self, spark):
+        rng = random.Random(1)
+        a = [rng.gauss(0, 1) for _ in range(400)]
+        b = [rng.gauss(0.5, 1.2) for _ in range(300)]
+        da = spark.createDataFrame([(x,) for x in a], "v double")
+        db = spark.createDataFrame([(x,) for x in b], "v double")
+        ks = S.ks_exact(da, db, "v").collect()[0].ks
+        # manual two-sample KS
+        xs = sorted(set(a) | set(b))
+        sa, sb = np.sort(a), np.sort(b)
+        d = max(abs(np.searchsorted(sa, x, side="right") / len(a)
+                    - np.searchsorted(sb, x, side="right") / len(b))
+                for x in xs)
+        assert abs(ks - d) < 1e-9
+
+    def test_ks_sketch_close_to_exact(self, spark):
+        rng = random.Random(2)
+        a = [rng.gauss(0, 1) for _ in range(4000)]
+        b = [rng.gauss(0.8, 1.0) for _ in range(4000)]
+        da = spark.createDataFrame([(x,) for x in a], "v double").repartition(8)
+        db = spark.createDataFrame([(x,) for x in b], "v double").repartition(8)
+        exact = S.ks_exact(da, db, "v").collect()[0].ks
+        approx = S.ks_sketch(da, db, "v")
+        assert abs(approx - exact) < 0.03
+        assert approx > 0.25  # the shift is detected
+
+    def test_ks_same_distribution_near_zero(self, spark):
+        df = spark.range(5000).select(
+            (F.rand(seed=7)).alias("v"))
+        half_a = df.filter(F.col("v") < 2).sample(0.5, seed=1)
+        half_b = df.subtract(half_a)
+        approx = S.ks_sketch(half_a, half_b, "v")
+        assert approx < 0.08
+
+
+class TestTDigest:
+    def test_quantiles_accuracy(self):
+        rng = np.random.default_rng(0)
+        data = rng.normal(10, 3, size=50_000)
+        d = TDigest(200)
+        for chunk in np.array_split(data, 17):
+            d.add(chunk)
+        for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+            true = float(np.quantile(data, q))
+            got = d.quantile(q)
+            assert abs(got - true) < 0.08, (q, got, true)
+
+    def test_merge_associative(self):
+        rng = np.random.default_rng(1)
+        data = rng.exponential(2.0, size=30_000)
+        parts = np.array_split(data, 10)
+        whole = TDigest(200)
+        whole.add(data)
+        merged = TDigest.merge_all([_digest_of(p) for p in parts])
+        for q in (0.1, 0.5, 0.9):
+            assert abs(whole.quantile(q) - merged.quantile(q)) < 0.05
+
+    def test_cdf_bounds(self):
+        d = _digest_of(np.arange(1000, dtype="float64"))
+        assert d.cdf(-1) == 0.0 and d.cdf(999) == 1.0
+        assert abs(d.cdf(499.5) - 0.5) < 0.01
+
+    def test_serialization_roundtrip(self):
+        d = _digest_of(np.random.default_rng(3).normal(size=5000))
+        m, w, mn, mx = d.to_arrays()
+        d2 = TDigest.from_arrays(m, w, mn, mx)
+        assert abs(d.quantile(0.5) - d2.quantile(0.5)) < 1e-12
+        assert abs(ks_from_digests(d, d2)) < 1e-9
+
+
+def _digest_of(arr):
+    d = TDigest(200)
+    d.add(arr)
+    return d
