@@ -1,0 +1,280 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four dedup families over a ``(id, text)`` document table, all pure
+DataFrame ops (no per-row Python), all deterministic:
+
+- **exact**        — hash-groupBy on a content digest (md5);
+- **n-gram Jaccard** — exact near-dup pairs via an inverted shingle index
+  (the small/medium-scale truth oracle);
+- **MinHash + LSH** — the 100 TB path: constant-size signatures, banded
+  bucket join, candidates verified with exact Jaccard;
+- **SimHash**      — 60-bit per-doc fingerprint from md5 token hashes
+  (cross-engine reproducible: DuckDB computes the identical value).
+
+Reference anchor: the reference's ``uniqueItems`` is pairwise JSON
+equality over an array (`/root/reference/json_schema_rs/src/validator/
+mod.rs:378-397`); exact dedup is that semantic lifted to a table, and the
+near-dup operators relax equality to similarity.
+
+Scale notes (100 TB):
+- ``exact_duplicate_groups`` is one hash aggregation with map-side partial
+  combine; the digest (16 bytes) shuffles instead of the document text.
+- ``ngram_jaccard_pairs`` explodes the shingle inverted index; posting
+  lists longer than ``max_df`` are dropped (stop-shingles) — without that
+  cap a single hot shingle creates a quadratic join blow-up.
+- ``minhash_lsh_pairs`` replaces the quadratic candidate join with
+  ``bands`` constant-size bucket joins; signature arithmetic stays inside
+  whole-stage codegen (one xxhash64 per shingle, then affine permutations
+  mod a 31-bit prime — no overflow under ANSI mode).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MERSENNE31 = 2_147_483_647  # 2^31 - 1, prime; keeps a*h+b within int64
+
+
+def shingles(df: DataFrame, text_col: str = "text", *, n: int = 3,
+             out_col: str = "shingles") -> DataFrame:
+    """Distinct word n-gram shingles per document (space tokenization,
+    matching ``string_split(text, ' ')`` so oracles can reproduce it)."""
+    words = F.split(F.col(text_col), " ")
+    if n == 1:
+        sh = words
+    else:
+        sh = F.expr(
+            f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 0)),"
+            f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+        )
+    return df.withColumn(out_col, F.array_distinct(sh))
+
+
+def exact_duplicate_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per distinct content digest:
+    ``(text_hash, n_docs, keep_id)`` with ``keep_id`` = min id (the
+    deterministic survivor). ``n_docs > 1`` rows are the duplicate groups.
+    One shuffle, map-side combined, 16-byte keys."""
+    return (
+        df.groupBy(F.md5(F.col(text_col).cast("binary")).alias("text_hash"))
+          .agg(F.count(F.lit(1)).alias("n_docs"),
+               F.min(id_col).alias("keep_id"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """The deduplicated table: keeps the min-id doc per digest. Implemented
+    as a self-join-free window-less aggregation + semi join back."""
+    keep = exact_duplicate_groups(df, text_col, id_col) \
+        .select(F.col("keep_id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: Optional[int] = None,
+) -> DataFrame:
+    """Exact near-duplicate pairs ``(doc_a, doc_b, jaccard)`` with
+    ``jaccard = |A∩B| / |A∪B|`` over distinct word ``n``-gram sets and
+    ``doc_a < doc_b``. Intersections come from an inverted shingle index
+    (explode → self-join on shingle → pair count), so cost is
+    sum-of-squared-posting-lengths, not |docs|²; ``max_df`` drops shingles
+    whose posting list exceeds it (a shingle shared by thousands of docs
+    carries no near-dup signal but dominates the join)."""
+    sh = shingles(df, text_col, n=n).select(
+        F.col(id_col).alias("_id"), "shingles",
+        F.size("shingles").alias("_sz"))
+    posts = sh.select("_id", F.explode("shingles").alias("_sg"))
+    if max_df is not None:
+        ok = posts.groupBy("_sg").agg(F.count(F.lit(1)).alias("_df")) \
+                  .filter(F.col("_df") <= max_df).select("_sg")
+        posts = posts.join(ok, "_sg", "left_semi")
+    a = posts.select(F.col("_id").alias("doc_a"), "_sg")
+    b = posts.select(F.col("_id").alias("doc_b"), "_sg")
+    inter = (a.join(b, "_sg")
+              .filter(F.col("doc_a") < F.col("doc_b"))
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count(F.lit(1)).alias("_inter")))
+    sza = sh.select(F.col("_id").alias("doc_a"), F.col("_sz").alias("_sza"))
+    szb = sh.select(F.col("_id").alias("doc_b"), F.col("_sz").alias("_szb"))
+    jac = (F.col("_inter").cast("double")
+           / (F.col("_sza") + F.col("_szb") - F.col("_inter")))
+    return (inter.join(sza, "doc_a").join(szb, "doc_b")
+                 .select("doc_a", "doc_b", jac.alias("jaccard"))
+                 .filter(F.col("jaccard") >= threshold))
+
+
+def _minhash_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+            for _ in range(num_perm)]
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    n: int = 3,
+    num_perm: int = 64,
+    seed: int = 7,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """Per-doc MinHash signature (``array<bigint>`` of length
+    ``num_perm``). One base xxhash64 per shingle, then ``num_perm`` affine
+    permutations ``(a·h + b) mod (2^31-1)`` minimized per doc — all
+    higher-order functions, zero shuffle, codegen-friendly."""
+    sh = shingles(df, text_col, n=n)
+    base = F.transform(
+        F.col("shingles"),
+        lambda s: F.pmod(F.xxhash64(s, F.lit(seed)), F.lit(_MERSENNE31)))
+    params = _minhash_params(num_perm, seed)
+
+    def perm(a: int, b: int):
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE31))
+
+    sig = F.array(*[F.array_min(F.transform(base, perm(a, b)))
+                    for (a, b) in params])
+    empty = F.size("shingles") == 0
+    return sh.withColumn(
+        out_col,
+        F.when(empty, F.array_repeat(F.lit(_MERSENNE31).cast("bigint"),
+                                     num_perm)).otherwise(sig))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 7,
+    threshold: float = 0.8,
+    verify_exact: bool = True,
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs, same output contract as
+    :func:`ngram_jaccard_pairs` — ``(doc_a, doc_b, jaccard)``.
+
+    Candidate generation: split the ``num_perm`` signature into ``bands``
+    bands of ``r = num_perm/bands`` rows; docs colliding in any band become
+    candidates (P[candidate] = 1-(1-J^r)^bands; 64/16 → ~0.9998 at J=0.8).
+    Candidates are verified with exact Jaccard over the shingle sets, so
+    precision is exact and recall is the LSH curve — the standard
+    trade-off that makes near-dup feasible at 10^11 docs where the
+    inverted-index join is not."""
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sig = minhash_signature(df, text_col, n=n, num_perm=num_perm, seed=seed) \
+        .select(F.col(id_col).alias("_id"), "shingles", "minhash")
+    band_rows = sig.select(
+        "_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.hash(F.slice("minhash", i * r + 1, r)).alias("bkey"))
+            for i in range(bands)
+        ])).alias("b"),
+    ).select("_id", "b.band", "b.bkey")
+    la = band_rows.select(F.col("_id").alias("doc_a"), "band", "bkey")
+    lb = band_rows.select(F.col("_id").alias("doc_b"), "band", "bkey")
+    cand = (la.join(lb, ["band", "bkey"])
+              .filter(F.col("doc_a") < F.col("doc_b"))
+              .select("doc_a", "doc_b").distinct())
+    if not verify_exact:
+        return cand.withColumn("jaccard", F.lit(None).cast("double"))
+    sh = sig.select("_id", "shingles")
+    sa = sh.select(F.col("_id").alias("doc_a"), F.col("shingles").alias("_sha"))
+    sb = sh.select(F.col("_id").alias("doc_b"), F.col("shingles").alias("_shb"))
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+    union = (F.size("_sha") + F.size("_shb")
+             - F.size(F.array_intersect("_sha", "_shb")))
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+                .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+                .filter(F.col("jaccard") >= threshold))
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    bits: int = 60,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """Per-doc SimHash fingerprint over whitespace tokens (with
+    multiplicity). Token hash = first 15 hex chars of md5 (60 bits) so any
+    engine reproduces the exact value (DuckDB:
+    ``('0x' || substr(md5(w),1,15))::bigint``). Bit ``i`` of the output is
+    1 iff ``sum over tokens of (2·bit_i(h) - 1) > 0``.
+
+    Pure higher-order functions: one md5 per token, one fold — zero
+    shuffle, no Python in the row path."""
+    assert bits <= 60
+    counts = (
+        f"aggregate("
+        f"  transform(split({text_col}, ' '),"
+        f"            w -> cast(conv(substr(md5(w), 1, 15), 16, 10) as bigint)),"
+        f"  array_repeat(cast(0 as bigint), {bits}),"
+        f"  (acc, hv) -> zip_with(acc, sequence(0, {bits - 1}),"
+        f"               (a, i) -> a + 2 * ((shiftright(hv, i) & 1)) - 1))"
+    )
+    fingerprint = (
+        f"aggregate(zip_with(({counts}), sequence(0, {bits - 1}),"
+        f"  (c, i) -> if(c > 0, shiftleft(cast(1 as bigint), i),"
+        f"              cast(0 as bigint))),"
+        f"  cast(0 as bigint), (a, b) -> a + b)"
+    )
+    return df.select(F.col(id_col), F.expr(fingerprint).alias(out_col))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    bits: int = 60,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming`` using
+    the pigeonhole block trick: split the fingerprint into ``blocks``
+    bit-blocks — any pair within distance ``blocks - 1`` must agree on at
+    least one block, so candidates are generated by ``blocks`` equi-joins
+    on block values instead of a cross join. Requires
+    ``max_hamming < blocks``."""
+    assert max_hamming < blocks
+    width = bits // blocks
+    fp = simhash(df, text_col, id_col, bits=bits)
+    blocked = fp.select(
+        F.col(id_col).alias("_id"), F.col("simhash"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("blk"),
+                (F.shiftright("simhash", i * width)
+                 .bitwiseAND(F.lit((1 << width) - 1))).alias("bval"))
+            for i in range(blocks)
+        ])).alias("b"),
+    ).select("_id", "simhash", "b.blk", "b.bval")
+    a = blocked.select(F.col("_id").alias("doc_a"),
+                       F.col("simhash").alias("_ha"), "blk", "bval")
+    b = blocked.select(F.col("_id").alias("doc_b"),
+                       F.col("simhash").alias("_hb"), "blk", "bval")
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (a.join(b, ["blk", "bval"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", ham.alias("hamming")).distinct()
+             .filter(F.col("hamming") <= max_hamming))

@@ -1,0 +1,142 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two paths, same output contract ``(query_id, neighbor_id, rank, cos_sim)``:
+
+- :func:`cosine_topk` — brute-force exact top-k: the correctness baseline.
+  The (small) query set is broadcast; the corpus is scanned once; the only
+  shuffle is the per-query top-k aggregation.
+- :func:`ivf_topk` — IVF-style bucketed ANN: corpus vectors are assigned
+  to their nearest centroid (one broadcast of the centroid table), queries
+  probe only ``nprobe`` nearest buckets. At 10^11 vectors this turns a
+  full scan per query into a ~``nprobe/n_centroids`` partial scan, at the
+  cost of recall.
+
+All dot products run JVM-side via ``zip_with`` + ``aggregate`` in double
+precision (deterministic left-to-right fold — an oracle engine folding the
+same arrays sequentially reproduces the bits). No per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact brute-force cosine top-k.
+
+    ``queries`` must be small (it is broadcast against the corpus — the
+    standard shape: a probe set against a 100 TB corpus). Self-matches are
+    excluded. Rank ties break on ``neighbor_id`` ascending; when
+    ``round_digits`` is set the ordering key is the *rounded* similarity,
+    which makes ranks reproducible across engines whose last-ulp sums may
+    differ."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("_cv"))
+    sim = _dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (c.crossJoin(F.broadcast(q))
+               .filter(F.col("query_id") != F.col("neighbor_id"))
+               .select("query_id", "neighbor_id", sim.alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "rank", "cos_sim"))
+
+
+def assign_buckets(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """IVF assignment: each corpus vector joins its nearest centroid
+    (max cosine; ties → lowest centroid id). One broadcast join + one
+    per-vector argmax — no shuffle of the corpus."""
+    cen = centroids.select(F.col(centroid_id_col).alias("_cid"),
+                           F.col(centroid_vec_col).alias("_cvec"))
+    sim = _dot(F.col(vec_col), F.col("_cvec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("_cvec")))
+    scored = corpus.crossJoin(F.broadcast(cen)).select(
+        "*", F.struct(sim.alias("_s"), (-F.col("_cid")).alias("_negid"),
+                      F.col("_cid").alias("cid")).alias("_cand"))
+    w = Window.partitionBy(id_col)
+    best = scored.withColumn("_best", F.max("_cand").over(w)) \
+                 .filter(F.col("_cand") == F.col("_best"))
+    return best.select(corpus["*"], F.col("_cand.cid").alias("bucket_id"))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """IVF-bucketed approximate top-k. Centroids are chosen
+    deterministically (the ``n_centroids`` lowest-id corpus vectors —
+    training-free; swap in k-means outputs at production scale). Queries
+    probe their ``nprobe`` most-similar buckets; exact cosine runs only
+    inside probed buckets."""
+    centroids = (corpus.orderBy(id_col).limit(n_centroids)
+                 .select(F.col(id_col).alias("centroid_id"),
+                         F.col(vec_col).alias("centroid")))
+    bucketed = assign_buckets(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    probes = (
+        cosine_topk(
+            centroids.select(F.col("centroid_id").alias(id_col),
+                             F.col("centroid").alias(vec_col)),
+            queries, k=nprobe, id_col=id_col, vec_col=vec_col,
+            round_digits=None)
+        .select("query_id", F.col("neighbor_id").alias("bucket_id"))
+    )
+    # union in each query's own bucket (its nearest centroid may be itself)
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("_qv"))
+    cand = (bucketed.join(F.broadcast(probes), "bucket_id")
+                    .join(F.broadcast(q), "query_id")
+                    .filter(F.col("query_id") != F.col(id_col)))
+    sim = _dot(F.col("_qv"), F.col(vec_col)) / (
+        _norm(F.col("_qv")) * _norm(F.col(vec_col)))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = cand.select("query_id", F.col(id_col).alias("neighbor_id"),
+                         sim.alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "rank", "cos_sim"))

@@ -1,0 +1,110 @@
+"""Text analysis operators: token counting, quality scoring, language-ID,
+document fingerprinting.
+
+All pure built-in expressions (split / regexp / higher-order folds) — zero
+shuffle, whole-stage codegen, trivially linear at 100 TB. Every operator
+is cross-engine reproducible (integer arithmetic or fixed-precision
+rounding) so a SQL oracle can verify it byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer: letter runs, single digits, single non-space
+# symbols — the GPT-2-style shape without the library dependency.
+BPE_ISH_REGEX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+PUNCT_REGEX = r"[.,!?;:]"
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "nicht", "ein", "ist", "zu", "mit"],
+    "es": ["el", "la", "los", "las", "que", "y", "de", "un", "una", "en"],
+    "fr": ["le", "la", "les", "et", "un", "une", "est", "que", "pour"],
+}
+
+# single-char CJK probe (language-id charset heuristic)
+_CJK_REGEX = "[\\x{4e00}-\\x{9fff}]"
+
+FINGERPRINT_MOD = 1_000_000_007  # prime; acc*31 + cp stays < 2^35
+
+
+def _count_in(words, vocab: list[str]):
+    lit = F.array(*[F.lit(w) for w in vocab])
+    return F.size(F.filter(words, lambda w: F.array_contains(lit, w)))
+
+
+def token_stats(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """``(id, n_chars, ws_tokens, bpe_tokens)`` — code-point length,
+    whitespace token count, BPE-ish regex token count."""
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.size(F.split(F.col(text_col), " ")).alias("ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_ISH_REGEX)).alias("bpe_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", *,
+                  round_digits: int = 6) -> DataFrame:
+    """Heuristic document quality: length band, punctuation ratio,
+    stopword ratio, mean word length. ``score`` in [0, 1]; the formula is
+    a deterministic linear blend (replace with a trained scorer at will —
+    the plumbing is the point)."""
+    words = F.split(F.col(text_col), " ")
+    n_chars = F.length(text_col).cast("double")
+    n_words = F.size(words).cast("double")
+    punct = F.regexp_count(F.col(text_col), F.lit(PUNCT_REGEX)).cast("double")
+    stop = _count_in(words, STOPWORDS["en"]).cast("double")
+    mean_wl = (n_chars - (n_words - 1)) / n_words
+    punct_ratio = punct / n_chars
+    stop_ratio = stop / n_words
+    len_band = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    score = (F.lit(0.4) * len_band
+             + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
+             + F.lit(0.2) * F.least(mean_wl / 8, F.lit(1.0))
+             + F.lit(0.1) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))))
+    return df.select(
+        F.col(id_col),
+        F.round(mean_wl, round_digits).alias("mean_word_len"),
+        F.round(punct_ratio, round_digits).alias("punct_ratio"),
+        F.round(stop_ratio, round_digits).alias("stopword_ratio"),
+        F.round(score, round_digits).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Charset + stopword-list language heuristic → ``(id, lang_pred)``.
+    Precedence: CJK charset → zh; else the stopword list with the highest
+    hit count among de/es/en (ties broken in that order); no hits → und."""
+    words = F.split(F.col(text_col), " ")
+    de = _count_in(words, STOPWORDS["de"])
+    es = _count_in(words, STOPWORDS["es"])
+    en = _count_in(words, STOPWORDS["en"])
+    pred = (
+        F.when(F.regexp_count(F.col(text_col), F.lit(_CJK_REGEX)) > 0, "zh")
+        .when((de > es) & (de > en), "de")
+        .when(es > en, "es")
+        .when(en > 0, "en")
+        .otherwise("und")
+    )
+    return df.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Rolling polynomial hash over code points:
+    ``h = fold(chars, 0, (acc, c) -> (acc*31 + codepoint(c)) mod p)`` —
+    the classic Rabin-Karp content fingerprint, exactly reproducible in any
+    engine with the same fold."""
+    fp = F.aggregate(
+        F.split(F.col(text_col), ""),
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % FINGERPRINT_MOD,
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))
