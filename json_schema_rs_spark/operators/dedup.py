@@ -132,27 +132,35 @@ def minhash_signature(
     num_perm: int = 64,
     seed: int = 7,
     out_col: str = "minhash",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-doc MinHash signature (``array<bigint>`` of length
-    ``num_perm``). One base xxhash64 per shingle, then ``num_perm`` affine
-    permutations ``(a·h + b) mod (2^31-1)`` minimized per doc — all
-    higher-order functions, zero shuffle, codegen-friendly."""
+    ``num_perm``): explode distinct shingles, hash each once
+    (``pmod(xxhash64(s), 2^31-1)``), then ONE hash aggregate computing all
+    ``num_perm`` affine-permutation minima ``min((a·h + b) mod (2^31-1))``
+    per doc. This shape stays entirely inside whole-stage codegen with
+    map-side partial aggregation — the higher-order-function alternative
+    (transform-per-permutation) is CodegenFallback and re-evaluates the
+    base hash per permutation, ~50x slower. Shingle-less docs get the
+    sentinel signature (all ``2^31-1``)."""
     sh = shingles(df, text_col, n=n)
-    base = F.transform(
-        F.col("shingles"),
-        lambda s: F.pmod(F.xxhash64(s, F.lit(seed)), F.lit(_MERSENNE31)))
+    posts = sh.select(
+        F.col(id_col), F.explode("shingles").alias("_sg"),
+    ).select(
+        id_col,
+        F.pmod(F.xxhash64("_sg", F.lit(seed)), F.lit(_MERSENNE31)).alias("_h"),
+    )
     params = _minhash_params(num_perm, seed)
-
-    def perm(a: int, b: int):
-        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE31))
-
-    sig = F.array(*[F.array_min(F.transform(base, perm(a, b)))
-                    for (a, b) in params])
-    empty = F.size("shingles") == 0
-    return sh.withColumn(
-        out_col,
-        F.when(empty, F.array_repeat(F.lit(_MERSENNE31).cast("bigint"),
-                                     num_perm)).otherwise(sig))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(_MERSENNE31)))
+        .alias(f"_m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sigs = posts.groupBy(id_col).agg(*aggs).select(
+        id_col, F.array(*[f"_m{i}" for i in range(num_perm)]).alias(out_col))
+    sentinel = F.array_repeat(F.lit(_MERSENNE31).cast("bigint"), num_perm)
+    return (sh.join(sigs, id_col, "left")
+              .withColumn(out_col, F.coalesce(F.col(out_col), sentinel)))
 
 
 def minhash_lsh_pairs(
@@ -179,8 +187,9 @@ def minhash_lsh_pairs(
     inverted-index join is not."""
     assert num_perm % bands == 0
     r = num_perm // bands
-    sig = minhash_signature(df, text_col, n=n, num_perm=num_perm, seed=seed) \
-        .select(F.col(id_col).alias("_id"), "shingles", "minhash")
+    sig = minhash_signature(df, text_col, n=n, num_perm=num_perm, seed=seed,
+                            id_col=id_col) \
+        .select(F.col(id_col).alias("_id"), "minhash")
     band_rows = sig.select(
         "_id",
         F.explode(F.array(*[
@@ -196,7 +205,10 @@ def minhash_lsh_pairs(
               .select("doc_a", "doc_b").distinct())
     if not verify_exact:
         return cand.withColumn("jaccard", F.lit(None).cast("double"))
-    sh = sig.select("_id", "shingles")
+    # verify against the shingle sets directly (not through the signature
+    # lineage, which would recompute the minhash aggregation twice more)
+    sh = shingles(df, text_col, n=n).select(
+        F.col(id_col).alias("_id"), "shingles")
     sa = sh.select(F.col("_id").alias("doc_a"), F.col("shingles").alias("_sha"))
     sb = sh.select(F.col("_id").alias("doc_b"), F.col("shingles").alias("_shb"))
     inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")

@@ -44,6 +44,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = 6,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact brute-force cosine top-k.
 
@@ -60,9 +61,10 @@ def cosine_topk(
     sim = _dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
-    scored = (c.crossJoin(F.broadcast(q))
-               .filter(F.col("query_id") != F.col("neighbor_id"))
-               .select("query_id", "neighbor_id", sim.alias("cos_sim")))
+    scored = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.select("query_id", "neighbor_id", sim.alias("cos_sim"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -120,7 +122,7 @@ def ivf_topk(
             centroids.select(F.col("centroid_id").alias(id_col),
                              F.col("centroid").alias(vec_col)),
             queries, k=nprobe, id_col=id_col, vec_col=vec_col,
-            round_digits=None)
+            round_digits=None, exclude_self=False)
         .select("query_id", F.col("neighbor_id").alias("bucket_id"))
     )
     # union in each query's own bucket (its nearest centroid may be itself)

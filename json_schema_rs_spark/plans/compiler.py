@@ -690,12 +690,17 @@ class CompiledPlan:
     def violations_array(self) -> Column:
         """array<struct<instance_path,code,message>> of all violations for
         one row — the reference's append-only error Vec lifted to a column
-        (validator/mod.rs:63, 445-450)."""
+        (validator/mod.rs:63, 445-450).
+
+        No null-filtering pass: every check yields "empty or [struct]"
+        arrays, so ``concat`` alone is exact. (A trailing ``F.filter`` HOF
+        here would also knock the entire expression tree out of
+        whole-stage codegen — higher-order functions are CodegenFallback —
+        costing ~10x on the hot path.)"""
         arrays = [c.to_array() for c in self.checks]
         if not arrays:
             return _empty_violations()
-        out = F.concat(*arrays) if len(arrays) > 1 else arrays[0]
-        return F.filter(out, lambda x: x.isNotNull())
+        return F.concat(*arrays) if len(arrays) > 1 else arrays[0]
 
 
 def compile_table_spec(root: SchemaNode, schema: T.StructType) -> CompiledPlan:

@@ -138,7 +138,7 @@ def synth_distributed(
     kind = h % 4
     inject = draw < F.lit(violation_rate)
     role = F.when(inject & (kind == 0), "narrator").otherwise(role)
-    text = (F.when(inject & (kind == 1), F.concat(F.lit("x"), F.repeat("y", 4000)))
+    text = (F.when(inject & (kind == 1), F.concat(F.lit("x"), F.repeat(F.lit("y"), 4000)))
              .when(inject & (kind == 2), "")
              .when(inject & (kind == 3), F.lit(None).cast("string"))
              .otherwise(text))

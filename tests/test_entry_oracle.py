@@ -1,0 +1,48 @@
+"""Driver-gate parity: every ``__spark_entry__.queries()`` entry must match
+its DuckDB ``oracle_sql()`` twin (row count + schema + order-insensitive
+canonical values) at the test scale factor."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from tests.oracle_harness import compare_one, duck_con  # noqa: E402
+
+QUERIES = sorted(entry_mod.queries())
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_con(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_matches_oracle(spark, duck, sf_dir, name):
+    ok, msg = compare_one(name, spark, duck, sf_dir, entry_mod)
+    assert ok, msg
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert df.columns == ["conv_id", "turn_idx", "instance_path", "code",
+                          "message"]
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF is approximate: its gate is recall against brute force at the
+    same k, which must beat random bucket scanning (nprobe/n_centroids)."""
+    exact = {(r.query_id, r.neighbor_id)
+             for r in entry_mod.queries()["a_cosine_topk"](spark, sf_dir).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in entry_mod.queries()["a_ivf_topk"](spark, sf_dir).collect()}
+    recall = len(exact & approx) / len(exact)
+    # random embeddings scatter true neighbors across buckets; probing
+    # 4/16 buckets must approach the 25% scan fraction
+    assert recall >= 0.10, f"IVF recall {recall:.2f} below sanity floor"
