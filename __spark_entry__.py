@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from json_schema_rs_spark import ValidationEngine
 from json_schema_rs_spark.operators import dedup, multimodal, similarity, stats, textstats
+from json_schema_rs_spark.operators.json_mode import validate_json_column
 from json_schema_rs_spark.operators.table_checks import (
     monotonic_ts_violations,
     referential_violations,
@@ -293,6 +294,29 @@ _SQL_V_ONEOF_MULTI = """
 SELECT event_id, '' AS instance_path, 'MultipleSubschemasMatched' AS code,
   'root: instance matches 2 of the 2 oneOf subschema(s), exactly one required' AS message
 FROM events WHERE value >= 200 AND value <= 300
+"""
+
+
+def _q_v_json_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full recursive validator over a JSON document column (slow path,
+    # Arrow-batched pandas UDF; operators/json_mode.py)
+    spec = {"type": "object", "required": ["k"],
+            "properties": {"k": {"type": "integer",
+                                 "minimum": 10, "maximum": 80}}}
+    return validate_json_column(_t(spark, sf_dir, "events"), spec, "props",
+                                key_cols=("event_id",))
+
+
+_SQL_V_JSON_PAYLOAD = """
+WITH p AS (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+           FROM events WHERE props IS NOT NULL)
+SELECT event_id, '/props/k' AS instance_path, 'BelowMinimum' AS code,
+  '/props/k: value ' || CAST(k AS VARCHAR) || ' is below minimum 10' AS message
+FROM p WHERE k < 10
+UNION ALL
+SELECT event_id, '/props/k', 'AboveMaximum',
+  '/props/k: value ' || CAST(k AS VARCHAR) || ' is above maximum 80'
+FROM p WHERE k > 80
 """
 
 
@@ -688,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_anyof": _q_v_anyof,
         "v_oneof_none": _q_v_oneof_none,
         "v_oneof_multi": _q_v_oneof_multi,
+        "v_json_payload": _q_v_json_payload,
         # table-level checks
         "t_unique_keys": _q_t_unique,
         "t_referential": _q_t_referential,
@@ -733,6 +758,7 @@ def oracle_sql() -> dict[str, str]:
         "v_anyof": _SQL_V_ANYOF,
         "v_oneof_none": _SQL_V_ONEOF_NONE,
         "v_oneof_multi": _SQL_V_ONEOF_MULTI,
+        "v_json_payload": _SQL_V_JSON_PAYLOAD,
         "t_unique_keys": _SQL_T_UNIQUE,
         "t_referential": _SQL_T_REFERENTIAL,
         "t_gapfree_ordering": _SQL_T_GAPFREE,

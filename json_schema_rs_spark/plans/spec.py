@@ -51,8 +51,26 @@ class SpecParseError(ValueError):
     """Raised when a spec document cannot be parsed into the model."""
 
 
-# Sentinel distinguishing "const absent" from "const: null".
-_ABSENT = object()
+# Sentinel distinguishing "const absent" from "const: null". Must survive
+# pickling with identity intact (SchemaNodes are shipped to executors in
+# pandas-UDF closures), hence a singleton class with __reduce__ rather
+# than a bare object().
+class _AbsentType:
+    _instance: "_AbsentType" = None  # type: ignore[assignment]
+
+    def __new__(cls) -> "_AbsentType":
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+    def __reduce__(self):
+        return (_AbsentType, ())
+
+    def __repr__(self) -> str:
+        return "<absent>"
+
+
+_ABSENT = _AbsentType()
 
 ALLOW = "allow"
 FORBID = "forbid"

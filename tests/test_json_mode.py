@@ -1,0 +1,78 @@
+"""JSON document-column mode: full recursive validation of nested payloads
+via the Arrow-batched pandas-UDF slow path (operators/json_mode.py),
+cross-checked against the pure-Python reference validator."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from json_schema_rs_spark.operators.json_mode import validate_json_column  # noqa: E402
+
+SPEC = {
+    "type": "object",
+    "required": ["name", "args"],
+    "properties": {
+        "name": {"type": "string", "minLength": 1,
+                 "enum": ["search", "calculator"]},
+        "args": {
+            "type": "object",
+            "required": ["q"],
+            "properties": {
+                "q": {"type": "string", "maxLength": 10},
+                "limit": {"type": "integer", "minimum": 1, "maximum": 100},
+            },
+        },
+        "tags": {"type": "array", "maxItems": 2,
+                 "items": {"type": "string"}},
+    },
+}
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, payload string")
+    out = validate_json_column(df, SPEC, "payload")
+    return sorted((r.conv_id, r.turn_idx, r.instance_path, r.code, r.message)
+                  for r in out.collect())
+
+
+def test_nested_payload_violations(spark):
+    rows = [
+        ("c0", 0, '{"name": "search", "args": {"q": "ok"}}'),          # valid
+        ("c0", 1, '{"name": "teleport", "args": {"q": "ok"}}'),        # enum
+        ("c0", 2, '{"name": "search", "args": {"q": "0123456789ab", "limit": 0}}'),
+        ("c0", 3, '{"name": "search"}'),                                # missing args
+        ("c0", 4, '{"name": "search", "args": {"q": "x"}, "tags": [1, "a", "b"]}'),
+    ]
+    got = _run(spark, rows)
+    assert ("c0", 1, "/payload/name", "NotInEnum",
+            '/payload/name: value "teleport" not in enum (allowed: "search", "calculator")') in got
+    assert ("c0", 2, "/payload/args/q", "TooLong",
+            "/payload/args/q: string has 12 code points, maxLength is 10") in got
+    assert ("c0", 2, "/payload/args/limit", "BelowMinimum",
+            "/payload/args/limit: value 0 is below minimum 1") in got
+    assert ("c0", 3, "/payload/args", "MissingRequired",
+            '/payload/args: missing required property "args"') in got
+    # array item type error at element index path, plus maxItems
+    assert ("c0", 4, "/payload/tags", "TooManyItems",
+            "/payload/tags: array has 3 item(s), maximum is 2") in got
+    assert ("c0", 4, "/payload/tags/0", "ExpectedString",
+            "/payload/tags/0: expected string, got number") in got
+    assert not [g for g in got if g[1] == 0]
+
+
+def test_null_and_invalid_payloads(spark):
+    rows = [
+        ("c1", 0, None),                      # absent -> no violations
+        ("c1", 1, "{not json"),               # InvalidJson
+    ]
+    got = _run(spark, rows)
+    assert [g[:4] for g in got] == [("c1", 1, "/payload", "InvalidJson")]
+
+
+def test_root_reroot_message(spark):
+    # a root-level violation's location rewrites from "root" to /payload
+    df_rows = [("c2", 0, '"just a string"')]
+    got = _run(spark, df_rows)
+    assert got == [("c2", 0, "/payload", "ExpectedObject",
+                    "/payload: expected object, got string")]
