@@ -61,16 +61,10 @@ def _transcripts_path(spark) -> str:
 
 
 def _pipeline(spark, path):
-    """The north-rule validation pipeline over the transcript table."""
-    from pyspark.sql import functions as F
-
-    from json_schema_rs_spark import ValidationEngine
-    from json_schema_rs_spark.operators.table_checks import (
-        monotonic_ts_violations,
-        referential_violations,
-        turn_gap_violations,
-        uniqueness_violations,
-    )
+    """The north-rule validation pipeline over the transcript table —
+    the fused two-branch plan (operators/pipeline.py): zero-shuffle row
+    checks + one skinny conv_id shuffle for all cross-row checks."""
+    from json_schema_rs_spark.operators.pipeline import transcript_pipeline
     from json_schema_rs_spark.sources.synth import ROLES, TOOLS
 
     spec = {
@@ -84,16 +78,7 @@ def _pipeline(spark, path):
         },
     }
     tx = spark.read.parquet(path)
-    row_v = ValidationEngine(spec).validate(tx).violations
-    table_v = (
-        uniqueness_violations(tx, ("conv_id", "turn_idx"))
-        .unionByName(turn_gap_violations(tx))
-        .unionByName(monotonic_ts_violations(tx))
-        .unionByName(referential_violations(tx, "tool", TOOLS))
-        .select("conv_id", F.col("turn_idx").cast("int").alias("turn_idx"),
-                "instance_path", "code", "message")
-    )
-    return row_v.unionByName(table_v)
+    return transcript_pipeline(tx, spec, vocabularies={"tool": TOOLS})
 
 
 def main() -> None:

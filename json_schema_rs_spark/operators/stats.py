@@ -46,9 +46,7 @@ def profile(
                or dtypes[c].startswith("decimal")}
     for c in columns:
         aggs.append(F.count(c).alias(f"{c}__nonnull"))
-        if exact_distinct:
-            aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
-        else:
+        if not exact_distinct:
             aggs.append(F.approx_count_distinct(c).alias(f"{c}__distinct"))
         aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
         aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
@@ -58,6 +56,19 @@ def profile(
                 aggs.append(F.percentile_approx(F.col(c).cast("double"), q)
                             .alias(f"{c}__q{int(q * 100)}"))
     row = df.agg(*aggs)
+    if exact_distinct:
+        # one Expand-free two-stage aggregation per column, cross-joined
+        # into the 1-row result: mixing several count_distincts with the
+        # plain aggregates would Expand (duplicate) every input row once
+        # per distinct column — ~10x slower on wide profiles
+        for c in columns:
+            row = row.crossJoin(
+                df.agg(F.count_distinct(F.col(c)).alias(f"{c}__distinct")))
+    # pin the 1-row aggregate before unpivoting: the stacked projection
+    # references every agg output, and without a materialization barrier
+    # the optimizer re-evaluates the whole aggregate tree per emitted
+    # struct (k columns -> k recomputations of the scan)
+    row = row.persist()
     # unpivot the single wide row into one row per column (driver-free:
     # stack() on the aggregated 1-row DF)
     parts = []
