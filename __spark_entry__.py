@@ -320,6 +320,98 @@ FROM p WHERE k > 80
 """
 
 
+def _q_v_array_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # array keyword family (V16-V19) over a real ArrayType column:
+    # per-element numeric bounds at /embedding/<i>, plus size bounds
+    spec = {"type": "object", "properties": {
+        "embedding": {"type": "array", "minItems": 64, "maxItems": 64,
+                      "items": {"type": "number",
+                                "minimum": -2, "maximum": 2}},
+        "label": {"type": "integer", "minimum": 0, "maximum": 7}}}
+    return ValidationEngine(spec, key_cols=("vec_id",)) \
+        .validate(_t(spark, sf_dir, "embeddings")).violations
+
+
+_SQL_V_ARRAY_ITEMS = """
+WITH el AS (
+  SELECT vec_id, i - 1 AS idx, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) g)
+SELECT vec_id, '/embedding/' || CAST(idx AS VARCHAR) AS instance_path,
+       'BelowMinimum' AS code,
+  '/embedding/' || CAST(idx AS VARCHAR) || ': value ' ||
+  CAST(x AS VARCHAR) || ' is below minimum -2' AS message
+FROM el WHERE x < -2
+UNION ALL
+SELECT vec_id, '/embedding/' || CAST(idx AS VARCHAR), 'AboveMaximum',
+  '/embedding/' || CAST(idx AS VARCHAR) || ': value ' ||
+  CAST(x AS VARCHAR) || ' is above maximum 2'
+FROM el WHERE x > 2
+UNION ALL
+SELECT vec_id, '/label', 'AboveMaximum',
+  '/label: value ' || CAST(label AS VARCHAR) || ' is above maximum 7'
+FROM embeddings WHERE label > 7
+UNION ALL
+SELECT vec_id, '/label', 'BelowMinimum',
+  '/label: value ' || CAST(label AS VARCHAR) || ' is below minimum 0'
+FROM embeddings WHERE label < 0
+"""
+
+
+def _q_v_ref_allof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fragment $ref (transitive into $defs) + allOf branch union (V1/V6)
+    spec = {
+        "$defs": {
+            "code2": {"type": "string", "minLength": 2, "maxLength": 2},
+            "short3": {"$ref": "#/$defs/short3_real"},
+            "short3_real": {"type": "string", "maxLength": 3},
+        },
+        "type": "object",
+        "properties": {
+            "lang": {"allOf": [{"$ref": "#/$defs/code2"},
+                               {"type": "string", "pattern": "^(en|de)$"}]},
+            "source": {"$ref": "#/$defs/short3"},
+        },
+    }
+    return ValidationEngine(spec, key_cols=("doc_id",)) \
+        .validate(_t(spark, sf_dir, "documents")).violations
+
+
+_SQL_V_REF_ALLOF = """
+SELECT doc_id, '/lang' AS instance_path, 'PatternMismatch' AS code,
+  '/lang: string "' || lang || '" does not match pattern "^(en|de)$"' AS message
+FROM documents
+WHERE lang IS NOT NULL AND NOT regexp_matches(lang, '^(en|de)$')
+UNION ALL
+SELECT doc_id, '/source', 'TooLong',
+  '/source: string has ' || CAST(length(source) AS VARCHAR) ||
+  ' code points, maxLength is 3'
+FROM documents WHERE source IS NOT NULL AND length(source) > 3
+"""
+
+
+def _q_v_enum_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Structured Streaming over the same file + same compiled plan must
+    # byte-match the batch oracle (shares _SQL_V_ENUM)
+    from json_schema_rs_spark.streaming.validate_stream import (
+        run_file_stream_once,
+    )
+    spec = {"type": "object", "properties": {
+        "event_type": {"type": "string",
+                       "enum": ["click", "view", "signup", "purchase"]}}}
+    engine = ValidationEngine(spec, key_cols=("event_id",))
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    # the file stream source wants a directory; expose the single parquet
+    # file through one
+    import os
+    import tempfile
+    d = tempfile.mkdtemp(prefix="v_enum_stream_")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+               os.path.join(d, "events.parquet"))
+    return run_file_stream_once(spark, engine, d, schema,
+                                query_name="v_enum_stream_sink")
+
+
 # ---------------------------------------------------------------------------
 # Table-level checks (SURVEY.md §2.4)
 # ---------------------------------------------------------------------------
@@ -460,6 +552,15 @@ SELECT round(sum(CASE WHEN ea > 0 THEN (na - ea) * (na - ea) / ea ELSE 0 END
        CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b
 FROM e
 """
+
+
+def _q_s_ks_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the 100 TB drift path: per-partition t-digests merged on the driver
+    # (approximate -> rows-only driver check; accuracy asserted in tests)
+    ev = _t(spark, sf_dir, "events")
+    ks = stats.ks_sketch(ev.filter(F.col("event_id") % 2 == 0),
+                         ev.filter(F.col("event_id") % 2 == 1), "value")
+    return spark.createDataFrame([(float(ks),)], "ks double")
 
 
 def _q_s_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -713,6 +814,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_oneof_none": _q_v_oneof_none,
         "v_oneof_multi": _q_v_oneof_multi,
         "v_json_payload": _q_v_json_payload,
+        "v_array_items": _q_v_array_items,
+        "v_ref_allof": _q_v_ref_allof,
+        "v_enum_stream": _q_v_enum_stream,
         # table-level checks
         "t_unique_keys": _q_t_unique,
         "t_referential": _q_t_referential,
@@ -722,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_profile": _q_s_profile,
         "s_chi2_drift": _q_s_chi2,
         "s_ks_drift": _q_s_ks,
+        "s_ks_sketch": _q_s_ks_sketch,
         # dedup
         "d_exact_groups": _q_d_exact,
         "d_ngram_jaccard": _q_d_ngram,
@@ -759,6 +864,9 @@ def oracle_sql() -> dict[str, str]:
         "v_oneof_none": _SQL_V_ONEOF_NONE,
         "v_oneof_multi": _SQL_V_ONEOF_MULTI,
         "v_json_payload": _SQL_V_JSON_PAYLOAD,
+        "v_array_items": _SQL_V_ARRAY_ITEMS,
+        "v_ref_allof": _SQL_V_REF_ALLOF,
+        "v_enum_stream": _SQL_V_ENUM,
         "t_unique_keys": _SQL_T_UNIQUE,
         "t_referential": _SQL_T_REFERENTIAL,
         "t_gapfree_ordering": _SQL_T_GAPFREE,
