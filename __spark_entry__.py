@@ -691,6 +691,28 @@ FROM r WHERE rank <= 10
 """
 
 
+def _q_a_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-cosine near-dup pairs (exact baseline). The test vectors
+    # are random (max pairwise cosine ~0.5), so the demo threshold is
+    # 0.42; production near-dup runs >=0.95 with the bucketed variant.
+    return similarity.cosine_dup_pairs(_t(spark, sf_dir, "embeddings"),
+                                       threshold=0.42)
+
+
+_SQL_A_COSINE_DUP = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+            6) >= 0.42
+"""
+
+
 def _q_a_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 8),
@@ -835,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_simhash_pairs": _q_d_simhash_pairs,
         # similarity search
         "a_cosine_topk": _q_a_cosine,
+        "a_cosine_dup_pairs": _q_a_cosine_dup,
         "a_ivf_topk": _q_a_ivf,
         # text analysis
         "x_token_stats": _q_x_tokens,
@@ -880,6 +903,7 @@ def oracle_sql() -> dict[str, str]:
         "d_simhash": _SQL_D_SIMHASH,
         "d_simhash_pairs": _SQL_D_SIMHASH_PAIRS,
         "a_cosine_topk": _SQL_A_COSINE,
+        "a_cosine_dup_pairs": _SQL_A_COSINE_DUP,
         "x_token_stats": _SQL_X_TOKENS,
         "x_quality": _SQL_X_QUALITY,
         "x_language_id": _SQL_X_LANGID,

@@ -72,6 +72,66 @@ def cosine_topk(
                   .select("query_id", "neighbor_id", "rank", "cos_sim"))
 
 
+def cosine_dup_pairs(
+    df: DataFrame,
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs ``(doc_a, doc_b, cos_sim)``
+    with ``doc_a < doc_b`` and similarity ≥ ``threshold`` — the
+    embedding-space analog of MinHash near-dup.
+
+    This is the exact O(n²) baseline (self-join); it is the truth oracle
+    for small corpora and for verifying the bucketed variant. At 10^11
+    vectors use :func:`cosine_dup_pairs_bucketed`."""
+    a = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_vb"))
+    sim = _dot(F.col("_va"), F.col("_vb")) / (
+        _norm(F.col("_va")) * _norm(F.col("_vb")))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (a.crossJoin(b)
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", sim.alias("cos_sim"))
+             .filter(F.col("cos_sim") >= threshold))
+
+
+def cosine_dup_pairs_bucketed(
+    df: DataFrame,
+    *,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Scale path for embedding near-dup: IVF-assign every vector to its
+    nearest centroid, then search pairs only WITHIN buckets — candidate
+    cost drops from |corpus|² to Σ bucket². Near-identical vectors share
+    a bucket with overwhelming probability at high thresholds, so recall
+    loss concentrates on pairs near the threshold (trade documented; the
+    exact operator above is the verifier)."""
+    centroids = (df.orderBy(id_col).limit(n_centroids)
+                 .select(F.col(id_col).alias("centroid_id"),
+                         F.col(vec_col).alias("centroid")))
+    bucketed = assign_buckets(df, centroids, id_col=id_col, vec_col=vec_col)
+    a = bucketed.select(F.col("bucket_id"), F.col(id_col).alias("doc_a"),
+                        F.col(vec_col).alias("_va"))
+    b = bucketed.select(F.col("bucket_id"), F.col(id_col).alias("doc_b"),
+                        F.col(vec_col).alias("_vb"))
+    sim = _dot(F.col("_va"), F.col("_vb")) / (
+        _norm(F.col("_va")) * _norm(F.col("_vb")))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (a.join(b, "bucket_id")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", sim.alias("cos_sim"))
+             .filter(F.col("cos_sim") >= threshold))
+
+
 def assign_buckets(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -1,0 +1,100 @@
+"""Physical-plan assertions: the scale properties claimed in docstrings
+must be visible in the executed plan (broadcast where promised, partial
+aggregation, no stray shuffles/cartesians on hot paths)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from json_schema_rs_spark import ValidationEngine  # noqa: E402
+from json_schema_rs_spark.operators import dedup, similarity  # noqa: E402
+from json_schema_rs_spark.operators.table_checks import referential_violations  # noqa: E402
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_row_validation_no_exchange_and_codegen(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rep = ValidationEngine(
+        {"type": "object",
+         "properties": {"o_orderstatus": {"enum": ["O", "F", "P"]}}},
+        key_cols=("o_orderkey",)).validate(df)
+    plan = _plan(rep.flagged)
+    assert "Exchange" not in plan
+    # "*(n)" prefixes mark whole-stage-codegen stages in toString() plans
+    assert "*(1) Project" in plan
+
+
+def test_referential_vocab_df_broadcasts(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    vocab = spark.createDataFrame(
+        [("click",), ("view",)], "event_type string")
+    plan = _plan(referential_violations(ev, "event_type", vocab,
+                                        keys=("event_id",)))
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan  # fact table must not shuffle
+
+
+def test_cosine_topk_broadcasts_queries(spark, emb):
+    plan = _plan(similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=3))
+    assert "Broadcast" in plan
+
+
+def test_exact_dedup_partial_aggregation(spark, docs):
+    plan = _plan(dedup.exact_duplicate_groups(docs))
+    # two HashAggregates around one exchange = map-side partial combine
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_minhash_signature_single_aggregate_no_cartesian(spark, docs):
+    plan = _plan(dedup.minhash_signature(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_pairs_no_cartesian(spark, docs):
+    plan = _plan(dedup.ngram_jaccard_pairs(docs))
+    assert "CartesianProduct" not in plan
+
+
+def test_bucketed_cosine_dup_full_recall_on_near_identicals(spark):
+    """Near-identical vectors (the actual near-dup population at a high
+    threshold) must land in the same IVF bucket, so the bucketed operator
+    finds every pair the exact operator finds."""
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 16)).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # one near-duplicate per base vector: tiny perturbation
+        rows.append((1000 + i, [float(x) for x in
+                                v + rng.normal(scale=1e-3, size=16)
+                                .astype("float32")]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r.doc_a, r.doc_b) for r in similarity.cosine_dup_pairs(
+        df, threshold=0.999).collect()}
+    bucketed = {(r.doc_a, r.doc_b) for r in
+                similarity.cosine_dup_pairs_bucketed(
+                    df, threshold=0.999, n_centroids=8).collect()}
+    assert len(exact) >= 40
+    assert bucketed == exact
