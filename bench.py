@@ -31,6 +31,8 @@ HEADLINE = [
     "flagship_transcripts",
     "v_bounds_int",
     "v_pattern",
+    "v_array_items",
+    "v_json_payload",
     "t_unique_keys",
     "t_gapfree_ordering",
     "s_profile",
@@ -38,6 +40,7 @@ HEADLINE = [
     "d_minhash_lsh",
     "d_simhash",
     "a_cosine_topk",
+    "a_cosine_dup_pairs",
     "x_quality",
     "m_media_meta",
 ]

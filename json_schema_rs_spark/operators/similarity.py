@@ -30,10 +30,33 @@ def _dot(a, b):
     )
 
 
+def _dot_d(a, b):
+    """Dot of two already-double arrays (no per-element cast)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def _norm(a):
     return F.sqrt(F.aggregate(
         F.transform(a, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x))
+
+
+def _prep(df: DataFrame, id_col: str, vec_col: str, id_out: str,
+          vec_out: str, norm_out: str) -> DataFrame:
+    """Per-row precompute for pairwise similarity: double-cast vector +
+    L2 norm, so the per-PAIR work is one dot product. Higher-order array
+    functions are interpreted (CodegenFallback), so hoisting the casts and
+    norms out of the O(pairs) loop is a ~3x win; the arithmetic order is
+    unchanged, so results are bitwise identical."""
+    return df.select(
+        F.col(id_col).alias(id_out),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(vec_out),
+        _norm(F.col(vec_col)).alias(norm_out),
+    )
 
 
 def cosine_topk(
@@ -54,11 +77,9 @@ def cosine_topk(
     ``round_digits`` is set the ordering key is the *rounded* similarity,
     which makes ranks reproducible across engines whose last-ulp sums may
     differ."""
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("_qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("_cv"))
-    sim = _dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))
+    q = _prep(queries, id_col, vec_col, "query_id", "_qv", "_qn")
+    c = _prep(corpus, id_col, vec_col, "neighbor_id", "_cv", "_cn")
+    sim = _dot_d(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = c.crossJoin(F.broadcast(q))
@@ -87,10 +108,9 @@ def cosine_dup_pairs(
     This is the exact O(n²) baseline (self-join); it is the truth oracle
     for small corpora and for verifying the bucketed variant. At 10^11
     vectors use :func:`cosine_dup_pairs_bucketed`."""
-    a = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("_vb"))
-    sim = _dot(F.col("_va"), F.col("_vb")) / (
-        _norm(F.col("_va")) * _norm(F.col("_vb")))
+    a = _prep(df, id_col, vec_col, "doc_a", "_va", "_na")
+    b = _prep(df, id_col, vec_col, "doc_b", "_vb", "_nb")
+    sim = _dot_d(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     return (a.crossJoin(b)
@@ -118,12 +138,15 @@ def cosine_dup_pairs_bucketed(
                  .select(F.col(id_col).alias("centroid_id"),
                          F.col(vec_col).alias("centroid")))
     bucketed = assign_buckets(df, centroids, id_col=id_col, vec_col=vec_col)
-    a = bucketed.select(F.col("bucket_id"), F.col(id_col).alias("doc_a"),
-                        F.col(vec_col).alias("_va"))
-    b = bucketed.select(F.col("bucket_id"), F.col(id_col).alias("doc_b"),
-                        F.col(vec_col).alias("_vb"))
-    sim = _dot(F.col("_va"), F.col("_vb")) / (
-        _norm(F.col("_va")) * _norm(F.col("_vb")))
+    a = bucketed.select("bucket_id", F.col(id_col).alias("doc_a"),
+                        F.transform(F.col(vec_col),
+                                    lambda x: x.cast("double")).alias("_va"),
+                        _norm(F.col(vec_col)).alias("_na"))
+    b = bucketed.select("bucket_id", F.col(id_col).alias("doc_b"),
+                        F.transform(F.col(vec_col),
+                                    lambda x: x.cast("double")).alias("_vb"),
+                        _norm(F.col(vec_col)).alias("_nb"))
+    sim = _dot_d(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     return (a.join(b, "bucket_id")
@@ -186,13 +209,12 @@ def ivf_topk(
         .select("query_id", F.col("neighbor_id").alias("bucket_id"))
     )
     # union in each query's own bucket (its nearest centroid may be itself)
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("_qv"))
+    q = _prep(queries, id_col, vec_col, "query_id", "_qv", "_qn")
     cand = (bucketed.join(F.broadcast(probes), "bucket_id")
                     .join(F.broadcast(q), "query_id")
                     .filter(F.col("query_id") != F.col(id_col)))
     sim = _dot(F.col("_qv"), F.col(vec_col)) / (
-        _norm(F.col("_qv")) * _norm(F.col(vec_col)))
+        F.col("_qn") * _norm(F.col(vec_col)))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = cand.select("query_id", F.col(id_col).alias("neighbor_id"),
