@@ -57,7 +57,13 @@ _ROLE_MAP = ("CASE event_type WHEN 'click' THEN 'user' "
 
 def _transcripts_from_events(events: DataFrame) -> DataFrame:
     """Deterministic transcript-shaped view of the events table:
-    conv_id = user, turn_idx = dense per-conv position by (ts, event_id)."""
+    conv_id = user, turn_idx = dense per-conv position by (ts, event_id).
+
+    Note for the oracle: because turn_idx is row_number()-1 over
+    (ts, event_id), DuplicateKey / TurnGap / NonMonotonicTs / BelowMinimum
+    are structurally impossible for ANY events data — every data-dependent
+    flagship branch (NotInEnum, TooShort, TooLong, MissingRequired) is
+    modeled in _FLAGSHIP_ORACLE."""
     from pyspark.sql import Window
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return events.select(
@@ -102,6 +108,18 @@ UNION ALL
 SELECT conv_id, turn_idx, '/text', 'TooShort',
        '/text: string has ' || CAST(length(text) AS VARCHAR) || ' code points, minLength is 10'
 FROM tx WHERE length(text) < 10
+UNION ALL
+SELECT conv_id, turn_idx, '/text', 'TooLong',
+       '/text: string has ' || CAST(length(text) AS VARCHAR) || ' code points, maxLength is 4000'
+FROM tx WHERE length(text) > 4000
+UNION ALL
+SELECT conv_id, turn_idx, '/text', 'MissingRequired',
+       '/text: missing required property "text"'
+FROM tx WHERE text IS NULL
+UNION ALL
+SELECT conv_id, turn_idx, '/conv_id', 'MissingRequired',
+       '/conv_id: missing required property "conv_id"'
+FROM tx WHERE conv_id IS NULL
 """
 
 
@@ -624,11 +642,15 @@ def _q_d_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_d_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # LSH candidates verified with exact Jaccard; at 64 perms / 16 bands the
-    # candidate probability at J>=0.8 is ~0.9998, so the verified output
-    # equals the brute-force pair set (same oracle).
+    # LSH candidates verified with exact Jaccard, gated against the exact
+    # brute-force oracle. 64 perms / 32 bands (r=2) makes the per-pair miss
+    # probability at J>=0.8 equal (1 - 0.8^2)^32 ≈ 6.5e-15 — negligible for
+    # any data refresh (a 16-band config would be ~2e-4 per pair, enough to
+    # flip the exactness gate on unlucky data). Production tuning trades
+    # bands back down for candidate precision; recall floors are asserted
+    # in tests/test_dedup.py.
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
-                                   n=3, threshold=0.8)
+                                   n=3, threshold=0.8, bands=32)
 
 
 def _q_d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -748,11 +770,11 @@ WITH b AS (SELECT doc_id, length(text)::DOUBLE AS nc,
 FROM documents)
 SELECT doc_id,
   round((nc - (nw - 1)) / nw, 6) AS mean_word_len,
-  round(np / nc, 6) AS punct_ratio,
+  round(coalesce(np / nullif(nc, 0), 0.0), 6) AS punct_ratio,
   round(ns / nw, 6) AS stopword_ratio,
   round(0.4 * least(nc / 500.0, 1.0) + 0.3 * least(ns / nw * 5, 1.0)
       + 0.2 * least(((nc - (nw - 1)) / nw) / 8, 1.0)
-      + 0.1 * (1.0 - least(np / nc * 10, 1.0)), 6) AS quality
+      + 0.1 * (1.0 - least(coalesce(np / nullif(nc, 0), 0.0) * 10, 1.0)), 6) AS quality
 FROM b
 """
 

@@ -47,9 +47,15 @@ def shingles(df: DataFrame, text_col: str = "text", *, n: int = 3,
     if n == 1:
         sh = words
     else:
+        # guard the short-doc case explicitly: size - (n-1) <= 0 would make
+        # sequence(1, 0) DESCEND to [1, 0] and slice(words, 0, n) abort the
+        # whole job (INVALID_PARAMETER_VALUE.START on Spark 4) — docs with
+        # fewer than n words must yield an EMPTY shingle set instead
         sh = F.expr(
-            f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 0)),"
-            f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+            f"if(size(split({text_col}, ' ')) >= {n},"
+            f" transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n}))),"
+            f" array())"
         )
     return df.withColumn(out_col, F.array_distinct(sh))
 
@@ -214,8 +220,13 @@ def minhash_lsh_pairs(
     inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
     union = (F.size("_sha") + F.size("_shb")
              - F.size(F.array_intersect("_sha", "_shb")))
+    # try_divide: two shingle-less docs share the sentinel signature, so
+    # they collide in every band and reach verification with union = 0 —
+    # ANSI mode would abort the job on the plain division; NULL jaccard is
+    # filtered by the threshold instead (empty sets have no similarity)
     return (cand.join(sa, "doc_a").join(sb, "doc_b")
-                .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+                .select("doc_a", "doc_b",
+                        F.try_divide(inter, union).alias("jaccard"))
                 .filter(F.col("jaccard") >= threshold))
 
 

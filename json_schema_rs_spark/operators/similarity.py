@@ -39,6 +39,15 @@ def _dot_d(a, b):
     )
 
 
+def _cos(dot, norm_product):
+    """Cosine from a dot product and the norms' product. ``try_divide``:
+    an all-zero vector (failed encoder output — realistic at corpus scale)
+    has norm 0 and would abort the whole job under ANSI; NULL similarity
+    drops it from thresholds/top-k instead. Bit-identical to plain division
+    for every non-zero vector."""
+    return F.try_divide(dot, norm_product)
+
+
 def _norm(a):
     return F.sqrt(F.aggregate(
         F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -79,7 +88,7 @@ def cosine_topk(
     differ."""
     q = _prep(queries, id_col, vec_col, "query_id", "_qv", "_qn")
     c = _prep(corpus, id_col, vec_col, "neighbor_id", "_cv", "_cn")
-    sim = _dot_d(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    sim = _cos(_dot_d(F.col("_qv"), F.col("_cv")), F.col("_qn") * F.col("_cn"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = c.crossJoin(F.broadcast(q))
@@ -110,7 +119,7 @@ def cosine_dup_pairs(
     vectors use :func:`cosine_dup_pairs_bucketed`."""
     a = _prep(df, id_col, vec_col, "doc_a", "_va", "_na")
     b = _prep(df, id_col, vec_col, "doc_b", "_vb", "_nb")
-    sim = _dot_d(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    sim = _cos(_dot_d(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     return (a.crossJoin(b)
@@ -146,7 +155,7 @@ def cosine_dup_pairs_bucketed(
                         F.transform(F.col(vec_col),
                                     lambda x: x.cast("double")).alias("_vb"),
                         _norm(F.col(vec_col)).alias("_nb"))
-    sim = _dot_d(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    sim = _cos(_dot_d(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     return (a.join(b, "bucket_id")
@@ -169,8 +178,8 @@ def assign_buckets(
     per-vector argmax — no shuffle of the corpus."""
     cen = centroids.select(F.col(centroid_id_col).alias("_cid"),
                            F.col(centroid_vec_col).alias("_cvec"))
-    sim = _dot(F.col(vec_col), F.col("_cvec")) / (
-        _norm(F.col(vec_col)) * _norm(F.col("_cvec")))
+    sim = _cos(_dot(F.col(vec_col), F.col("_cvec")),
+                _norm(F.col(vec_col)) * _norm(F.col("_cvec")))
     scored = corpus.crossJoin(F.broadcast(cen)).select(
         "*", F.struct(sim.alias("_s"), (-F.col("_cid")).alias("_negid"),
                       F.col("_cid").alias("cid")).alias("_cand"))
@@ -213,8 +222,8 @@ def ivf_topk(
     cand = (bucketed.join(F.broadcast(probes), "bucket_id")
                     .join(F.broadcast(q), "query_id")
                     .filter(F.col("query_id") != F.col(id_col)))
-    sim = _dot(F.col("_qv"), F.col(vec_col)) / (
-        F.col("_qn") * _norm(F.col(vec_col)))
+    sim = _cos(_dot(F.col("_qv"), F.col(vec_col)),
+               F.col("_qn") * _norm(F.col(vec_col)))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = cand.select("query_id", F.col(id_col).alias("neighbor_id"),

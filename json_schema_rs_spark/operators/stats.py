@@ -64,29 +64,42 @@ def profile(
         for c in columns:
             row = row.crossJoin(
                 df.agg(F.count_distinct(F.col(c)).alias(f"{c}__distinct")))
-    # pin the 1-row aggregate before unpivoting: the stacked projection
-    # references every agg output, and without a materialization barrier
-    # the optimizer re-evaluates the whole aggregate tree per emitted
-    # struct (k columns -> k recomputations of the scan)
-    row = row.persist()
-    # unpivot the single wide row into one row per column (driver-free:
-    # stack() on the aggregated 1-row DF)
-    parts = []
+    # materialize the single wide aggregate row on the driver (O(1) data)
+    # and unpivot in Python. This is both the materialization barrier (the
+    # stacked projection would otherwise re-evaluate the whole aggregate
+    # tree once per emitted struct) and leak-free — the earlier persist()
+    # approach pinned a cache entry the caller could never release.
+    wide = row.collect()[0].asDict()
+    rows_total = wide["_rows"]
+    out_rows = []
     for c in columns:
-        mean = f"`{c}__mean`" if c in numeric else "cast(null as double)"
-        qs = [f"`{c}__q{int(q * 100)}`" if c in numeric else "cast(null as double)"
-              for q in quantiles]
-        parts.append(
-            f"struct('{c}' as column, _rows as count, "
-            f"_rows - `{c}__nonnull` as null_count, "
-            f"1.0 - `{c}__nonnull` / _rows as null_rate, "
-            f"`{c}__distinct` as distinct_count, "
-            f"`{c}__min` as min, `{c}__max` as max, {mean} as mean, "
-            + ", ".join(f"{e} as q{int(q * 100)}" for e, q in zip(qs, quantiles))
-            + ")"
-        )
-    stacked = row.select(F.explode(F.expr("array(" + ",".join(parts) + ")")).alias("s"))
-    return stacked.select("s.*")
+        nonnull = wide[f"{c}__nonnull"]
+        null_rate = (1.0 - nonnull / rows_total) if rows_total else None
+        rec = {
+            "column": c,
+            "count": rows_total,
+            "null_count": rows_total - nonnull,
+            "null_rate": null_rate,
+            "distinct_count": wide[f"{c}__distinct"],
+            "min": wide[f"{c}__min"],
+            "max": wide[f"{c}__max"],
+            "mean": wide.get(f"{c}__mean") if c in numeric else None,
+        }
+        for q in quantiles:
+            rec[f"q{int(q * 100)}"] = (
+                wide.get(f"{c}__q{int(q * 100)}") if c in numeric else None)
+        out_rows.append(rec)
+    schema = T.StructType(
+        [T.StructField("column", T.StringType()),
+         T.StructField("count", T.LongType()),
+         T.StructField("null_count", T.LongType()),
+         T.StructField("null_rate", T.DoubleType()),
+         T.StructField("distinct_count", T.LongType()),
+         T.StructField("min", T.StringType()),
+         T.StructField("max", T.StringType()),
+         T.StructField("mean", T.DoubleType())]
+        + [T.StructField(f"q{int(q * 100)}", T.DoubleType()) for q in quantiles])
+    return df.sparkSession.createDataFrame(out_rows, schema)
 
 
 def category_counts(df: DataFrame, column: str) -> DataFrame:

@@ -60,8 +60,12 @@ def quality_score(df: DataFrame, text_col: str = "text",
     n_words = F.size(words).cast("double")
     punct = F.regexp_count(F.col(text_col), F.lit(PUNCT_REGEX)).cast("double")
     stop = _count_in(words, STOPWORDS["en"]).cast("double")
+    # n_words = size(split(text, ' ')) is always >= 1 (empty text splits to
+    # [""]), but n_chars is 0 for empty docs and ANSI mode turns the plain
+    # division into a job-aborting DIVIDE_BY_ZERO — define the empty-doc
+    # punct ratio as 0.0 (oracle twin: coalesce(np / nullif(nc, 0), 0.0))
     mean_wl = (n_chars - (n_words - 1)) / n_words
-    punct_ratio = punct / n_chars
+    punct_ratio = F.coalesce(F.try_divide(punct, n_chars), F.lit(0.0))
     stop_ratio = stop / n_words
     len_band = F.least(n_chars / F.lit(500.0), F.lit(1.0))
     score = (F.lit(0.4) * len_band
