@@ -234,6 +234,30 @@ FROM documents WHERE NOT regexp_matches(text, '(spark|window)')
 """
 
 
+def _q_v_pattern_hard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ECMA-262 fidelity gate (functions/ecma_regex): the pattern contains
+    # a dangling `{` — a LITERAL under Annex B (what the reference's
+    # regress engine implements) but a PatternSyntaxException in naive
+    # Java rlike (job abort) — plus an absolute-`$` anchor and an ASCII
+    # \d. The compiled plan must translate, not pass through.
+    spec = {"type": "object", "properties": {
+        "props": {"type": "string", "pattern": '{"k": \\d{2}}$'}}}
+    return ValidationEngine(spec, key_cols=("event_id",)) \
+        .validate(_t(spark, sf_dir, "events")).violations
+
+
+# DuckDB RE2: `$` is already absolute end-of-text, `\{` is the literal;
+# message embeds the ORIGINAL pattern source and the json-quoted value
+_SQL_V_PATTERN_HARD = r"""
+SELECT event_id, '/props' AS instance_path, 'PatternMismatch' AS code,
+  '/props: string "' || replace(props, '"', '\"') ||
+  '" does not match pattern "{"k": \d{2}}$"' AS message
+FROM events
+WHERE props IS NOT NULL
+  AND NOT regexp_matches(props, '\{"k": [0-9]{2}\}$')
+"""
+
+
 def _q_v_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = {"type": "object", "properties": {
         "source": {"type": "string", "format": "uuid"}}}
@@ -852,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_bounds_frac": _q_v_bounds_frac,
         "v_length": _q_v_length,
         "v_pattern": _q_v_pattern,
+        "v_pattern_hard": _q_v_pattern_hard,
         "v_uuid": _q_v_uuid,
         "v_required": _q_v_required,
         "v_anyof": _q_v_anyof,
@@ -903,6 +928,7 @@ def oracle_sql() -> dict[str, str]:
         "v_bounds_frac": _SQL_V_BOUNDS_FRAC,
         "v_length": _SQL_V_LENGTH,
         "v_pattern": _SQL_V_PATTERN,
+        "v_pattern_hard": _SQL_V_PATTERN_HARD,
         "v_uuid": _SQL_V_UUID,
         "v_required": _SQL_V_REQUIRED,
         "v_anyof": _SQL_V_ANYOF,

@@ -13,9 +13,10 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # uuid::Uuid::parse_str grammar (validator/mod.rs:279-289): hyphenated,
-# simple (32 hex), urn:uuid:, and braced forms.
+# simple (32 hex), urn:uuid:, and braced forms. \A/\z (not ^/$): Java's $
+# also matches before a trailing newline, which Uuid::parse_str rejects.
 _HY = "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
-UUID_REGEX = f"^(?:{_HY}|[0-9a-fA-F]{{32}}|urn:uuid:{_HY}|\\{{{_HY}\\}})$"
+UUID_REGEX = f"\\A(?:{_HY}|[0-9a-fA-F]{{32}}|urn:uuid:{_HY}|\\{{{_HY}\\}})\\z"
 
 
 def json_quote(col: Column) -> Column:

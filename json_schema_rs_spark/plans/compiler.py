@@ -35,14 +35,15 @@ everywhere.
 
 from __future__ import annotations
 
-import re as _re
 from dataclasses import dataclass
 from typing import Callable, Optional, Union
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions import ecma_regex
 from ..functions import formatting as fmt
 from ..functions.exprs import (
     UUID_REGEX,
@@ -425,15 +426,24 @@ def _compile_type_scoped(
                 ]),
             ))
         if node.pattern is not None:
-            if not _pattern_is_valid(node.pattern):
+            ecma = ecma_regex.translate(node.pattern)
+            if not ecma.valid:
                 checks.append(ScalarCheck(
                     cond=sgate, path=path, code="InvalidPatternInSchema",
                     message=_msg(loc, [F.lit(
                         f'schema has invalid pattern "{node.pattern}"')]),
                 ))
             else:
+                # fast path: ECMA->Java translation inside codegen; rare
+                # untranslatable constructs fall back to an Arrow-batched
+                # pandas UDF running the ECMA->Python translation; patterns
+                # neither dialect can express raise loudly at plan time
+                if ecma.java is not None:
+                    matched = s.rlike(ecma.java)
+                else:
+                    matched = _python_pattern_matcher(node.pattern)(s)
                 checks.append(ScalarCheck(
-                    cond=sgate & ~s.rlike(node.pattern), path=path, code="PatternMismatch",
+                    cond=sgate & ~matched, path=path, code="PatternMismatch",
                     message=_msg(loc, [
                         F.lit('string '), json_quote(s),
                         F.lit(f' does not match pattern "{node.pattern}"'),
@@ -666,16 +676,25 @@ def _compile_array(
     return checks
 
 
-def _pattern_is_valid(pattern: str) -> bool:
-    """Plan-time pattern audit: the reference compiles the ECMA-262 regex
-    per instance (validator/mod.rs:259-277); we audit once at compile time
-    with Python ``re`` as the ECMA proxy and route valid patterns to Java
-    ``rlike`` (both unanchored partial match)."""
-    try:
-        _re.compile(pattern)
-        return True
-    except _re.error:
-        return False
+def _python_pattern_matcher(pattern: str) -> Callable[[Column], Column]:
+    """Pandas-UDF fallback matcher for valid-ECMA patterns the Java dialect
+    cannot express (lookbehind, exotic named groups). Arrow-batched — the
+    declared slow path, used only for the rare pattern shapes. Raises
+    :class:`~..functions.ecma_regex.UnsupportedPatternError` at plan time
+    when Python cannot express the pattern either (never silent)."""
+    rx = ecma_regex.compile_python(pattern)  # raises if unsupported
+    assert rx is not None  # caller checked ecma.valid
+
+    def build(col: Column) -> Column:
+        @F.pandas_udf("boolean")
+        def _matches(s: pd.Series) -> pd.Series:
+            compiled = ecma_regex.compile_python(pattern)
+            return s.map(lambda v: v is not None
+                         and compiled.search(v) is not None)
+
+        return F.coalesce(_matches(col), F.lit(False))
+
+    return build
 
 
 # --------------------------------------------------------------------------

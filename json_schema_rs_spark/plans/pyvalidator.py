@@ -29,6 +29,7 @@ import re
 from dataclasses import dataclass
 from typing import Any
 
+from ..functions import ecma_regex
 from ..functions import formatting as fmt
 from .pointer import JsonPointer
 from .refs import RefResolutionError, resolve_transitive
@@ -276,17 +277,17 @@ def _check_string(schema: SchemaNode, inst: Any, path: JsonPointer,
         errors.append(Violation(path.as_str(), "TooLong",
                                 fmt.msg_too_long(loc, n, schema.max_length)))
     if schema.pattern is not None:
-        try:
-            rx = re.compile(schema.pattern)
-        except re.error:
+        # ECMA-262(+Annex B) audit + Python-dialect translation — the same
+        # verdicts as the reference's regress engine (functions/ecma_regex)
+        rx = ecma_regex.compile_python(schema.pattern)
+        if rx is None:
             errors.append(Violation(
                 path.as_str(), "InvalidPatternInSchema",
                 fmt.msg_invalid_pattern_in_schema(loc, schema.pattern)))
-        else:
-            if rx.search(inst) is None:  # partial match, like regress .find()
-                errors.append(Violation(
-                    path.as_str(), "PatternMismatch",
-                    fmt.msg_pattern_mismatch(loc, inst, schema.pattern)))
+        elif rx.search(inst) is None:  # partial match, like regress .find()
+            errors.append(Violation(
+                path.as_str(), "PatternMismatch",
+                fmt.msg_pattern_mismatch(loc, inst, schema.pattern)))
     if schema.format == "uuid" and not is_valid_uuid(inst):
         errors.append(Violation(path.as_str(), "InvalidUuidFormat",
                                 fmt.msg_invalid_uuid_format(loc, inst)))

@@ -1,0 +1,259 @@
+"""ECMA-262 regex audit/translation tests.
+
+Each case is ``(pattern, text, expected)`` where ``expected`` is the
+match verdict of an ECMA-262(+Annex B) engine with no flags — the
+reference's ``regress::Regex::new(p).find(text)`` semantics
+(`/root/reference/json_schema_rs/src/validator/mod.rs:259-277`), derived
+from the ECMA-262 spec (§22.2 + Annex B §B.1.2). Both translations are
+executed for real: the Java one against the JVM's ``java.util.regex``
+(through the Spark session), the Python one against ``re``.
+"""
+
+import os
+import re
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from json_schema_rs_spark.functions.ecma_regex import (  # noqa: E402
+    PY_FLAGS,
+    UnsupportedPatternError,
+    compile_python,
+    translate,
+)
+
+# (pattern, text, expected ECMA partial-match verdict)
+MATCH_CASES = [
+    # Annex B dangling brace: literal `{` (naive Java: COMPILE ERROR)
+    ("a{", "xa{y", True),
+    ("a{", "a", False),
+    ("a{,5}", "a{,5}", True),
+    ("a{,5}", "aaa", False),
+    ("a{2}", "aa", True),
+    ("a{2}", "ab", False),
+    ("a{2,3}", "aa", True),
+    # $ / ^ are absolute anchors in ECMA (naive Java/Python: also pre-\n)
+    ("c$", "abc", True),
+    ("c$", "abc\n", False),
+    ("^a", "a", True),
+    ("^a", "ba", False),
+    ("^$", "", True),
+    ("^$", "\n", False),
+    # `.` excludes exactly \n \r     (Java also )
+    (".", "\n", False),
+    (".", "\r", False),
+    (".", " ", False),
+    (".", "", True),
+    (".", "a", True),
+    # \s is ECMA whitespace incl. NBSP + BOM (Java: ASCII only)
+    ("\\s", " ", True),
+    ("\\s", "﻿", True),
+    ("\\s", " ", True),
+    ("\\s", "a", False),
+    ("\\S", " ", False),
+    ("\\S", "x", True),
+    ("[\\s]", " ", True),
+    ("[^\\s]", " ", False),
+    ("[\\S]", " ", False),
+    ("[\\S]", "x", True),
+    ("[^\\S]", " ", True),
+    # \d \w \b are ASCII in ECMA (Python naive: Unicode)
+    ("\\d", "٣", False),            # ARABIC-INDIC DIGIT THREE
+    ("\\d", "7", True),
+    ("\\w", "é", False),
+    ("\\w", "e", True),
+    ("a\\b", "aé", True),           # é is not an ECMA word char
+    ("a\\b", "ab", False),
+    ("[\\d]", "٣", False),
+    ("[\\w]", "é", False),
+    ("[^\\w]", "é", True),
+    ("[\\D]", "٣", True),
+    ("[\\W]", "é", True),
+    # \cX control escapes (naive Python: COMPILE ERROR)
+    ("\\cJ", "a\nb", True),
+    ("\\cj", "a\nb", True),
+    ("\\cM", "\r", True),
+    # Annex B: \c with no control letter -> literal backslash, then `c`
+    ("\\c5", "\\c5", True),
+    ("\\c5", "c5", False),
+    ("\\c*", "\\ccc", True),        # quantifier binds the literal `c`
+    ("[\\c5]", "\x15", True),       # in-class: ClassControlLetter incl 0-9
+    ("[\\c]", "\\", True),
+    ("[\\c]", "c", True),
+    # named groups (naive Python: needs ?P<>)
+    ("(?<year>\\d{4})", "1999", True),
+    ("(?<year>\\d{4})", "19x9", False),
+    ("(?<a>x)\\k<a>", "xx", True),
+    ("(?<a>x)\\k<a>", "xy", False),
+    # \p without u flag: identity escape -> literal p (naive Java: property)
+    ("\\p{L}", "p{L}", True),
+    ("\\p{L}", "A", False),
+    # Annex B identity escapes (naive Java/Python: COMPILE ERROR)
+    ("\\q", "q", True),
+    ("\\q", "Q", False),
+    ("\\-", "-", True),
+    ("\\ ", " ", True),
+    # empty classes
+    ("x[]", "x", False),            # [] matches nothing
+    ("[^]", "\n", True),            # [^] matches anything incl. newline
+    # decimal escapes: backref when group exists, else Annex B octal/identity
+    ("(a)\\1", "aa", True),
+    ("(a)\\1", "ab", False),
+    ("\\8", "8", True),             # no 8th group -> identity
+    ("\\12", "\n", True),           # no groups -> octal 012 = LF
+    ("\\0", "\x00", True),
+    ("\\101", "A", True),           # octal 101 = 'A'
+    # class ranges + Annex B dash-after-escape
+    ("[a-c]", "b", True),
+    ("[a-c]", "d", False),
+    ("[\\w-x]", "-", True),         # dash literal after class escape
+    ("[\\w-x]", "q", True),
+    ("[a-\\d]", "-", True),         # dash literal before class escape
+    ("[a-\\d]", "5", True),
+    ("[-a]", "-", True),
+    ("[a-]", "-", True),
+    # quantified lookahead (Annex B; naive Python: COMPILE ERROR)
+    ("(?=a)*a", "a", True),
+    ("(?=a)?b", "b", True),
+    # stray ] } literals (Annex B)
+    ("]", "]", True),
+    ("}", "}", True),
+    # hex/unicode escapes, incomplete -> Annex B identity
+    ("\\x41", "A", True),
+    ("\\x4g", "x4g", True),
+    ("\\u0041", "A", True),
+    ("\\u12", "u12x", True),
+    # alternation with empty arm matches everywhere
+    ("a|", "zzz", True),
+    ("x\\v", "x\x0b", True),
+    # lookahead / negative lookahead
+    ("a(?=b)", "ab", True),
+    ("a(?=b)", "ac", False),
+    ("a(?!b)", "ac", True),
+    # non-capturing / nested groups
+    ("(?:ab)+c", "ababc", True),
+    ("((a)b)\\2", "aba", True),
+]
+
+INVALID_CASES = [
+    "(?i)abc",        # inline flags are ECMA syntax errors
+    "(?s)a.",
+    "(?m)^a",
+    "(?P<a>x)",       # Python-ism, not ECMA
+    "(?>atomic)",
+    "(a",             # unterminated group
+    "a)",             # unmatched )
+    "*a",             # nothing to repeat
+    "a**",
+    "+",
+    "a{3,1}",         # range out of order
+    "{2}",            # InvalidBracedQuantifier (Annex B B.1.2)
+    "[z-a]",          # class range out of order
+    "[abc",           # unterminated class
+    "\\k<nope>",      # \k names a group that doesn't exist... but only
+                      # invalid when a named group exists elsewhere:
+]
+# ...make the last case actually contain a named group
+INVALID_CASES[-1] = "(?<g>x)\\k<nope>"
+
+
+@pytest.fixture(scope="module")
+def jpattern(spark):
+    return spark._jvm.java.util.regex.Pattern
+
+
+def _java_find(jpattern, pat: str, text: str) -> bool:
+    return bool(jpattern.compile(pat).matcher(text).find())
+
+
+@pytest.mark.parametrize("pattern,text,expected", MATCH_CASES,
+                         ids=[f"{i}:{p!r}" for i, (p, _, _) in enumerate(MATCH_CASES)])
+def test_translation_matches_ecma(jpattern, pattern, text, expected):
+    t = translate(pattern)
+    assert t.valid, f"{pattern!r} wrongly judged invalid"
+    assert t.java is not None or t.python is not None, \
+        f"{pattern!r} has no translation at all"
+    if t.java is not None:
+        got = _java_find(jpattern, t.java, text)
+        assert got == expected, \
+            f"java path: {pattern!r} -> {t.java!r} on {text!r}: {got}"
+    if t.python is not None:
+        got = re.compile(t.python, PY_FLAGS).search(text) is not None
+        assert got == expected, \
+            f"python path: {pattern!r} -> {t.python!r} on {text!r}: {got}"
+
+
+@pytest.mark.parametrize("pattern", INVALID_CASES)
+def test_invalid_ecma_patterns(pattern):
+    t = translate(pattern)
+    assert not t.valid, f"{pattern!r} wrongly judged valid ECMA"
+    assert compile_python(pattern) is None
+
+
+def test_java_hot_path_coverage():
+    """The overwhelmingly common pattern shapes must stay on the rlike
+    fast path (java is not None) — the pandas fallback is for rarities."""
+    for p in ["^[a-z]+$", "(spark|window)", "\\d{4}-\\d{2}-\\d{2}",
+              "^(en|de)$", "a{", "\\cJ", "(?<y>\\d+)", "[]", "[^]",
+              "^https?://", "\\w+@\\w+\\.[a-z]{2,}"]:
+        t = translate(p)
+        assert t.valid and t.java is not None, p
+
+
+def test_lookbehind_leaves_java_path():
+    t = translate("(?<=a)b")
+    assert t.valid
+    assert t.java is None            # Java lookbehind semantics differ
+    assert t.python is not None      # fixed-width: Python handles it
+    assert re.compile(t.python, PY_FLAGS).search("ab") is not None
+    assert re.compile(t.python, PY_FLAGS).search("xb") is None
+
+
+def test_variable_lookbehind_unsupported_is_loud():
+    t = translate("(?<=a*)b")        # valid ECMA, inexpressible here
+    assert t.valid and t.java is None and t.python is None
+    with pytest.raises(UnsupportedPatternError):
+        compile_python("(?<=a*)b")
+
+
+def test_naive_divergence_is_real(jpattern):
+    """Document that the naive pass-through actually diverges — these are
+    the behaviors the translation exists to fix."""
+    # naive Java: dangling { is a PatternSyntaxException -> job abort
+    with pytest.raises(Exception):
+        jpattern.compile("a{")
+    # naive Java: $ also matches before a trailing newline
+    assert _java_find(jpattern, "c$", "abc\n") is True      # ECMA: False
+    # naive Python: \cJ does not compile
+    with pytest.raises(re.error):
+        re.compile("\\cJ")
+    # naive Python: \d is Unicode-aware
+    assert re.compile("\\d").search("٣") is not None        # ECMA: False
+
+
+def test_compiler_pattern_paths(spark, sf_dir):
+    """Plan shapes: a translated-Java pattern stays in pure codegen; a
+    lookbehind routes to the ArrowEvalPython fallback — both shuffle-free
+    and both agreeing with the reference semantics."""
+    from json_schema_rs_spark import ValidationEngine
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fast = ValidationEngine(
+        {"type": "object",
+         "properties": {"text": {"type": "string", "pattern": "batch{"}}},
+        key_cols=("doc_id",)).validate(docs)
+    plan = fast.flagged._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "ArrowEvalPython" not in plan
+    assert fast.violations.count() > 0   # `{` literal: fires on most docs
+
+    slow = ValidationEngine(
+        {"type": "object",
+         "properties": {"text": {"type": "string",
+                                 "pattern": "(?<=spark) window"}}},
+        key_cols=("doc_id",)).validate(docs)
+    plan2 = slow.flagged._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan2 and "Exchange" not in plan2
+    exp = sum(1 for r in docs.select("text").collect()
+              if re.search("(?<=spark) window", r.text) is None)
+    assert slow.violations.count() == exp
