@@ -454,6 +454,160 @@ def _q_v_enum_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 query_name="v_enum_stream_sink")
 
 
+# --- error-variant coverage: every reference error code must fire in at
+# --- least one oracle-gated query (error.rs:241-398)
+
+def _q_v_expected_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # type-mismatch family over typed columns: each property's declared
+    # type contradicts the column type, firing Expected{Integer,Number,
+    # Boolean,Array,Object} ("got" renders the JSON type of the column)
+    spec = {"type": "object", "properties": {
+        "value": {"type": "integer"},        # double col  -> ExpectedInteger
+        "event_type": {"type": "number"},    # string col  -> ExpectedNumber
+        "event_id": {"type": "boolean"},     # bigint col  -> ExpectedBoolean
+        "user_id": {"type": "array"},        # bigint col  -> ExpectedArray
+        "props": {"type": "object"},         # string col  -> ExpectedObject
+    }}
+    return ValidationEngine(spec, key_cols=("event_id",)) \
+        .validate(_t(spark, sf_dir, "events")).violations
+
+
+_SQL_V_EXPECTED_TYPES = """
+SELECT event_id, '/value' AS instance_path, 'ExpectedInteger' AS code,
+  '/value: expected integer, got number' AS message
+FROM events WHERE value IS NOT NULL
+UNION ALL
+SELECT event_id, '/event_type', 'ExpectedNumber',
+  '/event_type: expected number, got string'
+FROM events WHERE event_type IS NOT NULL
+UNION ALL
+SELECT event_id, '/event_id', 'ExpectedBoolean',
+  '/event_id: expected boolean, got number'
+FROM events WHERE event_id IS NOT NULL
+UNION ALL
+SELECT event_id, '/user_id', 'ExpectedArray',
+  '/user_id: expected array, got number'
+FROM events WHERE user_id IS NOT NULL
+UNION ALL
+SELECT event_id, '/props', 'ExpectedObject',
+  '/props: expected object, got string'
+FROM events WHERE props IS NOT NULL
+"""
+
+
+def _q_v_array_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # array-keyword error family over a real array column plus a derived
+    # duplicate-bearing one: TooFewItems, TooManyItems,
+    # DuplicateArrayItems (first-duplicate value rendering), and
+    # ExpectedString against the array-typed column
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label",
+        F.array(F.col("label"), F.col("label")).alias("dup_pair"))
+    spec = {"type": "object", "properties": {
+        "embedding": {"type": "array", "minItems": 100},
+        "dup_pair": {"type": "array", "uniqueItems": True, "maxItems": 1},
+        "label": {"type": "string"},         # int col -> ExpectedString
+    }}
+    return ValidationEngine(spec, key_cols=("vec_id",)).validate(emb).violations
+
+
+_SQL_V_ARRAY_ERRORS = """
+SELECT vec_id, '/embedding' AS instance_path, 'TooFewItems' AS code,
+  '/embedding: array has ' || CAST(len(embedding) AS VARCHAR) ||
+  ' item(s), minimum is 100' AS message
+FROM embeddings WHERE len(embedding) < 100
+UNION ALL
+SELECT vec_id, '/dup_pair', 'TooManyItems',
+  '/dup_pair: array has 2 item(s), maximum is 1'
+FROM embeddings WHERE label IS NOT NULL
+UNION ALL
+SELECT vec_id, '/dup_pair', 'DuplicateArrayItems',
+  '/dup_pair: array has duplicate items (value: ' ||
+  CAST(label AS VARCHAR) || ')'
+FROM embeddings WHERE label IS NOT NULL
+UNION ALL
+SELECT vec_id, '/label', 'ExpectedString',
+  '/label: expected string, got number'
+FROM embeddings WHERE label IS NOT NULL
+"""
+
+
+def _q_v_additional_forbid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # additionalProperties: false over a table whose undeclared columns
+    # are present -> DisallowedAdditionalProperty per extra non-null value
+    spec = {"type": "object",
+            "properties": {"event_id": {}, "ts": {}, "user_id": {},
+                           "event_type": {}},
+            "additionalProperties": False}
+    return ValidationEngine(spec, key_cols=("event_id",)) \
+        .validate(_t(spark, sf_dir, "events")).violations
+
+
+_SQL_V_ADDITIONAL_FORBID = """
+SELECT event_id, '/props' AS instance_path,
+       'DisallowedAdditionalProperty' AS code,
+  '/props: additional property "props" not allowed' AS message
+FROM events WHERE props IS NOT NULL
+UNION ALL
+SELECT event_id, '/value', 'DisallowedAdditionalProperty',
+  '/value: additional property "value" not allowed'
+FROM events WHERE value IS NOT NULL
+"""
+
+
+def _q_v_invalid_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dangling $ref: $defs exists but the name does not -> InvalidRef with
+    # the Rust Debug rendering of DefNotFound (refs.py / validator/mod.rs)
+    spec = {"type": "object",
+            "$defs": {"other": {"type": "string"}},
+            "properties": {"lang": {"$ref": "#/$defs/nope"}}}
+    return ValidationEngine(spec, key_cols=("doc_id",)) \
+        .validate(_t(spark, sf_dir, "documents")).violations
+
+
+_SQL_V_INVALID_REF = """
+SELECT doc_id, '/lang' AS instance_path, 'InvalidRef' AS code,
+  '/lang: could not resolve $ref "#/$defs/nope": DefNotFound { ref_str: "#/$defs/nope", name: "nope" }' AS message
+FROM documents WHERE lang IS NOT NULL
+"""
+
+
+def _q_v_invalid_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # inline flags are SYNTAX ERRORS in ECMA-262 (regress rejects them even
+    # though Java/Python accept) -> InvalidPatternInSchema per string row
+    spec = {"type": "object", "properties": {
+        "text": {"type": "string", "pattern": "(?i)spark"}}}
+    return ValidationEngine(spec, key_cols=("doc_id",)) \
+        .validate(_t(spark, sf_dir, "documents")).violations
+
+
+_SQL_V_INVALID_PATTERN = """
+SELECT doc_id, '/text' AS instance_path, 'InvalidPatternInSchema' AS code,
+  '/text: schema has invalid pattern "(?i)spark"' AS message
+FROM documents WHERE text IS NOT NULL
+"""
+
+
+def _q_v_invalid_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # malformed JSON payloads must be recorded (not abort the run): corrupt
+    # every 5th payload with a trailing byte -> one InvalidJson row each,
+    # message embedding Python's deterministic parse-error position
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "props",
+        F.when(F.col("event_id") % 5 == 0, F.concat(F.col("props"), F.lit("x")))
+         .otherwise(F.col("props")))
+    return validate_json_column(ev, {}, "props", key_cols=("event_id",))
+
+
+_SQL_V_INVALID_JSON = """
+SELECT event_id, '/props' AS instance_path, 'InvalidJson' AS code,
+  '/props: invalid JSON payload: Extra data: line 1 column ' ||
+  CAST(length(props) + 1 AS VARCHAR) || ' (char ' ||
+  CAST(length(props) AS VARCHAR) || ')' AS message
+FROM events WHERE event_id % 5 = 0 AND props IS NOT NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 # Table-level checks (SURVEY.md §2.4)
 # ---------------------------------------------------------------------------
@@ -886,6 +1040,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_array_items": _q_v_array_items,
         "v_ref_allof": _q_v_ref_allof,
         "v_enum_stream": _q_v_enum_stream,
+        # error-variant coverage (every reference error code fires)
+        "v_expected_types": _q_v_expected_types,
+        "v_array_errors": _q_v_array_errors,
+        "v_additional_forbid": _q_v_additional_forbid,
+        "v_invalid_ref": _q_v_invalid_ref,
+        "v_invalid_pattern": _q_v_invalid_pattern,
+        "v_invalid_json": _q_v_invalid_json,
         # table-level checks
         "t_unique_keys": _q_t_unique,
         "t_referential": _q_t_referential,
@@ -938,6 +1099,12 @@ def oracle_sql() -> dict[str, str]:
         "v_array_items": _SQL_V_ARRAY_ITEMS,
         "v_ref_allof": _SQL_V_REF_ALLOF,
         "v_enum_stream": _SQL_V_ENUM,
+        "v_expected_types": _SQL_V_EXPECTED_TYPES,
+        "v_array_errors": _SQL_V_ARRAY_ERRORS,
+        "v_additional_forbid": _SQL_V_ADDITIONAL_FORBID,
+        "v_invalid_ref": _SQL_V_INVALID_REF,
+        "v_invalid_pattern": _SQL_V_INVALID_PATTERN,
+        "v_invalid_json": _SQL_V_INVALID_JSON,
         "t_unique_keys": _SQL_T_UNIQUE,
         "t_referential": _SQL_T_REFERENTIAL,
         "t_gapfree_ordering": _SQL_T_GAPFREE,
