@@ -913,6 +913,40 @@ WHERE round(list_dot_product(a.v, b.v) /
 """
 
 
+def _q_a_cosine_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the SCALE path for embedding near-dup (candidates only within IVF
+    # buckets, zero-shuffle assignment): gated against a DuckDB oracle
+    # that reproduces the same deterministic centroid choice (16 lowest
+    # ids), the same argmax assignment, and the within-bucket pair scan
+    return similarity.cosine_dup_pairs_bucketed(
+        _t(spark, sf_dir, "embeddings"), threshold=0.42, n_centroids=16)
+
+
+_SQL_A_COSINE_DUP_BUCKETED = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+cen AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+sc AS (SELECT e.vec_id, cen.cid,
+              list_dot_product(e.v, cen.cv) /
+              (sqrt(list_dot_product(e.v, e.v)) *
+               sqrt(list_dot_product(cen.cv, cen.cv))) AS s
+       FROM e CROSS JOIN cen),
+asg AS (SELECT vec_id, cid AS bucket_id FROM (
+          SELECT sc.*, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cid) AS rn
+          FROM sc) WHERE rn = 1),
+b AS (SELECT e.vec_id, e.v, asg.bucket_id FROM e JOIN asg USING (vec_id))
+SELECT a.vec_id AS doc_a, bb.vec_id AS doc_b,
+       round(list_dot_product(a.v, bb.v) /
+             (sqrt(list_dot_product(a.v, a.v)) *
+              sqrt(list_dot_product(bb.v, bb.v))), 6) AS cos_sim
+FROM b a JOIN b bb ON a.bucket_id = bb.bucket_id AND a.vec_id < bb.vec_id
+WHERE round(list_dot_product(a.v, bb.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(bb.v, bb.v))), 6) >= 0.42
+"""
+
+
 def _q_a_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 8),
@@ -1066,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "a_cosine_topk": _q_a_cosine,
         "a_cosine_dup_pairs": _q_a_cosine_dup,
+        "a_cosine_dup_bucketed": _q_a_cosine_dup_bucketed,
         "a_ivf_topk": _q_a_ivf,
         # text analysis
         "x_token_stats": _q_x_tokens,
@@ -1119,6 +1154,7 @@ def oracle_sql() -> dict[str, str]:
         "d_simhash_pairs": _SQL_D_SIMHASH_PAIRS,
         "a_cosine_topk": _SQL_A_COSINE,
         "a_cosine_dup_pairs": _SQL_A_COSINE_DUP,
+        "a_cosine_dup_bucketed": _SQL_A_COSINE_DUP_BUCKETED,
         "x_token_stats": _SQL_X_TOKENS,
         "x_quality": _SQL_X_QUALITY,
         "x_language_id": _SQL_X_LANGID,

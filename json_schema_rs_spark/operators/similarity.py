@@ -173,20 +173,65 @@ def assign_buckets(
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "centroid",
 ) -> DataFrame:
-    """IVF assignment: each corpus vector joins its nearest centroid
-    (max cosine; ties → lowest centroid id). One broadcast join + one
-    per-vector argmax — no shuffle of the corpus."""
-    cen = centroids.select(F.col(centroid_id_col).alias("_cid"),
-                           F.col(centroid_vec_col).alias("_cvec"))
-    sim = _cos(_dot(F.col(vec_col), F.col("_cvec")),
-                _norm(F.col(vec_col)) * _norm(F.col("_cvec")))
-    scored = corpus.crossJoin(F.broadcast(cen)).select(
-        "*", F.struct(sim.alias("_s"), (-F.col("_cid")).alias("_negid"),
-                      F.col("_cid").alias("cid")).alias("_cand"))
-    w = Window.partitionBy(id_col)
-    best = scored.withColumn("_best", F.max("_cand").over(w)) \
-                 .filter(F.col("_cand") == F.col("_best"))
-    return best.select(corpus["*"], F.col("_cand.cid").alias("bucket_id"))
+    """IVF assignment: each corpus vector gets its nearest centroid
+    (max cosine; ties → lowest centroid id) as ``bucket_id``.
+
+    ZERO shuffle: the centroid table is tiny by definition, so it is
+    collected once and folded into the plan as a literal array of structs;
+    the per-row argmax is a single ``aggregate`` fold over that literal —
+    the corpus is scanned once, never exchanged, never row-multiplied.
+    (The previous shape — crossJoin + ``Window.partitionBy(id)`` — shuffled
+    |corpus| × n_centroids rows on vec_id: the dominant exchange of the
+    designated ANN scale path at 100×. tests/test_physical_plans.py now
+    asserts no Exchange in this plan.)
+
+    Numerical parity: centroid norms are computed on the driver with the
+    same left-to-right double fold the Spark expression uses, so bucket
+    assignments are bit-identical to the joined variant."""
+    rows = centroids.select(
+        F.col(centroid_id_col).alias("cid"),
+        F.col(centroid_vec_col).cast("array<double>").alias("cvec"),
+    ).collect()
+    if not rows:
+        return corpus.withColumn("bucket_id",
+                                 F.lit(None).cast("bigint"))
+
+    def _pynorm(v: list[float]) -> float:
+        acc = 0.0
+        for x in v:                       # same fold order as _norm()
+            acc = acc + x * x
+        return acc ** 0.5
+
+    cen_lit = F.array(*[
+        F.struct(
+            F.lit(r["cid"]).cast("bigint").alias("cid"),
+            F.array(*[F.lit(x) for x in r["cvec"]]).alias("cvec"),
+            F.lit(_pynorm(r["cvec"])).alias("cn"),
+        )
+        for r in rows
+    ])
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vnorm = _norm(F.col(vec_col))
+    init = F.struct(F.lit(None).cast("double").alias("s"),
+                    F.lit(None).cast("bigint").alias("cid"))
+
+    def step(acc, c):
+        sim = _cos(_dot_d(F.col("_vd"), c["cvec"]), F.col("_vn") * c["cn"])
+        # NULL sim (zero-norm vector) never wins: such rows keep a NULL
+        # bucket_id and drop out of downstream bucket joins
+        better = sim.isNotNull() & F.coalesce(
+            acc["s"].isNull() | (sim > acc["s"])
+            | ((sim == acc["s"]) & (c["cid"] < acc["cid"])),
+            F.lit(True))
+        return F.when(better, F.struct(sim.alias("s"), c["cid"].alias("cid"))) \
+                .otherwise(acc)
+
+    best = F.aggregate(cen_lit, init, step)
+    return (corpus
+            .withColumn("_vd", vec_d)
+            .withColumn("_vn", vnorm)
+            .withColumn("bucket_id", best["cid"])
+            .drop("_vd", "_vn"))
 
 
 def ivf_topk(

@@ -37,12 +37,15 @@ def test_entry_smoke(spark):
 
 def test_ivf_recall_vs_exact(spark, sf_dir):
     """IVF is approximate: its gate is recall against brute force at the
-    same k, which must beat random bucket scanning (nprobe/n_centroids)."""
+    same k. Measured curve on this corpus (random 64-dim embeddings,
+    n_centroids=16): nprobe=2 -> 0.85-0.88, nprobe=4 -> 0.90 at both
+    sf0.001 and sf0.01 — probing the query's own bucket plus its 4
+    nearest centroids recovers most true neighbors. Floor 0.6 leaves
+    refresh margin while staying far above the 25% random-scan fraction
+    (the old 0.10 floor was vacuous)."""
     exact = {(r.query_id, r.neighbor_id)
              for r in entry_mod.queries()["a_cosine_topk"](spark, sf_dir).collect()}
     approx = {(r.query_id, r.neighbor_id)
               for r in entry_mod.queries()["a_ivf_topk"](spark, sf_dir).collect()}
     recall = len(exact & approx) / len(exact)
-    # random embeddings scatter true neighbors across buckets; probing
-    # 4/16 buckets must approach the 25% scan fraction
-    assert recall >= 0.10, f"IVF recall {recall:.2f} below sanity floor"
+    assert recall >= 0.6, f"IVF recall {recall:.2f} below curve floor"

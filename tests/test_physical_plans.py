@@ -98,3 +98,29 @@ def test_bucketed_cosine_dup_full_recall_on_near_identicals(spark):
                     df, threshold=0.999, n_centroids=8).collect()}
     assert len(exact) >= 40
     assert bucketed == exact
+
+
+def test_assign_buckets_zero_exchange(spark, emb):
+    """The IVF assignment is the designated ANN scale path: centroids are
+    literal (collected once), the argmax is a per-row fold — the corpus
+    must never be exchanged or row-multiplied (the old crossJoin+Window
+    shape shuffled |corpus| x n_centroids rows on vec_id)."""
+    cen = (emb.orderBy("vec_id").limit(16)
+           .select(F.col("vec_id").alias("centroid_id"),
+                   F.col("embedding").alias("centroid")))
+    plan = _plan(similarity.assign_buckets(emb, cen))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_and_bucketed_dup_no_corpus_shuffle(spark, emb):
+    """Neither IVF consumer may shuffle the corpus on vec_id; the only
+    acceptable exchanges are the skinny per-query top-k partitioning and
+    broadcast sides of the bucket joins."""
+    q = emb.filter(F.col("vec_id") < 3)
+    ivf = _plan(similarity.ivf_topk(emb, q, k=3, n_centroids=8, nprobe=2))
+    assert "Exchange hashpartitioning(vec_id" not in ivf
+    dup = _plan(similarity.cosine_dup_pairs_bucketed(emb, threshold=0.4,
+                                                     n_centroids=8))
+    assert "Exchange hashpartitioning(vec_id" not in dup
