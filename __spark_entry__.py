@@ -247,10 +247,11 @@ def _q_v_pattern_hard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # DuckDB RE2: `$` is already absolute end-of-text, `\{` is the literal;
-# message embeds the ORIGINAL pattern source and the json-quoted value
+# message embeds the ORIGINAL pattern source and the RAW value (the
+# reference's Display does not serde-escape it, error.rs:366-371)
 _SQL_V_PATTERN_HARD = r"""
 SELECT event_id, '/props' AS instance_path, 'PatternMismatch' AS code,
-  '/props: string "' || replace(props, '"', '\"') ||
+  '/props: string "' || props ||
   '" does not match pattern "{"k": \d{2}}$"' AS message
 FROM events
 WHERE props IS NOT NULL

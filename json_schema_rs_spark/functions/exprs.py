@@ -19,43 +19,102 @@ _HY = "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{1
 UUID_REGEX = f"\\A(?:{_HY}|[0-9a-fA-F]{{32}}|urn:uuid:{_HY}|\\{{{_HY}\\}})\\z"
 
 
+# C0 control characters serde escapes as \u00XX (everything below 0x20
+# except the five shorthand escapes \b \t \n \f \r)
+_U_ESCAPED = [c for c in range(0x20) if c not in (0x08, 0x09, 0x0A, 0x0C, 0x0D)]
+
+
 def json_quote(col: Column) -> Column:
-    """serde_json string serialization of a string column: double-quoted
-    with ``\\``, ``"``, newline, CR, tab escaped (the escapes that occur in
-    realistic transcript text; other control characters would need
-    ``\\u00XX`` and are handled by the pandas-UDF JSON mode)."""
+    """serde_json string serialization of a string column: double-quoted;
+    ``\\`` ``"`` and the C0 range escaped exactly like serde
+    (``\\b \\t \\n \\f \\r`` shorthands, ``\\u00XX`` lowercase for the
+    rest). The 27 rare ``\\u00XX`` replacements are gated behind a single
+    contains-test so clean strings pay one regexp scan, not 27."""
     escaped = F.regexp_replace(col, r"\\", r"\\\\")
     escaped = F.regexp_replace(escaped, '"', '\\\\"')
-    escaped = F.regexp_replace(escaped, "\n", "\\\\n")
-    escaped = F.regexp_replace(escaped, "\r", "\\\\r")
+    escaped = F.regexp_replace(escaped, "\x08", "\\\\b")
     escaped = F.regexp_replace(escaped, "\t", "\\\\t")
+    escaped = F.regexp_replace(escaped, "\n", "\\\\n")
+    escaped = F.regexp_replace(escaped, "\x0c", "\\\\f")
+    escaped = F.regexp_replace(escaped, "\r", "\\\\r")
+    rare = escaped
+    for o in _U_ESCAPED:
+        rare = F.regexp_replace(rare, f"\\x{o:02x}", f"\\\\u{o:04x}")
+    probe = "[" + "".join(f"\\x{o:02x}" for o in _U_ESCAPED) + "]"
+    escaped = F.when(escaped.rlike(probe), rare).otherwise(escaped)
     return F.concat(F.lit('"'), escaped, F.lit('"'))
+
+
+def expand_sci(s: Column) -> Column:
+    """Expand Java's ``d.dddE±n`` double rendering into plain decimal
+    (Rust ``Display`` never uses scientific notation). Pure string ops —
+    stays inside codegen. Plain inputs pass through unchanged."""
+    neg = s.startswith("-")
+    a = F.when(neg, F.substring(s, 2, 2147483647)).otherwise(s)
+    mant = F.substring_index(a, "E", 1)
+    exp = F.substring_index(a, "E", -1).cast("int")
+    intp = F.substring_index(mant, ".", 1)
+    frac0 = F.substring_index(mant, ".", -1)
+    frac = F.when(frac0 == "0", F.lit("")).otherwise(frac0)
+    digits = F.concat(intp, frac)
+    flen = F.length(frac)
+    body = (
+        # 1.5E8 -> 150000000 (point moves past all fraction digits)
+        F.when(exp >= flen, F.concat(digits, F.repeat(F.lit("0"), exp - flen)))
+        # 1.2345E2 -> 123.45 (point lands inside the digits)
+        .when(exp >= 0, F.concat(
+            F.substring(digits, 1, F.lit(1) + exp),
+            F.lit("."),
+            F.substring(digits, F.lit(2) + exp, F.lit(2147483647))))
+        # 1.5E-4 -> 0.00015
+        .otherwise(F.concat(F.lit("0."), F.repeat(F.lit("0"), -exp - 1), digits))
+    )
+    out = F.when(neg, F.concat(F.lit("-"), body)).otherwise(body)
+    return F.when(s.contains("E"), out).otherwise(s)
 
 
 def fmt_f64_col(col: Column) -> Column:
     """Rust ``Display``-for-f64 of a numeric column: integral values print
-    without ``.0`` (``31`` not ``31.0``), fractional values as Spark's
-    double-to-string (matches ryu/Rust in the range where Java's
-    ``Double.toString`` is non-scientific, |x| in [1e-3, 1e7))."""
+    without ``.0`` (``31`` not ``31.0``); everything else as plain decimal
+    with NO scientific notation (Java's scientific rendering for |x| out
+    of [1e-3, 1e7) is expanded textually). Residual caveat: for a tiny
+    fraction of doubles JDK 17's Double.toString emits one digit more
+    than the true shortest form — digits, not format, may differ there."""
     d = col.cast("double")
     return (
         F.when(d.isNull(), F.lit(None).cast("string"))
         .when((d == F.floor(d)) & (F.abs(d) < F.lit(1e15)),
               d.cast("long").cast("string"))
-        .otherwise(d.cast("string"))
+        .otherwise(expand_sci(d.cast("string")))
     )
 
 
 def serde_json_number(col: Column, *, is_float: bool) -> Column:
-    """serde_json serialization of a numeric column value: integers as-is,
-    floats always with a decimal point (``1.0`` stays ``1.0``)."""
+    """serde_json serialization of a numeric column value: integers as-is;
+    floats always carry a decimal point in the plain range (``1.0`` stays
+    ``1.0``) and switch to ``1e21``-style scientific form at the same
+    magnitudes as the Python twin (:func:`..formatting._serde_float`,
+    repr thresholds: |x| >= 1e16 or 0 < |x| < 1e-4)."""
     if not is_float:
         return col.cast("long").cast("string")
     d = col.cast("double")
+    ad = F.abs(d)
+    sci_range = (ad >= F.lit(1e16)) | ((ad > F.lit(0.0)) & (ad < F.lit(1e-4)))
+    java = d.cast("string")
+    # Java "1.234E17"/"1.0E-7" -> ryu/repr-style "1.234e17"/"1e-7"
+    mant = F.substring_index(java, "E", 1)
+    mant = F.when(mant.endswith(".0"),
+                  F.substring(mant, 1, F.length(mant) - 2)).otherwise(mant)
+    sci = F.concat(mant, F.lit("e"), F.substring_index(java, "E", -1))
+    plain = expand_sci(java)
+    plain = F.when(plain.contains("."), plain) \
+             .otherwise(F.concat(plain, F.lit(".0")))
     return (
-        F.when((d == F.floor(d)) & (F.abs(d) < F.lit(1e15)),
-               F.concat(d.cast("long").cast("string"), F.lit(".0")))
-        .otherwise(d.cast("string"))
+        F.when(d.isNull(), F.lit(None).cast("string"))
+        .when((d == F.floor(d)) & (ad < F.lit(1e15)),
+              F.concat(d.cast("long").cast("string"), F.lit(".0")))
+        .when(sci_range, sci)
+        .otherwise(plain)
     )
 
 

@@ -55,7 +55,9 @@ def transcript_pipeline(
     """Full north-rule validation in two branches; returns the unioned
     violation rows ``(conv_id, turn_idx, instance_path, code, message)``."""
     engine = ValidationEngine(spec, key_cols=(conv_col, idx_col))
-    arrays = [engine.violations_array(df)]
+    plan = engine.plan_for(df)
+    prepared = plan.prepare(df)   # combinator validity helpers (if any)
+    arrays = [plan.violations_array()]
     for col, values in (vocabularies or {}).items():
         path = "/" + col
         arrays.append(_viol(
@@ -65,7 +67,7 @@ def transcript_pipeline(
                      F.lit(f'" not in vocabulary "{col}"')),
         ))
     row_arr = F.concat(*arrays) if len(arrays) > 1 else arrays[0]
-    row_v = (df.withColumn("_v", row_arr)
+    row_v = (prepared.withColumn("_v", row_arr)
                .filter(F.size("_v") > 0)
                .select(conv_col, idx_col, F.explode("_v").alias("v"))
                .select(conv_col, idx_col, "v.instance_path", "v.code",

@@ -78,13 +78,26 @@ class ValidationEngine:
         return self._plan_cache[key]
 
     def violations_array(self, df: DataFrame) -> Column:
-        return self.plan_for(df).violations_array()
+        """The violation array as a bare Column — only valid for specs
+        without combinators (whose validities compile to shared helper
+        columns); use :meth:`attach_violations` for the general case."""
+        plan = self.plan_for(df)
+        if plan.shared_cols:
+            raise ValueError(
+                "spec uses combinators whose shared validities compile to "
+                "helper columns; use attach_violations(df) instead")
+        return plan.violations_array()
+
+    def attach_violations(self, df: DataFrame,
+                          out_col: str = "violations") -> DataFrame:
+        """Input + the per-row violation array (shared validity helper
+        columns are attached and dropped internally)."""
+        return self.plan_for(df).apply(df, out_col)
 
     def validate(self, df: DataFrame, *, keep_columns: Optional[Sequence[str]] = None) -> ValidationReport:
         """Run the compiled plan. ``keep_columns`` restricts the flagged
         output's payload columns (key columns are always kept)."""
-        arr = self.violations_array(df).alias("violations")
-        flagged = df.withColumn("violations", arr).withColumn(
+        flagged = self.attach_violations(df).withColumn(
             "valid", F.size("violations") == 0
         )
         keys = [k for k in self.key_cols if k in df.columns]

@@ -36,6 +36,7 @@ everywhere.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from dataclasses import field as dataclasses_field
 from typing import Callable, Optional, Union
 
 import pandas as pd
@@ -157,6 +158,9 @@ class Target:
     # for object targets: name -> (Column, DataType)
     fields: Optional[dict[str, tuple[Column, T.DataType]]] = None
     null_is_absent: bool = True           # False for array elements
+    # stable identity for plan-level CSE ("" = the row; "/a/b" = a column
+    # path; None = array elements inside lambdas, never memoized)
+    memo_key: Optional[str] = None
 
     def got_expr(self) -> Column:
         name = _json_kind_name(self.kind)
@@ -168,7 +172,8 @@ class Target:
 def row_target(df_or_schema: Union[DataFrame, T.StructType]) -> Target:
     schema = df_or_schema.schema if isinstance(df_or_schema, DataFrame) else df_or_schema
     fields = {f.name: (F.col(f.name), f.dataType) for f in schema.fields}
-    return Target(col=None, dtype=None, kind="object", fields=fields)
+    return Target(col=None, dtype=None, kind="object", fields=fields,
+                  memo_key="")
 
 
 def _struct_target(col: Column, dtype: T.StructType) -> Target:
@@ -210,6 +215,20 @@ def _serde_value(tgt: Target) -> Column:
 class CompileContext:
     def __init__(self, root: SchemaNode) -> None:
         self.root = root
+        # plan-level CSE: branch-validity expressions keyed by
+        # (structural node fingerprint, target identity) — the analog of
+        # the reference codegen's content-addressed DedupeKey pass
+        # (rust_backend.rs:1486-1840). Each distinct validity is emitted
+        # ONCE as a named helper column (shared_cols) and referenced by
+        # attribute everywhere it is used. Without this, nested
+        # combinators recompile every inner branch once per enclosing
+        # trial — a depth-d oneOf of k branches costs O(k^d) expression
+        # subtrees (PySpark 4 materializes them all; a depth-12 spec OOMs
+        # the driver JVM) — and even Python-side sharing does not survive
+        # the Column->JVM conversion. Named columns do: O(k*d) compile,
+        # one evaluation per row per distinct validity.
+        self.validity_memo: dict[tuple[str, str], Column] = {}
+        self.shared_cols: list[tuple[str, Column]] = []
 
 
 def _loc(path_str: str) -> str:
@@ -366,9 +385,29 @@ def compile_node(
 
 def _validity(ctx: CompileContext, node: SchemaNode, tgt: Target) -> Column:
     """Branch validity for anyOf/oneOf trials: true iff the branch yields
-    zero violations (validator/mod.rs:118-119, 143-144)."""
+    zero violations (validator/mod.rs:118-119, 143-144). Memoized per
+    (node, target): validity is path- and gate-independent (compiled with
+    path "" and gate TRUE), so one expression serves every enclosing
+    combinator trial."""
+    key = None
+    if tgt.memo_key is not None:
+        # STRUCTURAL key: independently parsed but identical branches (the
+        # common copy-paste/oneOf-of-similar-shapes case) share one
+        # helper column — object identity would miss them
+        key = (node.fingerprint(), tgt.memo_key)
+        hit = ctx.validity_memo.get(key)
+        if hit is not None:
+            return hit
     trial = compile_node(ctx, node, tgt, F.lit(""), "", F.lit(True))
-    return bool_and([c.ok() for c in trial])
+    out = bool_and([c.ok() for c in trial])
+    if key is not None:
+        # promote to a named helper column; inner validities registered
+        # first (depth-first), so shared_cols is already topological
+        name = f"__jsrs_v{len(ctx.shared_cols)}"
+        ctx.shared_cols.append((name, out))
+        out = F.col(name)
+        ctx.validity_memo[key] = out
+    return out
 
 
 def _compile_type_scoped(
@@ -442,18 +481,21 @@ def _compile_type_scoped(
                     matched = s.rlike(ecma.java)
                 else:
                     matched = _python_pattern_matcher(node.pattern)(s)
+                # the reference embeds the RAW value (Rust {} Display of
+                # the String, error.rs:366-371) — NOT serde-escaped
                 checks.append(ScalarCheck(
                     cond=sgate & ~matched, path=path, code="PatternMismatch",
                     message=_msg(loc, [
-                        F.lit('string '), json_quote(s),
-                        F.lit(f' does not match pattern "{node.pattern}"'),
+                        F.lit('string "'), s,
+                        F.lit(f'" does not match pattern "{node.pattern}"'),
                     ]),
                 ))
         if node.format == "uuid":
+            # raw value, like PatternMismatch (error.rs:376-378)
             checks.append(ScalarCheck(
                 cond=sgate & ~s.rlike(UUID_REGEX), path=path, code="InvalidUuidFormat",
                 message=_msg(loc, [
-                    F.lit("string "), json_quote(s), F.lit(" is not a valid UUID"),
+                    F.lit('string "'), s, F.lit('" is not a valid UUID'),
                 ]),
             ))
         return checks
@@ -596,19 +638,23 @@ def _compile_property(
 ) -> list[Check]:
     kpath_str = (path_str + "/" + escape_segment(key)) if path_str is not None else None
     kpath = F.concat(path, F.lit("/" + escape_segment(key)))
-    sub_tgt = _make_target(kcol, kdtype, null_is_absent=True)
+    sub_tgt = _make_target(kcol, kdtype, null_is_absent=True,
+                           memo_key=kpath_str)
     # a present property = a non-null column value
     kgate = gate & kcol.isNotNull()
     return compile_node(ctx, sub, sub_tgt, kpath, kpath_str, kgate)
 
 
-def _make_target(col: Column, dtype: T.DataType, *, null_is_absent: bool) -> Target:
+def _make_target(col: Column, dtype: T.DataType, *, null_is_absent: bool,
+                 memo_key: Optional[str] = None) -> Target:
     kind = _kind_of(dtype)
     if kind == "object":
         t = _struct_target(col, dtype)
         t.null_is_absent = null_is_absent
+        t.memo_key = memo_key
         return t
-    return Target(col=col, dtype=dtype, kind=kind, null_is_absent=null_is_absent)
+    return Target(col=col, dtype=dtype, kind=kind,
+                  null_is_absent=null_is_absent, memo_key=memo_key)
 
 
 def _compile_array(
@@ -705,6 +751,29 @@ def _python_pattern_matcher(pattern: str) -> Callable[[Column], Column]:
 class CompiledPlan:
     checks: list[Check]
     referenced_columns: list[str]
+    # named combinator-validity columns (topological order); the checks'
+    # expressions reference them by attribute — see CompileContext
+    shared_cols: list[tuple[str, Column]] = dataclasses_field(default_factory=list)
+
+    def helper_names(self) -> list[str]:
+        return [n for n, _ in self.shared_cols]
+
+    def prepare(self, df: DataFrame) -> DataFrame:
+        """Attach the shared validity helper columns (no-op for specs
+        without combinators). Sequential projections: a later validity may
+        reference an earlier one; Catalyst collapses the single-use ones
+        and keeps multiply-referenced ones as real named expressions, so
+        each is evaluated once per row."""
+        for name, col in self.shared_cols:
+            df = df.withColumn(name, col)
+        return df
+
+    def apply(self, df: DataFrame, out_col: str = "violations") -> DataFrame:
+        """prepare + attach the violations array + drop the helpers."""
+        out = self.prepare(df).withColumn(out_col, self.violations_array())
+        if self.shared_cols:
+            out = out.drop(*self.helper_names())
+        return out
 
     def violations_array(self) -> Column:
         """array<struct<instance_path,code,message>> of all violations for
@@ -729,7 +798,8 @@ def compile_table_spec(root: SchemaNode, schema: T.StructType) -> CompiledPlan:
     tgt = row_target(schema)
     checks = compile_node(ctx, root, tgt, F.lit(""), "", F.lit(True))
     referenced = _referenced_columns(root, schema)
-    return CompiledPlan(checks=checks, referenced_columns=referenced)
+    return CompiledPlan(checks=checks, referenced_columns=referenced,
+                        shared_cols=ctx.shared_cols)
 
 
 def _referenced_columns(root: SchemaNode, schema: T.StructType) -> list[str]:

@@ -116,6 +116,46 @@ class SchemaNode:
         design.md:50."""
         return sorted(self.properties.items())
 
+    def fingerprint(self) -> str:
+        """Cached STRUCTURAL identity — two independently parsed but
+        byte-identical subtrees share one fingerprint. This is the key of
+        the plan-level CSE pass (the analog of the reference codegen's
+        content-addressed ``DedupeKey``, rust_backend.rs:1486-1840):
+        keying on object identity would miss the common case of a schema
+        repeating the same branch verbatim (or via copy-pasted $defs)."""
+        fp = getattr(self, "_fp", None)
+        if fp is None:
+            fp = json.dumps(_node_repr(self), sort_keys=True,
+                            separators=(",", ":"), default=repr)
+            object.__setattr__(self, "_fp", fp)
+        return fp
+
+
+def _node_repr(n: "SchemaNode"):
+    """Canonical nested-dict form of a node for fingerprinting. int vs
+    float and bool vs int are distinguished (serde Value semantics)."""
+    def val(v):
+        if isinstance(v, SchemaNode):
+            return _node_repr(v)
+        if isinstance(v, dict):
+            return {k: val(x) for k, x in sorted(v.items())}
+        if isinstance(v, list):
+            return [val(x) for x in v]
+        if isinstance(v, bool):
+            return ["b", v]
+        if isinstance(v, int):
+            return ["i", v]
+        if isinstance(v, float):
+            return ["f", repr(v)]
+        return v
+    out = {}
+    for f_ in n.__dataclass_fields__:
+        v = getattr(n, f_)
+        if v is None or v is _ABSENT or (f_ == "properties" and not v):
+            continue
+        out[f_] = val(v)
+    return out
+
 
 def _expect(cond: bool, msg: str) -> None:
     if not cond:

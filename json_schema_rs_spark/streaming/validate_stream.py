@@ -25,9 +25,8 @@ def validate_stream(
 ) -> DataFrame:
     """Attach the compiled validation plan to a streaming DataFrame;
     returns the flagged stream (input + ``violations`` + ``valid``)."""
-    arr = engine.violations_array(stream_df)
-    return stream_df.withColumn("violations", arr) \
-                    .withColumn("valid", F.size("violations") == 0)
+    return engine.attach_violations(stream_df) \
+                 .withColumn("valid", F.size("violations") == 0)
 
 
 def violations_stream(engine: ValidationEngine, stream_df: DataFrame) -> DataFrame:

@@ -320,3 +320,66 @@ class TestColumnPruning:
             "type": "object", "required": ["conv_id"],
             "properties": {"role": {"type": "string"}}}), schema)
         assert plan.referenced_columns == ["conv_id", "role"]
+
+
+class TestPlanCSE:
+    """Plan-level CSE (the DedupeKey analog, rust_backend.rs:1486-1840):
+    nested combinators must compile in linear, not exponential, node
+    visits, with semantics unchanged."""
+
+    @staticmethod
+    def _nested_oneof(depth: int) -> dict:
+        # each level: oneOf of 3 branches, two of which recurse — without
+        # validity memoization this compiles O(2^depth) branch trials
+        leaf = {"properties": {"o_totalprice": {"type": "number",
+                                                "maximum": 200000}}}
+        node = leaf
+        for _ in range(depth):
+            node = {"oneOf": [
+                node,
+                node,
+                {"properties": {"o_orderstatus": {"const": "O"}}},
+            ]}
+        return node
+
+    def test_nested_oneof_linear_compile(self, spark, sf_dir, monkeypatch):
+        from json_schema_rs_spark.plans import compiler as C
+        calls = {"n": 0}
+        real = C.compile_node
+
+        def counting(*a, **kw):
+            calls["n"] += 1
+            return real(*a, **kw)
+
+        monkeypatch.setattr(C, "compile_node", counting)
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        depth = 12
+        C.compile_table_spec(
+            __import__("json_schema_rs_spark.plans.spec",
+                       fromlist=["parse_spec"]).parse_spec(
+                self._nested_oneof(depth)),
+            df.schema)
+        # memoized: ~4 visits per level (+ property leaves); exponential
+        # without memo (2^12 = 4096 subtree compiles at the leaf level)
+        assert calls["n"] <= 12 * depth, calls["n"]
+
+    def test_nested_oneof_semantics_match_pyvalidator(self, spark, sf_dir):
+        from json_schema_rs_spark import ValidationEngine
+        from json_schema_rs_spark.plans import pyvalidator
+        from json_schema_rs_spark.plans.spec import parse_spec
+        spec = self._nested_oneof(4)
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+                       .select("o_orderkey", "o_orderstatus", "o_totalprice") \
+                       .limit(200)
+        got = {(r.o_orderkey, r.code)
+               for r in ValidationEngine(spec, key_cols=("o_orderkey",))
+               .validate(df).violations.collect()}
+        root = parse_spec(spec)
+        exp = set()
+        for row in df.collect():
+            inst = {"o_orderkey": row.o_orderkey,
+                    "o_orderstatus": row.o_orderstatus,
+                    "o_totalprice": row.o_totalprice}
+            for v in pyvalidator.validate(root, inst):
+                exp.add((row.o_orderkey, v.code))
+        assert got == exp
