@@ -893,11 +893,13 @@ FROM r WHERE rank <= 10
 
 
 def _q_a_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # embedding-cosine near-dup pairs (exact baseline). The test vectors
-    # are random (max pairwise cosine ~0.5), so the demo threshold is
-    # 0.42; production near-dup runs >=0.95 with the bucketed variant.
-    return similarity.cosine_dup_pairs(_t(spark, sf_dir, "embeddings"),
-                                       threshold=0.42)
+    # embedding-cosine near-dup pairs (exact baseline / verifier). The
+    # NumPy mapInPandas path: bit-identical to the HOF-fold operator
+    # (ordered per-dimension accumulation) at ~5-10x the speed; the test
+    # vectors are random (max pairwise cosine ~0.5) so the demo threshold
+    # is 0.42; production near-dup runs >=0.95 with a_cosine_dup_bucketed.
+    return similarity.cosine_dup_pairs_np(_t(spark, sf_dir, "embeddings"),
+                                          threshold=0.42)
 
 
 _SQL_A_COSINE_DUP = """

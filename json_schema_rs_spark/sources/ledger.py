@@ -45,11 +45,24 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 
 class ValidationLedger:
-    """Append-only ledger over parquet (Iceberg-compatible schema)."""
+    """Append-only ledger.
 
-    def __init__(self, spark: SparkSession, path: str) -> None:
+    Storage backends, chosen at construction:
+
+    - ``table`` given AND the Iceberg runtime on the classpath -> an
+      Iceberg catalog table (snapshot history = free audit trail; at
+      cluster scale ``VERSION AS OF`` reruns replay a prior ledger state).
+    - otherwise -> a parquet directory with the identical schema. This is
+      the SUPPORTED mode in this environment (the Iceberg runtime jar is
+      not vendored here and cannot be fetched); the Iceberg branch is
+      live code, exercised wherever the jar exists.
+    """
+
+    def __init__(self, spark: SparkSession, path: str,
+                 table: Optional[str] = None) -> None:
         self.spark = spark
         self.path = path.rstrip("/")
+        self.table = table if (table and iceberg_available(spark)) else None
 
     def _exists(self) -> bool:
         jvm = self.spark._jvm  # noqa: SLF001
@@ -58,6 +71,11 @@ class ValidationLedger:
         return jpath.getFileSystem(conf).exists(jpath)
 
     def _read(self) -> Optional[DataFrame]:
+        if self.table is not None:
+            try:
+                return self.spark.read.table(self.table)
+            except Exception:
+                return None
         if not self._exists():
             return None
         try:
@@ -83,7 +101,13 @@ class ValidationLedger:
              for e in entries],
             schema=LEDGER_SCHEMA,
         )
-        df.coalesce(1).write.mode("append").parquet(self.path)
+        if self.table is not None:
+            if self._read() is None:
+                df.coalesce(1).writeTo(self.table).using("iceberg").create()
+            else:
+                df.coalesce(1).writeTo(self.table).append()
+        else:
+            df.coalesce(1).write.mode("append").parquet(self.path)
 
     def entries(self, run_id: Optional[str] = None) -> DataFrame:
         df = self._read()
@@ -97,6 +121,89 @@ def spec_fingerprint(spec: dict) -> str:
     return hashlib.sha256(
         json.dumps(spec, sort_keys=True, separators=(",", ":")).encode()
     ).hexdigest()[:16]
+
+
+# ---------------------------------------------------------------------------
+# Compiled-plan lineage (the analog of the reference persisting generated
+# artifacts next to their inputs, cli/generate.rs:106-134): the ledger's
+# spec_fingerprint joins to a plan-manifest table holding the spec source
+# and the full compiled check plan (code, instance path, predicate SQL,
+# message template) so any ledger row can be traced to the exact
+# expressions that produced it.
+# ---------------------------------------------------------------------------
+
+PLAN_SCHEMA = ("spec_fingerprint string, run_id string, n_checks int, "
+               "spec_json string, plan_json string")
+
+
+def _col_sql(col) -> str:
+    """Best-effort SQL rendering of a Column expression for lineage."""
+    try:
+        return col._jc.toString()  # noqa: SLF001
+    except Exception:
+        return str(col)
+
+
+def plan_manifest(plan, spec: dict) -> dict:
+    """JSON-serializable manifest of a compiled check plan."""
+    from ..plans.compiler import ScalarCheck
+
+    checks = []
+    for c in plan.checks:
+        if isinstance(c, ScalarCheck):
+            checks.append({"kind": "scalar", "code": c.code,
+                           "path": _col_sql(c.path),
+                           "predicate": _col_sql(c.cond),
+                           "message": _col_sql(c.message)})
+        else:
+            checks.append({"kind": "array", "expr": _col_sql(c.arr)})
+    return {
+        "spec_fingerprint": spec_fingerprint(spec),
+        "referenced_columns": plan.referenced_columns,
+        "shared_validity_cols": [
+            {"name": n, "expr": _col_sql(c)} for n, c in plan.shared_cols],
+        "checks": checks,
+    }
+
+
+class PlanLineage:
+    """Append-only plan-manifest table next to the ledger; one row per
+    (spec fingerprint, first run that used it)."""
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+
+    def _read(self) -> Optional[DataFrame]:
+        try:
+            return self.spark.read.schema(PLAN_SCHEMA).parquet(self.path)
+        except Exception:
+            return None
+
+    def has(self, fingerprint: str) -> bool:
+        df = self._read()
+        return df is not None and \
+            df.filter(F.col("spec_fingerprint") == fingerprint).limit(1).count() > 0
+
+    def record(self, plan, spec: dict, run_id: str) -> str:
+        """Persist the manifest if this fingerprint is new; returns it."""
+        fp = spec_fingerprint(spec)
+        if not self.has(fp):
+            manifest = plan_manifest(plan, spec)
+            row = (fp, run_id, len(manifest["checks"]),
+                   json.dumps(spec, sort_keys=True, separators=(",", ":")),
+                   json.dumps(manifest, sort_keys=True))
+            self.spark.createDataFrame([row], PLAN_SCHEMA) \
+                .coalesce(1).write.mode("append").parquet(self.path)
+        return fp
+
+    def manifest_for(self, fingerprint: str) -> Optional[dict]:
+        df = self._read()
+        if df is None:
+            return None
+        rows = df.filter(F.col("spec_fingerprint") == fingerprint) \
+                 .select("plan_json").limit(1).collect()
+        return json.loads(rows[0].plan_json) if rows else None
 
 
 def run_checkpointed_validation(
@@ -126,8 +233,11 @@ def run_checkpointed_validation(
 
     run_id = run_id or uuid.uuid4().hex[:12]
     ledger = ValidationLedger(spark, f"{output_path}/ledger")
-    fp = spec_fingerprint(spec)
     engine = ValidationEngine(spec, key_cols=key_cols)
+    # persist the compiled-plan manifest once per spec fingerprint; the
+    # ledger rows below link to it via spec_fingerprint
+    fp = PlanLineage(spark, f"{output_path}/plans").record(
+        engine.plan_for(source), spec, run_id)
 
     done = ledger.completed_buckets(run_id)
     pending = [b for b in range(n_buckets) if b not in done]

@@ -131,3 +131,56 @@ class TestStreaming:
         got = sorted(map(tuple, streamed.collect()))
         want = sorted(map(tuple, batch.collect()))
         assert got == want and len(got) > 0
+
+
+class TestPlanLineage:
+    """Compiled-plan manifest persisted next to the ledger, linked by
+    spec_fingerprint (the generate.rs:106-134 persist-artifacts analog)."""
+
+    def test_manifest_roundtrip_and_ledger_link(self, spark, tdf, tmp_path):
+        from json_schema_rs_spark.sources.ledger import (
+            PlanLineage,
+            ValidationLedger,
+            spec_fingerprint,
+        )
+        out = str(tmp_path / "lineage")
+        s = run_checkpointed_validation(
+            spark, tdf, SPEC, out, n_buckets=4, buckets_per_chunk=4)
+        fp = spec_fingerprint(SPEC)
+        lineage = PlanLineage(spark, f"{out}/plans")
+        m = lineage.manifest_for(fp)
+        assert m is not None
+        assert m["spec_fingerprint"] == fp
+        codes = {c["code"] for c in m["checks"] if c["kind"] == "scalar"}
+        assert codes   # every scalar check carries its error code
+        assert all(c.get("predicate") for c in m["checks"]
+                   if c["kind"] == "scalar")
+        # every ledger row joins to exactly this manifest
+        led = ValidationLedger(spark, f"{out}/ledger").entries(s["run_id"])
+        fps = {r.spec_fingerprint for r in led.collect()}
+        assert fps == {fp}
+        # idempotent across reruns: one manifest row per fingerprint
+        run_checkpointed_validation(
+            spark, tdf, SPEC, out, run_id=s["run_id"],
+            n_buckets=4, buckets_per_chunk=4)
+        plans = spark.read.parquet(f"{out}/plans")
+        assert plans.filter(plans.spec_fingerprint == fp).count() == 1
+
+    def test_backend_selection_documented(self, spark, tmp_path):
+        """In this container the Iceberg runtime jar is absent, so the
+        ledger must transparently run on the parquet backend even when an
+        Iceberg table name is requested; the Iceberg branch is live code
+        for environments that ship the jar."""
+        from json_schema_rs_spark.sources.ledger import (
+            ValidationLedger,
+            iceberg_available,
+        )
+        assert iceberg_available(spark) is False
+        led = ValidationLedger(spark, str(tmp_path / "led"),
+                               table="cat.db.ledger")
+        assert led.table is None     # fell back to parquet
+        led.append([{"run_id": "r", "bucket": 0, "status": "done",
+                     "rows": 1, "valid_rows": 1, "violation_count": 0,
+                     "wall_time_sec": 0.1, "spec_fingerprint": "f" * 16,
+                     "finished_at": None}])
+        assert led.completed_buckets("r") == {0}

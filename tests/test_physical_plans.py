@@ -124,3 +124,14 @@ def test_ivf_and_bucketed_dup_no_corpus_shuffle(spark, emb):
     dup = _plan(similarity.cosine_dup_pairs_bucketed(emb, threshold=0.4,
                                                      n_centroids=8))
     assert "Exchange hashpartitioning(vec_id" not in dup
+
+
+def test_cosine_np_bit_identical_to_fold(spark, emb):
+    """The NumPy exact verifier must reproduce the HOF-fold operator's
+    pairs AND rounded similarities exactly (ordered per-dimension
+    accumulation = same double fold)."""
+    fold = {(r.doc_a, r.doc_b): r.cos_sim
+            for r in similarity.cosine_dup_pairs(emb, threshold=0.42).collect()}
+    npv = {(r.doc_a, r.doc_b): r.cos_sim
+           for r in similarity.cosine_dup_pairs_np(emb, threshold=0.42).collect()}
+    assert fold == npv and len(fold) > 0
