@@ -41,6 +41,8 @@ HEADLINE = [
     "d_simhash",
     "a_cosine_topk",
     "a_cosine_dup_pairs",
+    "a_cosine_dup_bucketed",
+    "v_pattern_hard",
     "x_quality",
     "m_media_meta",
 ]

@@ -43,21 +43,28 @@ def shingles(df: DataFrame, text_col: str = "text", *, n: int = 3,
              out_col: str = "shingles") -> DataFrame:
     """Distinct word n-gram shingles per document (space tokenization,
     matching ``string_split(text, ' ')`` so oracles can reproduce it)."""
-    words = F.split(F.col(text_col), " ")
     if n == 1:
-        sh = words
-    else:
-        # guard the short-doc case explicitly: size - (n-1) <= 0 would make
-        # sequence(1, 0) DESCEND to [1, 0] and slice(words, 0, n) abort the
-        # whole job (INVALID_PARAMETER_VALUE.START on Spark 4) — docs with
-        # fewer than n words must yield an EMPTY shingle set instead
-        sh = F.expr(
-            f"if(size(split({text_col}, ' ')) >= {n},"
-            f" transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}),"
-            f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n}))),"
-            f" array())"
-        )
-    return df.withColumn(out_col, F.array_distinct(sh))
+        return df.withColumn(
+            out_col, F.array_distinct(F.split(F.col(text_col), " ")))
+    # Bind the tokenization to its own column FIRST: referencing
+    # split(text) inside the transform lambda re-splits the text once per
+    # shingle — O(words^2) per document (measured 6s for 5k docs; this
+    # shape is <1s). The bound attribute is evaluated once per row.
+    #
+    # Short-doc guard: size - (n-1) <= 0 would make sequence(1, 0)
+    # DESCEND to [1, 0] and slice(words, 0, n) abort the whole job
+    # (INVALID_PARAMETER_VALUE.START on Spark 4) — docs with fewer than
+    # n words must yield an EMPTY shingle set instead.
+    tmp = f"__{out_col}_words"
+    sh = F.expr(
+        f"if(size({tmp}) >= {n},"
+        f" transform(sequence(1, size({tmp}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({tmp}, i, {n}))),"
+        f" array())"
+    )
+    return (df.withColumn(tmp, F.split(F.col(text_col), " "))
+              .withColumn(out_col, F.array_distinct(sh))
+              .drop(tmp))
 
 
 def exact_duplicate_groups(
@@ -217,6 +224,13 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("_id"), "shingles")
     sa = sh.select(F.col("_id").alias("doc_a"), F.col("shingles").alias("_sha"))
     sb = sh.select(F.col("_id").alias("doc_b"), F.col("shingles").alias("_shb"))
+    # LENGTH FILTER (standard set-similarity-join prefilter): J(A,B) >= t
+    # requires t*max(|A|,|B|) <= min(|A|,|B|) — an integer comparison that
+    # discards most false candidates before the expensive array_intersect.
+    # At low-r band configs (high recall), false candidates dominate the
+    # verify cost; this keeps the verification linear in TRUE pairs.
+    size_ok = (F.greatest(F.size("_sha"), F.size("_shb")) * F.lit(threshold)
+               <= F.least(F.size("_sha"), F.size("_shb")))
     inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
     union = (F.size("_sha") + F.size("_shb")
              - F.size(F.array_intersect("_sha", "_shb")))
@@ -225,6 +239,7 @@ def minhash_lsh_pairs(
     # ANSI mode would abort the job on the plain division; NULL jaccard is
     # filtered by the threshold instead (empty sets have no similarity)
     return (cand.join(sa, "doc_a").join(sb, "doc_b")
+                .filter(size_ok)
                 .select("doc_a", "doc_b",
                         F.try_divide(inter, union).alias("jaccard"))
                 .filter(F.col("jaccard") >= threshold))
