@@ -58,17 +58,27 @@ def transcript_pipeline(
     plan = engine.plan_for(df)
     prepared = plan.prepare(df)   # combinator validity helpers (if any)
     arrays = [plan.violations_array()]
+    vocab_conds = []
     for col, values in (vocabularies or {}).items():
         path = "/" + col
+        cond = F.col(col).isNotNull() & ~F.col(col).isin(list(values))
+        vocab_conds.append(cond)
         arrays.append(_viol(
-            F.col(col).isNotNull() & ~F.col(col).isin(list(values)),
+            cond,
             path, "RefIntegrity",
             F.concat(F.lit(f'{path}: value "'), F.col(col),
                      F.lit(f'" not in vocabulary "{col}"')),
         ))
     row_arr = F.concat(*arrays) if len(arrays) > 1 else arrays[0]
-    row_v = (prepared.withColumn("_v", row_arr)
-               .filter(F.size("_v") > 0)
+    # filter-then-render: cheap check conditions select the violating rows
+    # BEFORE any message string is built (message subtrees are hoisted out
+    # of their conditionals by subexpression elimination and would
+    # otherwise evaluate per scanned row)
+    any_cond = plan.any_violation()
+    for c in vocab_conds:
+        any_cond = any_cond | F.coalesce(c, F.lit(False))
+    row_v = (prepared.filter(any_cond)
+               .withColumn("_v", row_arr)
                .select(conv_col, idx_col, F.explode("_v").alias("v"))
                .select(conv_col, idx_col, "v.instance_path", "v.code",
                        "v.message"))

@@ -97,13 +97,18 @@ class ValidationEngine:
     def validate(self, df: DataFrame, *, keep_columns: Optional[Sequence[str]] = None) -> ValidationReport:
         """Run the compiled plan. ``keep_columns`` restricts the flagged
         output's payload columns (key columns are always kept)."""
+        plan = self.plan_for(df)
         flagged = self.attach_violations(df).withColumn(
             "valid", F.size("violations") == 0
         )
         keys = [k for k in self.key_cols if k in df.columns]
+        # filter-then-render: select violating rows with the CHEAP check
+        # conditions, then build message strings only for the survivors
+        # (message subtrees would otherwise evaluate per scanned row)
         violations = (
-            flagged
-            .filter(~F.col("valid"))
+            plan.prepare(df)
+            .filter(plan.any_violation())
+            .withColumn("violations", plan.violations_array())
             .select(*keys, F.explode("violations").alias("v"))
             .select(*keys, "v.instance_path", "v.code", "v.message")
         )
