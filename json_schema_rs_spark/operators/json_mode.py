@@ -101,3 +101,18 @@ def validate_json_column(
             yield pd.DataFrame(out)
 
     return df.select(*keys, json_col).mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Negative result (round 2), recorded so it is not re-attempted blindly:
+# a VARIANT-based vectorized fast path (try_parse_json + per-property
+# variant_get/schema_of_variant kind dispatch) was built, brought to full
+# byte-parity with this pandas path on a 39-payload keyword corpus, and
+# then MEASURED SLOWER — 3.99s vs 0.56s on 300k realistic 20-field
+# payloads at 1% violation rate (local[32]); variant accessor evaluation
+# dominates, while json.loads is C-speed and the per-document Python
+# interpreter is cheap at these document sizes. The pandas path below IS
+# the supported payload path; its byte-exact semantics double as the
+# truth oracle. (Kept from the experiment: the i64-range fix in
+# pyvalidator._is_integer and the keyword-corpus parity tests.)
+# ---------------------------------------------------------------------------

@@ -89,8 +89,11 @@ class Violation:
 def _is_integer(v: Any) -> bool:
     """serde ``as_i64`` semantics: floats are never integers — ``1.0`` is
     NOT a valid ``type:"integer"`` instance (validator/mod.rs:291-297;
-    design.md documents this as stricter than the spec)."""
-    return isinstance(v, int) and not isinstance(v, bool)
+    design.md documents this as stricter than the spec) — and neither is
+    an integer outside i64 (``as_i64`` returns None for them; Python ints
+    are unbounded, so the range check must be explicit)."""
+    return (isinstance(v, int) and not isinstance(v, bool)
+            and -(2 ** 63) <= v < 2 ** 63)
 
 
 def _is_number(v: Any) -> bool:
