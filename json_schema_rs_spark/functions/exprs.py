@@ -45,29 +45,38 @@ def json_quote(col: Column) -> Column:
     return F.concat(F.lit('"'), escaped, F.lit('"'))
 
 
-def expand_sci(s: Column) -> Column:
-    """Expand Java's ``d.dddE±n`` double rendering into plain decimal
-    (Rust ``Display`` never uses scientific notation). Pure string ops —
-    stays inside codegen. Plain inputs pass through unchanged.
+def bind_once(col: Column, f) -> Column:
+    """Evaluate ``f`` with ``col`` bound ONCE as a lambda variable
+    (``get(transform(array(col), f), 0)``). Chained ``F.when`` Columns
+    re-inline their whole upstream subtree at every reference, so a
+    multi-stage string computation otherwise grows combinatorially —
+    a bounds-check message measured ~30k expression nodes, blowing past
+    JIT limits and slowing the render path ~8x. A lambda variable is a
+    leaf reference, so each bound stage contributes its own nodes once."""
+    return F.get(F.transform(F.array(col), f), 0)
 
-    Perf note: Spark's subexpression elimination hoists the repeated
-    subtrees here OUT of any enclosing conditional and evaluates them
-    eagerly per row — so the whole expansion is derived from a NULL-gated
-    copy of the input (non-scientific rows short-circuit every hoisted op
-    through null propagation; measured ~3x cheaper on all-integral data
-    than the naive branch)."""
-    orig = s
-    has_e = s.contains("E")
-    s = F.when(has_e, s)               # NULL for the common plain case
-    neg = s.startswith("-")
-    a = F.when(neg, F.substring(s, 2, 2147483647)).otherwise(s)
+
+def _sci_parts(v: Column) -> Column:
+    """Stage 1 of expand_sci: ``d.dddE±n`` -> struct(neg, digits, flen,
+    exp). ``v`` is a lambda variable (leaf)."""
+    neg = v.startswith("-")
+    a = F.when(neg, F.substring(v, 2, 2147483647)).otherwise(v)
     mant = F.substring_index(a, "E", 1)
     exp = F.substring_index(a, "E", -1).cast("int")
     intp = F.substring_index(mant, ".", 1)
     frac0 = F.substring_index(mant, ".", -1)
     frac = F.when(frac0 == "0", F.lit("")).otherwise(frac0)
-    digits = F.concat(intp, frac)
-    flen = F.length(frac)
+    return F.struct(
+        neg.alias("neg"),
+        F.concat(intp, frac).alias("digits"),
+        F.length(frac).alias("flen"),
+        exp.alias("exp"),
+    )
+
+
+def _sci_render(t: Column) -> Column:
+    """Stage 2 of expand_sci: struct -> plain-decimal string."""
+    digits, flen, exp = t.getField("digits"), t.getField("flen"), t.getField("exp")
     body = (
         # 1.5E8 -> 150000000 (point moves past all fraction digits)
         F.when(exp >= flen, F.concat(digits, F.repeat(F.lit("0"), exp - flen)))
@@ -79,8 +88,20 @@ def expand_sci(s: Column) -> Column:
         # 1.5E-4 -> 0.00015
         .otherwise(F.concat(F.lit("0."), F.repeat(F.lit("0"), -exp - 1), digits))
     )
-    out = F.when(neg, F.concat(F.lit("-"), body)).otherwise(body)
-    return F.when(has_e, out).otherwise(orig)
+    return F.when(t.getField("neg"), F.concat(F.lit("-"), body)).otherwise(body)
+
+
+def expand_sci(s: Column) -> Column:
+    """Expand Java's ``d.dddE±n`` double rendering into plain decimal
+    (Rust ``Display`` never uses scientific notation). Plain inputs pass
+    through unchanged. Built as two ``bind_once`` stages over a NULL-gated
+    copy of the input: the expression tree stays linear (~150 nodes, vs
+    combinatorial growth when chained whens re-inline their inputs), and
+    non-scientific rows short-circuit the hoisted ops via null
+    propagation."""
+    out = bind_once(bind_once(F.when(s.contains("E"), s), _sci_parts),
+                    _sci_render)
+    return F.when(s.contains("E"), out).otherwise(s)
 
 
 def fmt_f64_col(col: Column) -> Column:
@@ -116,9 +137,10 @@ def serde_json_number(col: Column, *, is_float: bool) -> Column:
     mant = F.when(mant.endswith(".0"),
                   F.substring(mant, 1, F.length(mant) - 2)).otherwise(mant)
     sci = F.concat(mant, F.lit("e"), F.substring_index(java, "E", -1))
-    plain = expand_sci(java)
-    plain = F.when(plain.contains("."), plain) \
-             .otherwise(F.concat(plain, F.lit(".0")))
+    plain = bind_once(
+        expand_sci(java),
+        lambda p: F.when(p.contains("."), p)
+                   .otherwise(F.concat(p, F.lit(".0"))))
     return (
         F.when(d.isNull(), F.lit(None).cast("string"))
         .when((d == F.floor(d)) & (ad < F.lit(1e15)),

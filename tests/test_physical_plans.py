@@ -135,3 +135,23 @@ def test_cosine_np_bit_identical_to_fold(spark, emb):
     npv = {(r.doc_a, r.doc_b): r.cos_sim
            for r in similarity.cosine_dup_pairs_np(emb, threshold=0.42).collect()}
     assert fold == npv and len(fold) > 0
+
+
+def test_message_render_plan_stays_linear(spark, sf_dir):
+    """Guard against expression-tree blow-up in the message render path.
+
+    Chained F.when Columns re-inline their whole upstream subtree at every
+    reference; before exprs.bind_once the plan for a two-sided bounds spec
+    exceeded ~500k characters (tens of thousands of nodes — past JIT
+    limits, ~8x slower render). The bound here is ~10x today's size but
+    ~10x below the broken regime."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rep = ValidationEngine(
+        {"type": "object", "properties": {
+            "l_quantity": {"type": "number", "minimum": 5, "maximum": 45},
+            "l_extendedprice": {"type": "number", "minimum": 0},
+            "l_returnflag": {"type": "string", "enum": ["A", "N", "R"]},
+        }},
+        key_cols=("l_orderkey", "l_linenumber")).validate(df)
+    plan = _plan(rep.violations)
+    assert len(plan) < 60_000, f"render plan blew up: {len(plan)} chars"
