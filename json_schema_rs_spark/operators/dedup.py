@@ -26,6 +26,9 @@ Scale notes (100 TB):
   ``bands`` constant-size bucket joins; signature arithmetic stays inside
   whole-stage codegen (one xxhash64 per shingle, then affine permutations
   mod a 31-bit prime — no overflow under ANSI mode).
+- near-dup internals run on 64-bit shingle HASHES (:func:`shingle_hashes`),
+  never shingle strings: the inverted index explodes/shuffles 8-byte longs
+  and candidate verification intersects long arrays.
 """
 
 from __future__ import annotations
@@ -35,6 +38,8 @@ from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.exprs import explode_rows
 
 _MERSENNE31 = 2_147_483_647  # 2^31 - 1, prime; keeps a*h+b within int64
 
@@ -64,6 +69,31 @@ def shingles(df: DataFrame, text_col: str = "text", *, n: int = 3,
     )
     return (df.withColumn(tmp, F.split(F.col(text_col), " "))
               .withColumn(out_col, F.array_distinct(sh))
+              .drop(tmp))
+
+
+def shingle_hashes(df: DataFrame, text_col: str = "text", *, n: int = 3,
+                   seed: int = 7,
+                   out_col: str = "shingle_hashes") -> DataFrame:
+    """Distinct 64-bit shingle hashes per document:
+    ``xxhash64(n-gram string, seed)``, the shingle string built and
+    discarded inside the lambda (never materialized as an array).
+
+    The near-dup operators run on these instead of shingle strings —
+    8-byte longs explode/shuffle/``array_intersect`` several times
+    cheaper than n-gram strings, and Jaccard over the hash sets equals
+    Jaccard over the string sets up to 64-bit collisions
+    (P ≈ |S|²/2⁶⁴ per document pair — negligible). Short docs (< n
+    words) yield the empty set, mirroring :func:`shingles`."""
+    tmp = f"__{out_col}_words"
+    hashes = F.expr(
+        f"if(size({tmp}) >= {n},"
+        f" transform(sequence(1, size({tmp}) - {n - 1}),"
+        f" i -> xxhash64(concat_ws(' ', slice({tmp}, i, {n})), {seed})),"
+        f" array())"
+    )
+    return (df.withColumn(tmp, F.split(F.col(text_col), " "))
+              .withColumn(out_col, F.array_distinct(hashes))
               .drop(tmp))
 
 
@@ -108,10 +138,10 @@ def ngram_jaccard_pairs(
     sum-of-squared-posting-lengths, not |docs|²; ``max_df`` drops shingles
     whose posting list exceeds it (a shingle shared by thousands of docs
     carries no near-dup signal but dominates the join)."""
-    sh = shingles(df, text_col, n=n).select(
-        F.col(id_col).alias("_id"), "shingles",
-        F.size("shingles").alias("_sz"))
-    posts = sh.select("_id", F.explode("shingles").alias("_sg"))
+    sh = shingle_hashes(df, text_col, n=n).select(
+        F.col(id_col).alias("_id"), "shingle_hashes",
+        F.size("shingle_hashes").alias("_sz"))
+    posts = explode_rows(sh, ["_id"], F.col("shingle_hashes"), "_sg")
     if max_df is not None:
         ok = posts.groupBy("_sg").agg(F.count(F.lit(1)).alias("_df")) \
                   .filter(F.col("_df") <= max_df).select("_sg")
@@ -155,13 +185,17 @@ def minhash_signature(
     map-side partial aggregation — the higher-order-function alternative
     (transform-per-permutation) is CodegenFallback and re-evaluates the
     base hash per permutation, ~50x slower. Shingle-less docs get the
-    sentinel signature (all ``2^31-1``)."""
-    sh = shingles(df, text_col, n=n)
-    posts = sh.select(
-        F.col(id_col), F.explode("shingles").alias("_sg"),
+    sentinel signature (all ``2^31-1``). The shingle strings themselves
+    are never materialized: :func:`shingle_hashes` hashes each n-gram
+    inside the build lambda, so only longs are exploded and shuffled
+    (signature values are bit-identical to hashing the string shingles —
+    same ``xxhash64(s, seed)``)."""
+    posts = explode_rows(
+        shingle_hashes(df, text_col, n=n, seed=seed),
+        [id_col], F.col("shingle_hashes"), "_h64",
     ).select(
         id_col,
-        F.pmod(F.xxhash64("_sg", F.lit(seed)), F.lit(_MERSENNE31)).alias("_h"),
+        F.pmod(F.col("_h64"), F.lit(_MERSENNE31)).alias("_h"),
     )
     params = _minhash_params(num_perm, seed)
     aggs = [
@@ -172,7 +206,7 @@ def minhash_signature(
     sigs = posts.groupBy(id_col).agg(*aggs).select(
         id_col, F.array(*[f"_m{i}" for i in range(num_perm)]).alias(out_col))
     sentinel = F.array_repeat(F.lit(_MERSENNE31).cast("bigint"), num_perm)
-    return (sh.join(sigs, id_col, "left")
+    return (df.join(sigs, id_col, "left")
               .withColumn(out_col, F.coalesce(F.col(out_col), sentinel)))
 
 
@@ -203,13 +237,13 @@ def minhash_lsh_pairs(
     sig = minhash_signature(df, text_col, n=n, num_perm=num_perm, seed=seed,
                             id_col=id_col) \
         .select(F.col(id_col).alias("_id"), "minhash")
-    band_rows = sig.select(
-        "_id",
-        F.explode(F.array(*[
+    band_rows = explode_rows(
+        sig, ["_id"],
+        F.array(*[
             F.struct(F.lit(i).alias("band"),
                      F.hash(F.slice("minhash", i * r + 1, r)).alias("bkey"))
             for i in range(bands)
-        ])).alias("b"),
+        ]), "b",
     ).select("_id", "b.band", "b.bkey")
     la = band_rows.select(F.col("_id").alias("doc_a"), "band", "bkey")
     lb = band_rows.select(F.col("_id").alias("doc_b"), "band", "bkey")
@@ -218,12 +252,17 @@ def minhash_lsh_pairs(
               .select("doc_a", "doc_b").distinct())
     if not verify_exact:
         return cand.withColumn("jaccard", F.lit(None).cast("double"))
-    # verify against the shingle sets directly (not through the signature
-    # lineage, which would recompute the minhash aggregation twice more)
-    sh = shingles(df, text_col, n=n).select(
-        F.col(id_col).alias("_id"), "shingles")
-    sa = sh.select(F.col("_id").alias("doc_a"), F.col("shingles").alias("_sha"))
-    sb = sh.select(F.col("_id").alias("doc_b"), F.col("shingles").alias("_shb"))
+    # verify against the shingle-HASH sets directly (not through the
+    # signature lineage, which would recompute the minhash aggregation
+    # twice more); long-array intersection is several times cheaper than
+    # intersecting n-gram string arrays, with identical Jaccard values up
+    # to 64-bit collisions
+    sh = shingle_hashes(df, text_col, n=n).select(
+        F.col(id_col).alias("_id"), "shingle_hashes")
+    sa = sh.select(F.col("_id").alias("doc_a"),
+                   F.col("shingle_hashes").alias("_sha"))
+    sb = sh.select(F.col("_id").alias("doc_b"),
+                   F.col("shingle_hashes").alias("_shb"))
     # LENGTH FILTER (standard set-similarity-join prefilter): J(A,B) >= t
     # requires t*max(|A|,|B|) <= min(|A|,|B|) — an integer comparison that
     # discards most false candidates before the expensive array_intersect.
@@ -231,17 +270,18 @@ def minhash_lsh_pairs(
     # verify cost; this keeps the verification linear in TRUE pairs.
     size_ok = (F.greatest(F.size("_sha"), F.size("_shb")) * F.lit(threshold)
                <= F.least(F.size("_sha"), F.size("_shb")))
-    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
-    union = (F.size("_sha") + F.size("_shb")
-             - F.size(F.array_intersect("_sha", "_shb")))
     # try_divide: two shingle-less docs share the sentinel signature, so
     # they collide in every band and reach verification with union = 0 —
     # ANSI mode would abort the job on the plain division; NULL jaccard is
     # filtered by the threshold instead (empty sets have no similarity)
     return (cand.join(sa, "doc_a").join(sb, "doc_b")
                 .filter(size_ok)
+                .withColumn("_inter", F.size(F.array_intersect("_sha", "_shb")))
                 .select("doc_a", "doc_b",
-                        F.try_divide(inter, union).alias("jaccard"))
+                        F.try_divide(
+                            F.col("_inter").cast("double"),
+                            F.size("_sha") + F.size("_shb") - F.col("_inter"),
+                        ).alias("jaccard"))
                 .filter(F.col("jaccard") >= threshold))
 
 
@@ -259,24 +299,35 @@ def simhash(
     ``('0x' || substr(md5(w),1,15))::bigint``). Bit ``i`` of the output is
     1 iff ``sum over tokens of (2·bit_i(h) - 1) > 0``.
 
-    Pure higher-order functions: one md5 per token, one fold — zero
-    shuffle, no Python in the row path."""
+    Shape: explode tokens, then ONE hash aggregate computing all ``bits``
+    per-bit sums (the same codegen'd multi-aggregate shape as
+    :func:`minhash_signature`). The earlier higher-order-function fold was
+    zero-shuffle but interpreted — O(tokens x bits) boxed array updates,
+    ~10x slower than the codegen'd sums; the aggregate's shuffle is skinny
+    (one row per doc after map-side combine, ~bits x 8 bytes) and is
+    REUSED by :func:`simhash_pairs`' self-join instead of recomputing the
+    fingerprint per side. ``split`` of an empty text yields the [""]
+    token, so every doc has >= 1 token and exactly one output row."""
     assert bits <= 60
-    counts = (
-        f"aggregate("
-        f"  transform(split({text_col}, ' '),"
-        f"            w -> cast(conv(substr(md5(w), 1, 15), 16, 10) as bigint)),"
-        f"  array_repeat(cast(0 as bigint), {bits}),"
-        f"  (acc, hv) -> zip_with(acc, sequence(0, {bits - 1}),"
-        f"               (a, i) -> a + 2 * ((shiftright(hv, i) & 1)) - 1))"
-    )
-    fingerprint = (
-        f"aggregate(zip_with(({counts}), sequence(0, {bits - 1}),"
-        f"  (c, i) -> if(c > 0, shiftleft(cast(1 as bigint), i),"
-        f"              cast(0 as bigint))),"
-        f"  cast(0 as bigint), (a, b) -> a + b)"
-    )
-    return df.select(F.col(id_col), F.expr(fingerprint).alias(out_col))
+    toks = explode_rows(
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w")),
+        [id_col], F.col("_w"), "_tok")
+    h = F.expr("cast(conv(substr(md5(_tok), 1, 15), 16, 10) as bigint)")
+    one = F.lit(1).cast("bigint")
+    aggs = [
+        F.sum(F.shiftright(F.col("_h"), i).bitwiseAND(one) * 2 - 1)
+        .alias(f"_b{i}")
+        for i in range(bits)
+    ]
+    fingerprint = None
+    for i in range(bits):
+        term = F.when(F.col(f"_b{i}") > 0,
+                      F.lit(1 << i).cast("bigint")).otherwise(one * 0)
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return (toks.select(F.col(id_col), h.alias("_h"))
+                .groupBy(id_col)
+                .agg(*aggs)
+                .select(F.col(id_col), fingerprint.alias(out_col)))
 
 
 def simhash_pairs(
@@ -297,15 +348,15 @@ def simhash_pairs(
     assert max_hamming < blocks
     width = bits // blocks
     fp = simhash(df, text_col, id_col, bits=bits)
-    blocked = fp.select(
-        F.col(id_col).alias("_id"), F.col("simhash"),
-        F.explode(F.array(*[
+    blocked = explode_rows(
+        fp, [F.col(id_col).alias("_id"), F.col("simhash")],
+        F.array(*[
             F.struct(
                 F.lit(i).alias("blk"),
                 (F.shiftright("simhash", i * width)
                  .bitwiseAND(F.lit((1 << width) - 1))).alias("bval"))
             for i in range(blocks)
-        ])).alias("b"),
+        ]), "b",
     ).select("_id", "simhash", "b.blk", "b.bval")
     a = blocked.select(F.col("_id").alias("doc_a"),
                        F.col("simhash").alias("_ha"), "blk", "bval")

@@ -29,6 +29,7 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.exprs import explode_rows
 from ..plans.compiler import VIOLATION_ARRAY_DDL
 from ..plans.spec import SchemaNode
 from .runner import ValidationEngine
@@ -77,9 +78,8 @@ def transcript_pipeline(
     any_cond = plan.any_violation()
     for c in vocab_conds:
         any_cond = any_cond | F.coalesce(c, F.lit(False))
-    row_v = (prepared.filter(any_cond)
-               .withColumn("_v", row_arr)
-               .select(conv_col, idx_col, F.explode("_v").alias("v"))
+    row_v = (explode_rows(prepared.filter(any_cond),
+                          [conv_col, idx_col], row_arr, "v")
                .select(conv_col, idx_col, "v.instance_path", "v.code",
                        "v.message"))
 
@@ -119,9 +119,11 @@ def transcript_pipeline(
                      F.col(ts_col).cast("string"),
                      F.lit(" is before previous turn's "),
                      prev.cast("string"))))
-    table_v = (skinny.select(conv_col, idx_col, F.concat(*checks).alias("_v"))
-                     .filter(F.size("_v") > 0)
-                     .select(conv_col, idx_col, F.explode("_v").alias("v"))
+    table_v = (explode_rows(
+                    skinny.select(conv_col, idx_col,
+                                  F.concat(*checks).alias("_v"))
+                          .filter(F.size("_v") > 0),
+                    [conv_col, idx_col], F.col("_v"), "v")
                      .select(conv_col, idx_col, "v.instance_path", "v.code",
                              "v.message"))
     return row_v.unionByName(table_v)

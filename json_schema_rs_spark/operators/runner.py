@@ -25,6 +25,7 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.exprs import explode_rows
 from ..plans.compiler import CompiledPlan, compile_table_spec
 from ..plans.spec import SchemaNode, parse_spec
 
@@ -106,10 +107,9 @@ class ValidationEngine:
         # conditions, then build message strings only for the survivors
         # (message subtrees would otherwise evaluate per scanned row)
         violations = (
-            plan.prepare(df)
-            .filter(plan.any_violation())
-            .withColumn("violations", plan.violations_array())
-            .select(*keys, F.explode("violations").alias("v"))
+            explode_rows(
+                plan.prepare(df).filter(plan.any_violation()),
+                keys, plan.violations_array(), "v")
             .select(*keys, "v.instance_path", "v.code", "v.message")
         )
         if keep_columns is not None:

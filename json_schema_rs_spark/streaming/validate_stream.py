@@ -16,6 +16,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exprs import explode_rows
 from ..operators.runner import ValidationEngine
 
 
@@ -31,9 +32,9 @@ def validate_stream(
 
 def violations_stream(engine: ValidationEngine, stream_df: DataFrame) -> DataFrame:
     keys = [k for k in engine.key_cols if k in stream_df.columns]
-    return (validate_stream(engine, stream_df)
-            .filter(~F.col("valid"))
-            .select(*keys, F.explode("violations").alias("v"))
+    return (explode_rows(
+                validate_stream(engine, stream_df).filter(~F.col("valid")),
+                keys, F.col("violations"), "v")
             .select(*keys, "v.instance_path", "v.code", "v.message"))
 
 
