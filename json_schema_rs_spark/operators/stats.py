@@ -52,24 +52,30 @@ def profile(
         aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
         if c in numeric:
             aggs.append(F.avg(F.col(c).cast("double")).alias(f"{c}__mean"))
-            for q in quantiles:
-                aggs.append(F.percentile_approx(F.col(c).cast("double"), q)
-                            .alias(f"{c}__q{int(q * 100)}"))
-    row = df.agg(*aggs)
-    if exact_distinct:
-        # one Expand-free two-stage aggregation per column, cross-joined
-        # into the 1-row result: mixing several count_distincts with the
-        # plain aggregates would Expand (duplicate) every input row once
-        # per distinct column — ~10x slower on wide profiles
-        for c in columns:
-            row = row.crossJoin(
-                df.agg(F.count_distinct(F.col(c)).alias(f"{c}__distinct")))
+            if quantiles:
+                # ONE sketch per column queried at every requested prob
+                # (the per-prob form builds an identical sketch per prob —
+                # measured ~40% slower at 2 probs, worse at more)
+                aggs.append(F.percentile_approx(
+                    F.col(c).cast("double"),
+                    F.array(*[F.lit(float(q)) for q in quantiles]))
+                    .alias(f"{c}__qs"))
     # materialize the single wide aggregate row on the driver (O(1) data)
     # and unpivot in Python. This is both the materialization barrier (the
     # stacked projection would otherwise re-evaluate the whole aggregate
     # tree once per emitted struct) and leak-free — the earlier persist()
     # approach pinned a cache entry the caller could never release.
-    wide = row.collect()[0].asDict()
+    wide = df.agg(*aggs).collect()[0].asDict()
+    if exact_distinct:
+        # all exact distincts in ONE second aggregation. Spark plans
+        # multi-count_distinct via Expand (input duplicated once per
+        # distinct column), which is why these are kept OUT of the wide
+        # agg above — Expand would also multiply every percentile
+        # sketch's input. Two scans total, independent of column count
+        # (the previous per-column crossJoin shape was O(columns) scans).
+        wide.update(df.agg(*[
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct")
+            for c in columns]).collect()[0].asDict())
     rows_total = wide["_rows"]
     out_rows = []
     for c in columns:
@@ -85,9 +91,9 @@ def profile(
             "max": wide[f"{c}__max"],
             "mean": wide.get(f"{c}__mean") if c in numeric else None,
         }
-        for q in quantiles:
-            rec[f"q{int(q * 100)}"] = (
-                wide.get(f"{c}__q{int(q * 100)}") if c in numeric else None)
+        qvals = wide.get(f"{c}__qs") if c in numeric else None
+        for i, q in enumerate(quantiles):
+            rec[f"q{int(q * 100)}"] = qvals[i] if qvals is not None else None
         out_rows.append(rec)
     schema = T.StructType(
         [T.StructField("column", T.StringType()),
