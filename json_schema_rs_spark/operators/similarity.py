@@ -200,6 +200,65 @@ def cosine_dup_pairs_np(
                .filter(F.col("cos_sim") >= threshold))
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    k: int,
+    *,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means over the embedding column, producing a
+    ``(centroid_id, centroid)`` table for the IVF operators — the
+    "swap in k-means outputs at production scale" path.
+
+    Shape at scale (per iteration):
+    - **assign**: the existing zero-shuffle argmax over broadcast-literal
+      centroids (:func:`assign_buckets`) — one corpus scan, no exchange.
+    - **update**: per-dimension means via ``groupBy(bucket).agg(avg(v[i])
+      for i in dims)`` — plain codegen aggregates with map-side partial
+      aggregation; the only shuffle is k x dims partial-state rows.
+    - k x dims doubles come to the driver between iterations (tiny).
+
+    Determinism: init = the ``k`` lowest-id vectors (same seed as the
+    untrained operators); per-dimension ``avg`` is order-insensitive up to
+    float addition order — Spark's partial-agg sums give run-stable
+    results on a fixed partitioning, and the driver round-trips exact
+    doubles. Empty clusters keep their previous centroid (standard Lloyd
+    fallback, keeps exactly k buckets).
+    """
+    dims_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dims_row is None:
+        return df.sparkSession.createDataFrame(
+            [], f"centroid_id bigint, centroid array<double>")
+    dims = dims_row["d"]
+    current = (df.orderBy(id_col).limit(k)
+               .select(F.col(id_col).cast("bigint").alias("cid"),
+                       F.col(vec_col).cast("array<double>").alias("cvec"))
+               .collect())
+    centroids = {r["cid"]: list(r["cvec"]) for r in current}
+    # NOTE: not "_vd"/"_vn" — assign_buckets adds and drops those names
+    src_df = df.select(F.col(id_col).alias(id_col),
+                       F.transform(F.col(vec_col),
+                                   lambda x: x.cast("double")).alias("_kv"))
+    for _ in range(max(iters, 0)):
+        cen_df = df.sparkSession.createDataFrame(
+            [(cid, vec) for cid, vec in sorted(centroids.items())],
+            "centroid_id bigint, centroid array<double>")
+        assigned = assign_buckets(src_df, cen_df,
+                                  id_col=id_col, vec_col="_kv")
+        means = (assigned.filter(F.col("bucket_id").isNotNull())
+                 .groupBy("bucket_id")
+                 .agg(*[F.avg(F.col("_kv")[i]).alias(f"m{i}")
+                        for i in range(dims)])
+                 .collect())
+        for r in means:
+            centroids[r["bucket_id"]] = [r[f"m{i}"] for i in range(dims)]
+    return df.sparkSession.createDataFrame(
+        [(cid, vec) for cid, vec in sorted(centroids.items())],
+        "centroid_id bigint, centroid array<double>")
+
+
 def cosine_dup_pairs_bucketed(
     df: DataFrame,
     *,
@@ -208,6 +267,7 @@ def cosine_dup_pairs_bucketed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = 6,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: IVF-assign every vector to its
     nearest centroid, then search pairs only WITHIN buckets — candidate
@@ -218,9 +278,10 @@ def cosine_dup_pairs_bucketed(
     import numpy as np
     import pandas as pd
 
-    centroids = (df.orderBy(id_col).limit(n_centroids)
-                 .select(F.col(id_col).alias("centroid_id"),
-                         F.col(vec_col).alias("centroid")))
+    if centroids is None:
+        centroids = (df.orderBy(id_col).limit(n_centroids)
+                     .select(F.col(id_col).alias("centroid_id"),
+                             F.col(vec_col).alias("centroid")))
     bucketed = assign_buckets(df, centroids, id_col=id_col, vec_col=vec_col) \
         .select(F.col(id_col).cast("bigint").alias("_id"),
                 F.col(vec_col).alias("_v"), "bucket_id") \
@@ -340,15 +401,19 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = 6,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k. Centroids are chosen
     deterministically (the ``n_centroids`` lowest-id corpus vectors —
     training-free; swap in k-means outputs at production scale). Queries
     probe their ``nprobe`` most-similar buckets; exact cosine runs only
-    inside probed buckets."""
-    centroids = (corpus.orderBy(id_col).limit(n_centroids)
-                 .select(F.col(id_col).alias("centroid_id"),
-                         F.col(vec_col).alias("centroid")))
+    inside probed buckets. Pass ``centroids=kmeans_centroids(...)`` (any
+    ``(centroid_id, centroid)`` table) to swap trained centroids in —
+    same plan shape, better-balanced buckets and recall."""
+    if centroids is None:
+        centroids = (corpus.orderBy(id_col).limit(n_centroids)
+                     .select(F.col(id_col).alias("centroid_id"),
+                             F.col(vec_col).alias("centroid")))
     bucketed = assign_buckets(corpus, centroids, id_col=id_col, vec_col=vec_col)
     probes = (
         cosine_topk(

@@ -1,0 +1,148 @@
+"""Stateful streaming table-checks: per-conversation gap-free ordering and
+monotonic-timestamp validation over a live transcript stream.
+
+The batch operators (``operators/table_checks.py`` ``turn_gap_violations`` /
+``monotonic_ts_violations``) need the whole conversation; on a stream the
+conversation arrives incrementally and possibly out of order across
+micro-batches. This module gives them streaming semantics with
+``applyInPandasWithState`` (Arrow-batched per-group state — no per-row
+Python, per `input_hint`):
+
+- State per ``conv_id``: the (turn_idx, ts) pairs seen so far — bounded by
+  turns-per-conversation, not by stream length.
+- A conversation CLOSES when the event-time watermark passes its last
+  event + ``session_gap`` (``GroupStateTimeout.EventTimeTimeout``): the
+  session-window convention for "no more turns are coming".
+- On close the batch logic runs over the buffered pairs and the violation
+  rows are emitted — byte-identical to the batch operators' output for the
+  same conversation (asserted in tests/test_stateful_streaming.py), then
+  the state is dropped.
+
+Late rows *within* the watermark are handled exactly (they join the
+buffer before close); rows later than watermark + gap are dropped by the
+engine, the standard watermark contract.
+
+Reference anchor: the gap-free check is the streaming form of the
+reference's array-position validation (validator/mod.rs:398-407 — item i
+must sit at position i); the reference itself is batch/single-doc only
+(SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+OUTPUT_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("instance_path", T.StringType()),
+    T.StructField("code", T.StringType()),
+    T.StructField("message", T.StringType()),
+])
+
+# state: parallel arrays of turn indices and event timestamps (micros)
+STATE_SCHEMA = T.StructType([
+    T.StructField("idxs", T.ArrayType(T.IntegerType())),
+    T.StructField("ts_us", T.ArrayType(T.LongType())),
+])
+
+
+def _fmt_ts(us: int) -> str:
+    """Spark's CAST(timestamp AS STRING) text for a UTC micros value:
+    'yyyy-MM-dd HH:mm:ss' with the fractional part only when non-zero,
+    trailing zeros trimmed (matches the batch operator's message bytes)."""
+    ts = pd.Timestamp(us, unit="us")
+    base = ts.strftime("%Y-%m-%d %H:%M:%S")
+    frac = us % 1_000_000
+    if frac:
+        base += (".%06d" % frac).rstrip("0")
+    return base
+
+
+def _close_conversation(conv_id: str, idxs: list, ts_us: list) -> pd.DataFrame:
+    """The batch checks over one finished conversation's buffered turns.
+    Same semantics as turn_gap_violations / monotonic_ts_violations:
+    order by turn_idx, dense position must equal the index, timestamps
+    non-decreasing in turn order."""
+    order = sorted(range(len(idxs)), key=lambda i: idxs[i])
+    rows = []
+    prev_ts = None
+    for pos, i in enumerate(order):
+        idx, us = idxs[i], ts_us[i]
+        if idx != pos:
+            rows.append((conv_id, idx, "/turn_idx", "TurnGap",
+                         f"/turn_idx: turn index {idx} at position {pos} "
+                         "breaks gap-free ordering"))
+        if prev_ts is not None and us < prev_ts:
+            rows.append((conv_id, idx, "/ts", "NonMonotonicTs",
+                         f"/ts: timestamp {_fmt_ts(us)} is before previous "
+                         f"turn's {_fmt_ts(prev_ts)}"))
+        prev_ts = us
+    return pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "instance_path", "code",
+                       "message"])
+
+
+def _make_func(idx_col: str, ts_col: str, gap_ms: int):
+    def func(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
+             state: GroupState) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        if state.hasTimedOut:
+            idxs, ts_us = state.get
+            state.remove()
+            yield _close_conversation(conv_id, list(idxs), list(ts_us))
+            return
+        if state.exists:
+            prev_idxs, prev_ts = state.get
+            idxs, ts_us = list(prev_idxs), list(prev_ts)
+        else:
+            idxs, ts_us = [], []
+        for pdf in pdfs:
+            idxs.extend(int(v) for v in pdf[idx_col])
+            # pandas Timestamp.value is nanos; state keeps micros (Spark's
+            # native timestamp precision)
+            ts_us.extend(int(v.value // 1000)
+                         for v in pd.to_datetime(pdf[ts_col]))
+        state.update((idxs, ts_us))
+        # close when the watermark passes this conversation's last event
+        # by session_gap (event-time session window semantics). Clamped
+        # just past the current watermark: a conversation whose gap has
+        # ALREADY expired (its rows arrived barely inside the watermark
+        # while newer data pushed the watermark forward) must close at
+        # the next trigger, not fail the INVALID_TIMEOUT_TIMESTAMP check.
+        state.setTimeoutTimestamp(
+            max(max(ts_us) // 1000 + gap_ms,
+                state.getCurrentWatermarkMs() + 1))
+        yield pd.DataFrame(columns=OUTPUT_SCHEMA.fieldNames())
+    return func
+
+
+def stateful_transcript_checks(
+    stream_df: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+    watermark_delay: str = "10 seconds",
+    session_gap_ms: int = 10_000,
+) -> DataFrame:
+    """Streaming per-conversation gap-free + monotonic-ts violations.
+
+    Emits each closed conversation's violation rows once, after the
+    watermark passes its last turn + ``session_gap_ms``. Output schema and
+    message bytes match the batch operators (the cross-checked contract).
+    """
+    return (stream_df
+            .withWatermark(ts_col, watermark_delay)
+            .groupBy(conv_col)
+            .applyInPandasWithState(
+                _make_func(idx_col, ts_col, session_gap_ms),
+                outputStructType=OUTPUT_SCHEMA,
+                stateStructType=STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
