@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a, b):
@@ -334,61 +335,79 @@ def assign_buckets(
     (max cosine; ties → lowest centroid id) as ``bucket_id``.
 
     ZERO shuffle: the centroid table is tiny by definition, so it is
-    collected once and folded into the plan as a literal array of structs;
-    the per-row argmax is a single ``aggregate`` fold over that literal —
-    the corpus is scanned once, never exchanged, never row-multiplied.
-    (The previous shape — crossJoin + ``Window.partitionBy(id)`` — shuffled
-    |corpus| × n_centroids rows on vec_id: the dominant exchange of the
-    designated ANN scale path at 100×. tests/test_physical_plans.py now
-    asserts no Exchange in this plan.)
+    collected once, broadcast, and each Arrow batch computes its
+    batch x centroids similarity block in NumPy (``mapInPandas``) — the
+    corpus is scanned once, never exchanged, never row-multiplied.
+    (History: the round-1 crossJoin + Window shape shuffled
+    |corpus| x n_centroids rows; the round-2 ``aggregate``-fold shape was
+    shuffle-free but interpreted (CodegenFallback) AND re-inlined the dot
+    product ~3x per fold step — 2.8 s for 2000x16x64 at sf0.1, ~100x
+    slower than BLAS. tests/test_physical_plans.py asserts no Exchange.)
 
-    Numerical parity: centroid norms are computed on the driver with the
-    same left-to-right double fold the Spark expression uses, so bucket
-    assignments are bit-identical to the joined variant."""
-    rows = centroids.select(
-        F.col(centroid_id_col).alias("cid"),
-        F.col(centroid_vec_col).cast("array<double>").alias("cvec"),
-    ).collect()
+    Numerical parity: dots and norms accumulate DIMENSION BY DIMENSION —
+    the same left-to-right double fold the Column expressions use — so
+    bucket assignments are bit-identical to the fold variant (and to the
+    DuckDB oracle that reproduces the assignment). Tie-break: centroids
+    sorted by id, first-max argmax => lowest centroid id wins, matching
+    the fold's ``(sim == best) & (cid < best_cid)`` rule. Zero-norm /
+    NULL vectors get a NULL bucket_id and drop out of bucket joins."""
+    import numpy as np
+
+    rows = sorted(
+        centroids.select(
+            F.col(centroid_id_col).cast("bigint").alias("cid"),
+            F.col(centroid_vec_col).cast("array<double>").alias("cvec"),
+        ).collect(),
+        key=lambda r: r["cid"])
     if not rows:
         return corpus.withColumn("bucket_id",
                                  F.lit(None).cast("bigint"))
+    cids = np.array([r["cid"] for r in rows], dtype="int64")
+    cmat = np.array([list(r["cvec"]) for r in rows], dtype="float64")
+    dims = cmat.shape[1]
+    cn = np.zeros(len(cids))
+    for d in range(dims):                   # same fold order as _norm()
+        cn += cmat[:, d] * cmat[:, d]
+    cn = np.sqrt(cn)
+    sc = corpus.sparkSession.sparkContext
+    b_cids, b_cmat, b_cn = (sc.broadcast(cids), sc.broadcast(cmat),
+                            sc.broadcast(cn))
+    out_schema = T.StructType(
+        list(corpus.schema.fields) + [T.StructField("bucket_id",
+                                                    T.LongType())])
 
-    def _pynorm(v: list[float]) -> float:
-        acc = 0.0
-        for x in v:                       # same fold order as _norm()
-            acc = acc + x * x
-        return acc ** 0.5
+    def run(batches):
+        import pandas as pd
+        all_cids, all_cmat, all_cn = b_cids.value, b_cmat.value, b_cn.value
+        k = len(all_cids)
+        for pdf in batches:
+            out = pdf.copy()
+            vecs = pdf[vec_col]
+            valid = np.array([v is not None and len(v) == dims
+                              for v in vecs])
+            bucket = np.full(len(pdf), None, dtype=object)
+            if valid.any():
+                mat = np.array([list(v) for v in vecs[valid]],
+                               dtype="float64")
+                acc = np.zeros((mat.shape[0], k))
+                vn = np.zeros(mat.shape[0])
+                for d in range(dims):       # ordered fold, bit-exact
+                    acc += np.outer(mat[:, d], all_cmat[:, d])
+                    vn += mat[:, d] * mat[:, d]
+                vn = np.sqrt(vn)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = acc / np.outer(vn, all_cn)
+                finite = ~np.isnan(sims)
+                any_ok = finite.any(axis=1)
+                best = np.argmax(np.where(finite, sims, -np.inf), axis=1)
+                chosen = np.where(any_ok, all_cids[best], -1)
+                bucket[valid] = [int(c) if c >= 0 else None
+                                 for c in chosen]
+            out["bucket_id"] = pd.array(
+                [b for b in bucket], dtype="Int64")
+            yield out
 
-    cen_lit = F.array(*[
-        F.struct(
-            F.lit(r["cid"]).cast("bigint").alias("cid"),
-            F.array(*[F.lit(x) for x in r["cvec"]]).alias("cvec"),
-            F.lit(_pynorm(r["cvec"])).alias("cn"),
-        )
-        for r in rows
-    ])
-    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    vnorm = _norm(F.col(vec_col))
-    init = F.struct(F.lit(None).cast("double").alias("s"),
-                    F.lit(None).cast("bigint").alias("cid"))
-
-    def step(acc, c):
-        sim = _cos(_dot_d(F.col("_vd"), c["cvec"]), F.col("_vn") * c["cn"])
-        # NULL sim (zero-norm vector) never wins: such rows keep a NULL
-        # bucket_id and drop out of downstream bucket joins
-        better = sim.isNotNull() & F.coalesce(
-            acc["s"].isNull() | (sim > acc["s"])
-            | ((sim == acc["s"]) & (c["cid"] < acc["cid"])),
-            F.lit(True))
-        return F.when(better, F.struct(sim.alias("s"), c["cid"].alias("cid"))) \
-                .otherwise(acc)
-
-    best = F.aggregate(cen_lit, init, step)
-    return (corpus
-            .withColumn("_vd", vec_d)
-            .withColumn("_vn", vnorm)
-            .withColumn("bucket_id", best["cid"])
-            .drop("_vd", "_vn"))
+    return corpus.mapInPandas(run, schema=out_schema)
 
 
 def ivf_topk(
