@@ -132,7 +132,10 @@ def main() -> None:
     qs = entry_mod.queries()
     for name in HEADLINE:
         fn = qs[name]
-        qsecs[name] = round(timed(lambda: fn(spark, SF_DIR), runs=2), 3)
+        # best-of-3: this host shows bursty neighbor-steal noise (2-3x
+        # swings between identical runs); 2 samples routinely record a
+        # slow outlier as "the" time
+        qsecs[name] = round(timed(lambda: fn(spark, SF_DIR), runs=3), 3)
 
     # headline throughput: full validation pipeline over TURNS turns
     path = _transcripts_path(spark)
