@@ -44,6 +44,25 @@ from ..functions.exprs import explode_rows
 _MERSENNE31 = 2_147_483_647  # 2^31 - 1, prime; keeps a*h+b within int64
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Local-parallelism guard for the signature operators.
+
+    Their expensive stage is the MAP side (split/shingle/hash/partial-agg
+    per document), which runs with the parallelism of the input scan. A
+    production corpus is thousands of files/partitions, so this returns
+    ``df`` untouched (partitions >= defaultParallelism — the common case
+    costs one plan inspection, no job). But a small table in one parquet
+    row group scans as ONE partition, serializing the whole map side on a
+    single core; only then is a hash repartition on the doc id inserted —
+    it moves the skinny (id, text) projection once and unlocks every
+    downstream stage. Per-doc results are partitioning-independent, so
+    output is identical either way."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(id_col))
+    return df
+
+
 def shingles(df: DataFrame, text_col: str = "text", *, n: int = 3,
              out_col: str = "shingles") -> DataFrame:
     """Distinct word n-gram shingles per document (space tokenization,
@@ -138,6 +157,7 @@ def ngram_jaccard_pairs(
     sum-of-squared-posting-lengths, not |docs|²; ``max_df`` drops shingles
     whose posting list exceeds it (a shingle shared by thousands of docs
     carries no near-dup signal but dominates the join)."""
+    df = _spread(df, id_col)
     sh = shingle_hashes(df, text_col, n=n).select(
         F.col(id_col).alias("_id"), "shingle_hashes",
         F.size("shingle_hashes").alias("_sz"))
@@ -190,6 +210,7 @@ def minhash_signature(
     inside the build lambda, so only longs are exploded and shuffled
     (signature values are bit-identical to hashing the string shingles —
     same ``xxhash64(s, seed)``)."""
+    df = _spread(df, id_col)
     posts = explode_rows(
         shingle_hashes(df, text_col, n=n, seed=seed),
         [id_col], F.col("shingle_hashes"), "_h64",
@@ -233,6 +254,7 @@ def minhash_lsh_pairs(
     trade-off that makes near-dup feasible at 10^11 docs where the
     inverted-index join is not."""
     assert num_perm % bands == 0
+    df = _spread(df, id_col)
     r = num_perm // bands
     sig = minhash_signature(df, text_col, n=n, num_perm=num_perm, seed=seed,
                             id_col=id_col) \
@@ -309,6 +331,7 @@ def simhash(
     fingerprint per side. ``split`` of an empty text yields the [""]
     token, so every doc has >= 1 token and exactly one output row."""
     assert bits <= 60
+    df = _spread(df, id_col)
     toks = explode_rows(
         df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w")),
         [id_col], F.col("_w"), "_tok")
