@@ -832,6 +832,43 @@ def _q_d_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    n=3, threshold=0.8, bands=32)
 
 
+def _q_d_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pairs -> transitive dedup GROUPS (connected components, min-id
+    # survivor). Built on the LSH pairs above, whose exactness gate holds
+    # at 32 bands; the oracle recomputes the same pair set with exact SQL
+    # and closes it transitively with a recursive CTE.
+    pairs = dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
+                                    n=3, threshold=0.8, bands=32)
+    return dedup.near_dup_groups(pairs)
+
+
+_SQL_D_DUP_GROUPS = """
+WITH RECURSIVE
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+                             for i in range(1, len(ws) - 1)]) AS s
+       FROM w),
+ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+pr AS (SELECT doc_a, doc_b
+       FROM p JOIN sz sa ON p.doc_a = sa.doc_id
+              JOIN sz sb ON p.doc_b = sb.doc_id
+       WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.8),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pr
+      UNION SELECT doc_b, doc_a FROM pr),
+reach(n, m) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM e) t
+    UNION
+    SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a
+)
+SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n
+"""
+
+
 def _q_d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_t(spark, sf_dir, "documents"))
 
@@ -1098,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_exact_groups": _q_d_exact,
         "d_ngram_jaccard": _q_d_ngram,
         "d_minhash_lsh": _q_d_minhash,
+        "d_dup_groups": _q_d_dup_groups,
         "d_simhash": _q_d_simhash,
         "d_simhash_pairs": _q_d_simhash_pairs,
         # similarity search
@@ -1153,6 +1191,7 @@ def oracle_sql() -> dict[str, str]:
         "d_exact_groups": _SQL_D_EXACT,
         "d_ngram_jaccard": _SQL_D_NGRAM,
         "d_minhash_lsh": _SQL_D_NGRAM,
+        "d_dup_groups": _SQL_D_DUP_GROUPS,
         "d_simhash": _SQL_D_SIMHASH,
         "d_simhash_pairs": _SQL_D_SIMHASH_PAIRS,
         "a_cosine_topk": _SQL_A_COSINE,

@@ -390,3 +390,68 @@ def simhash_pairs(
              .filter(F.col("doc_a") < F.col("doc_b"))
              .select("doc_a", "doc_b", ham.alias("hamming")).distinct()
              .filter(F.col("hamming") <= max_hamming))
+
+
+def near_dup_groups(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair table — the survivor-
+    selection step that turns PAIRS into dedup GROUPS: one row
+    ``(doc_id, group_id)`` per doc appearing in any pair, with
+    ``group_id`` = the smallest doc id in its component (the
+    deterministic survivor, matching :func:`exact_duplicate_groups`'
+    ``keep_id`` convention). Transitivity matters: near-dup is not an
+    equivalence relation, so A~B and B~C must land A, B, C in ONE group
+    even when A~C itself is below threshold.
+
+    Algorithm: iterative min-label propagation. Every node starts
+    labelled with itself; each round every node takes the min of its own
+    label and its neighbors' labels. The smallest id in a component
+    floods one hop per round, so the loop converges in <= component-
+    diameter rounds — shallow for near-dup clusters (tight clumps around
+    a template, not long chains). Each round is one equi-join + one
+    min-aggregate, both shuffling only ``(bigint, bigint)`` rows — at
+    10^11 docs the label table is a skinny fraction of the corpus (only
+    docs that occur in a candidate pair). Lineage is truncated per round
+    with an eager ``localCheckpoint`` (iterative joins otherwise nest
+    plans exponentially); on a real cluster prefer reliable
+    ``checkpoint()`` so executor loss cannot drop label partitions. For
+    adversarially long chains at extreme scale, the round count can be
+    driven to O(log n) with the alternating large-star/small-star
+    transform (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the same per-round join shape, so this operator is the
+    drop-in point.
+
+    Convergence is detected distributively (count of changed labels —
+    one O(1)-result job per round, no label data on the driver). With
+    ``max_iter`` exhausted before convergence the partial labels are
+    still a valid over-segmentation (every label names a doc in the
+    component); raise ``max_iter`` for pathological graphs."""
+    e = pairs.select(F.col(a_col).cast("bigint").alias("src"),
+                     F.col(b_col).cast("bigint").alias("dst"))
+    edges = e.union(e.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst")))
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+                   .withColumn("lbl", F.col("node"))
+                   .localCheckpoint(eager=True))
+    edges = edges.localCheckpoint(eager=True)   # reused every round
+    for _ in range(max_iter):
+        nbr = (edges.join(labels, edges["dst"] == labels["node"])
+                    .groupBy("src").agg(F.min("lbl").alias("_nlbl")))
+        new = (labels.join(nbr, labels["node"] == nbr["src"], "left")
+                     .select(labels["node"],
+                             labels["lbl"].alias("_old"),
+                             F.least(labels["lbl"],
+                                     F.coalesce(F.col("_nlbl"),
+                                                labels["lbl"])).alias("lbl"))
+                     .localCheckpoint(eager=True))
+        changed = new.filter(F.col("_old") != F.col("lbl")).count()
+        labels = new.drop("_old")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("lbl").alias("group_id"))

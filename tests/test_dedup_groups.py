@@ -1,0 +1,91 @@
+"""near_dup_groups: connected components over a near-dup pair table.
+
+Verdicts are computed by an independent driver-side union-find, never by
+the operator under test; the sf0.001 case additionally chains the real
+LSH pair operator into groups.
+"""
+
+import pytest
+
+from json_schema_rs_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    near_dup_groups,
+)
+
+
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "doc_a bigint, doc_b bigint")
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _check(spark, pairs, max_iter=25):
+    got = {r["doc_id"]: r["group_id"]
+           for r in near_dup_groups(_pairs_df(spark, pairs),
+                                    max_iter=max_iter).collect()}
+    assert got == _union_find(pairs)
+    return got
+
+
+def test_transitive_chain_one_group(spark):
+    # A~B, B~C, C~D: one group labelled by the min id even though A~D
+    # was never a pair (near-dup is not transitive; grouping must be)
+    got = _check(spark, [(10, 20), (20, 30), (30, 40)])
+    assert set(got.values()) == {10}
+
+
+def test_two_components_and_cycle(spark):
+    got = _check(spark, [(1, 2), (2, 3), (3, 1), (7, 9)])
+    assert got[1] == got[2] == got[3] == 1
+    assert got[7] == got[9] == 7
+
+
+def test_min_id_flows_against_pair_order(spark):
+    # smallest id sits at one END of a chain listed high-to-low: the
+    # label must flood the full diameter, not just one hop
+    chain = [(i + 1, i) for i in range(1, 9)]  # (2,1),(3,2)...(9,8)
+    got = _check(spark, chain)
+    assert set(got.values()) == {1}
+
+
+def test_empty_pairs(spark):
+    out = near_dup_groups(_pairs_df(spark, []))
+    assert out.columns == ["doc_id", "group_id"]
+    assert out.count() == 0
+
+
+def test_max_iter_partial_is_valid_labelling(spark):
+    # one round on a 3-chain: every label is still a member of the
+    # component (over-segmented, never cross-contaminated)
+    got = {r["doc_id"]: r["group_id"]
+           for r in near_dup_groups(
+               _pairs_df(spark, [(5, 6), (6, 7)]), max_iter=1).collect()}
+    assert set(got) == {5, 6, 7}
+    assert all(lbl in {5, 6, 7} and lbl <= n for n, lbl in got.items())
+
+
+def test_groups_from_lsh_pairs_sf0001(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, n=3, threshold=0.8, bands=32)
+    edges = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    if not edges:
+        pytest.skip("no near-dup pairs at this sf")
+    got = {r["doc_id"]: r["group_id"]
+           for r in near_dup_groups(pairs).collect()}
+    assert got == _union_find(edges)
