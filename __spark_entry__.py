@@ -827,7 +827,7 @@ def _q_d_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # any data refresh (a 16-band config would be ~2e-4 per pair, enough to
     # flip the exactness gate on unlucky data). Production tuning trades
     # bands back down for candidate precision; recall floors are asserted
-    # in tests/test_dedup.py.
+    # in tests/test_edge_inputs.py.
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
                                    n=3, threshold=0.8, bands=32)
 
