@@ -993,6 +993,19 @@ def _q_a_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                                k=10, n_centroids=16, nprobe=4)
 
 
+def _q_a_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the production IVF shape: centroids from Lloyd k-means (deterministic
+    # seed = 16 lowest-id vectors, 2 update rounds) instead of raw seed
+    # vectors — better-balanced buckets, same zero-shuffle assignment and
+    # NumPy candidate scoring. Approximate: gated by the recall assertion
+    # in tests/test_entry_oracle.py (>= the untrained floor), not an oracle.
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, 16, iters=2)
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 8),
+                               k=10, n_centroids=16, nprobe=4,
+                               centroids=cents)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (documents)
 # ---------------------------------------------------------------------------
@@ -1143,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_cosine_dup_pairs": _q_a_cosine_dup,
         "a_cosine_dup_bucketed": _q_a_cosine_dup_bucketed,
         "a_ivf_topk": _q_a_ivf,
+        "a_ivf_topk_trained": _q_a_ivf_trained,
         # text analysis
         "x_token_stats": _q_x_tokens,
         "x_quality": _q_x_quality,
@@ -1154,9 +1168,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins. ``a_ivf_topk`` is omitted on purpose: IVF is an
-    approximate index whose recall (not value) is the contract — its
-    exactness gate is the recall assertion in tests/."""
+    """DuckDB twins. ``a_ivf_topk`` / ``a_ivf_topk_trained`` are omitted
+    on purpose: IVF is an approximate index whose recall (not value) is
+    the contract — their exactness gate is the recall assertion in
+    tests/ (trained must meet at least the untrained floor)."""
     return {
         "flagship_transcripts": _FLAGSHIP_ORACLE,
         "v_enum": _SQL_V_ENUM,

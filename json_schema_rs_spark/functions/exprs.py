@@ -109,8 +109,12 @@ def fmt_f64_col(col: Column) -> Column:
     without ``.0`` (``31`` not ``31.0``); everything else as plain decimal
     with NO scientific notation (Java's scientific rendering for |x| out
     of [1e-3, 1e7) is expanded textually). Residual caveat: for a tiny
-    fraction of doubles JDK 17's Double.toString emits one digit more
-    than the true shortest form — digits, not format, may differ there."""
+    fraction of doubles JDK 17 emits more significand digits than the
+    true shortest form (pre-Ryu algorithm, fixed in JDK 19) — digits, not
+    value, differ there. tests/test_f64_display_golden.py pins the exact
+    divergent set and proves byte-parity for |x| in [1e-7, 2^53); checks
+    whose bounds live outside that envelope should use the pandas path
+    (byte-exact via formatting.fmt_f64)."""
     d = col.cast("double")
     return (
         F.when(d.isNull(), F.lit(None).cast("string"))
@@ -160,8 +164,15 @@ def explode_rows(df, keep, arr: Column, alias: str):
     which is also evaluated interpreted, outside whole-stage codegen.
     Measured 20x slowdown on the shingle-hash explode (0.15s -> 3.3s).
     ``explode_outer`` is exempt from the rule; the one extra row it emits
-    per empty/null array is dropped by an attribute-level null filter,
-    which is semantically identical to inner explode and costs nothing.
+    per empty/null array is dropped by an attribute-level null filter.
+
+    CAVEAT — only valid for arrays with no NULL **elements**: the null
+    filter cannot distinguish the outer-explode sentinel row from a
+    genuine NULL element, so NULL elements are dropped where inner
+    explode would keep them as rows. All call sites here (shingle
+    hashes, band structs, violation arrays, token splits) build their
+    arrays from non-null expressions; do not reuse this helper on arrays
+    that may contain NULL elements.
 
     ``keep``: columns (names or Columns) carried alongside the exploded
     ``alias`` column.

@@ -328,12 +328,17 @@ def simhash(
     ~10x slower than the codegen'd sums; the aggregate's shuffle is skinny
     (one row per doc after map-side combine, ~bits x 8 bytes) and is
     REUSED by :func:`simhash_pairs`' self-join instead of recomputing the
-    fingerprint per side. ``split`` of an empty text yields the [""]
-    token, so every doc has >= 1 token and exactly one output row."""
+    fingerprint per side. NULL text coalesces to '' before the split, and
+    ``split`` of an empty text yields the [""] token — so every doc has
+    >= 1 token and EXACTLY ONE output row (without the coalesce,
+    ``split(NULL)`` is a NULL array whose outer-explode sentinel row is
+    dropped and the doc would vanish from the output)."""
     assert bits <= 60
     df = _spread(df, id_col)
     toks = explode_rows(
-        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w")),
+        df.select(F.col(id_col),
+                  F.split(F.coalesce(F.col(text_col), F.lit("")),
+                          " ").alias("_w")),
         [id_col], F.col("_w"), "_tok")
     h = F.expr("cast(conv(substr(md5(_tok), 1, 15), 16, 10) as bigint)")
     one = F.lit(1).cast("bigint")
@@ -398,6 +403,7 @@ def near_dup_groups(
     b_col: str = "doc_b",
     *,
     max_iter: int = 25,
+    method: str = "star",
 ) -> DataFrame:
     """Connected components over a near-dup pair table — the survivor-
     selection step that turns PAIRS into dedup GROUPS: one row
@@ -408,38 +414,54 @@ def near_dup_groups(
     equivalence relation, so A~B and B~C must land A, B, C in ONE group
     even when A~C itself is below threshold.
 
-    Algorithm: iterative min-label propagation. Every node starts
-    labelled with itself; each round every node takes the min of its own
-    label and its neighbors' labels. The smallest id in a component
-    floods one hop per round, so the loop converges in <= component-
-    diameter rounds — shallow for near-dup clusters (tight clumps around
-    a template, not long chains). Each round is one equi-join + one
-    min-aggregate, both shuffling only ``(bigint, bigint)`` rows — at
-    10^11 docs the label table is a skinny fraction of the corpus (only
-    docs that occur in a candidate pair). Lineage is truncated per round
-    with an eager ``localCheckpoint`` (iterative joins otherwise nest
-    plans exponentially); on a real cluster prefer reliable
-    ``checkpoint()`` so executor loss cannot drop label partitions. For
-    adversarially long chains at extreme scale, the round count can be
-    driven to O(log n) with the alternating large-star/small-star
-    transform (Kiveris et al., "Connected Components in MapReduce and
-    Beyond") — the same per-round join shape, so this operator is the
-    drop-in point.
+    Two interchangeable algorithms (identical output; both shuffle only
+    ``(bigint, bigint)`` rows — at 10^11 docs the edge table is a skinny
+    fraction of the corpus, only docs occurring in a candidate pair):
 
-    Convergence is detected distributively (count of changed labels —
-    one O(1)-result job per round, no label data on the driver). With
-    ``max_iter`` exhausted before convergence the partial labels are
+    - ``method="star"`` (default, the scale path): alternating
+      large-star/small-star edge rewrites (Kiveris et al., "Connected
+      Components in MapReduce and Beyond") that contract every component
+      to a star centered on its minimum node in **O(log n) rounds even
+      on adversarially long chains** — each round is two join+min-agg
+      passes over the edge set, which only ever references component-
+      internal nodes.
+    - ``method="label"`` (small-graph path): min-label propagation —
+      every node repeatedly takes the min of its own and its neighbors'
+      labels, converging in <= component-diameter rounds. One join +
+      one aggregate per round, the cheapest loop for the shallow, clumpy
+      components real near-dup corpora produce.
+
+    Both truncate lineage per round with an eager ``localCheckpoint``
+    (iterative joins otherwise nest plans exponentially; on a real
+    cluster prefer reliable ``checkpoint()`` so executor loss cannot
+    drop partitions) and detect convergence distributively (O(1)-result
+    count jobs per round, no edge/label data on the driver). With
+    ``max_iter`` exhausted before convergence the partial result is
     still a valid over-segmentation (every label names a doc in the
     component); raise ``max_iter`` for pathological graphs."""
-    e = pairs.select(F.col(a_col).cast("bigint").alias("src"),
-                     F.col(b_col).cast("bigint").alias("dst"))
+    e = (pairs.select(F.col(a_col).cast("bigint").alias("src"),
+                      F.col(b_col).cast("bigint").alias("dst"))
+              .filter(F.col("src") != F.col("dst")))
+    if method == "star":
+        labels, _ = _cc_two_phase(e, max_iter)
+    elif method == "label":
+        labels, _ = _cc_min_label(e, max_iter)
+    else:
+        raise ValueError(f"method must be 'star' or 'label', got {method!r}")
+    return labels
+
+
+def _cc_min_label(e: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
+    """Min-label propagation CC. Returns ``(labels, rounds_run)``."""
     edges = e.union(e.select(F.col("dst").alias("src"),
                              F.col("src").alias("dst")))
     labels = (edges.select(F.col("src").alias("node")).distinct()
                    .withColumn("lbl", F.col("node"))
                    .localCheckpoint(eager=True))
     edges = edges.localCheckpoint(eager=True)   # reused every round
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         nbr = (edges.join(labels, edges["dst"] == labels["node"])
                     .groupBy("src").agg(F.min("lbl").alias("_nlbl")))
         new = (labels.join(nbr, labels["node"] == nbr["src"], "left")
@@ -453,5 +475,65 @@ def near_dup_groups(
         labels = new.drop("_old")
         if changed == 0:
             break
-    return labels.select(F.col("node").alias("doc_id"),
-                         F.col("lbl").alias("group_id"))
+    return (labels.select(F.col("node").alias("doc_id"),
+                          F.col("lbl").alias("group_id")), rounds)
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star: every node connects its strictly-LARGER neighbors to
+    the minimum of its closed neighborhood. Output edges are oriented
+    big -> small and self-loop-free by construction (v > u >= m)."""
+    sym = e.union(e.select(F.col("dst").alias("src"),
+                           F.col("src").alias("dst")))
+    mins = sym.groupBy("src").agg(
+        F.min(F.least(F.col("src"), F.col("dst"))).alias("_m"))
+    return (sym.join(mins, "src")
+               .where(F.col("dst") > F.col("src"))
+               .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+               .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: every node connects its smaller-or-equal neighbors
+    (and itself) to the minimum among them. Input/output oriented
+    big -> small; self-loops dropped."""
+    o = (e.select(F.greatest("src", "dst").alias("src"),
+                  F.least("src", "dst").alias("dst"))
+          .where(F.col("src") != F.col("dst")).distinct())
+    mins = o.groupBy("src").agg(F.min("dst").alias("_m"))
+    return (o.join(mins, "src")
+             .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+             .union(mins.select(F.col("src"), F.col("_m").alias("dst")))
+             .where(F.col("src") != F.col("dst"))
+             .distinct())
+
+
+def _cc_two_phase(e: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star CC (Kiveris et al.). Returns
+    ``(labels, rounds_run)``; converges when a round leaves the edge set
+    unchanged — at that fixed point the edges form a star forest, each
+    edge ``(node, component_min)``. Component minima never appear on the
+    left, so they label themselves via the anti-join."""
+    nodes = (e.select("src").union(e.select(F.col("dst").alias("src")))
+              .distinct().localCheckpoint(eager=True))
+    cur = (e.select(F.greatest("src", "dst").alias("src"),
+                    F.least("src", "dst").alias("dst"))
+            .distinct().localCheckpoint(eager=True))
+    n_cur = cur.count()
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        new = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        n_new = new.count()
+        same = (n_new == n_cur and new.subtract(cur).count() == 0)
+        cur, n_cur = new, n_new
+        if same:
+            break
+    # groupBy-min tolerates a non-converged (multi-edge) state: the label
+    # is then still some component member, a valid over-segmentation
+    star = cur.groupBy("src").agg(F.min("dst").alias("group_id"))
+    roots = (nodes.join(star, nodes["src"] == star["src"], "left_anti")
+                  .select(F.col("src"), F.col("src").alias("group_id")))
+    return (star.select(F.col("src").alias("doc_id"), "group_id")
+                .union(roots.select(F.col("src").alias("doc_id"),
+                                    "group_id")), rounds)

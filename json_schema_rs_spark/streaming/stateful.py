@@ -37,13 +37,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
-OUTPUT_SCHEMA = T.StructType([
-    T.StructField("conv_id", T.StringType()),
-    T.StructField("turn_idx", T.IntegerType()),
-    T.StructField("instance_path", T.StringType()),
-    T.StructField("code", T.StringType()),
-    T.StructField("message", T.StringType()),
-])
+def _output_schema(conv_col: str, idx_col: str) -> T.StructType:
+    """Violation schema named after the configured key columns — the
+    batch operators (`F.col(conv_col)` / `F.col(idx_col)`) keep the
+    caller's names, so byte-parity requires the stream to as well."""
+    return T.StructType([
+        T.StructField(conv_col, T.StringType()),
+        T.StructField(idx_col, T.IntegerType()),
+        T.StructField("instance_path", T.StringType()),
+        T.StructField("code", T.StringType()),
+        T.StructField("message", T.StringType()),
+    ])
+
+
+# default-named schema, kept for callers/tests that import it directly
+OUTPUT_SCHEMA = _output_schema("conv_id", "turn_idx")
 
 # state: parallel arrays of turn indices and event timestamps (micros)
 STATE_SCHEMA = T.StructType([
@@ -64,38 +72,43 @@ def _fmt_ts(us: int) -> str:
     return base
 
 
-def _close_conversation(conv_id: str, idxs: list, ts_us: list) -> pd.DataFrame:
+def _close_conversation(conv_id: str, idxs: list, ts_us: list,
+                        columns: list, idx_path: str,
+                        ts_path: str) -> pd.DataFrame:
     """The batch checks over one finished conversation's buffered turns.
     Same semantics as turn_gap_violations / monotonic_ts_violations:
     order by turn_idx, dense position must equal the index, timestamps
-    non-decreasing in turn order."""
+    non-decreasing in turn order. Paths/messages derive from the
+    configured column names, exactly as the batch operators' do."""
     order = sorted(range(len(idxs)), key=lambda i: idxs[i])
     rows = []
     prev_ts = None
     for pos, i in enumerate(order):
         idx, us = idxs[i], ts_us[i]
         if idx != pos:
-            rows.append((conv_id, idx, "/turn_idx", "TurnGap",
-                         f"/turn_idx: turn index {idx} at position {pos} "
+            rows.append((conv_id, idx, idx_path, "TurnGap",
+                         f"{idx_path}: turn index {idx} at position {pos} "
                          "breaks gap-free ordering"))
         if prev_ts is not None and us < prev_ts:
-            rows.append((conv_id, idx, "/ts", "NonMonotonicTs",
-                         f"/ts: timestamp {_fmt_ts(us)} is before previous "
-                         f"turn's {_fmt_ts(prev_ts)}"))
+            rows.append((conv_id, idx, ts_path, "NonMonotonicTs",
+                         f"{ts_path}: timestamp {_fmt_ts(us)} is before "
+                         f"previous turn's {_fmt_ts(prev_ts)}"))
         prev_ts = us
-    return pd.DataFrame(
-        rows, columns=["conv_id", "turn_idx", "instance_path", "code",
-                       "message"])
+    return pd.DataFrame(rows, columns=columns)
 
 
-def _make_func(idx_col: str, ts_col: str, gap_ms: int):
+def _make_func(conv_col: str, idx_col: str, ts_col: str, gap_ms: int):
+    columns = [conv_col, idx_col, "instance_path", "code", "message"]
+    idx_path, ts_path = "/" + idx_col, "/" + ts_col
+
     def func(key: Tuple[str], pdfs: Iterator[pd.DataFrame],
              state: GroupState) -> Iterator[pd.DataFrame]:
         (conv_id,) = key
         if state.hasTimedOut:
             idxs, ts_us = state.get
             state.remove()
-            yield _close_conversation(conv_id, list(idxs), list(ts_us))
+            yield _close_conversation(conv_id, list(idxs), list(ts_us),
+                                      columns, idx_path, ts_path)
             return
         if state.exists:
             prev_idxs, prev_ts = state.get
@@ -118,7 +131,7 @@ def _make_func(idx_col: str, ts_col: str, gap_ms: int):
         state.setTimeoutTimestamp(
             max(max(ts_us) // 1000 + gap_ms,
                 state.getCurrentWatermarkMs() + 1))
-        yield pd.DataFrame(columns=OUTPUT_SCHEMA.fieldNames())
+        yield pd.DataFrame(columns=columns)
     return func
 
 
@@ -141,8 +154,8 @@ def stateful_transcript_checks(
             .withWatermark(ts_col, watermark_delay)
             .groupBy(conv_col)
             .applyInPandasWithState(
-                _make_func(idx_col, ts_col, session_gap_ms),
-                outputStructType=OUTPUT_SCHEMA,
+                _make_func(conv_col, idx_col, ts_col, session_gap_ms),
+                outputStructType=_output_schema(conv_col, idx_col),
                 stateStructType=STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))

@@ -5,9 +5,14 @@ the operator under test; the sf0.001 case additionally chains the real
 LSH pair operator into groups.
 """
 
+import math
+
 import pytest
+from pyspark.sql import functions as F
 
 from json_schema_rs_spark.operators.dedup import (
+    _cc_min_label,
+    _cc_two_phase,
     minhash_lsh_pairs,
     near_dup_groups,
 )
@@ -36,10 +41,15 @@ def _union_find(pairs):
 
 
 def _check(spark, pairs, max_iter=25):
-    got = {r["doc_id"]: r["group_id"]
-           for r in near_dup_groups(_pairs_df(spark, pairs),
-                                    max_iter=max_iter).collect()}
-    assert got == _union_find(pairs)
+    # both algorithms must produce the identical grouping
+    got = None
+    for method in ("star", "label"):
+        m = {r["doc_id"]: r["group_id"]
+             for r in near_dup_groups(_pairs_df(spark, pairs),
+                                      max_iter=max_iter,
+                                      method=method).collect()}
+        assert m == _union_find(pairs), method
+        got = m
     return got
 
 
@@ -78,6 +88,32 @@ def test_max_iter_partial_is_valid_labelling(spark):
                _pairs_df(spark, [(5, 6), (6, 7)]), max_iter=1).collect()}
     assert set(got) == {5, 6, 7}
     assert all(lbl in {5, 6, 7} and lbl <= n for n, lbl in got.items())
+
+
+def test_star_converges_in_log_rounds_on_long_chain(spark):
+    """The adversarial case for min-label propagation: a path graph,
+    where the min label must flood the full diameter (one hop per
+    round). Large-star/small-star contracts it in O(log n) rounds —
+    this is exactly why it is the scale path."""
+    n = 64
+    chain = [(i, i + 1) for i in range(n)]          # path 0-1-...-64
+    edges = (_pairs_df(spark, chain)
+             .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")))
+    star_labels, star_rounds = _cc_two_phase(edges, max_iter=50)
+    got = {r["doc_id"]: r["group_id"] for r in star_labels.collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+    # Kiveris et al. bound: O(log n) alternating rounds; generous 2x
+    # headroom over log2(65) ~ 6.02 still rejects any linear behavior
+    assert star_rounds <= 2 * math.ceil(math.log2(n + 1)) + 2, star_rounds
+    # and min-label genuinely needs ~diameter rounds on the same graph
+    _, label_rounds = _cc_min_label(edges, max_iter=n + 5)
+    assert label_rounds > star_rounds
+    assert label_rounds >= n / 2
+
+
+def test_near_dup_groups_rejects_unknown_method(spark):
+    with pytest.raises(ValueError, match="method"):
+        near_dup_groups(_pairs_df(spark, [(1, 2)]), method="bogus")
 
 
 def test_groups_from_lsh_pairs_sf0001(spark, sf_dir):

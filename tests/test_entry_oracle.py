@@ -49,3 +49,11 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
               for r in entry_mod.queries()["a_ivf_topk"](spark, sf_dir).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"IVF recall {recall:.2f} below curve floor"
+    # the trained-centroid entry (production shape) must do at least as
+    # well as the untrained floor — k-means balances buckets, it must
+    # not cost recall at the same nprobe
+    trained = {(r.query_id, r.neighbor_id)
+               for r in entry_mod.queries()["a_ivf_topk_trained"](
+                   spark, sf_dir).collect()}
+    t_recall = len(exact & trained) / len(exact)
+    assert t_recall >= 0.6, f"trained IVF recall {t_recall:.2f} below floor"

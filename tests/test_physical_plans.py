@@ -121,9 +121,23 @@ def test_ivf_and_bucketed_dup_no_corpus_shuffle(spark, emb):
     q = emb.filter(F.col("vec_id") < 3)
     ivf = _plan(similarity.ivf_topk(emb, q, k=3, n_centroids=8, nprobe=2))
     assert "Exchange hashpartitioning(vec_id" not in ivf
+    # candidate scoring must be the Arrow/NumPy kernel, not the
+    # interpreted (CodegenFallback) HOF fold — at scale the candidate set
+    # is |corpus| x nprobe/n_centroids rows and an interpreted dot
+    # product would dominate the designated ANN path
+    assert "aggregate(zip_with" not in ivf
     dup = _plan(similarity.cosine_dup_pairs_bucketed(emb, threshold=0.4,
                                                      n_centroids=8))
     assert "Exchange hashpartitioning(vec_id" not in dup
+
+
+def test_cosine_np_verifier_caps_corpus(spark, emb):
+    """The driver-collect verifier's moderate-corpus role is enforced in
+    code: above max_corpus_rows it must raise (pointing at the bucketed
+    scale path) instead of collecting — a 10^9-row misuse fails loudly,
+    not with a driver OOM."""
+    with pytest.raises(ValueError, match="bucketed"):
+        similarity.cosine_dup_pairs_np(emb, threshold=0.9, max_corpus_rows=5)
 
 
 def test_cosine_np_bit_identical_to_fold(spark, emb):

@@ -40,7 +40,7 @@ SENTINEL = ("ZZ-flush", 0, "user", _ts(59))
 SCHEMA = "conv_id string, turn_idx int, role string, ts timestamp"
 
 
-def _write_chunks(spark, tmp_path, chunks) -> str:
+def _write_chunks(spark, tmp_path, chunks, schema=SCHEMA) -> str:
     """One parquet FILE per chunk in a flat dir, mtimes strictly increasing
     so the file stream source (oldest-first) processes them in order — the
     sentinel must come last or earlier rows would fall behind the
@@ -52,7 +52,7 @@ def _write_chunks(spark, tmp_path, chunks) -> str:
     os.makedirs(d, exist_ok=True)
     for i, chunk in enumerate(chunks):
         staging = str(tmp_path / f"staging_{i}")
-        spark.createDataFrame(chunk, SCHEMA).coalesce(1) \
+        spark.createDataFrame(chunk, schema).coalesce(1) \
             .write.parquet(staging)
         (part,) = glob.glob(os.path.join(staging, "part-*.parquet"))
         dest = os.path.join(d, f"chunk{i}.parquet")
@@ -103,6 +103,37 @@ def test_stream_matches_batch_bytes(spark, chunk_dir, tmp_path):
     # restart from the checkpoint with no new input: nothing re-emits
     # (state was dropped at close -> exactly-once violation emission)
     assert run_once() == expected
+
+
+def test_nondefault_column_names_keep_batch_parity(spark, tmp_path):
+    """conv_col/idx_col/ts_col are not just input selectors: the output
+    schema, instance paths, and message bytes must all derive from the
+    configured names exactly as the batch operators derive theirs."""
+    renamed = [(c, i, r, t) for c, i, r, t in ROWS]
+    schema = "session string, seq int, role string, event_ts timestamp"
+    d = _write_chunks(spark, tmp_path, [renamed + [SENTINEL]], schema=schema)
+    out = stateful_transcript_checks(
+        spark.readStream.schema(schema).parquet(d),
+        conv_col="session", idx_col="seq", ts_col="event_ts",
+        watermark_delay="10 minutes", session_gap_ms=5_000)
+    assert out.columns == ["session", "seq", "instance_path", "code",
+                           "message"]
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("stateful_renamed")
+         .option("checkpointLocation", str(tmp_path / "ckpt3")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(tuple(r)
+                 for r in spark.sql("SELECT * FROM stateful_renamed").collect())
+    df = spark.createDataFrame(renamed, schema)
+    gap = turn_gap_violations(df, conv_col="session", idx_col="seq")
+    mono = monotonic_ts_violations(df, conv_col="session", idx_col="seq",
+                                   ts_col="event_ts")
+    expected = sorted(tuple(r) for r in gap.unionByName(mono).collect())
+    assert len(expected) >= 3
+    assert got == expected
 
 
 def test_open_conversations_stay_silent(spark, tmp_path):
