@@ -415,12 +415,418 @@ def gen_patterns():
     return out
 
 
+# ---------------------------------------------------------------------------
+# Nasty-case families (round-3): the shapes the official suite is famous
+# for — exotic unicode lengths, $ref chains/diamonds, the full ECMA-262
+# (+Annex B) divergence corpus from functions/ecma_regex.py's table,
+# float boundary arithmetic, serde-equality edge cases, pathological
+# combinator nests. Expected verdicts remain first-principles one-liners
+# (len(), <=, hand-derived ECMA match semantics), never the engine.
+# ---------------------------------------------------------------------------
+
+def gen_unicode_lengths():
+    """minLength/maxLength count CODE POINTS: astral chars are 1, combining
+    marks are their own code points, ZWJ sequences count every scalar."""
+    probes = [
+        "\U0001F600",                  # astral emoji: 1 cp
+        "\u00e9",                 # NFC e-acute: 1 cp
+        "e\u0301",                # NFD e-acute: 2 cps
+        "\U0001F44D\U0001F3FD",        # emoji + skin-tone modifier: 2 cps
+        "\U0001F468\u200d\U0001F469\u200d\U0001F467",  # ZWJ family: 5 cps
+        "\ufeff",                 # BOM is a countable char: 1 cp
+        "\U0010FFFF",                  # max scalar: 1 cp
+        "a\U0001F600b",                # mixed: 3 cps
+        "A\u0328\u030a",          # A + 2 combining: 3 cps
+        "",                            # empty: 0
+        "\U0001F680" * 4,              # 4 cps
+    ]
+    out = []
+    for mn, mx in [(0, 0), (1, 1), (2, 2), (3, 3), (1, 4), (5, 5)]:
+        out.append(_group(
+            f"unicode codepoint length [{mn},{mx}]",
+            {"type": "object",
+             "properties": {"s": {"type": "string",
+                                  "minLength": mn, "maxLength": mx}}},
+            [_t(f"cp len {len(s)}: {s!r}", {"s": s}, mn <= len(s) <= mx)
+             for s in probes],
+            {"s": "string"}))
+    return out
+
+
+def gen_ref_chains():
+    out = []
+    # 6-deep $ref chain ending in a real constraint
+    defs = {"d0": {"type": "string", "minLength": 2}}
+    for i in range(1, 6):
+        defs[f"d{i}"] = {"$ref": f"#/$defs/d{i-1}"}
+    out.append(_group(
+        "ref chain depth 6",
+        {"$defs": defs, "type": "object",
+         "properties": {"a": {"$ref": "#/$defs/d5"}}},
+        [_t("ok", {"a": "ab"}, True), _t("short", {"a": "a"}, False),
+         _t("absent", {}, True)],
+        {"a": "string"}))
+    # diamond: two properties share one def through different hops
+    out.append(_group(
+        "ref diamond",
+        {"$defs": {"leaf": {"type": "integer", "minimum": 0},
+                   "l": {"$ref": "#/$defs/leaf"},
+                   "r": {"$ref": "#/$defs/leaf"}},
+         "type": "object",
+         "properties": {"x": {"$ref": "#/$defs/l"},
+                        "y": {"$ref": "#/$defs/r"}}},
+        [_t("both ok", {"x": 1, "y": 2}, True),
+         _t("left neg", {"x": -1, "y": 2}, False),
+         _t("right neg", {"x": 1, "y": -2}, False)],
+        {"x": "bigint", "y": "bigint"}))
+    # ref inside combinator arms
+    out.append(_group(
+        "refs inside anyOf",
+        {"$defs": {"low": {"type": "number", "maximum": 3},
+                   "high": {"type": "number", "minimum": 10}},
+         "type": "object",
+         "properties": {"x": {"anyOf": [{"$ref": "#/$defs/low"},
+                                        {"$ref": "#/$defs/high"}]}}},
+        [_t("low", {"x": 1.0}, True), _t("mid", {"x": 5.0}, False),
+         _t("high", {"x": 11.0}, True)],
+        {"x": "double"}))
+    # allOf of refs
+    out.append(_group(
+        "allOf of refs",
+        {"$defs": {"min2": {"type": "string", "minLength": 2},
+                   "max4": {"type": "string", "maxLength": 4}},
+         "type": "object",
+         "properties": {"s": {"allOf": [{"$ref": "#/$defs/min2"},
+                                        {"$ref": "#/$defs/max4"}]}}},
+        [_t("ok", {"s": "abc"}, True), _t("short", {"s": "a"}, False),
+         _t("long", {"s": "abcde"}, False)],
+        {"s": "string"}))
+    # 3-cycle through $defs
+    out.append(_group(
+        "ref 3-cycle",
+        {"$defs": {"a": {"$ref": "#/$defs/b"}, "b": {"$ref": "#/$defs/c"},
+                   "c": {"$ref": "#/$defs/a"}},
+         "type": "object", "properties": {"x": {"$ref": "#/$defs/a"}}},
+        [_t("cycle invalid when present", {"x": 1}, False),
+         _t("absent ok", {}, True)],
+        {"x": "bigint"}))
+    # chain whose last hop dangles
+    out.append(_group(
+        "ref chain to dangling",
+        {"$defs": {"a": {"$ref": "#/$defs/b"}, "b": {"$ref": "#/$defs/gone"}},
+         "type": "object", "properties": {"x": {"$ref": "#/$defs/a"}}},
+        [_t("invalid when present", {"x": "v"}, False)],
+        {"x": "string"}))
+    return out
+
+
+def gen_pattern_annexb():
+    """The ECMA-262(+Annex B) divergence corpus — one group per construct
+    from functions/ecma_regex.py's divergence table, expected verdicts
+    hand-derived from the spec (partial-match semantics, no flags)."""
+    cases = [
+        # real quantifier vs Annex B literal brace
+        ("a{2,}", [("aa", True), ("a", False), ("baaa", True)]),
+        ("a{,3}", [("xa{,3}y", True), ("aaa", False)]),  # {,3} is literal
+        ("^$", [("", True), ("x", False)]),
+        # ECMA `.`: NEL U+0085 matches (not a LineTerminator); LS/PS/\n don't
+        (".", [("\u0085", True), ("\u2028", False), ("\n", False),
+               ("ab", True), ("", False)]),
+        # ECMA \s: BOM + Zs + NBSP in; ZWSP out
+        ("\\s", [("\ufeff", True), ("\u00a0", True), ("\u3000", True),
+                 ("x", False), ("\u200b", False)]),
+        # ECMA \w, \d, \b are ASCII-only
+        ("\\w+", [("_a1", True), ("\u00e9", False), ("%%", False)]),
+        ("\\bfoo\\b", [("a foo b", True), ("afoob", False), ("foo", True)]),
+        # Annex B: \c not followed by a letter = literal backslash, c kept
+        ("\\c5", [("a\\c5", True), ("c5", False)]),
+        # Annex B IdentityEscape: \q is literal q
+        ("\\q", [("q", True), ("x", False)]),
+        # [] never matches; [^] matches ANY char including line terminators
+        ("a[]b", [("ab", False), ("a]b", False)]),
+        ("[^]", [("\n", True), ("a", True), ("", False)]),
+        # \8 with no 8th group: literal 8
+        ("\\8", [("8", True), ("9", False)]),
+        # backreferences
+        ("(ab)\\1", [("xabab", True), ("abba", False), ("ab", False)]),
+        ("(?<g1>ab)\\k<g1>", [("abab", True), ("abxab", False)]),
+        # lookahead (positive, negative, Annex B quantified)
+        ("a(?=b)", [("ab", True), ("ac", False)]),
+        ("a(?!b)", [("ac", True), ("ab", False), ("ba", True)]),
+        ("(?=a)*b", [("b", True), ("ab", True), ("c", False)]),
+        # Annex B legacy octal: \101 = U+0041
+        ("\\101", [("A", True), ("101", False)]),
+        # Annex B: `-` after a class escape is a literal dash
+        ("[\\d-x]", [("5", True), ("-", True), ("x", True), ("y", False)]),
+        # empty alternative matches the empty string -> always true
+        ("x|", [("x", True), ("", True), ("y", True)]),
+        # $ is absolute end (no multiline): trailing \n defeats it
+        ("a$", [("ba", True), ("a\n", False)]),
+        ("[a-c]+$", [("xabc", True), ("abcx", False)]),
+        # escapes
+        ("\\u0041", [("A", True), ("u0041", False)]),
+        ("\\x41", [("A", True), ("B", False)]),
+        ("\\0", [("\x00", True), ("0", False)]),
+        ("(?:ab)+", [("abab", True), ("aab", True), ("ba", False)]),
+        # nested quantifiers + alternation
+        ("(a|b)*c", [("abbac", True), ("c", True), ("ab", False)]),
+    ]
+    out = []
+    for pat, probes in cases:
+        out.append(_group(
+            f"annexb pattern {pat!r}",
+            {"type": "object",
+             "properties": {"s": {"type": "string", "pattern": pat}}},
+            [_t(f"probe {s!r}", {"s": s}, ok) for s, ok in probes],
+            {"s": "string"}))
+    return out
+
+
+def gen_numeric_boundaries():
+    """Bounds compared in f64 arithmetic: 2^53 rounding, -0.0 == 0.0,
+    0.1 + 0.2 drift, shortest-repr boundary values."""
+    out = []
+    grids = [
+        (-0.5, 0.5, [-0.5, -0.0, 0.0, 0.5, 0.5000000000000001,
+                     -0.5000000000000001, 0.25]),
+        (0.1, 0.3, [0.1, 0.3, 0.30000000000000004,   # = 0.1 + 0.2
+                    0.09999999999999999, 0.2]),
+        (5.0, 5.0, [5.0, 5.000000000000001, 4.999999999999999]),
+        (-1e308, 1e308, [1e308, -1e308, 1.5e308, -1.5e308, 0.0]),
+        (1e-12, 1e-10, [1e-12, 1e-10, 9.999999999999999e-13, 5e-11]),
+    ]
+    for mn, mx, vals in grids:
+        out.append(_group(
+            f"float boundary bounds [{mn!r},{mx!r}]",
+            {"type": "object",
+             "properties": {"x": {"type": "number",
+                                  "minimum": mn, "maximum": mx}}},
+            [_t(f"x={v!r}", {"x": v}, mn <= v <= mx) for v in vals],
+            {"x": "double"}))
+    # 2^53 region on an integer column: bounds given as JSON ints are
+    # compared as f64 (the reference parses bounds into f64)
+    lo, hi = 2**53 - 1, 2**53 + 2
+    vals = [2**53 - 2, 2**53 - 1, 2**53, 2**53 + 2, 2**53 + 4]
+    out.append(_group(
+        "2^53 integer bounds",
+        {"type": "object",
+         "properties": {"i": {"type": "integer",
+                              "minimum": lo, "maximum": hi}}},
+        [_t(f"i={v}", {"i": v}, float(lo) <= float(v) <= float(hi))
+         for v in vals],
+        {"i": "bigint"}))
+    # negative integer bounds
+    out.append(_group(
+        "negative integer bounds [-6,-3]",
+        {"type": "object",
+         "properties": {"i": {"type": "integer",
+                              "minimum": -6, "maximum": -3}}},
+        [_t(f"i={v}", {"i": v}, -6 <= v <= -3)
+         for v in [-7, -6, -4, -3, -2, 0]],
+        {"i": "bigint"}))
+    return out
+
+
+def gen_enum_nasty():
+    out = []
+    # unicode normalization: NFC and NFD are DIFFERENT strings
+    out.append(_group(
+        "enum NFC vs NFD",
+        {"type": "object", "properties": {"s": {"enum": ["\u00e9", "\U0001F680"]}}},
+        [_t("NFC member", {"s": "\u00e9"}, True),
+         _t("NFD probe is a different string", {"s": "e\u0301"}, False),
+         _t("astral member", {"s": "\U0001F680"}, True),
+         _t("astral + space", {"s": "\U0001F680 "}, False)],
+        {"s": "string"}))
+    # empty string is a legitimate enum member
+    out.append(_group(
+        "enum empty string member",
+        {"type": "object", "properties": {"s": {"enum": ["", "x"]}}},
+        [_t("empty", {"s": ""}, True), _t("space", {"s": " "}, False),
+         _t("x", {"s": "x"}, True)],
+        {"s": "string"}))
+    # long member
+    long = "k" * 500
+    out.append(_group(
+        "enum long member",
+        {"type": "object", "properties": {"s": {"enum": [long]}}},
+        [_t("match", {"s": long}, True),
+         _t("one short", {"s": long[:-1]}, False)],
+        {"s": "string"}))
+    # serde equality on array members: [1] and [1.0] are distinct
+    out.append(_group(
+        "enum array int vs float members", {"enum": [[1], ["a"]]},
+        [_t("[1]", [1], True), _t("[1.0] distinct", [1.0], False),
+         _t('["a"]', ["a"], True), _t("[] no member", [], False)]))
+    # const deep object: key order irrelevant, values exact
+    out.append(_group(
+        "const nested object",
+        {"const": {"a": 1, "b": [2, 3], "c": {"d": None}}},
+        [_t("same other order", {"c": {"d": None}, "b": [2, 3], "a": 1}, True),
+         _t("array order matters", {"a": 1, "b": [3, 2], "c": {"d": None}},
+            False),
+         _t("int vs float inside", {"a": 1.0, "b": [2, 3], "c": {"d": None}},
+            False)]))
+    return out
+
+
+def gen_combinator_nasty():
+    out = []
+    # oneOf with 5 overlapping branches: valid iff EXACTLY one matches
+    branches = [{"type": "number", "maximum": m} for m in (2, 4, 6, 8, 10)]
+    def n_matches(x):
+        return sum(x <= m for m in (2, 4, 6, 8, 10))
+    out.append(_group(
+        "oneOf five overlapping",
+        {"type": "object", "properties": {"x": {"oneOf": branches}}},
+        [_t(f"x={v} matches {n_matches(v)}", {"x": float(v)},
+            n_matches(v) == 1) for v in [1, 3, 7, 9, 11]],
+        {"x": "double"}))
+    # duplicated subschema: any match is a double match
+    out.append(_group(
+        "oneOf duplicated subschema",
+        {"type": "object",
+         "properties": {"x": {"oneOf": [{"type": "number", "minimum": 0},
+                                        {"type": "number", "minimum": 0}]}}},
+        [_t("non-negative double-matches", {"x": 1.0}, False),
+         _t("negative zero-matches", {"x": -1.0}, False),
+         _t("absent ok", {}, True)],
+        {"x": "double"}))
+    # contradictory allOf: nothing present ever passes
+    out.append(_group(
+        "allOf contradictory bounds",
+        {"type": "object",
+         "properties": {"x": {"allOf": [{"type": "number", "minimum": 5},
+                                        {"type": "number", "maximum": 3}]}}},
+        [_t("present fails", {"x": 4.0}, False),
+         _t("even boundary fails", {"x": 5.0}, False),
+         _t("absent ok", {}, True)],
+        {"x": "double"}))
+    # oneOf of oneOf: inner arm is itself exactly-one
+    inner = {"oneOf": [{"type": "number", "maximum": 2},
+                       {"type": "number", "minimum": 1}]}
+    out.append(_group(
+        "oneOf nested in oneOf",
+        {"type": "object",
+         "properties": {"x": {"oneOf": [inner,
+                                        {"type": "number", "minimum": 100}]}}},
+        # inner valid iff x<1 or x>2 (exactly one of <=2 / >=1);
+        # outer second arm: x>=100. x=150: inner valid AND >=100 -> two
+        [_t("x=0.5 inner only", {"x": 0.5}, True),
+         _t("x=1.5 neither (inner double-match)", {"x": 1.5}, False),
+         _t("x=50 inner only", {"x": 50.0}, True),
+         _t("x=150 both arms", {"x": 150.0}, False)],
+        {"x": "double"}))
+    # anyOf containing allOf
+    out.append(_group(
+        "allOf inside anyOf",
+        {"type": "object",
+         "properties": {"s": {"anyOf": [
+             {"allOf": [{"type": "string", "minLength": 2},
+                        {"type": "string", "maxLength": 3}]},
+             {"type": "string", "minLength": 10}]}}},
+        [_t("len 2 first arm", {"s": "ab"}, True),
+         _t("len 5 neither", {"s": "abcde"}, False),
+         _t("len 10 second arm", {"s": "abcdefghij"}, True)],
+        {"s": "string"}))
+    return out
+
+
+def gen_deep_nesting():
+    """Deeply nested properties/required/items — the interpreter-only
+    stress shapes the official suite is famous for."""
+    # 5-deep object chain, required at every level, bound at the leaf
+    leaf = {"type": "integer", "minimum": 10}
+    schema = leaf
+    for i in reversed(range(5)):
+        schema = {"type": "object", "required": [f"k{i}"],
+                  "properties": {f"k{i}": schema}}
+    def nest(v, depth=5):
+        for i in reversed(range(depth)):
+            v = {f"k{i}": v}
+        return v
+    good = nest(11)
+    short = nest(11, 3)          # missing k3/k4 below depth 3
+    bad_leaf = nest(9)
+    out = [_group(
+        "required chain depth 5", schema,
+        [_t("full path ok", good, True),
+         _t("leaf below minimum", bad_leaf, False),
+         _t("chain cut at depth 3", short, False),
+         _t("root not object", 7, False)])]
+    # array of objects with required inside items
+    out.append(_group(
+        "items of objects with required",
+        {"type": "array",
+         "items": {"type": "object", "required": ["id"],
+                   "properties": {"id": {"type": "integer"}}}},
+        [_t("all have id", [{"id": 1}, {"id": 2}], True),
+         _t("one missing", [{"id": 1}, {}], False),
+         _t("wrong id type", [{"id": "x"}], False),
+         _t("empty array", [], True)]))
+    # alternating array/object nesting
+    out.append(_group(
+        "object-array-object nesting",
+        {"type": "object",
+         "properties": {"rows": {"type": "array",
+                                 "items": {"type": "object",
+                                           "properties": {"v": {"type": "number",
+                                                                "maximum": 1}}}}}},
+        [_t("ok", {"rows": [{"v": 0.5}, {"v": 1.0}]}, True),
+         _t("deep violation", {"rows": [{"v": 0.5}, {"v": 1.5}]}, False),
+         _t("rows absent", {}, True)]))
+    return out
+
+
+def gen_uuid_nasty():
+    u0 = "00000000-0000-0000-0000-000000000000"
+    uf = "ffffffff-ffff-ffff-ffff-ffffffffffff"
+    vals = [
+        (u0, True), (uf, True), (uf.upper(), True),
+        (u0.replace("-", ""), True),                      # simple form
+        ("123E4567-e89b-12d3-A456-426614174000", True),   # mixed case
+        ("123e4567e89b-12d3-a456-426614174000", False),   # dash misplaced
+        ("123e4567-e89b-12d3-a456-42661417400", False),   # 31 hex
+        ("123e4567-e89b-12d3-a456-4266141740000", False), # 33 hex
+        (" 123e4567-e89b-12d3-a456-426614174000", False), # leading space
+        ("123e4567-e89b-12d3-a456-4266 4174000", False),  # inner space
+    ]
+    return [_group(
+        "format uuid nasty",
+        {"type": "object",
+         "properties": {"s": {"type": "string", "format": "uuid"}}},
+        [_t(f"uuid {v!r}", {"s": v}, ok) for v, ok in vals],
+        {"s": "string"})]
+
+
+def gen_bounds_grid():
+    """Systematic off-by-one sweep: every integer bound pair against the
+    seven interesting probes around it (below-min, min, min+1, mid,
+    max-1, max, above-max)."""
+    out = []
+    for mn, mx in [(0, 1), (0, 100), (-10, 10), (7, 7), (-100, -90),
+                   (1000000, 1000003), (0, 0), (-1, 1)]:
+        mid = (mn + mx) // 2
+        probes = sorted({mn - 1, mn, mn + 1, mid, mx - 1, mx, mx + 1})
+        out.append(_group(
+            f"bounds grid [{mn},{mx}]",
+            {"type": "object",
+             "properties": {"i": {"type": "integer",
+                                  "minimum": mn, "maximum": mx}}},
+            [_t(f"i={v}", {"i": v}, mn <= v <= mx) for v in probes],
+            {"i": "bigint"}))
+    return out
+
+
 def generate() -> list[dict]:
     groups = []
     for gen in (gen_type_matrix, gen_length, gen_bounds, gen_enum_const,
                 gen_required_properties, gen_arrays, gen_refs,
                 gen_combinators, gen_annotations, gen_type_array, gen_uuid,
-                gen_patterns):
+                gen_patterns,
+                gen_unicode_lengths, gen_ref_chains, gen_pattern_annexb,
+                gen_numeric_boundaries, gen_enum_nasty, gen_combinator_nasty,
+                gen_deep_nesting, gen_uuid_nasty, gen_bounds_grid):
         groups.extend(gen())
     return groups
 

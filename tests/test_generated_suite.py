@@ -32,13 +32,19 @@ EXPECTED_INTERPRETER_ONLY = {
     "uniqueItems serde equality", "nested items", "empty combinators",
     "oneOf zero subschemas", "const gates before combinators... const wins",
     "type array first element wins",
+    # round-3 nasty families with nested/mixed JSON shapes
+    "enum array int vs float members",      # arrays of heterogeneous kinds
+    "const nested object",                  # nested object instance
+    "required chain depth 5",               # 5-deep struct nesting
+    "items of objects with required",       # array<struct> instances
+    "object-array-object nesting",          # struct inside array column
 }
 
 
 def test_generated_corpus_size():
-    # "well above the 117 hand-translated cases" (round-1 verdict gap #2)
-    assert case_count(GROUPS) >= 200, case_count(GROUPS)
-    assert len(GROUPS) >= 40
+    # round-2 verdict asked for >= 500 cases with zero unexplained skips
+    assert case_count(GROUPS) >= 500, case_count(GROUPS)
+    assert len(GROUPS) >= 100
 
 
 def test_skip_list_is_exact():

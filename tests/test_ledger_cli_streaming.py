@@ -175,7 +175,10 @@ class TestPlanLineage:
             ValidationLedger,
             iceberg_available,
         )
-        assert iceberg_available(spark) is False
+        if iceberg_available(spark):
+            pytest.skip("Iceberg runtime present: parquet-fallback "
+                        "selection does not apply (covered by "
+                        "test_iceberg_branch_end_to_end instead)")
         led = ValidationLedger(spark, str(tmp_path / "led"),
                                table="cat.db.ledger")
         assert led.table is None     # fell back to parquet
@@ -184,3 +187,54 @@ class TestPlanLineage:
                      "wall_time_sec": 0.1, "spec_fingerprint": "f" * 16,
                      "finished_at": None}])
         assert led.completed_buckets("r") == {0}
+
+    def test_iceberg_branch_end_to_end(self, spark, tmp_path):
+        """Runs the REAL Iceberg ledger branch (catalog table create +
+        append + snapshot-history rerun via ``VERSION AS OF``) whenever
+        the runtime jar is on the classpath. In this container the jar is
+        absent and CANNOT be fetched (no package installs), so this test
+        pins that unsupported status with a loud skip instead of letting
+        the branch rot silently — SURVEY.md §2.4 resumability stays
+        designed-and-testable, executed wherever the jar ships."""
+        from json_schema_rs_spark.sources.ledger import (
+            ValidationLedger,
+            iceberg_available,
+        )
+        if not iceberg_available(spark):
+            pytest.skip(
+                "Iceberg runtime jar absent in this environment (pip/apt "
+                "installs unavailable; org.apache.iceberg.spark.SparkCatalog "
+                "not on classpath). Parquet fallback is the supported mode "
+                "here; this test executes the Iceberg branch as soon as a "
+                "jar is present.")
+        from pyspark.sql import SparkSession
+        wh = str(tmp_path / "iceberg_wh")
+        s = (SparkSession.builder.master("local[2]")
+             .appName("iceberg-ledger-test")
+             .config("spark.sql.catalog.it",
+                     "org.apache.iceberg.spark.SparkCatalog")
+             .config("spark.sql.catalog.it.type", "hadoop")
+             .config("spark.sql.catalog.it.warehouse", wh)
+             .getOrCreate())
+        try:
+            led = ValidationLedger(s, str(tmp_path / "led_fallback"),
+                                   table="it.db.ledger")
+            assert led.table == "it.db.ledger"
+            row = {"run_id": "r", "bucket": 0, "status": "done", "rows": 1,
+                   "valid_rows": 1, "violation_count": 0,
+                   "wall_time_sec": 0.1, "spec_fingerprint": "f" * 16,
+                   "finished_at": None}
+            led.append([row])
+            led.append([{**row, "bucket": 1}])
+            assert led.completed_buckets("r") == {0, 1}
+            # snapshot history: the first snapshot sees only bucket 0
+            snaps = s.sql(
+                "SELECT snapshot_id FROM it.db.ledger.snapshots "
+                "ORDER BY committed_at").collect()
+            assert len(snaps) >= 2
+            first = s.sql(
+                f"SELECT bucket FROM it.db.ledger "
+                f"VERSION AS OF {snaps[0].snapshot_id}").collect()
+            assert {r.bucket for r in first} == {0}
+        finally:
+            s.stop()
