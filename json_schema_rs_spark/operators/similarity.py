@@ -163,6 +163,15 @@ def cosine_dup_pairs_np(
                 f"cosine_dup_pairs_np is the driver-collect verifier for "
                 f"moderate corpora (cap {max_corpus_rows} rows; got more). "
                 f"Use cosine_dup_pairs_bucketed for at-scale near-dup.")
+    # parallelism guard (same rationale as dedup._spread): a small corpus
+    # in one parquet row group scans as ONE partition, serializing the
+    # whole O(n^2/P) kernel on a single core — and making its wall time
+    # hostage to single-core scheduling noise. A production corpus is
+    # many files; locally, hash-spread the skinny (_id, _v) projection so
+    # every core gets a block. Output is per-row, partitioning-invariant.
+    par = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par, "_id")
     rows = src.collect()
     ids = np.array([r["_id"] for r in rows], dtype="int64")
     mat = np.array([r["_v"] for r in rows], dtype="float64")

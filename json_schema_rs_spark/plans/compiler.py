@@ -688,11 +688,16 @@ def _compile_array(
         ))
     if node.unique_items is True:
         elem_dtype = tgt.dtype.elementType  # type: ignore[union-attr]
-        # first duplicate in (i, j) scan order = first element that already
-        # appeared earlier (validator/mod.rs:378-397)
+        # first duplicate in (i, j) scan order: the reference's outer loop
+        # is over i, inner over j > i (validator/mod.rs:378-397), so the
+        # reported value is the EARLIEST element that recurs later — not
+        # the first repeated occurrence. [-3, 51, 51, -3] reports -3
+        # (i=0 pairs with j=3) even though 51's second copy appears first.
+        # (Divergence found by tests/test_differential_fuzz.py.)
         first_dup = F.element_at(
             F.filter(arr, lambda x, i: F.exists(
-                F.slice(arr, 1, i), lambda y: y.eqNullSafe(x))),
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda y: y.eqNullSafe(x))),
             1,
         )
         dup_tgt = _make_target(first_dup, elem_dtype, null_is_absent=False)

@@ -218,6 +218,9 @@ def gen_arrays():
          "properties": {"a": {"type": "array", "uniqueItems": True}}},
         [_t("unique", {"a": [1, 2, 3]}, True),
          _t("dup", {"a": [1, 2, 1]}, False),
+         # first-duplicate = EARLIEST element recurring later (i-outer
+         # scan): -3, not 51 — regression pinned from differential fuzz
+         _t("crossed dup pairs", {"a": [-3, 51, 51, -3]}, False),
          _t("empty", {"a": []}, True)],
         {"a": "array<bigint>"}))
     out.append(_group(

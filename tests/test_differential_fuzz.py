@@ -1,0 +1,191 @@
+"""Differential fuzzing: the two engines (vectorized compiler, Python
+interpreter) must agree BYTE-FOR-BYTE on randomized specs and rows.
+
+The generated suite (tests/suite_gen.py) encodes the author's expectations
+— and therefore shares the author's blind spots. This layer removes the
+author from the loop: specs and rows are drawn from a seeded random
+generator, and the ORACLE IS AGREEMENT — every (instance_path, code,
+message) triple the compiler emits for a row must equal what the
+interpreter emits for the same instance, across keyword combinations and
+value shapes nobody hand-picked. (The interpreter itself is validated
+against first-principles verdicts by the suite harness; two independent
+implementations agreeing on random inputs is the strongest cross-check
+available without the official suite corpus.)
+
+Also here: a cross-DIALECT regex check — for each translatable pattern,
+the Java translation (executed by the JVM via ``rlike``) and the Python
+translation (``re`` with PY_FLAGS) must agree row-by-row on random
+probe strings. The two translations come from one audit of the same
+ECMA pattern, so disagreement means a dialect-semantics bug.
+
+Determinism: fixed seeds; everything reruns identically.
+"""
+
+import math
+import random
+import string as _string
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark import ValidationEngine
+from json_schema_rs_spark.plans.pyvalidator import validate
+from json_schema_rs_spark.plans.spec import parse_spec
+
+# -- random spec / row generation -------------------------------------------
+
+_PATTERNS = ["^a", "b$", "[a-z]+", "\\d{2}", "x|y", "a{2,3}", "\\w+$",
+             "^[0-9a-f]+$"]
+_STR_POOL = ["", "a", "ab", "abc", "hello", "xyzzy", "b7", "42", "aa",
+             "é", "\U0001F600", "x" * 20, "line1 line2", "UPPER"]
+_ENUM_POOL = ["red", "green", "blue", "", "a"]
+
+
+def _rand_string_schema(rng):
+    s = {"type": "string"}
+    if rng.random() < 0.5:
+        s["minLength"] = rng.randrange(0, 4)
+    if rng.random() < 0.5:
+        s["maxLength"] = rng.randrange(2, 8)
+    r = rng.random()
+    if r < 0.25:
+        s["pattern"] = rng.choice(_PATTERNS)
+    elif r < 0.4:
+        s["enum"] = rng.sample(_ENUM_POOL, rng.randrange(1, 4))
+    elif r < 0.5:
+        s["const"] = rng.choice(_STR_POOL)
+    return s
+
+
+def _rand_int_schema(rng):
+    s = {"type": "integer"}
+    if rng.random() < 0.7:
+        s["minimum"] = rng.randrange(-10, 5)
+    if rng.random() < 0.7:
+        s["maximum"] = rng.randrange(0, 15)
+    return s
+
+
+def _rand_num_schema(rng):
+    s = {"type": "number"}
+    if rng.random() < 0.7:
+        s["minimum"] = round(rng.uniform(-5, 2), 2)
+    if rng.random() < 0.7:
+        s["maximum"] = round(rng.uniform(0, 8), 2)
+    return s
+
+
+def _rand_arr_schema(rng):
+    s = {"type": "array"}
+    if rng.random() < 0.5:
+        s["minItems"] = rng.randrange(0, 3)
+    if rng.random() < 0.5:
+        s["maxItems"] = rng.randrange(2, 5)
+    if rng.random() < 0.4:
+        s["uniqueItems"] = True
+    if rng.random() < 0.4:
+        s["items"] = {"type": "integer", "minimum": 0, "maximum": 50}
+    return s
+
+
+def _rand_spec(rng):
+    props = {"s": _rand_string_schema(rng), "i": _rand_int_schema(rng),
+             "x": _rand_num_schema(rng), "a": _rand_arr_schema(rng)}
+    # random combinator wrap on one scalar property
+    if rng.random() < 0.4:
+        tgt = rng.choice(["s", "i", "x"])
+        other = dict(props[tgt])
+        comb = rng.choice(["anyOf", "oneOf", "allOf"])
+        props[tgt] = {comb: [props[tgt],
+                             {"type": other["type"],
+                              **({"minLength": 1} if tgt == "s"
+                                 else {"minimum": 0})}]}
+    spec = {"type": "object", "properties": props}
+    req = [c for c in ("s", "i", "x", "a") if rng.random() < 0.3]
+    if req:
+        spec["required"] = req
+    return spec
+
+
+def _rand_row(rng):
+    def s():
+        return rng.choice(_STR_POOL + [None])
+    def i():
+        return rng.choice([None, 0, 1, -1, 3, 7, 12, -11, 50])
+    def x():
+        return rng.choice([None, 0.0, -0.5, 1.25, 3.75, 7.5, -5.25, 100.0])
+    def a():
+        if rng.random() < 0.2:
+            return None
+        n = rng.randrange(0, 5)
+        return [rng.choice([0, 1, 2, 7, 51, -3]) for _ in range(n)]
+    return (s(), i(), x(), a())
+
+
+DDL = "_cid bigint, s string, i bigint, x double, a array<bigint>"
+N_SPECS = 12
+N_ROWS = 200
+
+
+def _cases():
+    rng = random.Random(20260817)
+    return [( _rand_spec(rng),
+              [_rand_row(rng) for _ in range(N_ROWS)]) for _ in range(N_SPECS)]
+
+
+@pytest.mark.parametrize("case_idx", range(N_SPECS))
+def test_compiler_interpreter_agree_on_random_specs(spark, case_idx):
+    spec, rows = _cases()[case_idx]
+    df = spark.createDataFrame(
+        [tuple([cid] + list(r)) for cid, r in enumerate(rows)], DDL)
+    eng = ValidationEngine(spec, key_cols=("_cid",))
+    got = {cid: set() for cid in range(len(rows))}
+    for r in eng.validate(df).violations.collect():
+        got[r._cid].add((r.instance_path, r.code, r.message))
+    root = parse_spec(spec)
+    names = ("s", "i", "x", "a")
+    mismatches = []
+    for cid, row in enumerate(rows):
+        data = {n: v for n, v in zip(names, row) if v is not None}
+        exp = {(v.path, v.code, v.message) for v in validate(root, data)}
+        if got[cid] != exp:
+            mismatches.append((cid, data, sorted(got[cid]), sorted(exp)))
+    assert not mismatches, (
+        f"spec #{case_idx} {spec}: {len(mismatches)} disagreeing rows; "
+        f"first: {mismatches[0]}")
+
+
+def test_java_and_python_regex_translations_agree(spark):
+    """One Spark job: every (pattern, probe) pair evaluated by the JVM
+    through the Java translation must match Python ``re`` through the
+    Python translation — the audited ECMA semantics must survive BOTH
+    dialect translations identically."""
+    import re
+    from json_schema_rs_spark.functions.ecma_regex import (
+        PY_FLAGS,
+        translate,
+    )
+
+    rng = random.Random(777)
+    alphabet = _string.ascii_lowercase + _string.digits + " \n\t|{}[]-^$é"
+    probes = [""] + ["".join(rng.choice(alphabet)
+                             for _ in range(rng.randrange(1, 12)))
+                     for _ in range(120)]
+    pats = _PATTERNS + ["a{,3}", "\\s", "[\\d-x]", "(ab)\\1", "a(?=b)",
+                        "a(?!b)", "\\bfoo\\b", "[^]", "x|", "\\q", "\\101"]
+    rows, metas = [], []
+    for p in pats:
+        tx = translate(p)
+        assert tx.valid, p
+        if tx.java is None:        # pandas-fallback-only patterns: no Java twin
+            continue
+        cre = re.compile(tx.python, PY_FLAGS)
+        for s in probes:
+            rows.append((len(metas), s, tx.java))
+            metas.append((p, s, bool(cre.search(s))))
+    df = spark.createDataFrame(rows, "rid bigint, s string, j string")
+    got = {r.rid: r.m for r in df.select(
+        "rid", F.expr("s rlike j").alias("m")).collect()}
+    bad = [(metas[rid][0], metas[rid][1], got[rid], metas[rid][2])
+           for rid in got if got[rid] != metas[rid][2]]
+    assert not bad, f"{len(bad)} dialect disagreements; first 5: {bad[:5]}"
