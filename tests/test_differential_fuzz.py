@@ -91,6 +91,7 @@ def _rand_arr_schema(rng):
 def _rand_spec(rng):
     props = {"s": _rand_string_schema(rng), "i": _rand_int_schema(rng),
              "x": _rand_num_schema(rng), "a": _rand_arr_schema(rng)}
+    defs = {}
     # random combinator wrap on one scalar property
     if rng.random() < 0.4:
         tgt = rng.choice(["s", "i", "x"])
@@ -100,10 +101,33 @@ def _rand_spec(rng):
                              {"type": other["type"],
                               **({"minLength": 1} if tgt == "s"
                                  else {"minimum": 0})}]}
+    # random $ref indirection (possibly chained) on another property
+    if rng.random() < 0.4:
+        tgt = rng.choice(["s", "i", "x", "a"])
+        defs["leaf"] = props[tgt]
+        hops = rng.randrange(1, 3)
+        prev = "leaf"
+        for h in range(hops):
+            defs[f"hop{h}"] = {"$ref": f"#/$defs/{prev}"}
+            prev = f"hop{h}"
+        props[tgt] = {"$ref": f"#/$defs/{prev}"}
     spec = {"type": "object", "properties": props}
+    if defs:
+        spec["$defs"] = defs
     req = [c for c in ("s", "i", "x", "a") if rng.random() < 0.3]
     if req:
         spec["required"] = req
+    # random additionalProperties: drop one property from the schema so
+    # its (still-present) column becomes a genuinely additional key; the
+    # harness key column is declared so AP sees only instance keys
+    r = rng.random()
+    if r < 0.3:
+        undeclared = rng.choice([c for c in ("s", "i", "x", "a")
+                                 if c not in (spec.get("required") or ())])
+        pruned = {k: v for k, v in props.items() if k != undeclared}
+        spec["properties"] = {**pruned, "_cid": {}}
+        spec["additionalProperties"] = (
+            False if r < 0.15 else {"type": "integer"})
     return spec
 
 
