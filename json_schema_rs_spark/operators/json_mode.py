@@ -59,10 +59,18 @@ def validate_json_column(
     """Violations for a JSON-document string column:
     ``(key cols..., instance_path, code, message)``.
 
-    Embarrassingly parallel (no shuffle): scan → mapInPandas → rows. The
-    Python cost is per *violating or parsed* document, amortized over
-    Arrow batches; for fixed-schema payloads prefer expressing the
-    constraints over typed columns (the fast path)."""
+    Embarrassingly parallel: scan → mapInPandas → rows. The Python cost
+    is per *violating or parsed* document, amortized over Arrow batches;
+    for fixed-schema payloads prefer expressing the constraints over
+    typed columns (the fast path).
+
+    Parallelism guard (same rationale as ``dedup._spread``): this is the
+    engine's most Python-heavy operator (json.loads + interpreter per
+    document), so a small table scanning as ONE parquet row group would
+    serialize the whole job on a single core. A production table is many
+    files (guard is a free no-op); locally the skinny (keys, payload)
+    projection is hash-spread once. Output is per-row, so results are
+    partitioning-invariant."""
     root = spec if isinstance(spec, SchemaNode) else parse_spec(spec, strict=strict)
     keys = list(key_cols)
     prefix = "/" + json_col
@@ -100,7 +108,11 @@ def validate_json_column(
                     emit(i, path, v.code, message)
             yield pd.DataFrame(out)
 
-    return df.select(*keys, json_col).mapInPandas(run, schema=out_schema)
+    src = df.select(*keys, json_col)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par, *keys)
+    return src.mapInPandas(run, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------
