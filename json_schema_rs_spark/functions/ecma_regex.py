@@ -308,6 +308,24 @@ _JAVA_NAME = _re.compile(r"[A-Za-z][A-Za-z0-9]*\Z")
 _PY_NAME = _re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
 
 
+class _Frame:
+    """Per-disjunction nullability/position-dependence bookkeeping (one
+    frame per group or lookaround body, plus the top level). Feeds the
+    ECMA/Java empty-iteration divergence check in :meth:`_quantifier`."""
+
+    __slots__ = ("consuming", "nullable_alt", "has_assertion",
+                 "last_contrib", "last_group")
+
+    def __init__(self) -> None:
+        self.consuming = 0            # consuming atoms in current alternative
+        self.nullable_alt = False     # some finished alternative was nullable
+        self.has_assertion = False    # ^ $ \b \B backref/lookaround inside
+        self.last_contrib = 0         # consumption contributed by last atom
+        self.last_group: tuple[bool, bool] | None = None
+        # last_group = (nullable, has_assertion) when the last atom was a
+        # group (or backref, conservatively); None for plain atoms
+
+
 class _Translator:
     def __init__(self, src: str) -> None:
         self.s = _Scanner(src)
@@ -321,10 +339,21 @@ class _Translator:
         self.prev = "none"            # none | atom | assertion | quantifier
                                       # | lookahead
         self.lookahead_mark: tuple[int, int] | None = None
+        self.frames: list[_Frame] = [_Frame()]
 
     def emit(self, j: str, p: str) -> None:
         self.jout.append(j)
         self.pout.append(p)
+
+    def _atom_seen(self, *, consumes: bool = True,
+                   group_info: tuple[bool, bool] | None = None) -> None:
+        f = self.frames[-1]
+        f.last_contrib = 1 if consumes else 0
+        f.consuming += f.last_contrib
+        f.last_group = group_info
+
+    def _assertion_seen(self) -> None:
+        self.frames[-1].has_assertion = True
 
     # -- escapes outside classes ------------------------------------------
     def _escape_atom(self) -> None:
@@ -342,6 +371,7 @@ class _Translator:
             else:
                 jb = f"(?:(?<={w})(?={w})|(?<!{w})(?!{w}))"
             self.emit(jb, f"\\{e}")
+            self._assertion_seen()
             self.prev = "assertion"
             return
         if e in "dDwW":
@@ -395,6 +425,13 @@ class _Translator:
                     self.java_ok = False
                     self.python_ok = False
                 self.emit(f"\\{int(num)}", f"\\{int(num)}")
+                # backrefs can match empty (unmatched/empty-captured
+                # group) and are position-dependent: conservative
+                # (nullable, assertion) marking for the quantifier check
+                self._atom_seen(consumes=False, group_info=(True, True))
+                self._assertion_seen()
+                self.prev = "atom"
+                return
             else:
                 s.i = start           # Annex B: octal prefix, rest literal
                 if e in "01234567":
@@ -425,6 +462,10 @@ class _Translator:
                 if not _PY_NAME.match(name):
                     self.python_ok = False
                 self.emit(f"\\k<{name}>", f"(?P={name})")
+                self._atom_seen(consumes=False, group_info=(True, True))
+                self._assertion_seen()
+                self.prev = "atom"
+                return
             else:
                 if self.all_names:
                     raise _Invalid("\\k must name a group when named groups exist")
@@ -434,16 +475,25 @@ class _Translator:
             # (covers \q \p \A \z \Z \G \h ... — several are Java/Python
             # metacharacters with different meanings, hence the rewrite)
             self.emit(*_esc_out(e))
+        self._atom_seen()
         self.prev = "atom"
 
     # -- groups ------------------------------------------------------------
+    def _close_group(self, nullable: bool, has_assert: bool) -> None:
+        """Record a just-closed (consuming) group on the parent frame."""
+        self._atom_seen(consumes=not nullable,
+                        group_info=(nullable, has_assert))
+        if has_assert:
+            self.frames[-1].has_assertion = True
+
     def _group(self) -> None:
         s = self.s
         if s.peek() != "?":
             self.seen_groups += 1
             self.emit("(", "(")
-            self._disjunction(in_group=True)
+            nul, ha = self._disjunction(in_group=True)
             self.emit(")", ")")
+            self._close_group(nul, ha)
             self.prev = "atom"
             return
         s.take()                      # '?'
@@ -451,8 +501,9 @@ class _Translator:
         if c == ":":
             s.take()
             self.emit("(?:", "(?:")
-            self._disjunction(in_group=True)
+            nul, ha = self._disjunction(in_group=True)
             self.emit(")", ")")
+            self._close_group(nul, ha)
             self.prev = "atom"
         elif c in "=!":
             s.take()
@@ -460,6 +511,8 @@ class _Translator:
             self.emit(f"(?{c}", f"(?{c}")
             self._disjunction(in_group=True)
             self.emit(")", ")")
+            self._atom_seen(consumes=False)
+            self._assertion_seen()
             self.lookahead_mark = (jmark, pmark)
             self.prev = "lookahead"
         elif c == "<":
@@ -474,6 +527,8 @@ class _Translator:
                 self.emit("", f"(?<{c2}")
                 self._disjunction(in_group=True)
                 self.emit("", ")")
+                self._atom_seen(consumes=False)
+                self._assertion_seen()
                 self.prev = "assertion"
             else:
                 name = ""
@@ -491,8 +546,9 @@ class _Translator:
                 if not _PY_NAME.match(name):
                     self.python_ok = False
                 self.emit(f"(?<{name}>", f"(?P<{name}>")
-                self._disjunction(in_group=True)
+                nul, ha = self._disjunction(in_group=True)
                 self.emit(")", ")")
+                self._close_group(nul, ha)
                 self.prev = "atom"
         else:
             # (?i) (?s) (?m) inline flags, (?P=..), (?>..): SYNTAX ERRORS
@@ -519,6 +575,7 @@ class _Translator:
             else:
                 s.i = save
                 self.emit("\\{", "\\{")
+                self._atom_seen()
                 self.prev = "atom"
                 return
         else:
@@ -537,32 +594,68 @@ class _Translator:
         if s.peek() == "?":
             s.take()
             lazy = "?"
+        minv = {"*": 0, "+": 1, "?": 0}.get(quant)
+        if minv is None:
+            minv = int(quant[1:-1].split(",")[0])
+        f = self.frames[-1]
+        if minv == 0:
+            # the atom became optional: it no longer guarantees consumption
+            f.consuming -= f.last_contrib
+            f.last_contrib = 0
+        if minv >= 2 and f.last_group and f.last_group[0] and f.last_group[1]:
+            # ECMA/Java empty-iteration divergence: ECMA counts zero-width
+            # iterations toward the quantifier MINIMUM (RepeatMatcher only
+            # rejects empty iterations once min is exhausted); Java's loop
+            # assumes iterations are position-independent and aborts after
+            # a zero-width match, failing the quantifier when count < min.
+            # Observed: Java `(\Aa?){2}b` misses "ab" (ECMA/Python match —
+            # empty first iteration, consuming second). Triggers only for
+            # a NULLABLE group containing a position-dependent element
+            # (anchor/boundary/backref/lookaround) under min >= 2 — route
+            # those to the Python/pandas path, which matches ECMA.
+            # (Found by the random-pattern cross-dialect fuzz sweep.)
+            self.java_ok = False
         self.emit(quant + lazy, quant + lazy)
         self.prev = "quantifier"
 
     # -- driver -------------------------------------------------------------
-    def _disjunction(self, *, in_group: bool) -> None:
+    def _disjunction(self, *, in_group: bool) -> tuple[bool, bool]:
+        """Parse one disjunction; returns ``(nullable, has_assertion)``
+        for the body (can it match empty / does it contain a
+        position-dependent element anywhere inside)."""
         s = self.s
         self.prev = "none"
+        self.frames.append(_Frame())
+
+        def _close() -> tuple[bool, bool]:
+            f = self.frames.pop()
+            return (f.nullable_alt or f.consuming == 0, f.has_assertion)
+
         while not s.eof():
             ch = s.peek()
             if ch == ")":
                 if in_group:
                     s.take()
-                    return
+                    return _close()
                 raise _Invalid("unmatched )")
             s.take()
             if ch == "|":
                 self.emit("|", "|")
+                f = self.frames[-1]
+                f.nullable_alt |= f.consuming == 0
+                f.consuming, f.last_contrib, f.last_group = 0, 0, None
                 self.prev = "none"
             elif ch == "^":
                 self.emit("\\A", "\\A")      # ECMA ^: input start only
+                self._assertion_seen()
                 self.prev = "assertion"
             elif ch == "$":
                 self.emit("\\z", "\\Z")      # ECMA $: absolute input end
+                self._assertion_seen()
                 self.prev = "assertion"
             elif ch == ".":
                 self.emit(_DOT_CLASS, _DOT_CLASS)
+                self._atom_seen()
                 self.prev = "atom"
             elif ch == "\\":
                 self._escape_atom()
@@ -572,6 +665,7 @@ class _Translator:
                     self.java_ok = False
                     self.python_ok = False
                 self.emit(j, p)
+                self._atom_seen()
                 self.prev = "atom"
             elif ch == "(":
                 self._group()
@@ -580,12 +674,15 @@ class _Translator:
             elif ch in "]}":
                 # Annex B: stray ] / } are literals (strict ECMA rejects)
                 self.emit("\\" + ch, "\\" + ch)
+                self._atom_seen()
                 self.prev = "atom"
             else:
                 self.emit(*_esc_out(ch))
+                self._atom_seen()
                 self.prev = "atom"
         if in_group:
             raise _Invalid("unterminated group")
+        return _close()
 
     def run(self) -> EcmaPattern:
         src = self.s.src

@@ -179,11 +179,62 @@ def test_compiler_interpreter_agree_on_random_specs(spark, case_idx):
         f"first: {mismatches[0]}")
 
 
+_RX_CLASSES = ["[a-z]", "[0-9]", "[^a-c]", "[xyz]", "[\\d]", "[\\w]",
+               "[a-z0-9]"]
+_RX_ESCAPES = ["\\d", "\\w", "\\s", "\\D", "\\W", "\\S", "\\t", "\\n",
+               "\\x41", "\\u0062", "\\.", "\\*", "\\$"]
+_RX_QUANTS = ["", "*", "+", "?", "{2}", "{1,3}", "{2,}", "*?", "+?"]
+
+
+def _rand_pattern(rng, depth=2):
+    """Random valid-ECMA pattern from a constrained grammar (literals,
+    classes, escapes, groups, lookarounds, quantifiers, alternation,
+    anchors) — the generator that found the Java empty-iteration
+    divergence (see functions/ecma_regex.py `_quantifier`)."""
+    def atom(d):
+        r = rng.random()
+        if r < 0.35:
+            return rng.choice("abcxyz019_")
+        if r < 0.5:
+            return rng.choice(_RX_CLASSES)
+        if r < 0.65:
+            return rng.choice(_RX_ESCAPES)
+        if r < 0.75:
+            return "."
+        if d <= 0:
+            return rng.choice("abc")
+        inner = seq(d - 1)
+        k = rng.random()
+        if k < 0.5:
+            return f"({inner})"
+        if k < 0.8:
+            return f"(?:{inner})"
+        return f"(?={inner})" if k < 0.9 else f"(?!{inner})"
+
+    def seq(d):
+        parts = []
+        for _ in range(rng.randrange(1, 5)):
+            a = atom(d)
+            q = "" if a.startswith(("(?=", "(?!")) else rng.choice(_RX_QUANTS)
+            parts.append(a + q)
+        s = "".join(parts)
+        if rng.random() < 0.3:
+            s = s + "|" + seq(max(d - 1, 0))
+        if rng.random() < 0.2:
+            s = "^" + s
+        if rng.random() < 0.2:
+            s = s + "$"
+        return s
+
+    return seq(depth)
+
+
 def test_java_and_python_regex_translations_agree(spark):
     """One Spark job: every (pattern, probe) pair evaluated by the JVM
     through the Java translation must match Python ``re`` through the
     Python translation — the audited ECMA semantics must survive BOTH
-    dialect translations identically."""
+    dialect translations identically. Patterns = the hand-picked
+    divergence-table pool + seeded random grammar draws."""
     import re
     from json_schema_rs_spark.functions.ecma_regex import (
         PY_FLAGS,
@@ -197,6 +248,14 @@ def test_java_and_python_regex_translations_agree(spark):
                      for _ in range(120)]
     pats = _PATTERNS + ["a{,3}", "\\s", "[\\d-x]", "(ab)\\1", "a(?=b)",
                         "a(?!b)", "\\bfoo\\b", "[^]", "x|", "\\q", "\\101"]
+    seen = set(pats)
+    target = len(pats) + 150
+    while len(pats) < target:
+        p = _rand_pattern(rng)
+        t = translate(p)
+        if p not in seen and t.valid and t.java and t.python:
+            seen.add(p)
+            pats.append(p)
     rows, metas = [], []
     for p in pats:
         tx = translate(p)

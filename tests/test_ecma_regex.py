@@ -257,3 +257,30 @@ def test_compiler_pattern_paths(spark, sf_dir):
     exp = sum(1 for r in docs.select("text").collect()
               if re.search("(?<=spark) window", r.text) is None)
     assert slow.violations.count() == exp
+
+
+def test_empty_iteration_min2_routes_off_java():
+    """ECMA counts zero-width iterations toward a quantifier's MINIMUM
+    (RepeatMatcher rejects empty iterations only once min is exhausted);
+    Java's loop assumes iterations are position-independent and aborts on
+    a zero-width match — `(\\Aa?){2}b` misses "ab" in Java while ECMA and
+    Python match it (empty first iteration, consuming second). Nullable
+    groups containing a position-dependent element (anchor / boundary /
+    backref / lookaround) under min >= 2 must therefore leave the Java
+    path. Found by the random-pattern cross-dialect fuzz sweep."""
+    from json_schema_rs_spark.functions.ecma_regex import PY_FLAGS, translate
+
+    diverging = ["(^a?){2}b", "(^|a){2}b", "(^z?){2,3}b",
+                 "^(^\\t*?|^\\.{2,}0*?[a-z0-9]){2}[0-9]*[0-9]{2}"]
+    for p in diverging:
+        t = translate(p)
+        assert t.valid and t.java is None and t.python is not None, p
+    # the Python translation follows ECMA on the witness probes
+    assert re.compile(translate("(^a?){2}b").python, PY_FLAGS).search("ab")
+    assert re.compile(translate("(^|a){2}b").python, PY_FLAGS).search("b")
+    # non-diverging neighbors keep the Java hot path: min < 2, consuming
+    # group, or no position-dependent element inside the repeated group
+    for p in ["(a?){2}b", "(a|b){2}c", "(^a)+b", "(^a?)?b", "(a*){2}b",
+              "(?=a)*b", "(ab){2}", "[a-z]{2,}", "^ab$", "(\\ba){2}"]:
+        t = translate(p)
+        assert t.valid and t.java is not None, p
