@@ -30,7 +30,15 @@ construct               ECMA (+AnnexB) Java naive      Python naive
 ``[]`` / ``[^]``        never / any    COMPILE ERROR   COMPILE ERROR
 ``\\8`` (no 8th group)   literal ``8``  COMPILE ERROR   COMPILE ERROR
 ``(?=x)*`` quantified   allowed        group-wrapped   COMPILE ERROR
+``(^a?){2}`` empty-iter counts to min  loop aborts     follows ECMA
 ======================  =============  ==============  =================
+
+The last row (found by the random-pattern cross-dialect fuzzer): ECMA's
+RepeatMatcher counts zero-width iterations toward a quantifier's MINIMUM,
+Java's loop aborts on them — so a NULLABLE group containing a
+position-dependent element (anchor/boundary/backref/lookaround) under a
+min>=2 quantifier is unsound in Java and is routed to the Python/pandas
+path (``java=None``), which follows ECMA.
 
 Patterns using lookbehind (ECMA allows variable length; Java only
 bounded, Python only fixed) leave the Java hot path; if Python cannot
