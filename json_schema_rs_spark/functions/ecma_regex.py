@@ -322,7 +322,8 @@ class _Frame:
     ECMA/Java empty-iteration divergence check in :meth:`_quantifier`."""
 
     __slots__ = ("consuming", "nullable_alt", "has_assertion",
-                 "last_contrib", "last_group")
+                 "last_contrib", "last_group", "definite", "last_defset",
+                 "had_alt")
 
     def __init__(self) -> None:
         self.consuming = 0            # consuming atoms in current alternative
@@ -332,6 +333,11 @@ class _Frame:
         self.last_group: tuple[bool, bool] | None = None
         # last_group = (nullable, has_assertion) when the last atom was a
         # group (or backref, conservatively); None for plain atoms
+        self.definite: set[int] = set()
+        # capturing groups DEFINITELY matched whenever control reaches the
+        # current point of the current alternative (for backref soundness)
+        self.last_defset: set[int] = set()   # contributed by the last atom
+        self.had_alt = False          # this disjunction contains `|`
 
 
 class _Translator:
@@ -348,6 +354,7 @@ class _Translator:
                                       # | lookahead
         self.lookahead_mark: tuple[int, int] | None = None
         self.frames: list[_Frame] = [_Frame()]
+        self.name_to_idx: dict[str, int] = {}
 
     def emit(self, j: str, p: str) -> None:
         self.jout.append(j)
@@ -359,9 +366,23 @@ class _Translator:
         f.last_contrib = 1 if consumes else 0
         f.consuming += f.last_contrib
         f.last_group = group_info
+        f.last_defset = set()
 
     def _assertion_seen(self) -> None:
         self.frames[-1].has_assertion = True
+
+    def _backref_check(self, idx: int) -> None:
+        """Backreference to a group that may be UNSET at match time:
+        ECMA makes an unset-group backref match empty; Java and Python
+        both FAIL it (and their backtracking then explores different
+        paths), so neither dialect is a sound target — flag both, the
+        compiler raises UnsupportedPatternError loudly. Safe iff the
+        group is in the definitely-matched set of some enclosing
+        alternative prefix. (Found by the random-pattern cross-dialect
+        fuzz sweep.)"""
+        if not any(idx in f.definite for f in self.frames):
+            self.java_ok = False
+            self.python_ok = False
 
     # -- escapes outside classes ------------------------------------------
     def _escape_atom(self) -> None:
@@ -373,12 +394,18 @@ class _Translator:
             # Python+re.ASCII: \b is the ECMA ASCII word boundary. Java's
             # \b however is Unicode-aware even though its \w is ASCII (JDK
             # quirk) — spell the ASCII boundary out with lookarounds.
+            # Python's \B additionally NEVER matches in an empty string
+            # (CPython quirk, present through 3.11) while ECMA's does
+            # (both edges are non-word chars) — so \B gets the spelled
+            # lookaround form in BOTH dialects. (Found by the
+            # random-pattern cross-dialect fuzz sweep.)
             w = "[A-Za-z0-9_]"
             if e == "b":
                 jb = f"(?:(?<={w})(?!{w})|(?<!{w})(?={w}))"
+                self.emit(jb, "\\b")
             else:
                 jb = f"(?:(?<={w})(?={w})|(?<!{w})(?!{w}))"
-            self.emit(jb, f"\\{e}")
+                self.emit(jb, jb)
             self._assertion_seen()
             self.prev = "assertion"
             return
@@ -433,6 +460,8 @@ class _Translator:
                     self.java_ok = False
                     self.python_ok = False
                 self.emit(f"\\{int(num)}", f"\\{int(num)}")
+                if int(num) <= self.seen_groups:
+                    self._backref_check(int(num))
                 # backrefs can match empty (unmatched/empty-captured
                 # group) and are position-dependent: conservative
                 # (nullable, assertion) marking for the quantifier check
@@ -470,6 +499,8 @@ class _Translator:
                 if not _PY_NAME.match(name):
                     self.python_ok = False
                 self.emit(f"\\k<{name}>", f"(?P={name})")
+                if name in self.name_to_idx:
+                    self._backref_check(self.name_to_idx[name])
                 self._atom_seen(consumes=False, group_info=(True, True))
                 self._assertion_seen()
                 self.prev = "atom"
@@ -487,21 +518,32 @@ class _Translator:
         self.prev = "atom"
 
     # -- groups ------------------------------------------------------------
-    def _close_group(self, nullable: bool, has_assert: bool) -> None:
-        """Record a just-closed (consuming) group on the parent frame."""
+    def _close_group(self, idx: int | None, nullable: bool,
+                     has_assert: bool, prop: set[int]) -> None:
+        """Record a just-closed group on the parent frame: consumption,
+        position-dependence, and the set of capturing groups that are
+        DEFINITELY matched whenever this group matches (the group itself
+        plus its propagated children)."""
         self._atom_seen(consumes=not nullable,
                         group_info=(nullable, has_assert))
+        f = self.frames[-1]
+        defset = set(prop)
+        if idx is not None:
+            defset.add(idx)
+        f.definite |= defset
+        f.last_defset = defset
         if has_assert:
-            self.frames[-1].has_assertion = True
+            f.has_assertion = True
 
     def _group(self) -> None:
         s = self.s
         if s.peek() != "?":
             self.seen_groups += 1
+            idx = self.seen_groups
             self.emit("(", "(")
-            nul, ha = self._disjunction(in_group=True)
+            nul, ha, prop = self._disjunction(in_group=True)
             self.emit(")", ")")
-            self._close_group(nul, ha)
+            self._close_group(idx, nul, ha, prop)
             self.prev = "atom"
             return
         s.take()                      # '?'
@@ -509,9 +551,9 @@ class _Translator:
         if c == ":":
             s.take()
             self.emit("(?:", "(?:")
-            nul, ha = self._disjunction(in_group=True)
+            nul, ha, prop = self._disjunction(in_group=True)
             self.emit(")", ")")
-            self._close_group(nul, ha)
+            self._close_group(None, nul, ha, prop)
             self.prev = "atom"
         elif c in "=!":
             s.take()
@@ -549,14 +591,16 @@ class _Translator:
                     raise _Invalid(f"duplicate group name {name!r}")
                 self.seen_names.add(name)
                 self.seen_groups += 1
+                idx = self.seen_groups
+                self.name_to_idx[name] = idx
                 if not _JAVA_NAME.match(name):
                     self.java_ok = False
                 if not _PY_NAME.match(name):
                     self.python_ok = False
                 self.emit(f"(?<{name}>", f"(?P<{name}>")
-                nul, ha = self._disjunction(in_group=True)
+                nul, ha, prop = self._disjunction(in_group=True)
                 self.emit(")", ")")
-                self._close_group(nul, ha)
+                self._close_group(idx, nul, ha, prop)
                 self.prev = "atom"
         else:
             # (?i) (?s) (?m) inline flags, (?P=..), (?>..): SYNTAX ERRORS
@@ -608,8 +652,11 @@ class _Translator:
         f = self.frames[-1]
         if minv == 0:
             # the atom became optional: it no longer guarantees consumption
+            # or any of its groups' participation
             f.consuming -= f.last_contrib
             f.last_contrib = 0
+            f.definite -= f.last_defset
+            f.last_defset = set()
         if minv >= 2 and f.last_group and f.last_group[0] and f.last_group[1]:
             # ECMA/Java empty-iteration divergence: ECMA counts zero-width
             # iterations toward the quantifier MINIMUM (RepeatMatcher only
@@ -627,17 +674,21 @@ class _Translator:
         self.prev = "quantifier"
 
     # -- driver -------------------------------------------------------------
-    def _disjunction(self, *, in_group: bool) -> tuple[bool, bool]:
-        """Parse one disjunction; returns ``(nullable, has_assertion)``
-        for the body (can it match empty / does it contain a
-        position-dependent element anywhere inside)."""
+    def _disjunction(self, *, in_group: bool) -> tuple[bool, bool, set]:
+        """Parse one disjunction; returns ``(nullable, has_assertion,
+        definite_groups)`` for the body: can it match empty, does it
+        contain a position-dependent element, and which capturing groups
+        are matched on EVERY path through it (empty when it has
+        alternation — a group in one arm is unset on the other)."""
         s = self.s
         self.prev = "none"
         self.frames.append(_Frame())
 
-        def _close() -> tuple[bool, bool]:
+        def _close() -> tuple[bool, bool, set]:
             f = self.frames.pop()
-            return (f.nullable_alt or f.consuming == 0, f.has_assertion)
+            prop = set() if f.had_alt else set(f.definite)
+            return (f.nullable_alt or f.consuming == 0, f.has_assertion,
+                    prop)
 
         while not s.eof():
             ch = s.peek()
@@ -652,6 +703,9 @@ class _Translator:
                 f = self.frames[-1]
                 f.nullable_alt |= f.consuming == 0
                 f.consuming, f.last_contrib, f.last_group = 0, 0, None
+                f.definite = set()
+                f.last_defset = set()
+                f.had_alt = True
                 self.prev = "none"
             elif ch == "^":
                 self.emit("\\A", "\\A")      # ECMA ^: input start only

@@ -284,3 +284,39 @@ def test_empty_iteration_min2_routes_off_java():
               "(?=a)*b", "(ab){2}", "[a-z]{2,}", "^ab$", "(\\ba){2}"]:
         t = translate(p)
         assert t.valid and t.java is not None, p
+
+
+def test_ecma_B_matches_in_empty_string():
+    """ECMA \\B: both edges of an empty string are non-word, so \\B
+    matches; CPython's native \\B never matches in an empty string
+    (quirk through 3.11) — the Python translation must be the spelled
+    lookaround form. Found by the random-pattern cross-dialect sweep."""
+    from json_schema_rs_spark.functions.ecma_regex import PY_FLAGS, translate
+
+    t = translate("\\B")
+    assert t.java is not None and t.python is not None
+    assert "\\B" not in t.python        # spelled form, not native \B
+    assert re.compile(t.python, PY_FLAGS).search("") is not None
+    assert re.compile(t.python, PY_FLAGS).search("%%") is not None
+    assert re.compile(t.python, PY_FLAGS).search("ab") is not None
+    t2 = translate("x\\By")
+    assert re.compile(t2.python, PY_FLAGS).search("xy") is not None
+    assert re.compile(t2.python, PY_FLAGS).search("x y") is None
+
+
+def test_maybe_unset_backref_unsupported():
+    """Backreference to a group that may be unset at match time: ECMA
+    matches empty, Java and Python both fail the backref — neither
+    dialect is sound, so both translations must come back None (compiler
+    raises UnsupportedPatternError loudly). Backward references to
+    definitely-matched groups keep both dialects."""
+    from json_schema_rs_spark.functions.ecma_regex import translate
+
+    for p in ["(a)?\\1", "(a)*\\1", "(a|b(c))\\2", "((a)b|c)\\2",
+              "(?:(a)|b)\\1", "(?=(a))x\\1", "(a){0,2}\\1"]:
+        t = translate(p)
+        assert t.valid and t.java is None and t.python is None, p
+    for p in ["(ab)\\1", "(a+)b\\1", "(?<g1>ab)\\k<g1>", "((a)b)\\2",
+              "(a)(b)\\1\\2", "(a)+\\1", "(a){2}b\\1"]:
+        t = translate(p)
+        assert t.valid and t.java is not None and t.python is not None, p
