@@ -31,14 +31,26 @@ construct               ECMA (+AnnexB) Java naive      Python naive
 ``\\8`` (no 8th group)   literal ``8``  COMPILE ERROR   COMPILE ERROR
 ``(?=x)*`` quantified   allowed        group-wrapped   COMPILE ERROR
 ``(^a?){2}`` empty-iter counts to min  loop aborts     follows ECMA
+``\\B`` in empty string  matches        matches (spelled) never matches
+``(a)?\\1`` unset backref matches empty  FAILS           FAILS
 ======================  =============  ==============  =================
 
-The last row (found by the random-pattern cross-dialect fuzzer): ECMA's
-RepeatMatcher counts zero-width iterations toward a quantifier's MINIMUM,
-Java's loop aborts on them — so a NULLABLE group containing a
-position-dependent element (anchor/boundary/backref/lookaround) under a
-min>=2 quantifier is unsound in Java and is routed to the Python/pandas
-path (``java=None``), which follows ECMA.
+The last three rows were found by the random-pattern cross-dialect
+fuzzer (tests/test_differential_fuzz.py + offline sweeps):
+
+- Empty iterations: ECMA's RepeatMatcher counts zero-width iterations
+  toward a quantifier's MINIMUM, Java's loop aborts on them — a NULLABLE
+  group containing a position-dependent element (anchor / boundary /
+  backref / lookaround) under a min>=2 quantifier is unsound in Java and
+  is routed to the Python/pandas path (``java=None``), which follows
+  ECMA.
+- ``\\B``: CPython's native ``\\B`` never matches in an empty string
+  (quirk through 3.11) while ECMA's does — both dialects get the
+  spelled-out lookaround form.
+- Unset-group backreference: ECMA matches empty, both dialects fail the
+  backref. The translator tracks per-alternative definitely-matched
+  group sets; a backreference outside that set flags BOTH dialects and
+  the compiler raises :class:`UnsupportedPatternError` loudly.
 
 Patterns using lookbehind (ECMA allows variable length; Java only
 bounded, Python only fixed) leave the Java hot path; if Python cannot
