@@ -48,8 +48,19 @@ def _rand_string_schema(rng):
     if rng.random() < 0.5:
         s["maxLength"] = rng.randrange(2, 8)
     r = rng.random()
-    if r < 0.25:
+    if r < 0.15:
         s["pattern"] = rng.choice(_PATTERNS)
+    elif r < 0.25:
+        # a random grammar draw, end-to-end through the validator (the
+        # engines use DIFFERENT translations: compiler -> Java rlike,
+        # interpreter -> Python re); keep only dual-dialect patterns
+        from json_schema_rs_spark.functions.ecma_regex import translate
+        for _ in range(10):
+            p = _rand_pattern(rng, depth=1)
+            t = translate(p)
+            if t.valid and t.java and t.python:
+                s["pattern"] = p
+                break
     elif r < 0.4:
         s["enum"] = rng.sample(_ENUM_POOL, rng.randrange(1, 4))
     elif r < 0.5:
