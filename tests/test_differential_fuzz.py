@@ -192,6 +192,18 @@ def test_compiler_interpreter_agree_on_random_specs(spark, case_idx):
 
 _RX_CLASSES = ["[a-z]", "[0-9]", "[^a-c]", "[xyz]", "[\\d]", "[\\w]",
                "[a-z0-9]"]
+_RX_CLASS_MEMBERS = ["a", "b", "z", "0", "9", "_", "-", "^", "]", "\\]",
+                     "\\d", "\\w", "\\s", "\\W", "\\S", "\\t", "\\x41",
+                     "\\-", "a-f", "0-5", "x-z", "\\d-x", "%", ".", "*",
+                     "$", "(", ")"]
+
+
+def _rand_class(rng):
+    """Random character class incl. Annex B shapes (leading/trailing
+    dashes, class escapes adjacent to ranges, ] escapes, metachars)."""
+    body = "".join(rng.choice(_RX_CLASS_MEMBERS)
+                   for _ in range(rng.randrange(1, 5)))
+    return "[" + ("^" if rng.random() < 0.3 else "") + body + "]"
 _RX_ESCAPES = ["\\d", "\\w", "\\s", "\\D", "\\W", "\\S", "\\t", "\\n",
                "\\x41", "\\u0062", "\\.", "\\*", "\\$"]
 _RX_QUANTS = ["", "*", "+", "?", "{2}", "{1,3}", "{2,}", "*?", "+?"]
@@ -207,7 +219,8 @@ def _rand_pattern(rng, depth=2):
         if r < 0.35:
             return rng.choice("abcxyz019_")
         if r < 0.5:
-            return rng.choice(_RX_CLASSES)
+            return (_rand_class(rng) if rng.random() < 0.5
+                    else rng.choice(_RX_CLASSES))
         if r < 0.65:
             return rng.choice(_RX_ESCAPES)
         if r < 0.75:
@@ -267,6 +280,12 @@ def test_java_and_python_regex_translations_agree(spark):
         if p not in seen and t.valid and t.java and t.python:
             seen.add(p)
             pats.append(p)
+    import signal
+
+    def _bail(signum, frame):
+        raise TimeoutError
+
+    signal.signal(signal.SIGALRM, _bail)
     rows, metas = [], []
     for p in pats:
         tx = translate(p)
@@ -274,9 +293,21 @@ def test_java_and_python_regex_translations_agree(spark):
         if tx.java is None:        # pandas-fallback-only patterns: no Java twin
             continue
         cre = re.compile(tx.python, PY_FLAGS)
-        for s in probes:
-            rows.append((len(metas), s, tx.java))
-            metas.append((p, s, bool(cre.search(s))))
+        staged_r, staged_m = [], []
+        try:
+            # pathological generated patterns can backtrack exponentially
+            # in the Python engine — a property of the pattern, not a
+            # dialect question; skip such patterns wholesale
+            signal.setitimer(signal.ITIMER_REAL, 2.0)
+            for s in probes:
+                staged_r.append((len(metas) + len(staged_m), s, tx.java))
+                staged_m.append((p, s, bool(cre.search(s))))
+        except TimeoutError:
+            continue
+        finally:
+            signal.setitimer(signal.ITIMER_REAL, 0)
+        rows.extend(staged_r)
+        metas.extend(staged_m)
     df = spark.createDataFrame(rows, "rid bigint, s string, j string")
     got = {r.rid: r.m for r in df.select(
         "rid", F.expr("s rlike j").alias("m")).collect()}
