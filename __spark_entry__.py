@@ -1105,6 +1105,31 @@ FROM m
 """
 
 
+def _q_m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # frame-sampling fan-out for video payloads: one planned
+    # (doc_id, frame_idx, offset_ms) row per sampled frame from the
+    # deterministic fake-decoded duration — explode(sequence(...)),
+    # JVM-side; the oracle reproduces the duration formula and
+    # generate_series fan-out
+    media = multimodal.attach_media(_t(spark, sf_dir, "documents"))
+    return multimodal.frame_sample_plan(media, every_ms=1000)
+
+
+_SQL_M_FRAMES = """
+WITH m AS (SELECT doc_id,
+  ['image','audio','video'][(doc_id % 3)::INT + 1] AS media_type,
+  octet_length(encode(text)) AS n FROM documents),
+v AS (SELECT doc_id, 2000 + (n % 3600) * 50 AS duration_ms
+      FROM m WHERE media_type = 'video'),
+f AS (SELECT doc_id,
+             unnest(generate_series(0, duration_ms // 1000)) AS step
+      FROM v)
+SELECT doc_id, CAST(step AS INT) AS frame_idx,
+       CAST(step * 1000 AS BIGINT) AS offset_ms
+FROM f
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ the
     training-data pipeline operators). Column names match oracle_sql."""
@@ -1164,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_fingerprint": _q_x_fingerprint,
         # multimodal plumbing
         "m_media_meta": _q_m_media,
+        "m_frame_plan": _q_m_frames,
     }
 
 
@@ -1217,4 +1243,5 @@ def oracle_sql() -> dict[str, str]:
         "x_language_id": _SQL_X_LANGID,
         "x_fingerprint": _SQL_X_FINGERPRINT,
         "m_media_meta": _SQL_M_MEDIA,
+        "m_frame_plan": _SQL_M_FRAMES,
     }
