@@ -58,6 +58,12 @@ express them either, both translations come back None and the compiler
 raises :class:`UnsupportedPatternError` loudly instead of silently
 diverging from the reference.
 
+Astral characters: browser JS (no ``u`` flag) matches per UTF-16 code
+UNIT, but the parity target is the reference's ``regress`` crate over
+Rust ``&str`` — which, like Java and Python strings, has no surrogate
+halves and matches per Unicode scalar. ``.`` matching one astral char is
+therefore correct HERE even though a browser would need two dots.
+
 Python translations must be compiled with :data:`PY_FLAGS` (``re.ASCII``
 makes ``\\d \\w \\b`` match ECMA's non-unicode semantics; ``\\s`` is
 rewritten textually because ECMA whitespace is *neither* ASCII nor
