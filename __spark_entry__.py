@@ -783,6 +783,216 @@ SELECT round(max(abs(fa - fb)), 9) AS ks FROM e
 """
 
 
+def _q_s_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = stats.psi(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1), "value",
+        lo=0.0, hi=500.0, nbins=10)
+    return out.select(F.round("psi", 9).alias("psi"), "nbins", "n_a", "n_b")
+
+
+_SQL_S_PSI = """
+WITH a AS (SELECT least(greatest(CAST(floor(value::DOUBLE / 50.0) AS INT), 0), 9) AS bin,
+                  count(*) AS na
+           FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL GROUP BY 1),
+b AS (SELECT least(greatest(CAST(floor(value::DOUBLE / 50.0) AS INT), 0), 9) AS bin,
+             count(*) AS nb
+      FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL GROUP BY 1),
+j AS (SELECT coalesce(a.bin, b.bin) AS bin, coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+      FROM a FULL OUTER JOIN b ON a.bin = b.bin),
+t AS (SELECT sum(na)::DOUBLE AS ta, sum(nb)::DOUBLE AS tb FROM j),
+p AS (SELECT greatest(na / t.ta, 1e-6) AS pa, greatest(nb / t.tb, 1e-6) AS pb,
+             t.ta, t.tb
+      FROM j, t)
+SELECT round(sum((pa - pb) * ln(pa / pb)), 9) AS psi,
+       CAST(10 AS INT) AS nbins,
+       CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b
+FROM p
+"""
+
+
+def _q_s_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = stats.js_divergence(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1), "event_type")
+    return out.select(F.round("js", 9).alias("js"), "n_a", "n_b")
+
+
+_SQL_S_JS = """
+WITH a AS (SELECT event_type AS category, count(*) AS na FROM events
+           WHERE event_id % 2 = 0 GROUP BY 1),
+b AS (SELECT event_type AS category, count(*) AS nb FROM events
+      WHERE event_id % 2 = 1 GROUP BY 1),
+j AS (SELECT coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+      FROM a FULL OUTER JOIN b ON a.category = b.category),
+t AS (SELECT sum(na)::DOUBLE AS ta, sum(nb)::DOUBLE AS tb FROM j),
+e AS (SELECT na / t.ta AS p, nb / t.tb AS q, t.ta, t.tb FROM j, t)
+SELECT round(sum(CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END) / 2
+           + sum(CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0 END) / 2, 9) AS js,
+       CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b
+FROM e
+"""
+
+
+def _q_s_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return stats.wasserstein1_exact(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1), "value") \
+        .select(F.round("w1", 6).alias("w1"))
+
+
+_SQL_S_W1 = """
+WITH a AS (SELECT value::DOUBLE AS v FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL),
+b AS (SELECT value::DOUBLE AS v FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL),
+na AS (SELECT count(*)::DOUBLE AS n FROM a), nb AS (SELECT count(*)::DOUBLE AS n FROM b),
+ga AS (SELECT v, count(*) AS ca FROM a GROUP BY v),
+gb AS (SELECT v, count(*) AS cb FROM b GROUP BY v),
+m AS (SELECT coalesce(ga.v, gb.v) AS v, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+      FROM ga FULL OUTER JOIN gb ON ga.v = gb.v),
+e AS (SELECT v,
+             sum(ca) OVER (ORDER BY v) / (SELECT n FROM na) AS fa,
+             sum(cb) OVER (ORDER BY v) / (SELECT n FROM nb) AS fb,
+             lead(v) OVER (ORDER BY v) AS nxt
+      FROM m)
+SELECT round(sum(CASE WHEN nxt IS NOT NULL THEN abs(fa - fb) * (nxt - v) ELSE 0 END), 6) AS w1
+FROM e
+"""
+
+
+# ---------------------------------------------------------------------------
+# Conversation-protocol checks (transcript shape from events, incl. a
+# deterministic tool column so the pairing check exercises both codes)
+# ---------------------------------------------------------------------------
+
+_TOOL_MAP = ("CASE WHEN event_type = 'view' AND event_id % 3 = 0 "
+             "THEN 'browse' ELSE NULL END")
+
+_ALLOWED_TRANSITIONS = [
+    ("system", "user"), ("user", "assistant"), ("assistant", "user"),
+    ("assistant", "tool"), ("tool", "assistant"), ("tool", "tool"),
+]
+_ALLOWED_FIRST = ["system", "user"]
+
+
+def _transcripts_with_tools(events: DataFrame) -> DataFrame:
+    """Flagship transcript view plus a deterministic tool column."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).alias("turn_idx"),
+        F.expr(_ROLE_MAP).alias("role"),
+        F.col("props").alias("text"),
+        F.expr(_TOOL_MAP).alias("tool"),
+        F.col("ts"),
+    )
+
+
+_ORACLE_TX_TOOLS = f"""
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+         {_ROLE_MAP} AS role, {_TOOL_MAP} AS tool, ts
+  FROM events
+"""
+
+
+def _q_t_role_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_rs_spark.operators.table_checks import (
+        role_transition_violations,
+    )
+    tx = _transcripts_with_tools(_t(spark, sf_dir, "events"))
+    return role_transition_violations(
+        tx, _ALLOWED_TRANSITIONS, _ALLOWED_FIRST)
+
+
+_SQL_T_ROLE_PROTOCOL = f"""
+WITH tx AS ({_ORACLE_TX_TOOLS}),
+lagged AS (SELECT conv_id, turn_idx, role,
+                  lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+           FROM tx)
+SELECT conv_id, turn_idx, '/role' AS instance_path,
+       CASE WHEN prev IS NULL THEN 'BadFirstRole'
+            ELSE 'BadRoleTransition' END AS code,
+       CASE WHEN prev IS NULL THEN
+              '/role: conversation must start with one of ("system", "user"), got "' || role || '"'
+            ELSE '/role: transition "' || prev || '" -> "' || role || '" not allowed'
+       END AS message
+FROM lagged
+WHERE role IS NOT NULL AND (
+      (prev IS NULL AND role NOT IN ('system', 'user'))
+   OR (prev IS NOT NULL AND prev || '>' || role NOT IN (
+        'system>user', 'user>assistant', 'assistant>user',
+        'assistant>tool', 'tool>assistant', 'tool>tool')))
+"""
+
+
+def _q_t_tool_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_rs_spark.operators.table_checks import (
+        tool_pairing_violations,
+    )
+    tx = _transcripts_with_tools(_t(spark, sf_dir, "events"))
+    return tool_pairing_violations(tx)
+
+
+_SQL_T_TOOL_PAIRING = f"""
+WITH tx AS ({_ORACLE_TX_TOOLS}),
+ctx AS (SELECT conv_id, turn_idx, role, tool,
+               lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+               lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tool,
+               lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role
+        FROM tx),
+flag AS (SELECT *,
+                (role = 'tool' AND (prev_role IS NULL OR prev_role <> 'assistant'
+                                    OR prev_tool IS NULL)) AS orphan_result,
+                (role = 'assistant' AND tool IS NOT NULL
+                 AND (next_role IS NULL OR next_role <> 'tool')) AS orphan_call
+         FROM ctx)
+SELECT conv_id, turn_idx,
+       CASE WHEN orphan_result THEN '/role' ELSE '/tool' END AS instance_path,
+       CASE WHEN orphan_result THEN 'ToolResultWithoutCall'
+            ELSE 'ToolCallWithoutResult' END AS code,
+       CASE WHEN orphan_result THEN
+              '/role: "tool" turn not preceded by a "assistant" turn calling a tool (previous role: '
+              || coalesce('"' || prev_role || '"', 'none') || ')'
+            ELSE '/tool: tool call "' || tool || '" not followed by a "tool" turn'
+       END AS message
+FROM flag
+WHERE orphan_result OR orphan_call
+"""
+
+
+def _q_t_conv_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_rs_spark.operators.table_checks import (
+        conversation_bounds_violations,
+    )
+    tx = _transcripts_with_tools(_t(spark, sf_dir, "events"))
+    return conversation_bounds_violations(
+        tx, min_turns=55, max_turns=80, max_duration_seconds=2_500_000)
+
+
+_SQL_T_CONV_BOUNDS = f"""
+WITH tx AS ({_ORACLE_TX_TOOLS}),
+agg AS (SELECT conv_id, count(*) AS n,
+               date_diff('second', min(ts), max(ts)) AS dur
+        FROM tx GROUP BY conv_id)
+SELECT conv_id, CAST(NULL AS INT) AS turn_idx, '' AS instance_path,
+       'TooFewTurns' AS code,
+       'root: conversation has ' || n || ' turns, minimum is 55' AS message
+FROM agg WHERE n < 55
+UNION ALL
+SELECT conv_id, CAST(NULL AS INT), '', 'TooManyTurns',
+       'root: conversation has ' || n || ' turns, maximum is 80'
+FROM agg WHERE n > 80
+UNION ALL
+SELECT conv_id, CAST(NULL AS INT), '/ts', 'ConversationTooLong',
+       '/ts: conversation spans ' || dur || ' seconds, maximum is 2500000'
+FROM agg WHERE dur > 2500000
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup family (documents)
 # ---------------------------------------------------------------------------
@@ -1164,11 +1374,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_referential": _q_t_referential,
         "t_gapfree_ordering": _q_t_gapfree,
         "t_monotonic_ts": _q_t_monotonic,
+        # conversation-protocol checks
+        "t_role_protocol": _q_t_role_protocol,
+        "t_tool_pairing": _q_t_tool_pairing,
+        "t_conv_bounds": _q_t_conv_bounds,
         # stats + drift
         "s_profile": _q_s_profile,
         "s_chi2_drift": _q_s_chi2,
         "s_ks_drift": _q_s_ks,
         "s_ks_sketch": _q_s_ks_sketch,
+        "s_psi_drift": _q_s_psi,
+        "s_js_drift": _q_s_js,
+        "s_w1_drift": _q_s_w1,
         # dedup
         "d_exact_groups": _q_d_exact,
         "d_ngram_jaccard": _q_d_ngram,
@@ -1226,9 +1443,15 @@ def oracle_sql() -> dict[str, str]:
         "t_referential": _SQL_T_REFERENTIAL,
         "t_gapfree_ordering": _SQL_T_GAPFREE,
         "t_monotonic_ts": _SQL_T_MONOTONIC,
+        "t_role_protocol": _SQL_T_ROLE_PROTOCOL,
+        "t_tool_pairing": _SQL_T_TOOL_PAIRING,
+        "t_conv_bounds": _SQL_T_CONV_BOUNDS,
         "s_profile": _SQL_S_PROFILE,
         "s_chi2_drift": _SQL_S_CHI2,
         "s_ks_drift": _SQL_S_KS,
+        "s_psi_drift": _SQL_S_PSI,
+        "s_js_drift": _SQL_S_JS,
+        "s_w1_drift": _SQL_S_W1,
         "d_exact_groups": _SQL_D_EXACT,
         "d_ngram_jaccard": _SQL_D_NGRAM,
         "d_minhash_lsh": _SQL_D_NGRAM,

@@ -47,6 +47,8 @@ HEADLINE = [
     "v_pattern_hard",
     "x_quality",
     "m_media_meta",
+    "t_role_protocol",
+    "s_w1_drift",
 ]
 
 

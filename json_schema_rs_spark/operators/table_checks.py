@@ -156,3 +156,197 @@ def monotonic_ts_violations(
             F.col("_prev").cast("string"),
         ).alias("message"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversation-protocol checks (engine extensions for the transcript shape)
+# ---------------------------------------------------------------------------
+
+# The separator cannot appear in a role vocabulary; used to turn a
+# (prev, cur) pair into one string so the transition test compiles to a
+# codegen'd ``isin`` literal set — no join, no Python.
+_SEP = "\x00"
+
+
+def role_transition_violations(
+    df: DataFrame,
+    allowed_transitions: Sequence[tuple],
+    allowed_first: Sequence[str],
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+) -> DataFrame:
+    """Per-conversation role-protocol DFA check — ``enum`` membership
+    (validator/mod.rs:96-108) lifted from a value to a *transition*:
+    the allowed set ranges over (previous role, role) pairs instead of
+    single values. First turns (no previous) validate against
+    ``allowed_first``.
+
+    Scale shape: one skinny shuffle on ``conv_col`` for the lag window
+    (shared with the other per-conversation checks when fused); the
+    transition test is a literal ``isin`` over at most |roles|^2 strings —
+    whole-stage codegen, no join. NULL roles are "absent" and never
+    violate here (the row-local ``required`` check owns missing roles).
+    """
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    base = df.select(conv_col, idx_col, role_col) \
+             .withColumn("_prev", F.lag(role_col).over(w))
+    pair = F.concat_ws(_SEP, F.col("_prev"), F.col(role_col))
+    allowed_pairs = [f"{a}{_SEP}{b}" for a, b in allowed_transitions]
+    first_bad = (F.col("_prev").isNull()
+                 & ~F.col(role_col).isin(list(allowed_first)))
+    trans_bad = F.col("_prev").isNotNull() & ~pair.isin(allowed_pairs)
+    path = "/" + role_col
+    first_list = ", ".join(f'"{r}"' for r in allowed_first)
+    flagged = base.filter(F.col(role_col).isNotNull()
+                          & (first_bad | trans_bad))
+    return flagged.select(
+        F.col(conv_col),
+        F.col(idx_col),
+        F.lit(path).alias("instance_path"),
+        F.when(F.col("_prev").isNull(), F.lit("BadFirstRole"))
+         .otherwise(F.lit("BadRoleTransition")).alias("code"),
+        F.when(
+            F.col("_prev").isNull(),
+            F.concat(F.lit(f'{path}: conversation must start with one of '
+                           f'({first_list}), got "'),
+                     F.col(role_col), F.lit('"')),
+        ).otherwise(
+            F.concat(F.lit(f'{path}: transition "'), F.col("_prev"),
+                     F.lit('" -> "'), F.col(role_col),
+                     F.lit('" not allowed')),
+        ).alias("message"),
+    )
+
+
+def tool_pairing_violations(
+    df: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    tool_col: str = "tool",
+    tool_role: str = "tool",
+    caller_role: str = "assistant",
+) -> DataFrame:
+    """Tool-call/result pairing for agent transcripts:
+
+    - ``ToolResultWithoutCall``: a ``tool_role`` turn whose previous turn
+      is absent, is not ``caller_role``, or names no tool.
+    - ``ToolCallWithoutResult``: a ``caller_role`` turn that names a tool
+      but whose next turn is not a ``tool_role`` turn.
+
+    Both directions read from ONE lag/lead window over the same
+    (conv, idx) ordering — a single skinny shuffle on ``conv_col``,
+    whole-stage codegen after it.
+    """
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    prev_role, prev_tool = F.lag(role_col).over(w), F.lag(tool_col).over(w)
+    next_role = F.lead(role_col).over(w)
+    base = df.select(conv_col, idx_col, role_col, tool_col) \
+             .withColumn("_prev_role", prev_role) \
+             .withColumn("_prev_tool", prev_tool) \
+             .withColumn("_next_role", next_role)
+    orphan_result = (F.col(role_col) == tool_role) & (
+        F.col("_prev_role").isNull()
+        | (F.col("_prev_role") != caller_role)
+        | F.col("_prev_tool").isNull()
+    )
+    orphan_call = (
+        (F.col(role_col) == caller_role)
+        & F.col(tool_col).isNotNull()
+        & (F.col("_next_role").isNull() | (F.col("_next_role") != tool_role))
+    )
+    flagged = base.filter(orphan_result | orphan_call)
+    return flagged.select(
+        F.col(conv_col),
+        F.col(idx_col),
+        F.when(orphan_result, F.lit("/" + role_col))
+         .otherwise(F.lit("/" + tool_col)).alias("instance_path"),
+        F.when(orphan_result, F.lit("ToolResultWithoutCall"))
+         .otherwise(F.lit("ToolCallWithoutResult")).alias("code"),
+        F.when(
+            orphan_result,
+            F.concat(
+                F.lit(f'/{role_col}: "{tool_role}" turn not preceded by a '
+                      f'"{caller_role}" turn calling a tool (previous role: '),
+                F.coalesce(F.concat(F.lit('"'), F.col("_prev_role"),
+                                    F.lit('"')), F.lit("none")),
+                F.lit(")"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit(f'/{tool_col}: tool call "'), F.col(tool_col),
+                F.lit(f'" not followed by a "{tool_role}" turn'),
+            ),
+        ).alias("message"),
+    )
+
+
+def conversation_bounds_violations(
+    df: DataFrame,
+    *,
+    min_turns: Optional[int] = None,
+    max_turns: Optional[int] = None,
+    max_duration_seconds: Optional[int] = None,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-conversation aggregate bounds — ``minItems``/``maxItems``
+    (validator/mod.rs:360-377) lifted from array to conversation grain,
+    plus a wall-clock duration bound (engine extension). Emits one row per
+    violated bound per conversation, ``idx_col`` NULL (the violation is
+    conversation-scoped, not turn-scoped).
+
+    Scale shape: ONE hash aggregate on ``conv_col`` (map-side partial agg
+    absorbs turn-count skew in hot conversations); the bound predicates
+    run on the tiny per-conversation aggregate."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    if max_duration_seconds is not None:
+        aggs += [F.min(ts_col).alias("_t0"), F.max(ts_col).alias("_t1")]
+    per_conv = df.groupBy(conv_col).agg(*aggs)
+    idx_null = F.lit(None).cast("int").alias(idx_col)
+    parts = []
+    if min_turns is not None:
+        parts.append(per_conv.filter(F.col("_n") < min_turns).select(
+            F.col(conv_col), idx_null,
+            F.lit("").alias("instance_path"),
+            F.lit("TooFewTurns").alias("code"),
+            F.concat(F.lit("root: conversation has "),
+                     F.col("_n").cast("string"),
+                     F.lit(f" turns, minimum is {min_turns}")).alias("message"),
+        ))
+    if max_turns is not None:
+        parts.append(per_conv.filter(F.col("_n") > max_turns).select(
+            F.col(conv_col), idx_null,
+            F.lit("").alias("instance_path"),
+            F.lit("TooManyTurns").alias("code"),
+            F.concat(F.lit("root: conversation has "),
+                     F.col("_n").cast("string"),
+                     F.lit(f" turns, maximum is {max_turns}")).alias("message"),
+        ))
+    if max_duration_seconds is not None:
+        # timestampdiff is calendar arithmetic — works on TIMESTAMP_NTZ
+        # and is timezone-independent. Truncate both endpoints to whole
+        # seconds first: "duration in seconds" means boundary crossings
+        # (floor(t1) - floor(t0)), not floor(t1 - t0) — the two differ by
+        # one when the end's fractional second is below the start's.
+        dur = F.expr("timestampdiff(SECOND, date_trunc('second', _t0), "
+                     "date_trunc('second', _t1))")
+        parts.append(per_conv.filter(dur > max_duration_seconds).select(
+            F.col(conv_col), idx_null,
+            F.lit("/" + ts_col).alias("instance_path"),
+            F.lit("ConversationTooLong").alias("code"),
+            F.concat(F.lit(f"/{ts_col}: conversation spans "),
+                     dur.cast("string"),
+                     F.lit(f" seconds, maximum is {max_duration_seconds}")
+                     ).alias("message"),
+        ))
+    if not parts:
+        raise ValueError("conversation_bounds_violations: no bound given")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
