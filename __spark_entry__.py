@@ -760,6 +760,15 @@ def _q_s_ks_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(float(ks),)], "ks double")
 
 
+def _q_s_w1_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same sketch pair as s_ks_sketch (approximate -> rows-only driver
+    # check; accuracy vs the exact path asserted in tests)
+    ev = _t(spark, sf_dir, "events")
+    w1 = stats.w1_sketch(ev.filter(F.col("event_id") % 2 == 0),
+                         ev.filter(F.col("event_id") % 2 == 1), "value")
+    return spark.createDataFrame([(float(w1),)], "w1 double")
+
+
 def _q_s_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return stats.ks_exact(
@@ -1386,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_psi_drift": _q_s_psi,
         "s_js_drift": _q_s_js,
         "s_w1_drift": _q_s_w1,
+        "s_w1_sketch": _q_s_w1_sketch,
         # dedup
         "d_exact_groups": _q_d_exact,
         "d_ngram_jaccard": _q_d_ngram,

@@ -195,3 +195,22 @@ def ks_from_digests(a: TDigest, b: TDigest) -> float:
     if xs.size == 0:
         return math.nan
     return float(max(abs(a.cdf(float(x)) - b.cdf(float(x))) for x in xs))
+
+
+def w1_from_digests(a: TDigest, b: TDigest) -> float:
+    """Wasserstein-1 distance W1 = integral |F_a(x) - F_b(x)| dx,
+    approximated on the merged centroid grid (trapezoid on |F_a - F_b|,
+    which is piecewise-linear between centroids under the digests' own
+    interpolation) — the 100 TB path matching :func:`ks_from_digests`:
+    O(compression) driver work, no global sort."""
+    xs = np.unique(np.concatenate([
+        a.means, b.means,
+        np.asarray([a.min, a.max, b.min, b.max], dtype=np.float64),
+    ]))
+    xs = xs[np.isfinite(xs)]
+    if xs.size == 0:
+        return math.nan
+    if xs.size == 1:
+        return 0.0
+    d = np.asarray([abs(a.cdf(float(x)) - b.cdf(float(x))) for x in xs])
+    return float(np.trapz(d, xs))

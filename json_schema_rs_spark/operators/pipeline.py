@@ -52,9 +52,21 @@ def transcript_pipeline(
     conv_col: str = "conv_id",
     idx_col: str = "turn_idx",
     ts_col: Optional[str] = "ts",
+    role_protocol: Optional[tuple] = None,
+    tool_pairing: bool = False,
+    role_col: str = "role",
+    tool_col: str = "tool",
 ) -> DataFrame:
     """Full north-rule validation in two branches; returns the unioned
-    violation rows ``(conv_id, turn_idx, instance_path, code, message)``."""
+    violation rows ``(conv_id, turn_idx, instance_path, code, message)``.
+
+    ``role_protocol=(allowed_transitions, allowed_first)`` and
+    ``tool_pairing=True`` fuse the conversation-protocol checks
+    (:func:`.table_checks.role_transition_violations` /
+    :func:`.table_checks.tool_pairing_violations`, byte-identical output)
+    into the SAME skinny window pass — the lag/lead expressions share
+    branch 2's single exchange+sort, so the protocol costs no extra
+    shuffle, only ``role``/``tool`` riding in the skinny projection."""
     engine = ValidationEngine(spec, key_cols=(conv_col, idx_col))
     plan = engine.plan_for(df)
     prepared = plan.prepare(df)   # combinator validity helpers (if any)
@@ -83,10 +95,14 @@ def transcript_pipeline(
                .select(conv_col, idx_col, "v.instance_path", "v.code",
                        "v.message"))
 
-    # one exchange on conv_col + one sort by idx_col serves all three
+    # one exchange on conv_col + one sort by idx_col serves all the
     # cross-row checks; RANGE CURRENT ROW counts idx-peers on that same
     # sorted run (no shuffle on the composite key)
     cols = [conv_col, idx_col] + ([ts_col] if ts_col else [])
+    if role_protocol or tool_pairing:
+        cols.append(role_col)
+    if tool_pairing:
+        cols.append(tool_col)
     skinny = df.select(*cols)
     w = Window.partitionBy(conv_col).orderBy(idx_col)
     wpeers = w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
@@ -119,6 +135,53 @@ def transcript_pipeline(
                      F.col(ts_col).cast("string"),
                      F.lit(" is before previous turn's "),
                      prev.cast("string"))))
+    if role_protocol:
+        # byte-identical to table_checks.role_transition_violations, on
+        # the shared window (see that function for the semantics notes)
+        from .table_checks import _SEP
+        allowed_transitions, allowed_first = role_protocol
+        prev_role = F.lag(role_col).over(w)
+        pair = F.concat_ws(_SEP, prev_role, F.col(role_col))
+        pairs = [f"{a}{_SEP}{b}" for a, b in allowed_transitions]
+        role_path = "/" + role_col
+        first_list = ", ".join(f'"{r}"' for r in allowed_first)
+        checks.append(_viol(
+            F.col(role_col).isNotNull() & prev_role.isNull()
+            & ~F.col(role_col).isin(list(allowed_first)),
+            role_path, "BadFirstRole",
+            F.concat(F.lit(f"{role_path}: conversation must start with "
+                           f'one of ({first_list}), got "'),
+                     F.col(role_col), F.lit('"'))))
+        checks.append(_viol(
+            F.col(role_col).isNotNull() & prev_role.isNotNull()
+            & ~pair.isin(pairs),
+            role_path, "BadRoleTransition",
+            F.concat(F.lit(f'{role_path}: transition "'), prev_role,
+                     F.lit('" -> "'), F.col(role_col),
+                     F.lit('" not allowed'))))
+    if tool_pairing:
+        # byte-identical to table_checks.tool_pairing_violations
+        prev_role = F.lag(role_col).over(w)
+        prev_tool = F.lag(tool_col).over(w)
+        next_role = F.lead(role_col).over(w)
+        role_path, tool_path = "/" + role_col, "/" + tool_col
+        checks.append(_viol(
+            (F.col(role_col) == "tool") & (
+                prev_role.isNull() | (prev_role != "assistant")
+                | prev_tool.isNull()),
+            role_path, "ToolResultWithoutCall",
+            F.concat(
+                F.lit(f'{role_path}: "tool" turn not preceded by a '
+                      '"assistant" turn calling a tool (previous role: '),
+                F.coalesce(F.concat(F.lit('"'), prev_role, F.lit('"')),
+                           F.lit("none")),
+                F.lit(")"))))
+        checks.append(_viol(
+            (F.col(role_col) == "assistant") & F.col(tool_col).isNotNull()
+            & (next_role.isNull() | (next_role != "tool")),
+            tool_path, "ToolCallWithoutResult",
+            F.concat(F.lit(f'{tool_path}: tool call "'), F.col(tool_col),
+                     F.lit('" not followed by a "tool" turn'))))
     table_v = (explode_rows(
                     skinny.select(conv_col, idx_col,
                                   F.concat(*checks).alias("_v"))

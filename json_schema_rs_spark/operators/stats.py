@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.tdigest import TDigest, ks_from_digests
+from ..functions.tdigest import TDigest, ks_from_digests, w1_from_digests
 
 
 def profile(
@@ -221,6 +221,16 @@ def ks_sketch(df_a: DataFrame, df_b: DataFrame, column: str, *,
     da = column_digest(df_a, column, compression=compression)
     db = column_digest(df_b, column, compression=compression)
     return ks_from_digests(da, db)
+
+
+def w1_sketch(df_a: DataFrame, df_b: DataFrame, column: str, *,
+              compression: float = 200.0) -> float:
+    """Approximate Wasserstein-1 from t-digest sketches — the 100 TB path
+    for :func:`wasserstein1_exact`: two narrow passes, no global sort,
+    driver work O(compression)."""
+    da = column_digest(df_a, column, compression=compression)
+    db = column_digest(df_b, column, compression=compression)
+    return w1_from_digests(da, db)
 
 
 def psi(

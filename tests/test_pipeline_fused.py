@@ -98,3 +98,41 @@ def test_bucketed_input_makes_pipeline_shuffle_free(spark, tmp_path):
                                     vocabularies={"tool": TOOLS})
     assert ({_key(r) for r in pipe.collect()}
             == {_key(r) for r in flat_pipe.collect()})
+
+
+PROTOCOL = ([("system", "user"), ("user", "assistant"),
+             ("assistant", "user"), ("assistant", "tool"),
+             ("tool", "assistant"), ("tool", "tool")],
+            ["system", "user"])
+
+
+def test_fused_protocol_equals_a_la_carte(spark):
+    from json_schema_rs_spark.operators.table_checks import (
+        role_transition_violations,
+        tool_pairing_violations,
+    )
+    tx = synth_transcripts(spark, n_conversations=40, turns_per_conv=8,
+                           violation_rate=0.2)
+    fused = {_key(r) for r in transcript_pipeline(
+        tx, SPEC, vocabularies={"tool": TOOLS},
+        role_protocol=PROTOCOL, tool_pairing=True).collect()}
+
+    expected = {_key(r) for r in transcript_pipeline(
+        tx, SPEC, vocabularies={"tool": TOOLS}).collect()}
+    expected |= {_key(r) for r in role_transition_violations(
+        tx, *PROTOCOL).collect()}
+    expected |= {_key(r) for r in tool_pairing_violations(tx).collect()}
+    assert fused == expected
+    # the synth violation injector produces protocol violations
+    codes = {k[3] for k in fused}
+    assert codes & {"BadRoleTransition", "BadFirstRole",
+                    "ToolResultWithoutCall", "ToolCallWithoutResult"}
+
+
+def test_fused_protocol_still_single_exchange(spark):
+    tx = synth_transcripts(spark, n_conversations=5, turns_per_conv=4)
+    pipe = transcript_pipeline(tx, SPEC, vocabularies={"tool": TOOLS},
+                               role_protocol=PROTOCOL, tool_pairing=True)
+    plan = pipe._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan

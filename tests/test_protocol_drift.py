@@ -276,3 +276,25 @@ class TestWasserstein1:
         db = spark.createDataFrame([(x + 2.5,) for x in vals], "v double")
         w1 = S.wasserstein1_exact(da, db, "v").collect()[0].w1
         assert abs(w1 - 2.5) < 1e-9
+
+    def test_sketch_close_to_exact(self, spark):
+        rng = random.Random(11)
+        a = [rng.gauss(0, 1) for _ in range(4000)]
+        b = [rng.gauss(0.8, 1.0) for _ in range(4000)]
+        da = spark.createDataFrame([(x,) for x in a],
+                                   "v double").repartition(8)
+        db = spark.createDataFrame([(x,) for x in b],
+                                   "v double").repartition(8)
+        exact = S.wasserstein1_exact(da, db, "v").collect()[0].w1
+        approx = S.w1_sketch(da, db, "v")
+        assert abs(approx - exact) < 0.05 * max(exact, 1.0)
+        assert approx > 0.5  # the 0.8 shift is detected
+
+    def test_sketch_same_digest_is_zero(self):
+        from json_schema_rs_spark.functions.tdigest import (
+            TDigest,
+            w1_from_digests,
+        )
+        d = TDigest(100)
+        d.add(np.arange(1000, dtype=float))
+        assert w1_from_digests(d, d) == 0.0
