@@ -152,3 +152,65 @@ def test_open_conversations_stay_silent(spark, tmp_path):
     finally:
         q.stop()
     assert spark.sql("SELECT * FROM stateful_open").count() == 0
+
+
+PROTOCOL = ([("system", "user"), ("user", "assistant"),
+             ("assistant", "user"), ("assistant", "tool"),
+             ("tool", "assistant"), ("tool", "tool")],
+            ["system", "user"])
+
+# duplicate-free turn indices (window tie order between batch lag and the
+# stream's stable buffer sort must not be in play); conv P: legal incl. a
+# paired tool call; conv Q: bad first role + user->user transition; conv
+# R: orphan tool result + orphan tool call at conversation end
+PROTO_ROWS = [
+    ("P", 0, "user", None, _ts(0)),
+    ("P", 1, "assistant", "search", _ts(1)),
+    ("P", 2, "tool", None, _ts(2)),
+    ("P", 3, "assistant", None, _ts(3)),
+    ("Q", 0, "assistant", None, _ts(0)),
+    ("Q", 1, "user", None, _ts(1)),
+    ("Q", 2, "user", None, _ts(2)),
+    ("R", 0, "user", None, _ts(0)),
+    ("R", 1, "tool", None, _ts(1)),
+    ("R", 2, "assistant", "browse", _ts(2)),
+]
+PROTO_SCHEMA = ("conv_id string, turn_idx int, role string, tool string, "
+                "ts timestamp")
+PROTO_SENTINEL = ("ZZ-flush", 0, "user", None, _ts(59))
+
+
+def test_protocol_checks_match_batch_bytes(spark, tmp_path):
+    from json_schema_rs_spark.operators.table_checks import (
+        role_transition_violations,
+        tool_pairing_violations,
+    )
+    d = _write_chunks(
+        spark, tmp_path,
+        [PROTO_ROWS[4:7] + PROTO_ROWS[0:2],
+         PROTO_ROWS[2:4] + PROTO_ROWS[7:10] + [PROTO_SENTINEL]],
+        schema=PROTO_SCHEMA)
+    out = stateful_transcript_checks(
+        spark.readStream.schema(PROTO_SCHEMA).parquet(d),
+        watermark_delay="10 minutes", session_gap_ms=5_000,
+        role_protocol=PROTOCOL, tool_pairing=True)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("stateful_protocol")
+         .option("checkpointLocation", str(tmp_path / "ckpt4")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in
+                 spark.sql("SELECT * FROM stateful_protocol").collect())
+    df = spark.createDataFrame(PROTO_ROWS, PROTO_SCHEMA)
+    expected = sorted(
+        tuple(r) for r in
+        turn_gap_violations(df)
+        .unionByName(monotonic_ts_violations(df))
+        .unionByName(role_transition_violations(df, *PROTOCOL))
+        .unionByName(tool_pairing_violations(df)).collect())
+    codes = {r[3] for r in expected}
+    assert {"BadFirstRole", "BadRoleTransition", "ToolResultWithoutCall",
+            "ToolCallWithoutResult"} <= codes
+    assert got == expected
