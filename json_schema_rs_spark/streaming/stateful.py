@@ -222,6 +222,12 @@ def stateful_transcript_checks(
     if role_protocol is not None:
         protocol["allowed_transitions"] = role_protocol[0]
         protocol["allowed_first"] = role_protocol[1]
+    # watermarks require TIMESTAMP; normalize TIMESTAMP_NTZ inputs (the
+    # cast reads NTZ in the session timezone — pin it, e.g. to UTC)
+    if dict(stream_df.dtypes).get(ts_col) == "timestamp_ntz":
+        from pyspark.sql import functions as F
+        stream_df = stream_df.withColumn(
+            ts_col, F.col(ts_col).cast("timestamp"))
     return (stream_df
             .withWatermark(ts_col, watermark_delay)
             .groupBy(conv_col)
