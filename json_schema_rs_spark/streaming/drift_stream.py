@@ -116,3 +116,71 @@ def categorical_drift_stream(
         js.alias("js"),
         chi2.alias("chi2"),
     )
+
+
+def numeric_drift_stream(
+    stream_df: DataFrame,
+    column: str,
+    baseline_props: Mapping[int, float],
+    *,
+    lo: float,
+    hi: float,
+    nbins: int = 10,
+    eps: float = 1e-6,
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+    slide: Optional[str] = None,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Per-window PSI of a numeric column vs a baseline binned on the
+    same fixed equal-width grid — the streaming form of
+    :func:`..operators.stats.psi` (same bin arithmetic: caller-fixed
+    ``[lo, hi)`` range, out-of-range clamps to edge bins, zero-proportion
+    bins substitute ``eps``).
+
+    ``baseline_props`` maps bin id (0..nbins-1) -> baseline proportion
+    (missing bins are 0, i.e. ``eps`` after substitution); compute it
+    once from the training snapshot with the batch ``psi`` machinery or
+    a plain binned groupBy. Same execution shape as
+    :func:`categorical_drift_stream`: ONE watermarked window aggregate
+    whose per-bin counts are conditional sums, PSI a closed-form
+    expression over them. NULL values are excluded from every bin but
+    ride along as ``null_count``. Returns ``(window_start, window_end,
+    n bigint, null_count bigint, psi double)``.
+    """
+    if nbins <= 0 or not (hi > lo):
+        raise ValueError("numeric_drift_stream: need nbins > 0, hi > lo")
+    step = (float(hi) - float(lo)) / nbins
+    q = [max(float(baseline_props.get(i, 0.0)), eps) for i in range(nbins)]
+
+    if dict(stream_df.dtypes).get(ts_col) == "timestamp_ntz":
+        stream_df = stream_df.withColumn(
+            ts_col, F.col(ts_col).cast("timestamp"))
+
+    v = F.col(column).cast("double")
+    raw = F.floor((v - F.lit(float(lo))) / F.lit(step)).cast("int")
+    b = F.when(v.isNotNull(),
+               F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1)))
+    win = (F.window(ts_col, window, slide) if slide
+           else F.window(ts_col, window))
+    agg = (stream_df
+           .withWatermark(ts_col, watermark_delay)
+           .groupBy(win.alias("_w"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.count(column).alias("_nn"),
+                *[F.sum(F.when(b == i, F.lit(1)).otherwise(F.lit(0)))
+                   .alias(f"_b{i}") for i in range(nbins)]))
+    nn = F.col("_nn").cast("double")
+    terms = []
+    for i in range(nbins):
+        p_i = F.greatest(F.col(f"_b{i}").cast("double") / nn, F.lit(eps))
+        q_i = F.lit(q[i])
+        terms.append((p_i - q_i) * F.log(p_i / q_i))
+    psi_expr = sum(terms[1:], terms[0])
+    return agg.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n") - F.col("_nn")).cast("bigint").alias("null_count"),
+        F.when(F.col("_nn") > 0, psi_expr).alias("psi"),
+    )

@@ -152,3 +152,71 @@ def test_unnormalized_baseline_weights(spark, tmp_path):
         q.stop()
     (r,) = spark.sql("SELECT * FROM drift_weights").collect()
     assert abs(r.js) < 1e-12 and abs(r.chi2) < 1e-12
+
+
+def _num_rows(minute: int, vals: list) -> list:
+    return [(f"n{i}", v, _ts(minute, i % 60)) for i, v in enumerate(vals)]
+
+
+NUM_SCHEMA = "conv_id string, v double, ts timestamp"
+
+
+def test_numeric_psi_per_window(spark, tmp_path):
+    from json_schema_rs_spark.streaming.drift_stream import (
+        numeric_drift_stream,
+    )
+    # baseline: uniform over bins 0..4 of [0, 50) in steps of 10
+    base = {i: 0.2 for i in range(5)}
+    w1 = _num_rows(0, [5.0, 15.0, 25.0, 35.0, 45.0] * 4)        # matches
+    w2 = _num_rows(5, [5.0] * 16 + [45.0] * 2 + [None, None])    # shifted
+    d = _write_chunks_schema(spark, tmp_path, [w1 + w2 + [("zz", 1.0, _ts(59))]],
+                             NUM_SCHEMA)
+    out = numeric_drift_stream(
+        spark.readStream.schema(NUM_SCHEMA).parquet(d), "v", base,
+        lo=0.0, hi=50.0, nbins=5, window="5 minutes",
+        watermark_delay="1 minute")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("num_drift")
+         .option("checkpointLocation", str(tmp_path / "ckn")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r.window_start.minute: r for r in spark.sql(
+        "SELECT * FROM num_drift").collect()
+        if r.window_start.minute < 10}
+    assert set(rows) == {0, 5}
+    r1 = rows[0]
+    assert r1.n == 20 and r1.null_count == 0 and abs(r1.psi) < 1e-12
+    r2 = rows[5]
+    assert r2.n == 20 and r2.null_count == 2
+    # manual PSI: p = (16/18, eps, eps, eps, 2/18) vs q = 0.2 each
+    eps = 1e-6
+    p = [16 / 18, eps, eps, eps, 2 / 18]
+    want = sum((pi - 0.2) * math.log(pi / 0.2) for pi in p)
+    assert abs(r2.psi - want) < 1e-9
+    assert r2.psi > 0.5  # major shift
+
+
+def _write_chunks_schema(spark, tmp_path, chunks, schema) -> str:
+    d = str(tmp_path / "stream_in_n")
+    os.makedirs(d, exist_ok=True)
+    for i, chunk in enumerate(chunks):
+        staging = str(tmp_path / f"staging_n{i}")
+        spark.createDataFrame(chunk, schema).coalesce(1) \
+            .write.parquet(staging)
+        (part,) = glob.glob(os.path.join(staging, "part-*.parquet"))
+        dest = os.path.join(d, f"chunk{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    return d
+
+
+def test_numeric_psi_validates_params():
+    from json_schema_rs_spark.streaming.drift_stream import (
+        numeric_drift_stream,
+    )
+    with pytest.raises(ValueError):
+        numeric_drift_stream(None, "v", {}, lo=0.0, hi=0.0)
+    with pytest.raises(ValueError):
+        numeric_drift_stream(None, "v", {}, lo=1.0, hi=2.0, nbins=0)
