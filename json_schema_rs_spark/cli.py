@@ -40,11 +40,24 @@ def cmd_validate(args: argparse.Namespace) -> int:
     with open(args.spec) as f:
         spec = json.load(f)
     source = spark.read.parquet(args.input)
+    protocol = None
+    tool_pairing = False
+    if args.protocol:
+        with open(args.protocol) as f:
+            p = json.load(f)
+        if "allowed_transitions" in p:
+            protocol = ([tuple(t) for t in p["allowed_transitions"]],
+                        list(p.get("allowed_first", ())))
+        tool_pairing = bool(p.get("tool_pairing", False))
     summary = run_checkpointed_validation(
         spark, source, spec, args.output,
         run_id=args.run_id, n_buckets=args.buckets,
         bucket_col=args.bucket_col,
         key_cols=tuple(args.keys.split(",")),
+        table_checks=args.table_checks or bool(args.protocol),
+        ts_col=args.ts_col or None,
+        role_protocol=protocol,
+        tool_pairing=tool_pairing,
     )
     print(json.dumps(summary))
     # exit code reflects the WHOLE run (ledger totals), so a resume of an
@@ -75,6 +88,16 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--buckets", type=int, default=64)
     v.add_argument("--bucket-col", default="conv_id")
     v.add_argument("--keys", default="conv_id,turn_idx")
+    v.add_argument("--table-checks", action="store_true",
+                   help="also run cross-row checks (duplicate key, "
+                        "gap-free, monotonic ts) per bucket chunk")
+    v.add_argument("--ts-col", default="ts",
+                   help="timestamp column for the monotonic check "
+                        "('' disables)")
+    v.add_argument("--protocol", default=None,
+                   help="JSON file {allowed_transitions, allowed_first, "
+                        "tool_pairing} enabling the conversation-protocol "
+                        "checks (implies --table-checks)")
     v.add_argument("--master", default=None, help="override spark master (tests)")
     v.set_defaults(fn=cmd_validate)
     args = p.parse_args(argv)

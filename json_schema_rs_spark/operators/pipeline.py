@@ -95,9 +95,32 @@ def transcript_pipeline(
                .select(conv_col, idx_col, "v.instance_path", "v.code",
                        "v.message"))
 
-    # one exchange on conv_col + one sort by idx_col serves all the
-    # cross-row checks; RANGE CURRENT ROW counts idx-peers on that same
-    # sorted run (no shuffle on the composite key)
+    table_v = cross_row_violations(
+        df, conv_col=conv_col, idx_col=idx_col, ts_col=ts_col,
+        role_protocol=role_protocol, tool_pairing=tool_pairing,
+        role_col=role_col, tool_col=tool_col)
+    return row_v.unionByName(table_v)
+
+
+def cross_row_violations(
+    df: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    ts_col: Optional[str] = "ts",
+    role_protocol: Optional[tuple] = None,
+    tool_pairing: bool = False,
+    role_col: str = "role",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Branch 2 of the fused pipeline, reusable on its own (e.g. the
+    resumable ledger runner applies it per conv_id-hashed bucket chunk,
+    where every conversation is whole by construction): ALL cross-row
+    checks — duplicate key, gap-free, monotonic ts, and optionally the
+    conversation protocol — from one skinny window pass. One exchange on
+    ``conv_col`` + one sort by ``idx_col``; RANGE CURRENT ROW counts
+    idx-peers on that same sorted run (no shuffle on the composite key).
+    """
     cols = [conv_col, idx_col] + ([ts_col] if ts_col else [])
     if role_protocol or tool_pairing:
         cols.append(role_col)
@@ -182,11 +205,10 @@ def transcript_pipeline(
             tool_path, "ToolCallWithoutResult",
             F.concat(F.lit(f'{tool_path}: tool call "'), F.col(tool_col),
                      F.lit('" not followed by a "tool" turn'))))
-    table_v = (explode_rows(
-                    skinny.select(conv_col, idx_col,
-                                  F.concat(*checks).alias("_v"))
-                          .filter(F.size("_v") > 0),
-                    [conv_col, idx_col], F.col("_v"), "v")
-                     .select(conv_col, idx_col, "v.instance_path", "v.code",
-                             "v.message"))
-    return row_v.unionByName(table_v)
+    return (explode_rows(
+                skinny.select(conv_col, idx_col,
+                              F.concat(*checks).alias("_v"))
+                      .filter(F.size("_v") > 0),
+                [conv_col, idx_col], F.col("_v"), "v")
+              .select(conv_col, idx_col, "v.instance_path", "v.code",
+                      "v.message"))

@@ -218,6 +218,10 @@ def run_checkpointed_validation(
     bucket_col: str = "conv_id",
     key_cols: Sequence[str] = ("conv_id", "turn_idx"),
     fail_after_chunks: Optional[int] = None,
+    table_checks: bool = False,
+    ts_col: Optional[str] = "ts",
+    role_protocol: Optional[tuple] = None,
+    tool_pairing: bool = False,
 ) -> dict:
     """Validate ``source`` in resumable bucket chunks.
 
@@ -225,6 +229,14 @@ def run_checkpointed_validation(
     append violation rows to ``{output_path}/violations`` (partitioned by
     bucket for pruning on re-reads) -> append one ledger row per bucket.
     Re-invoking with the same ``run_id`` skips completed buckets.
+
+    ``table_checks=True`` also runs the cross-row checks (duplicate key,
+    gap-free ordering, monotonic ts, and — when ``role_protocol`` /
+    ``tool_pairing`` are set — the conversation protocol) per chunk.
+    This is EXACT, not per-chunk-approximate, because buckets hash on
+    ``bucket_col`` (= the conversation key): every conversation lands
+    whole inside one bucket, and all cross-row checks are per-conversation.
+    Their violation counts ride in the same ledger rows.
 
     ``fail_after_chunks`` is a test hook simulating a mid-run crash.
     Returns a summary dict with per-run totals and bucket lists.
@@ -267,24 +279,47 @@ def run_checkpointed_validation(
             .withColumn("bucket", F.col("_bucket")).drop("_bucket")
             .write.mode("append").partitionBy("bucket")
             .parquet(f"{output_path}/violations"))
+        tcounts: dict = {}
+        if table_checks:
+            from ..operators.pipeline import cross_row_violations
+            tv = cross_row_violations(
+                part, conv_col=key_cols[0], idx_col=key_cols[1],
+                ts_col=ts_col, role_protocol=role_protocol,
+                tool_pairing=tool_pairing)
+            # bucket is a pure function of the conversation key, so it is
+            # recomputable on the violation rows themselves
+            tv_b = tv.withColumn(
+                "bucket",
+                F.pmod(F.xxhash64(F.col(key_cols[0])),
+                       F.lit(n_buckets)).cast("int"))
+            tcounts = {int(r["bucket"]): int(r["c"])
+                       for r in tv_b.groupBy("bucket")
+                                    .agg(F.count(F.lit(1)).alias("c"))
+                                    .collect()}
+            (tv_b.write.mode("append").partitionBy("bucket")
+                 .parquet(f"{output_path}/violations"))
         wall = time.monotonic() - t0
         by_bucket = {r["_bucket"]: r for r in agg}
         entries = []
         for b in chunk:
             r = by_bucket.get(b)
+            vcount = (int(r["violation_count"]) if r else 0) \
+                + tcounts.get(b, 0)
             entries.append({
                 "run_id": run_id, "bucket": b, "status": "done",
                 "rows": int(r["rows"]) if r else 0,
+                # valid_rows is the ROW-LOCAL validity count; cross-row
+                # violations add to violation_count only
                 "valid_rows": int(r["valid_rows"]) if r else 0,
-                "violation_count": int(r["violation_count"]) if r else 0,
+                "violation_count": vcount,
                 "wall_time_sec": wall / len(chunk),
                 "spec_fingerprint": fp,
                 "finished_at": None,
             })
-            if r:
-                totals["rows"] += int(r["rows"])
-                totals["valid_rows"] += int(r["valid_rows"])
-                totals["violation_count"] += int(r["violation_count"])
+            if r or tcounts.get(b):
+                totals["rows"] += int(r["rows"]) if r else 0
+                totals["valid_rows"] += int(r["valid_rows"]) if r else 0
+                totals["violation_count"] += vcount
         ledger.append(entries)
         processed.extend(chunk)
 

@@ -238,3 +238,83 @@ class TestPlanLineage:
             assert {r.bucket for r in first} == {0}
         finally:
             s.stop()
+
+
+PROTOCOL = ([("system", "user"), ("user", "assistant"),
+             ("assistant", "user"), ("assistant", "tool"),
+             ("tool", "assistant"), ("tool", "tool")],
+            ["system", "user"])
+
+
+class TestLedgerTableChecks:
+    def test_cross_row_checks_ride_the_resumable_run(self, spark, tdf,
+                                                     tmp_path):
+        from json_schema_rs_spark.operators.pipeline import (
+            cross_row_violations,
+        )
+        out = str(tmp_path / "run_tc")
+        s = run_checkpointed_validation(
+            spark, tdf, SPEC, out, run_id="tc1", n_buckets=8,
+            buckets_per_chunk=3, table_checks=True,
+            role_protocol=PROTOCOL, tool_pairing=True)
+        viol = spark.read.parquet(f"{out}/violations")
+        batch_tv = cross_row_violations(
+            tdf, role_protocol=PROTOCOL, tool_pairing=True)
+        batch_rv = ValidationEngine(SPEC).validate(tdf).violations
+        # the sink holds row-local + cross-row violations, exactly
+        want = sorted(
+            (r.conv_id, r.turn_idx, r.instance_path, r.code, r.message)
+            for r in batch_tv.unionByName(batch_rv).collect())
+        got = sorted(
+            (r.conv_id, r.turn_idx, r.instance_path, r.code, r.message)
+            for r in viol.collect())
+        assert got == want
+        assert s["violation_count"] == len(want)
+        # protocol codes actually present (the injector produces them)
+        codes = {r.code for r in viol.collect()}
+        assert codes & {"BadRoleTransition", "BadFirstRole",
+                        "ToolResultWithoutCall", "ToolCallWithoutResult"}
+
+    def test_crash_resume_with_table_checks_is_exact(self, spark, tdf,
+                                                     tmp_path):
+        from json_schema_rs_spark.operators.pipeline import (
+            cross_row_violations,
+        )
+        out = str(tmp_path / "run_tc2")
+        kw = dict(n_buckets=8, buckets_per_chunk=2, table_checks=True,
+                  role_protocol=PROTOCOL, tool_pairing=True)
+        run_checkpointed_validation(spark, tdf, SPEC, out, run_id="tc2",
+                                    fail_after_chunks=2, **kw)
+        s2 = run_checkpointed_validation(spark, tdf, SPEC, out,
+                                         run_id="tc2", **kw)
+        assert not s2["remaining_buckets"]
+        viol = spark.read.parquet(f"{out}/violations")
+        batch_n = (cross_row_violations(tdf, role_protocol=PROTOCOL,
+                                        tool_pairing=True).count()
+                   + ValidationEngine(SPEC).validate(tdf)
+                     .violations.count())
+        # no duplicates, no gaps after the resume
+        assert viol.count() == batch_n
+
+    def test_cli_protocol_flag(self, spark, tdf, tmp_path, capsys):
+        from json_schema_rs_spark import cli
+        src = str(tmp_path / "src")
+        tdf.write.parquet(src)
+        spec_f = str(tmp_path / "spec.json")
+        with open(spec_f, "w") as f:
+            json.dump(SPEC, f)
+        proto_f = str(tmp_path / "protocol.json")
+        with open(proto_f, "w") as f:
+            json.dump({"allowed_transitions": PROTOCOL[0],
+                       "allowed_first": PROTOCOL[1],
+                       "tool_pairing": True}, f)
+        rc = cli.main(["validate", "--spec", spec_f, "--input", src,
+                       "--output", str(tmp_path / "out"),
+                       "--run-id", "cli-tc", "--buckets", "4",
+                       "--protocol", proto_f])
+        assert rc == 1  # dirty data -> non-zero, reference contract
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        viol = spark.read.parquet(str(tmp_path / "out" / "violations"))
+        assert summary["violation_count"] == viol.count()
+        assert {r.code for r in viol.collect()} & {"BadRoleTransition",
+                                                   "ToolResultWithoutCall"}
