@@ -903,7 +903,7 @@ def _transcripts_with_tools(events: DataFrame) -> DataFrame:
 _ORACLE_TX_TOOLS = f"""
   SELECT CAST(user_id AS VARCHAR) AS conv_id,
          CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
-         {_ROLE_MAP} AS role, {_TOOL_MAP} AS tool, ts
+         {_ROLE_MAP} AS role, props AS text, {_TOOL_MAP} AS tool, ts
   FROM events
 """
 
@@ -999,6 +999,35 @@ UNION ALL
 SELECT conv_id, CAST(NULL AS INT), '/ts', 'ConversationTooLong',
        '/ts: conversation spans ' || dur || ' seconds, maximum is 2500000'
 FROM agg WHERE dur > 2500000
+"""
+
+
+def _q_t_conv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from json_schema_rs_spark.operators.table_checks import (
+        conversation_profile,
+    )
+    tx = _transcripts_with_tools(_t(spark, sf_dir, "events"))
+    prof = conversation_profile(tx)
+    return prof.select(
+        "conv_id", "n_turns", "min_idx", "max_idx", "duration_s",
+        "n_roles", "user_turns", "assistant_turns", "total_text_chars",
+        F.round("avg_text_len", 6).alias("avg_text_len"), "tool_calls")
+
+
+_SQL_T_CONV_PROFILE = f"""
+WITH tx AS ({_ORACLE_TX_TOOLS})
+SELECT conv_id,
+       count(*) AS n_turns,
+       min(turn_idx) AS min_idx,
+       max(turn_idx) AS max_idx,
+       date_diff('second', min(ts), max(ts)) AS duration_s,
+       count(DISTINCT role) AS n_roles,
+       sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS user_turns,
+       sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS assistant_turns,
+       sum(coalesce(length(text), 0)) AS total_text_chars,
+       round(avg(length(text)), 6) AS avg_text_len,
+       count(tool) AS tool_calls
+FROM tx GROUP BY conv_id
 """
 
 
@@ -1387,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_role_protocol": _q_t_role_protocol,
         "t_tool_pairing": _q_t_tool_pairing,
         "t_conv_bounds": _q_t_conv_bounds,
+        "t_conv_profile": _q_t_conv_profile,
         # stats + drift
         "s_profile": _q_s_profile,
         "s_chi2_drift": _q_s_chi2,
@@ -1456,6 +1486,7 @@ def oracle_sql() -> dict[str, str]:
         "t_role_protocol": _SQL_T_ROLE_PROTOCOL,
         "t_tool_pairing": _SQL_T_TOOL_PAIRING,
         "t_conv_bounds": _SQL_T_CONV_BOUNDS,
+        "t_conv_profile": _SQL_T_CONV_PROFILE,
         "s_profile": _SQL_S_PROFILE,
         "s_chi2_drift": _SQL_S_CHI2,
         "s_ks_drift": _SQL_S_KS,

@@ -69,10 +69,12 @@ def _transcripts_path(spark) -> str:
     return path
 
 
-def _pipeline(spark, path):
+def _pipeline(spark, path, protocol: bool = False):
     """The north-rule validation pipeline over the transcript table —
     the fused two-branch plan (operators/pipeline.py): zero-shuffle row
-    checks + one skinny conv_id shuffle for all cross-row checks."""
+    checks + one skinny conv_id shuffle for all cross-row checks.
+    ``protocol=True`` additionally fuses the role-DFA + tool-pairing
+    checks into that same shuffle (evidence they ride ~free)."""
     from json_schema_rs_spark.operators.pipeline import transcript_pipeline
     from json_schema_rs_spark.sources.synth import ROLES, TOOLS
 
@@ -86,8 +88,15 @@ def _pipeline(spark, path):
             "turn_idx": {"type": "integer", "minimum": 0, "maximum": 100000},
         },
     }
+    kw = {}
+    if protocol:
+        kw = dict(role_protocol=(
+            [("system", "user"), ("user", "assistant"),
+             ("assistant", "user"), ("assistant", "tool"),
+             ("tool", "assistant"), ("tool", "tool")],
+            ["system", "user"]), tool_pairing=True)
     tx = spark.read.parquet(path)
-    return transcript_pipeline(tx, spec, vocabularies={"tool": TOOLS})
+    return transcript_pipeline(tx, spec, vocabularies={"tool": TOOLS}, **kw)
 
 
 def main() -> None:
@@ -157,6 +166,13 @@ def main() -> None:
     turns_per_sec = TURNS / elapsed
     qsecs["validate_pipeline"] = round(elapsed, 3)
     csecs["validate_pipeline"] = round(comp, 3)
+    # same pipeline + conversation-protocol checks fused into the same
+    # single conv_id shuffle — the delta vs validate_pipeline is the
+    # full cost of the protocol at this scale
+    pcomp, pelapsed = timed(lambda: _pipeline(spark, path, protocol=True),
+                            runs=3)
+    qsecs["validate_pipeline_protocol"] = round(pelapsed, 3)
+    csecs["validate_pipeline_protocol"] = round(pcomp, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

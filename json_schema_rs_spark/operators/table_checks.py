@@ -350,3 +350,58 @@ def conversation_bounds_violations(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def conversation_profile(
+    df: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    ts_col: Optional[str] = "ts",
+    role_col: Optional[str] = "role",
+    text_col: Optional[str] = "text",
+    tool_col: Optional[str] = "tool",
+) -> DataFrame:
+    """Per-conversation aggregate features — the conversation-grain
+    analog of :func:`..stats.profile` (column grain), for curation and
+    constraint inputs: turn count, index span, duration, text volume,
+    role mix, tool usage. ONE hash aggregate on ``conv_col`` (map-side
+    partial agg absorbs hot-conversation skew); every feature is a
+    plain codegen'd aggregate function.
+
+    Columns (those whose source column is passed):
+    ``conv_id, n_turns, min_idx, max_idx, duration_s, n_roles,
+    user_turns, assistant_turns, total_text_chars, avg_text_len,
+    tool_calls``.
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min(idx_col).alias("min_idx"),
+        F.max(idx_col).alias("max_idx"),
+    ]
+    if ts_col:
+        aggs.append(F.expr(
+            f"timestampdiff(SECOND, date_trunc('second', min({ts_col})), "
+            f"date_trunc('second', max({ts_col})))").alias("duration_s"))
+    if role_col:
+        aggs += [
+            # size(collect_set) not count_distinct: roles are a tiny
+            # closed vocabulary, and count_distinct would force a second
+            # aggregation phase (Expand + extra exchange); collect_set
+            # keeps the whole profile in ONE single-pass aggregate
+            F.size(F.collect_set(F.col(role_col))).cast("bigint")
+             .alias("n_roles"),
+            F.sum(F.when(F.col(role_col) == "user", 1).otherwise(0))
+             .alias("user_turns"),
+            F.sum(F.when(F.col(role_col) == "assistant", 1).otherwise(0))
+             .alias("assistant_turns"),
+        ]
+    if text_col:
+        aggs += [
+            F.sum(F.coalesce(F.length(text_col), F.lit(0)))
+             .alias("total_text_chars"),
+            F.avg(F.length(text_col)).alias("avg_text_len"),
+        ]
+    if tool_col:
+        aggs.append(F.count(F.col(tool_col)).alias("tool_calls"))
+    return df.groupBy(conv_col).agg(*aggs)

@@ -298,3 +298,31 @@ class TestWasserstein1:
         d = TDigest(100)
         d.add(np.arange(1000, dtype=float))
         assert w1_from_digests(d, d) == 0.0
+
+
+class TestConversationProfile:
+    def test_values_and_single_exchange(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            conversation_profile,
+        )
+        rows = [
+            ("A", 0, "user", "hello", None, T0),
+            ("A", 1, "assistant", "hi!", "search", T0 + M),
+            ("A", 2, "tool", None, None, T0 + 2 * M),
+            ("B", 5, "user", "yo", None, T0),
+        ]
+        df = spark.createDataFrame(rows, schema=SCHEMA)
+        prof = {r.conv_id: r for r in conversation_profile(df).collect()}
+        a = prof["A"]
+        assert (a.n_turns, a.min_idx, a.max_idx) == (3, 0, 2)
+        assert a.duration_s == 120
+        assert a.n_roles == 3
+        assert (a.user_turns, a.assistant_turns) == (1, 1)
+        assert a.total_text_chars == 8  # 'hello' + 'hi!' ; NULL -> 0
+        assert abs(a.avg_text_len - 4.0) < 1e-12  # NULL excluded from avg
+        assert a.tool_calls == 1
+        b = prof["B"]
+        assert (b.n_turns, b.min_idx, b.max_idx, b.duration_s) == (1, 5, 5, 0)
+        plan = _plan(conversation_profile(df))
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "partial_count" in plan  # map-side combine, single pass
