@@ -74,7 +74,13 @@ spec = {{
         "turn_idx": {{"type": "integer", "minimum": 0, "maximum": 100000}},
     }},
 }}
-pipe = transcript_pipeline(tx, spec, vocabularies={{"tool": TOOLS}})
+kw = {{}}
+if {protocol}:
+    kw = dict(role_protocol=(
+        [("system", "user"), ("user", "assistant"), ("assistant", "user"),
+         ("assistant", "tool"), ("tool", "assistant"), ("tool", "tool")],
+        ["system", "user"]), tool_pairing=True)
+pipe = transcript_pipeline(tx, spec, vocabularies={{"tool": TOOLS}}, **kw)
 plan = pipe._jdf.queryExecution().executedPlan().toString()
 assert plan.count("Exchange") == 0, "bucketed pipeline must be shuffle-free"
 
@@ -120,8 +126,10 @@ def synth_input(turns: int) -> str:
     return bucketed
 
 
-def run_at(n: int, table_path: str, timed: int) -> list[float]:
-    code = _WORKER.format(repo=REPO, n=n, table_path=table_path, timed=timed)
+def run_at(n: int, table_path: str, timed: int,
+           protocol: bool = False) -> list[float]:
+    code = _WORKER.format(repo=REPO, n=n, table_path=table_path, timed=timed,
+                          protocol=protocol)
     out = subprocess.run([sys.executable, "-c", code], check=True,
                          capture_output=True, text=True).stdout
     for line in out.splitlines():
@@ -131,14 +139,18 @@ def run_at(n: int, table_path: str, timed: int) -> list[float]:
 
 
 def main() -> None:
-    turns = int(sys.argv[1]) if len(sys.argv) > 1 else 32_000_000
-    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    n = int(sys.argv[3]) if len(sys.argv) > 3 else 4  # cluster sizes N, 4N
+    # --protocol: scale the pipeline WITH the fused conversation-protocol
+    # checks (role DFA + tool pairing) — same zero-Exchange plan
+    protocol = "--protocol" in sys.argv
+    args = [a for a in sys.argv[1:] if a != "--protocol"]
+    turns = int(args[0]) if len(args) > 0 else 32_000_000
+    rounds = int(args[1]) if len(args) > 1 else 2
+    n = int(args[2]) if len(args) > 2 else 4  # cluster sizes N, 4N
     table_path = synth_input(turns)
     all_times: dict[int, list[float]] = {n: [], 4 * n: []}
     for r in range(rounds):
         for execs in (n, 4 * n):
-            times = run_at(execs, table_path, timed=6)
+            times = run_at(execs, table_path, timed=6, protocol=protocol)
             all_times[execs].extend(times)
             print(f"round {r} local-cluster[{execs}]: "
                   f"{[round(t, 2) for t in times]}", flush=True)
@@ -158,12 +170,15 @@ def main() -> None:
         "n_executors": n,
         "cluster_model": "local-cluster[N,1,4096] (separate executor JVMs)",
         "input": "bucketed by conv_id (zero-Exchange pipeline)",
+        "protocol_checks": protocol,
         f"executors_{n}": results[n],
         f"executors_{4 * n}": results[4 * n],
         "scaling_efficiency_n_to_4n": round(eff, 3),
         "pass_ge_0.8": eff >= 0.8,
     }
-    with open(os.path.join(REPO, "tools", "scaling_result.json"), "w") as f:
+    fname = ("scaling_result_protocol.json" if protocol
+             else "scaling_result.json")
+    with open(os.path.join(REPO, "tools", fname), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))
     print("\n| config | best sec | turns/sec |")
