@@ -48,6 +48,10 @@ HEADLINE = [
     "x_quality",
     "m_media_meta",
     "t_role_protocol",
+    "t_tool_pairing",
+    "t_conv_profile",
+    "s_psi_drift",
+    "a_ivf_topk_trained",
     "s_w1_drift",
 ]
 
