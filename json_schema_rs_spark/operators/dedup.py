@@ -403,7 +403,8 @@ def near_dup_groups(
     b_col: str = "doc_b",
     *,
     max_iter: int = 25,
-    method: str = "star",
+    method: str = "auto",
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair table — the survivor-
     selection step that turns PAIRS into dedup GROUPS: one row
@@ -414,11 +415,22 @@ def near_dup_groups(
     equivalence relation, so A~B and B~C must land A, B, C in ONE group
     even when A~C itself is below threshold.
 
-    Two interchangeable algorithms (identical output; both shuffle only
-    ``(bigint, bigint)`` rows — at 10^11 docs the edge table is a skinny
-    fraction of the corpus, only docs occurring in a candidate pair):
+    Three interchangeable algorithms (identical output; the distributed
+    ones shuffle only ``(bigint, bigint)`` rows — at 10^11 docs the edge
+    table is a skinny fraction of the corpus, only docs occurring in a
+    candidate pair):
 
-    - ``method="star"`` (default, the scale path): alternating
+    - ``method="auto"`` (default): materialize the edge set once
+      (``localCheckpoint`` — both iterative methods do this anyway) and
+      count it; at or below ``driver_max_edges`` run exact union-find on
+      the driver (path compression + union by size, then a min-per-
+      component pass) — the graph after candidate filtering is usually
+      ORDERS smaller than the corpus, and a driver pass replaces
+      O(rounds) Spark jobs with one collect of two bigint columns
+      (≤ ~16 MB at the default cap). Above the cap, fall through to
+      ``"star"``. This is the memory-bounded collect pattern: the cap is
+      on the PAIR count, never the corpus.
+    - ``method="star"`` (the scale path): alternating
       large-star/small-star edge rewrites (Kiveris et al., "Connected
       Components in MapReduce and Beyond") that contract every component
       to a star centered on its minimum node in **O(log n) rounds even
@@ -442,13 +454,61 @@ def near_dup_groups(
     e = (pairs.select(F.col(a_col).cast("bigint").alias("src"),
                       F.col(b_col).cast("bigint").alias("dst"))
               .filter(F.col("src") != F.col("dst")))
+    if method == "auto":
+        e = e.localCheckpoint(eager=True)
+        method = "driver" if e.count() <= driver_max_edges else "star"
+    if method == "driver":
+        return _cc_driver(e)
     if method == "star":
         labels, _ = _cc_two_phase(e, max_iter)
     elif method == "label":
         labels, _ = _cc_min_label(e, max_iter)
     else:
-        raise ValueError(f"method must be 'star' or 'label', got {method!r}")
+        raise ValueError(
+            f"method must be 'auto', 'star', 'label' or 'driver', "
+            f"got {method!r}")
     return labels
+
+
+def _cc_driver(e: DataFrame) -> DataFrame:
+    """Exact connected components on the driver — union-find with path
+    compression + union by size, then one min-per-component pass so
+    ``group_id`` is the smallest doc id in the component (identical to
+    the distributed methods). Only valid for edge sets that fit on the
+    driver; :func:`near_dup_groups` gates it behind ``driver_max_edges``
+    on an already-materialized edge count."""
+    spark = e.sparkSession
+    pdf = e.toPandas()
+    parent: dict[int, int] = {}
+    size: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, d in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+        for n in (s, d):
+            if n not in parent:
+                parent[n] = n
+                size[n] = 1
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            if size[rs] < size[rd]:
+                rs, rd = rd, rs
+            parent[rd] = rs
+            size[rs] += size[rd]
+
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    rows = [(n, comp_min[find(n)]) for n in parent]
+    return spark.createDataFrame(rows, "doc_id bigint, group_id bigint")
 
 
 def _cc_min_label(e: DataFrame, max_iter: int) -> tuple[DataFrame, int]:

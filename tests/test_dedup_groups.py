@@ -41,9 +41,9 @@ def _union_find(pairs):
 
 
 def _check(spark, pairs, max_iter=25):
-    # both algorithms must produce the identical grouping
+    # all algorithms must produce the identical grouping
     got = None
-    for method in ("star", "label"):
+    for method in ("star", "label", "driver", "auto"):
         m = {r["doc_id"]: r["group_id"]
              for r in near_dup_groups(_pairs_df(spark, pairs),
                                       max_iter=max_iter,
@@ -114,6 +114,17 @@ def test_star_converges_in_log_rounds_on_long_chain(spark):
 def test_near_dup_groups_rejects_unknown_method(spark):
     with pytest.raises(ValueError, match="method"):
         near_dup_groups(_pairs_df(spark, [(1, 2)]), method="bogus")
+
+
+def test_auto_over_cap_falls_back_to_star(spark):
+    # driver_max_edges=0 forces every auto call onto the distributed
+    # star path; the grouping must be unchanged
+    pairs = [(10, 20), (20, 30), (7, 9)]
+    got = {r["doc_id"]: r["group_id"]
+           for r in near_dup_groups(_pairs_df(spark, pairs),
+                                    method="auto",
+                                    driver_max_edges=0).collect()}
+    assert got == _union_find(pairs)
 
 
 def test_groups_from_lsh_pairs_sf0001(spark, sf_dir):
