@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from json_schema_rs_spark import ValidationEngine
-from json_schema_rs_spark.operators import dedup, multimodal, similarity, stats, textstats
+from json_schema_rs_spark.operators import (
+    dedup, multimodal, sampling, similarity, stats, textstats)
 from json_schema_rs_spark.operators.json_mode import validate_json_column
 from json_schema_rs_spark.operators.table_checks import (
     monotonic_ts_violations,
@@ -1329,6 +1330,43 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Deterministic sampling / train-eval split (operators/sampling.py) —
+# key-coherent, retry-safe, shuffle-free hash-bucket selection. The
+# DuckDB twins recompute the SAME md5-hex comparison, proving the
+# cross-engine reproducibility the operator's contract promises.
+# ---------------------------------------------------------------------------
+
+def _q_x_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.deterministic_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", 0.25, salt="r3",
+    ).select("doc_id", "source")
+
+
+_SQL_X_SAMPLE = f"""
+SELECT doc_id, source FROM documents
+WHERE substr(md5(concat(CAST(doc_id AS VARCHAR), '#r3')), 1, 8)
+      < '{sampling._threshold(0.25)}'
+"""
+
+
+def _q_x_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = sampling.train_eval_split(
+        _t(spark, sf_dir, "events"), "user_id", 0.1, salt="r3")
+    return (ev.groupBy("split")
+              .agg(F.count("*").alias("n_rows"),
+                   F.countDistinct("user_id").alias("n_keys")))
+
+
+_SQL_X_SPLIT = f"""
+SELECT CASE WHEN substr(md5(concat(CAST(user_id AS VARCHAR), '#r3')), 1, 8)
+            < '{sampling._threshold(0.1)}'
+       THEN 'eval' ELSE 'train' END AS split,
+       count(*) AS n_rows, count(DISTINCT user_id) AS n_keys
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing (documents -> fake binary payloads)
 # ---------------------------------------------------------------------------
 
@@ -1444,6 +1482,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_quality": _q_x_quality,
         "x_language_id": _q_x_langid,
         "x_fingerprint": _q_x_fingerprint,
+        # deterministic sampling / splits
+        "x_doc_sample": _q_x_sample,
+        "x_split_counts": _q_x_split,
         # multimodal plumbing
         "m_media_meta": _q_m_media,
         "m_frame_plan": _q_m_frames,
@@ -1506,6 +1547,8 @@ def oracle_sql() -> dict[str, str]:
         "x_quality": _SQL_X_QUALITY,
         "x_language_id": _SQL_X_LANGID,
         "x_fingerprint": _SQL_X_FINGERPRINT,
+        "x_doc_sample": _SQL_X_SAMPLE,
+        "x_split_counts": _SQL_X_SPLIT,
         "m_media_meta": _SQL_M_MEDIA,
         "m_frame_plan": _SQL_M_FRAMES,
     }

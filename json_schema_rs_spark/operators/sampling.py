@@ -1,0 +1,93 @@
+"""Deterministic, key-coherent sampling and train/eval splitting.
+
+Training-data curation at 10^12-turn scale needs sampling that is
+
+- **reproducible**: the same (key, salt) always lands on the same side,
+  across reruns, engines, and cluster sizes;
+- **retry-safe**: Spark's ``df.sample`` draws per-partition randomness,
+  so a recomputed (retried / speculatively executed) task can emit a
+  DIFFERENT sample of the same input split — silent nondeterminism at
+  exactly the scale where retries are routine. A pure hash of the key
+  column cannot;
+- **group-coherent**: sampling transcripts at the *conversation* grain
+  must keep or drop every turn of a conversation together (row-grain
+  sampling truncates conversations mid-dialogue), and a train/eval
+  split must never leak turns of one conversation across the boundary;
+- **shuffle-free**: a filter / projection over a hash expression — no
+  join against a sampled key list, no exchange, fully pushdown- and
+  codegen-friendly.
+
+Mechanism: ``md5(cast(key as string) || '#' || salt)`` — the first 8 hex
+chars of a cryptographic hash are uniform on [0, 2^32); comparing them
+LEXICOGRAPHICALLY against ``format(int(fraction * 16**8), '08x')``
+equals the numeric comparison (fixed-width lowercase hex), and every
+engine agrees on md5 bytes, so the exact same rows are selected by
+Spark, DuckDB, or a Rust job — the property the reference's
+deterministic test fixtures rely on throughout
+(/root/reference/json_schema_rs/tests/ uses fixed inputs, never RNG).
+
+NULL keys hash as the literal string ``''`` (coalesce) so they land in
+one deterministic bucket instead of vanishing (md5(NULL) is NULL and a
+NULL comparison would silently drop them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bucket_hex", "deterministic_sample", "train_eval_split"]
+
+_HEX_SPACE = 16 ** 8  # 8 hex chars = 32 bits of the md5
+
+
+def _threshold(fraction: float) -> str:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(min(int(fraction * _HEX_SPACE), _HEX_SPACE - 1), "08x") \
+        if fraction < 1.0 else "g"  # 'g' > 'f...f': keeps everything
+
+
+def bucket_hex(key_col: str, salt: str = "0") -> Column:
+    """First 8 hex chars of ``md5(key || '#' || salt)`` — the uniform
+    [0, 2^32) bucket id both :func:`deterministic_sample` and
+    :func:`train_eval_split` compare against. Exposed so callers can
+    persist the bucket alongside rows (e.g. for stratified audits)."""
+    return F.substring(
+        F.md5(F.concat(F.coalesce(F.col(key_col).cast("string"),
+                                  F.lit("")),
+                       F.lit(f"#{salt}"))), 1, 8)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    *,
+    salt: str = "0",
+) -> DataFrame:
+    """Keep every row whose ``key_col`` hash-bucket falls below
+    ``fraction`` — key-coherent (all rows sharing a key are kept or
+    dropped together, e.g. whole conversations when keyed on conv_id),
+    reproducible, and shuffle-free (a codegen'd filter; at scale this
+    pushes below column reads of everything except the key)."""
+    return df.where(bucket_hex(key_col, salt) < F.lit(_threshold(fraction)))
+
+
+def train_eval_split(
+    df: DataFrame,
+    key_col: str,
+    eval_fraction: float,
+    *,
+    salt: str = "0",
+    split_col: str = "split",
+) -> DataFrame:
+    """Label every row ``'eval'`` or ``'train'`` by its key's hash
+    bucket — the split is disjoint, exhaustive, key-coherent (no
+    conversation straddles the boundary), and stable under appends: new
+    rows of an already-seen key join the side the key was always on,
+    and changing ``salt`` re-draws the whole assignment."""
+    return df.withColumn(
+        split_col,
+        F.when(bucket_hex(key_col, salt) < F.lit(_threshold(eval_fraction)),
+               F.lit("eval")).otherwise(F.lit("train")))

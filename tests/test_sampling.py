@@ -1,0 +1,116 @@
+"""Deterministic sampling / train-eval split (operators/sampling.py).
+
+Expected memberships are recomputed with hashlib on the driver — the
+operator under test never supplies its own verdicts — and the DuckDB
+cross-engine twin is exercised through the x_doc_sample /
+x_split_counts oracle entries.
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.operators.sampling import (
+    _threshold,
+    bucket_hex,
+    deterministic_sample,
+    train_eval_split,
+)
+
+
+def _bucket(key, salt="0"):
+    return hashlib.md5(f"{key}#{salt}".encode()).hexdigest()[:8]
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_threshold_hex():
+    assert _threshold(0.0) == "00000000"
+    assert _threshold(0.25) == "40000000"
+    assert _threshold(0.5) == "80000000"
+    assert int(_threshold(0.1), 16) == int(0.1 * 16 ** 8)
+    assert _threshold(1.0) > "ffffffff"  # keeps everything
+    with pytest.raises(ValueError, match="fraction"):
+        _threshold(1.5)
+
+
+def test_sample_matches_hashlib_exactly(docs):
+    got = {r["doc_id"]
+           for r in deterministic_sample(docs, "doc_id", 0.25,
+                                         salt="s1").collect()}
+    want = {r["doc_id"] for r in docs.select("doc_id").collect()
+            if _bucket(r["doc_id"], "s1") < "40000000"}
+    assert got == want
+    assert 0 < len(got) < docs.count()
+
+
+def test_sample_reproducible_and_salt_sensitive(docs):
+    a = {r["doc_id"] for r in
+         deterministic_sample(docs, "doc_id", 0.3).collect()}
+    b = {r["doc_id"] for r in
+         deterministic_sample(docs, "doc_id", 0.3).collect()}
+    c = {r["doc_id"] for r in
+         deterministic_sample(docs, "doc_id", 0.3, salt="other").collect()}
+    assert a == b
+    assert a != c
+
+
+def test_sample_nested_fractions(docs):
+    # buckets nest: the 10% sample is a subset of the 30% sample at the
+    # same salt — the property that lets a pipeline grow a sample
+    # without re-drawing it
+    s10 = {r["doc_id"] for r in
+           deterministic_sample(docs, "doc_id", 0.1).collect()}
+    s30 = {r["doc_id"] for r in
+           deterministic_sample(docs, "doc_id", 0.3).collect()}
+    assert s10 <= s30
+
+
+def test_split_disjoint_exhaustive_key_coherent(spark):
+    # conversation-grain coherence: every turn of a conv_id lands on the
+    # same side, eval+train partition the input exactly
+    rows = [(f"c{i % 7}", j) for i in range(21) for j in range(5)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int")
+    out = train_eval_split(df, "conv_id", 0.5, salt="s")
+    assert out.count() == df.count()
+    sides = (out.groupBy("conv_id")
+                .agg(F.countDistinct("split").alias("k")).collect())
+    assert all(r["k"] == 1 for r in sides)
+    by_key = {r["conv_id"]: r["split"]
+              for r in out.select("conv_id", "split").distinct().collect()}
+    for k, side in by_key.items():
+        want = "eval" if _bucket(k, "s") < _threshold(0.5) else "train"
+        assert side == want, k
+
+
+def test_null_keys_bucket_deterministically(spark):
+    df = spark.createDataFrame([(None,), ("x",)], "k string")
+    out = {(r["k"], r["split"])
+           for r in train_eval_split(df, "k", 0.5, salt="z").collect()}
+    null_side = "eval" if _bucket("", "z") < _threshold(0.5) else "train"
+    assert (None, null_side) in out
+    assert len(out) == 2  # the NULL row is labelled, not dropped
+
+
+def test_sample_fraction_is_calibrated(spark):
+    # 4000 keys at 25%: binomial 3-sigma band ~ [850, 1150]
+    df = spark.range(4000).withColumnRenamed("id", "k")
+    n = deterministic_sample(df, "k", 0.25, salt="cal").count()
+    assert 850 <= n <= 1150, n
+
+
+def test_sample_plan_is_shuffle_free(docs):
+    plan = (deterministic_sample(docs, "doc_id", 0.25)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_bucket_hex_exposed_column(spark):
+    df = spark.createDataFrame([("a",), ("b",)], "k string")
+    got = {r["k"]: r["b"] for r in
+           df.select("k", bucket_hex("k", "q").alias("b")).collect()}
+    assert got == {"a": _bucket("a", "q"), "b": _bucket("b", "q")}
