@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from json_schema_rs_spark import ValidationEngine
 from json_schema_rs_spark.operators import (
-    dedup, multimodal, sampling, similarity, stats, textstats)
+    dedup, multimodal, packing, sampling, similarity, stats, textstats)
 from json_schema_rs_spark.operators.json_mode import validate_json_column
 from json_schema_rs_spark.operators.table_checks import (
     monotonic_ts_violations,
@@ -1349,6 +1349,29 @@ WHERE substr(md5(concat(CAST(doc_id AS VARCHAR), '#r3')), 1, 8)
 """
 
 
+def _q_x_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "toks", F.size(F.split(F.col("text"), " ")).cast("bigint"))
+    packed = packing.pack_sequences(docs, "toks", 2000, group_col="lang")
+    return packed.select(
+        "doc_id", "lang",
+        F.col("_pack_offset").alias("pack_offset"), "pack_id")
+
+
+_SQL_X_PACK = """
+WITH t AS (SELECT doc_id, lang,
+                  len(string_split(text, ' '))::BIGINT AS toks
+           FROM documents)
+SELECT doc_id, lang,
+  coalesce(sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pack_offset,
+  floor(coalesce(sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        / 2000.0)::BIGINT AS pack_id
+FROM t
+"""
+
+
 def _q_x_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = sampling.train_eval_split(
         _t(spark, sf_dir, "events"), "user_id", 0.1, salt="r3")
@@ -1485,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic sampling / splits
         "x_doc_sample": _q_x_sample,
         "x_split_counts": _q_x_split,
+        "x_pack_chunks": _q_x_pack,
         # multimodal plumbing
         "m_media_meta": _q_m_media,
         "m_frame_plan": _q_m_frames,
@@ -1549,6 +1573,7 @@ def oracle_sql() -> dict[str, str]:
         "x_fingerprint": _SQL_X_FINGERPRINT,
         "x_doc_sample": _SQL_X_SAMPLE,
         "x_split_counts": _SQL_X_SPLIT,
+        "x_pack_chunks": _SQL_X_PACK,
         "m_media_meta": _SQL_M_MEDIA,
         "m_frame_plan": _SQL_M_FRAMES,
     }
