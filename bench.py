@@ -53,6 +53,8 @@ HEADLINE = [
     "s_psi_drift",
     "a_ivf_topk_trained",
     "s_w1_drift",
+    "x_doc_sample",
+    "x_pack_chunks",
 ]
 
 
