@@ -1242,6 +1242,52 @@ def _q_a_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                                k=10, n_centroids=16, nprobe=4)
 
 
+# With FIXED centroids (the 16 lowest-id vectors) the whole IVF pipeline
+# is deterministic — assignment argmax, probe selection, candidate set,
+# and top-k tie-breaks are all totally ordered — so the "approximate" ANN
+# path gets a full value oracle: DuckDB re-derives the same buckets,
+# probes the same 4, and ranks the same candidates. Only the k-means-
+# TRAINED variant stays recall-gated (Lloyd iterations are not
+# reasonably expressible in SQL).
+_SQL_A_IVF = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+cen AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+sc AS (SELECT e.vec_id, cen.cid,
+              list_dot_product(e.v, cen.cv) /
+              (sqrt(list_dot_product(e.v, e.v)) *
+               sqrt(list_dot_product(cen.cv, cen.cv))) AS s
+       FROM e CROSS JOIN cen),
+asg AS (SELECT vec_id, cid AS bucket_id FROM (
+          SELECT sc.*, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cid) AS rn
+          FROM sc) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+ps AS (SELECT q.query_id, cen.cid,
+              list_dot_product(q.qv, cen.cv) /
+              (sqrt(list_dot_product(q.qv, q.qv)) *
+               sqrt(list_dot_product(cen.cv, cen.cv))) AS s
+       FROM q CROSS JOIN cen),
+probes AS (SELECT query_id, cid AS bucket_id FROM (
+             SELECT ps.*, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY s DESC, cid) AS rn
+             FROM ps WHERE s IS NOT NULL) WHERE rn <= 4),
+scored AS (SELECT p.query_id, e.vec_id AS neighbor_id,
+                  round(list_dot_product(q.qv, e.v) /
+                        (sqrt(list_dot_product(q.qv, q.qv)) *
+                         sqrt(list_dot_product(e.v, e.v))), 6) AS cos_sim
+           FROM probes p
+           JOIN asg ON asg.bucket_id = p.bucket_id
+           JOIN e ON e.vec_id = asg.vec_id
+           JOIN q ON q.query_id = p.query_id
+           WHERE e.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim FROM (
+  SELECT scored.*, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 10
+"""
+
+
 def _q_a_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the production IVF shape: centroids from Lloyd k-means (deterministic
     # seed = 16 lowest-id vectors, 2 update rounds) instead of raw seed
@@ -1516,10 +1562,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins. ``a_ivf_topk`` / ``a_ivf_topk_trained`` are omitted
-    on purpose: IVF is an approximate index whose recall (not value) is
-    the contract — their exactness gate is the recall assertion in
-    tests/ (trained must meet at least the untrained floor)."""
+    """DuckDB twins. ``a_ivf_topk_trained`` is omitted on purpose: its
+    k-means centroids come from driver-side Lloyd iterations no SQL
+    oracle can reproduce — its exactness gate is the recall assertion in
+    tests/ (trained must meet at least the untrained floor). The
+    UNTRAINED ``a_ivf_topk`` is fully deterministic given its fixed
+    lowest-id centroids and DOES carry a value oracle."""
     return {
         "flagship_transcripts": _FLAGSHIP_ORACLE,
         "v_enum": _SQL_V_ENUM,
@@ -1567,6 +1615,7 @@ def oracle_sql() -> dict[str, str]:
         "a_cosine_topk": _SQL_A_COSINE,
         "a_cosine_dup_pairs": _SQL_A_COSINE_DUP,
         "a_cosine_dup_bucketed": _SQL_A_COSINE_DUP_BUCKETED,
+        "a_ivf_topk": _SQL_A_IVF,
         "x_token_stats": _SQL_X_TOKENS,
         "x_quality": _SQL_X_QUALITY,
         "x_language_id": _SQL_X_LANGID,
