@@ -132,9 +132,10 @@ def _rand_spec(rng):
     # its (still-present) column becomes a genuinely additional key; the
     # harness key column is declared so AP sees only instance keys
     r = rng.random()
-    if r < 0.3:
-        undeclared = rng.choice([c for c in ("s", "i", "x", "a")
-                                 if c not in (spec.get("required") or ())])
+    droppable = [c for c in ("s", "i", "x", "a")
+                 if c not in (spec.get("required") or ())]
+    if r < 0.3 and droppable:  # all-required specs have nothing to drop
+        undeclared = rng.choice(droppable)
         pruned = {k: v for k, v in props.items() if k != undeclared}
         spec["properties"] = {**pruned, "_cid": {}}
         spec["additionalProperties"] = (
