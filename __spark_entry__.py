@@ -1418,6 +1418,27 @@ FROM t
 """
 
 
+def _q_x_strat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # re-balance the language mix: keep all de, half zh, a quarter en;
+    # es/fr fall to the 10% default
+    kept = sampling.stratified_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", "lang",
+        {"de": 1.0, "zh": 0.5, "en": 0.25},
+        default_fraction=0.1, salt="r3")
+    return kept.groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+_SQL_X_STRAT = f"""
+SELECT lang, count(*) AS n_docs FROM documents
+WHERE substr(md5(concat(CAST(doc_id AS VARCHAR), '#r3')), 1, 8)
+      < CASE lang WHEN 'de' THEN '{sampling._threshold(1.0)}'
+                  WHEN 'zh' THEN '{sampling._threshold(0.5)}'
+                  WHEN 'en' THEN '{sampling._threshold(0.25)}'
+                  ELSE '{sampling._threshold(0.1)}' END
+GROUP BY lang
+"""
+
+
 def _q_x_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = sampling.train_eval_split(
         _t(spark, sf_dir, "events"), "user_id", 0.1, salt="r3")
@@ -1554,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic sampling / splits
         "x_doc_sample": _q_x_sample,
         "x_split_counts": _q_x_split,
+        "x_strat_sample": _q_x_strat,
         "x_pack_chunks": _q_x_pack,
         # multimodal plumbing
         "m_media_meta": _q_m_media,
@@ -1622,6 +1644,7 @@ def oracle_sql() -> dict[str, str]:
         "x_fingerprint": _SQL_X_FINGERPRINT,
         "x_doc_sample": _SQL_X_SAMPLE,
         "x_split_counts": _SQL_X_SPLIT,
+        "x_strat_sample": _SQL_X_STRAT,
         "x_pack_chunks": _SQL_X_PACK,
         "m_media_meta": _SQL_M_MEDIA,
         "m_frame_plan": _SQL_M_FRAMES,

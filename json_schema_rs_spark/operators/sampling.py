@@ -36,7 +36,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bucket_hex", "deterministic_sample", "train_eval_split"]
+__all__ = ["bucket_hex", "deterministic_sample", "stratified_sample",
+           "train_eval_split"]
 
 _HEX_SPACE = 16 ** 8  # 8 hex chars = 32 bits of the md5
 
@@ -72,6 +73,31 @@ def deterministic_sample(
     reproducible, and shuffle-free (a codegen'd filter; at scale this
     pushes below column reads of everything except the key)."""
     return df.where(bucket_hex(key_col, salt) < F.lit(_threshold(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    *,
+    default_fraction: float = 0.0,
+    salt: str = "0",
+) -> DataFrame:
+    """Per-stratum :func:`deterministic_sample` — re-balancing a
+    training mix ("keep 100% of lang=de, 5% of lang=en") in one
+    codegen'd filter: the stratum value selects its threshold through a
+    CASE chain of literals (no join against a fractions table, no
+    shuffle), the key hash decides membership, so the same key is
+    consistently in/out wherever its stratum sets an equal fraction,
+    and samples still nest as any stratum's fraction grows. Strata
+    absent from ``fractions`` (including NULL) fall back to
+    ``default_fraction``."""
+    thr = F.lit(_threshold(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == F.lit(value),
+                     F.lit(_threshold(frac))).otherwise(thr)
+    return df.where(bucket_hex(key_col, salt) < thr)
 
 
 def train_eval_split(

@@ -15,6 +15,7 @@ from json_schema_rs_spark.operators.sampling import (
     _threshold,
     bucket_hex,
     deterministic_sample,
+    stratified_sample,
     train_eval_split,
 )
 
@@ -105,6 +106,52 @@ def test_sample_fraction_is_calibrated(spark):
 
 def test_sample_plan_is_shuffle_free(docs):
     plan = (deterministic_sample(docs, "doc_id", 0.25)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_stratified_matches_per_stratum_hashlib(docs):
+    fr = {"de": 1.0, "zh": 0.5, "en": 0.25}
+    got = {r["doc_id"] for r in
+           stratified_sample(docs, "doc_id", "lang", fr,
+                             default_fraction=0.1, salt="t").collect()}
+    want = set()
+    for r in docs.select("doc_id", "lang").collect():
+        cut = _threshold(fr.get(r["lang"], 0.1))
+        if _bucket(r["doc_id"], "t") < cut:
+            want.add(r["doc_id"])
+    assert got == want
+    # full-keep stratum really keeps everything
+    n_de = docs.where(F.col("lang") == "de").count()
+    kept_de = (stratified_sample(docs, "doc_id", "lang", fr,
+                                 default_fraction=0.1, salt="t")
+               .where(F.col("lang") == "de").count())
+    assert kept_de == n_de
+
+
+def test_stratified_consistent_with_flat_sample(docs):
+    # a stratum at fraction f keeps exactly the keys the flat f-sample
+    # keeps (same salt): mixes can be re-balanced without re-drawing
+    strat = {r["doc_id"] for r in
+             stratified_sample(docs, "doc_id", "lang", {"en": 0.25},
+                               salt="c").collect()}
+    flat = {r["doc_id"] for r in
+            deterministic_sample(docs.where(F.col("lang") == "en"),
+                                 "doc_id", 0.25, salt="c").collect()}
+    assert strat == flat
+
+
+def test_stratified_null_stratum_uses_default(spark):
+    df = spark.createDataFrame(
+        [(i, None) for i in range(200)], "k bigint, g string")
+    out = stratified_sample(df, "k", "g", {"x": 1.0},
+                            default_fraction=0.5, salt="n")
+    want = sum(1 for i in range(200) if _bucket(i, "n") < _threshold(0.5))
+    assert out.count() == want
+
+
+def test_stratified_plan_is_shuffle_free(docs):
+    plan = (stratified_sample(docs, "doc_id", "lang", {"en": 0.5})
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
 
