@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 
 from json_schema_rs_spark import ValidationEngine
 from json_schema_rs_spark.operators import (
-    dedup, multimodal, packing, sampling, similarity, stats, textstats)
+    decontam, dedup, multimodal, packing, sampling, similarity, stats,
+    textstats)
 from json_schema_rs_spark.operators.json_mode import validate_json_column
 from json_schema_rs_spark.operators.table_checks import (
     monotonic_ts_violations,
@@ -1375,6 +1376,75 @@ FROM documents
 """
 
 
+def _q_x_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus vocabulary head: one explode + map-side-combined hash agg +
+    # TakeOrdered; total (count desc, token asc) order makes the top-k
+    # unique, so the value hash is stable cross-engine
+    return textstats.top_tokens(_t(spark, sf_dir, "documents"), k=50)
+
+
+_SQL_X_TOP_TOKENS = """
+WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+SELECT token, count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs
+FROM tk GROUP BY token
+ORDER BY n_occurrences DESC, token ASC LIMIT 50
+"""
+
+
+def _q_x_rep_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style repetition filter: fraction of the doc's bigrams taken
+    # by its most frequent bigram; short docs report 0.0
+    return textstats.top_ngram_fraction(
+        _t(spark, sf_dir, "documents"), n=2)
+
+
+_SQL_X_REP_NGRAM = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id, unnest([concat_ws(' ', ws[i], ws[i+1])
+                             for i in range(1, len(ws))]) AS gm
+      FROM w WHERE len(ws) >= 2),
+c AS (SELECT doc_id, gm, count(*) AS c FROM g GROUP BY 1, 2),
+f AS (SELECT doc_id, sum(c) AS total, max(c) AS top FROM c GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(f.total, 0) AS total_ngrams,
+       coalesce(f.top, 0) AS top_ngram_count,
+       round(coalesce(f.top / f.total, 0.0), 6) AS top_ngram_frac
+FROM documents d LEFT JOIN f USING (doc_id)
+"""
+
+
+def _q_x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # benchmark decontamination: docs with doc_id % 97 == 0 stand in for
+    # the eval set; every other doc is marked if it shares any word
+    # 3-gram with them. Probe side is a broadcast hash join on 64-bit
+    # shingle hashes — the corpus never shuffles.
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontam.decontaminate(train, bench, n=3).select(
+        "doc_id", "n_hit_shingles", "contaminated")
+
+
+_SQL_X_DECONTAM = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+                             for i in range(1, len(ws) - 1)]) AS s
+       FROM w),
+bench AS (SELECT DISTINCT unnest(s) AS sg FROM sh WHERE doc_id % 97 = 0),
+ex AS (SELECT doc_id, unnest(s) AS sg FROM sh WHERE doc_id % 97 <> 0),
+hits AS (SELECT doc_id, count(*) AS n_hit FROM ex
+         JOIN bench USING (sg) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(h.n_hit, 0) AS n_hit_shingles,
+       coalesce(h.n_hit, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling / train-eval split (operators/sampling.py) —
 # key-coherent, retry-safe, shuffle-free hash-bucket selection. The
@@ -1569,6 +1639,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_ivf_topk_trained": _q_a_ivf_trained,
         # text analysis
         "x_token_stats": _q_x_tokens,
+        "x_top_tokens": _q_x_top_tokens,
+        "x_rep_ngram": _q_x_rep_ngram,
+        "x_decontaminate": _q_x_decontaminate,
         "x_quality": _q_x_quality,
         "x_language_id": _q_x_langid,
         "x_fingerprint": _q_x_fingerprint,
@@ -1639,6 +1712,9 @@ def oracle_sql() -> dict[str, str]:
         "a_cosine_dup_bucketed": _SQL_A_COSINE_DUP_BUCKETED,
         "a_ivf_topk": _SQL_A_IVF,
         "x_token_stats": _SQL_X_TOKENS,
+        "x_top_tokens": _SQL_X_TOP_TOKENS,
+        "x_rep_ngram": _SQL_X_REP_NGRAM,
+        "x_decontaminate": _SQL_X_DECONTAM,
         "x_quality": _SQL_X_QUALITY,
         "x_language_id": _SQL_X_LANGID,
         "x_fingerprint": _SQL_X_FINGERPRINT,

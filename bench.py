@@ -55,6 +55,9 @@ HEADLINE = [
     "s_w1_drift",
     "x_doc_sample",
     "x_pack_chunks",
+    "x_decontaminate",
+    "x_top_tokens",
+    "x_rep_ngram",
 ]
 
 

@@ -100,6 +100,71 @@ def language_id(df: DataFrame, text_col: str = "text",
     return df.select(F.col(id_col), pred.alias("lang_pred"))
 
 
+def top_tokens(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", *, k: int = 100) -> DataFrame:
+    """Corpus-level vocabulary head: the ``k`` most frequent whitespace
+    tokens with occurrence and document counts —
+    ``(token, n_occurrences, n_docs)``.
+
+    The one corpus-wide aggregate in this module. Scale shape: explode is
+    map-side; the groupBy hash-aggregates with map-side partial combine,
+    so only (token, partial-count) pairs shuffle — vocabulary-sized, not
+    corpus-sized; the final top-k is a TakeOrdered over the aggregated
+    vocabulary. Ordering is total (count desc, then token asc) so the
+    head is unique and cross-engine reproducible."""
+    toks = df.select(F.col(id_col),
+                     F.explode(F.split(F.col(text_col), " ")).alias("token"))
+    return (toks.groupBy("token")
+            .agg(F.count("*").alias("n_occurrences"),
+                 F.countDistinct(id_col).alias("n_docs"))
+            .orderBy(F.desc("n_occurrences"), F.asc("token"))
+            .limit(k))
+
+
+def top_ngram_fraction(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", *, n: int = 2,
+                       seed: int = 7,
+                       round_digits: int = 6) -> DataFrame:
+    """Within-document repetition filter (the Gopher/MassiveText
+    "fraction of the document in the most frequent n-gram" rule):
+    ``(id, total_ngrams, top_ngram_count, top_ngram_frac)``.
+
+    Counts NON-distinct word n-gram occurrences per doc (as 64-bit
+    xxhash64 longs, same hashing contract as dedup's shingle operators —
+    8-byte shuffles, collision probability |grams|²/2⁶⁴ per doc), takes
+    ``max(count)/sum(count)``, and left-joins back so short docs
+    (< n words) report fraction 0.0 instead of vanishing. The two
+    aggregates shuffle only skinny (id, gram-hash, count) rows with
+    map-side combine; the join back is on the id — drop it (use the
+    ``frac`` aggregate directly as a semi/anti filter) when only the
+    keep/drop verdict is needed at scale."""
+    tmp = "__tnf_words"
+    grams = F.expr(
+        f"if(size({tmp}) >= {n},"
+        f" transform(sequence(1, size({tmp}) - {n - 1}),"
+        f" i -> xxhash64(concat_ws(' ', slice({tmp}, i, {n})), {seed})),"
+        f" array())"
+    )
+    exploded = (df.withColumn(tmp, F.split(F.col(text_col), " "))
+                .select(F.col(id_col), F.explode(grams).alias("__g")))
+    per_gram = exploded.groupBy(id_col, "__g").agg(F.count("*").alias("__c"))
+    frac = per_gram.groupBy(id_col).agg(
+        F.sum("__c").alias("total_ngrams"),
+        F.max("__c").alias("top_ngram_count"))
+    return (df.select(id_col).join(frac, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("total_ngrams"),
+                           F.lit(0).cast("bigint")).alias("total_ngrams"),
+                F.coalesce(F.col("top_ngram_count"),
+                           F.lit(0).cast("bigint")).alias("top_ngram_count"),
+                F.round(F.coalesce(
+                    F.try_divide(F.col("top_ngram_count").cast("double"),
+                                 F.col("total_ngrams").cast("double")),
+                    F.lit(0.0)), round_digits).alias("top_ngram_frac"),
+            ))
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Rolling polynomial hash over code points:

@@ -1,0 +1,131 @@
+"""Decontamination + corpus-vocabulary + repetition-filter operators.
+
+First-principles expectations on hand-built corpora; plan-shape asserts
+(broadcast probe join, no corpus exchange before the probe) ride along.
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.operators.decontam import (
+    benchmark_shingles, contamination_hits, decontaminate)
+from json_schema_rs_spark.operators.textstats import (
+    top_ngram_fraction, top_tokens)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame([
+        Row(doc_id=0, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=1, text="pack my box with five dozen liquor jugs"),
+        Row(doc_id=2, text="the quick brown cat sits very still today"),
+        Row(doc_id=3, text="completely unrelated words appear here now"),
+        Row(doc_id=4, text="tiny"),          # < n words -> no shingles
+        Row(doc_id=5, text=""),              # empty text
+    ])
+
+
+@pytest.fixture(scope="module")
+def bench_set(spark):
+    # shares the 3-gram "the quick brown" with docs 0 and 2, and
+    # "five dozen liquor" with doc 1; nothing from docs 3-5
+    return spark.createDataFrame([
+        Row(doc_id=100, text="the quick brown bear"),
+        Row(doc_id=101, text="exactly five dozen liquor bottles"),
+    ])
+
+
+class TestDecontaminate:
+    def test_mark_hits_and_clean(self, corpus, bench_set):
+        out = {r["doc_id"]: r for r in
+               decontaminate(corpus, bench_set, n=3).collect()}
+        assert len(out) == 6
+        assert out[0]["contaminated"] and out[0]["n_hit_shingles"] == 1
+        assert out[2]["contaminated"] and out[2]["n_hit_shingles"] == 1
+        assert out[1]["contaminated"] and out[1]["n_hit_shingles"] == 1
+        for clean in (3, 4, 5):
+            assert not out[clean]["contaminated"]
+            assert out[clean]["n_hit_shingles"] == 0
+        # original columns survive the mark
+        assert set(out[0].asDict()) == {"doc_id", "text", "n_hit_shingles",
+                                        "contaminated"}
+
+    def test_multi_shingle_hit_counts_distinct_shingles(self, spark):
+        bench = spark.createDataFrame(
+            [Row(doc_id=0, text="a b c d e")])          # shingles abc bcd cde
+        train = spark.createDataFrame(
+            [Row(doc_id=1, text="a b c d x"),           # hits abc bcd
+             Row(doc_id=2, text="a b c a b c")])        # distinct: hits abc (+bca cab clean)
+        hits = {r["doc_id"]: r["n_hit_shingles"] for r in
+                contamination_hits(train, bench, n=3).collect()}
+        assert hits == {1: 2, 2: 1}
+
+    def test_drop_mode_keeps_schema_and_clean_rows(self, corpus, bench_set):
+        kept = decontaminate(corpus, bench_set, n=3, mode="drop")
+        assert kept.columns == corpus.columns
+        assert sorted(r["doc_id"] for r in kept.collect()) == [3, 4, 5]
+
+    def test_bad_mode_raises(self, corpus, bench_set):
+        with pytest.raises(ValueError, match="mark.*drop|drop.*mark"):
+            decontaminate(corpus, bench_set, mode="purge")
+
+    def test_benchmark_shingles_distinct(self, spark):
+        bench = spark.createDataFrame(
+            [Row(doc_id=0, text="x y z"), Row(doc_id=1, text="x y z")])
+        assert benchmark_shingles(bench, n=3).count() == 1
+
+    def test_probe_join_is_broadcast(self, corpus, bench_set):
+        plan = decontaminate(corpus, bench_set, n=3)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+
+
+class TestTopTokens:
+    def test_counts_and_total_order(self, spark):
+        df = spark.createDataFrame([
+            Row(doc_id=0, text="b a a"),
+            Row(doc_id=1, text="a b c"),
+        ])
+        rows = top_tokens(df, k=10).collect()
+        assert [(r["token"], r["n_occurrences"], r["n_docs"])
+                for r in rows] == [("a", 3, 2), ("b", 2, 2), ("c", 1, 1)]
+
+    def test_k_limits_with_deterministic_ties(self, spark):
+        df = spark.createDataFrame([Row(doc_id=0, text="z y x w")])
+        rows = top_tokens(df, k=2).collect()
+        # all counts tie at 1 -> token asc breaks the tie
+        assert [r["token"] for r in rows] == ["w", "x"]
+
+
+class TestTopNgramFraction:
+    def test_repetitive_vs_diverse(self, spark):
+        df = spark.createDataFrame([
+            Row(doc_id=0, text="spam spam spam spam spam"),   # 4x same 2-gram
+            Row(doc_id=1, text="all words differ here now"),  # 4 distinct
+            Row(doc_id=2, text="one"),                        # < n words
+        ])
+        out = {r["doc_id"]: r for r in top_ngram_fraction(df, n=2).collect()}
+        assert len(out) == 3
+        assert out[0]["total_ngrams"] == 4
+        assert out[0]["top_ngram_count"] == 4
+        assert out[0]["top_ngram_frac"] == 1.0
+        assert out[1]["top_ngram_count"] == 1
+        assert out[1]["top_ngram_frac"] == 0.25
+        assert out[2]["total_ngrams"] == 0
+        assert out[2]["top_ngram_frac"] == 0.0
+
+    def test_mixed_repetition(self, spark):
+        # "a b" occurs 3 times out of 6 bigrams
+        df = spark.createDataFrame([Row(doc_id=0, text="a b a b a b c")])
+        r = top_ngram_fraction(df, n=2).collect()[0]
+        assert (r["total_ngrams"], r["top_ngram_count"]) == (6, 3)
+        assert r["top_ngram_frac"] == 0.5
+
+    def test_ngram_size_three(self, spark):
+        df = spark.createDataFrame([Row(doc_id=0, text="a b c a b c a b c")])
+        r = top_ngram_fraction(df, n=3).collect()[0]
+        # 7 trigrams; "a b c" occurs 3 times
+        assert (r["total_ngrams"], r["top_ngram_count"]) == (7, 3)
