@@ -1488,6 +1488,32 @@ FROM t
 """
 
 
+def _q_x_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sliding-window context chunking: row-local posexplode fan-out,
+    # zero shuffle; window 16 / stride 8 so the ~30-word synthetic docs
+    # produce overlapping chunks with a short tail
+    return packing.chunk_windows(
+        _t(spark, sf_dir, "documents"), window=16, stride=8)
+
+
+_SQL_X_CHUNKS = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+n AS (SELECT doc_id, ws, len(ws) AS nt,
+             CASE WHEN len(ws) <= 16 THEN 1
+                  ELSE CAST(ceil((len(ws) - 16) / 8.0) AS INT) + 1 END AS nc
+      FROM w),
+e AS (SELECT doc_id, ws, nt,
+             unnest(generate_series(0, nc - 1)) AS i FROM n)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       CAST(i * 8 + 1 AS INT) AS start_tok,
+       CAST(least(16, nt - (i * 8 + 1) + 1) AS INT) AS n_toks,
+       array_to_string(ws[(i * 8 + 1):least(i * 8 + 16, nt)], ' ')
+           AS chunk_text
+FROM e
+"""
+
+
 def _q_x_strat(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-balance the language mix: keep all de, half zh, a quarter en;
     # es/fr fall to the 10% default
@@ -1650,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_split_counts": _q_x_split,
         "x_strat_sample": _q_x_strat,
         "x_pack_chunks": _q_x_pack,
+        "x_chunk_windows": _q_x_chunks,
         # multimodal plumbing
         "m_media_meta": _q_m_media,
         "m_frame_plan": _q_m_frames,
@@ -1722,6 +1749,7 @@ def oracle_sql() -> dict[str, str]:
         "x_split_counts": _SQL_X_SPLIT,
         "x_strat_sample": _SQL_X_STRAT,
         "x_pack_chunks": _SQL_X_PACK,
+        "x_chunk_windows": _SQL_X_CHUNKS,
         "m_media_meta": _SQL_M_MEDIA,
         "m_frame_plan": _SQL_M_FRAMES,
     }

@@ -58,6 +58,7 @@ HEADLINE = [
     "x_decontaminate",
     "x_top_tokens",
     "x_rep_ngram",
+    "x_chunk_windows",
 ]
 
 

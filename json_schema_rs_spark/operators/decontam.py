@@ -35,18 +35,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import shingle_hashes
+from ..functions.exprs import explode_rows
+from .dedup import _spread, shingle_hashes
 
 
 def benchmark_shingles(benchmark: DataFrame, text_col: str = "text", *,
-                       n: int = 3, seed: int = 7) -> DataFrame:
+                       n: int = 3, seed: int = 7,
+                       id_col: str = "doc_id") -> DataFrame:
     """Distinct 64-bit shingle hashes of the benchmark corpus — one
     column ``sh``. Small by construction (eval sets); cache/broadcast it
     when probing many training shards against the same benchmark."""
-    return (shingle_hashes(benchmark, text_col, n=n, seed=seed,
-                           out_col="__sh")
-            .select(F.explode("__sh").alias("sh"))
-            .distinct())
+    sh = shingle_hashes(_spread(benchmark, id_col), text_col, n=n,
+                        seed=seed, out_col="__sh")
+    # explode_rows, not explode: InferFiltersFromGenerate would duplicate
+    # the whole shingle-transform expression into an interpreted Filter
+    # (measured 10x on this path); shingle arrays have no NULL elements
+    return explode_rows(sh, [], F.col("__sh"), "sh").distinct()
 
 
 def contamination_hits(df: DataFrame, benchmark: DataFrame, *,
@@ -55,10 +59,18 @@ def contamination_hits(df: DataFrame, benchmark: DataFrame, *,
                        text_col: str = "text") -> DataFrame:
     """``(id, n_hit_shingles)`` for every CONTAMINATED doc: the number of
     the doc's distinct n-gram shingles that occur anywhere in the
-    benchmark. Clean docs are absent (coalesce to 0 downstream)."""
-    bench = benchmark_shingles(benchmark, text_col, n=n, seed=seed)
-    probes = (shingle_hashes(df, text_col, n=n, seed=seed, out_col="__sh")
-              .select(F.col(id_col), F.explode("__sh").alias("sh")))
+    benchmark. Clean docs are absent (coalesce to 0 downstream).
+
+    Both sides go through dedup's ``_spread`` local-parallelism guard:
+    the expensive stage is map-side shingling, which runs at scan
+    parallelism — a no-op on many-file production inputs, but a
+    single-row-group local table would otherwise shingle on one core."""
+    bench = benchmark_shingles(benchmark, text_col, n=n, seed=seed,
+                               id_col=id_col)
+    probes = explode_rows(
+        shingle_hashes(_spread(df, id_col), text_col, n=n, seed=seed,
+                       out_col="__sh"),
+        [id_col], F.col("__sh"), "sh")
     return (probes.join(F.broadcast(bench), "sh")
             .groupBy(id_col)
             .agg(F.count("*").alias("n_hit_shingles")))

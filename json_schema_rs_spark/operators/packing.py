@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pack_sequences"]
+__all__ = ["pack_sequences", "chunk_windows"]
 
 
 def pack_sequences(
@@ -51,3 +51,54 @@ def pack_sequences(
     return (df.withColumn("_pack_offset", offset.cast("bigint"))
               .withColumn(pack_col,
                           F.floor(F.col("_pack_offset") / budget)))
+
+
+def chunk_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    window: int = 512,
+    stride: int = 256,
+) -> DataFrame:
+    """Split each document into overlapping fixed-size token windows —
+    the context-window chunking step between curation and tokenization
+    (the row-local "downstream chunker" :func:`pack_sequences` defers to).
+
+    Output: ``(id, chunk_idx, start_tok, n_toks, chunk_text)`` with
+    1-indexed ``start_tok``. Chunk ``i`` starts at ``1 + i*stride``; a
+    doc of ``n`` whitespace tokens yields ``ceil((n - window)/stride) + 1``
+    chunks (one if ``n <= window``), the last chunk running to the end
+    (length ``<= window``). Deterministic, engine-reproducible.
+
+    Scale shape: pure row-local expressions — one ``posexplode`` over a
+    ``sequence`` of chunk indices and an array-slice/concat per chunk,
+    all inside whole-stage codegen. Zero shuffle at any corpus size; the
+    fan-out factor is ``~n/stride`` rows per doc, which the scan
+    parallelism already absorbs (same shape as the multimodal
+    frame-sampling fan-out)."""
+    if window <= 0 or stride <= 0:
+        raise ValueError(f"window and stride must be positive, "
+                         f"got window={window} stride={stride}")
+    if stride > window:
+        raise ValueError(f"stride {stride} > window {window} would drop "
+                         f"tokens between consecutive chunks")
+    tmp = "__cw_toks"
+    nt = F.size(F.col(tmp))
+    n_chunks = F.when(nt <= window, F.lit(1)).otherwise(
+        F.ceil((nt - F.lit(window)) / F.lit(stride)).cast("int") + 1)
+    out = (df.withColumn(tmp, F.split(F.col(text_col), " "))
+             .select(F.col(id_col), F.col(tmp),
+                     F.posexplode(F.sequence(F.lit(0), n_chunks - 1))
+                      .alias("chunk_idx", "__drop"))
+             .drop("__drop"))
+    start = (F.col("chunk_idx") * stride + 1).cast("int")
+    n_toks = F.least(F.lit(window), F.size(F.col(tmp)) - start + 1).cast("int")
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.alias("start_tok"),
+        n_toks.alias("n_toks"),
+        F.concat_ws(" ", F.slice(F.col(tmp), start, n_toks))
+         .alias("chunk_text"),
+    )

@@ -112,8 +112,12 @@ def top_tokens(df: DataFrame, text_col: str = "text",
     corpus-sized; the final top-k is a TakeOrdered over the aggregated
     vocabulary. Ordering is total (count desc, then token asc) so the
     head is unique and cross-engine reproducible."""
-    toks = df.select(F.col(id_col),
-                     F.explode(F.split(F.col(text_col), " ")).alias("token"))
+    from ..functions.exprs import explode_rows
+    from .dedup import _spread
+    toks = explode_rows(
+        _spread(df, id_col).withColumn("__tt_words",
+                                       F.split(F.col(text_col), " ")),
+        [id_col], F.col("__tt_words"), "token")
     return (toks.groupBy("token")
             .agg(F.count("*").alias("n_occurrences"),
                  F.countDistinct(id_col).alias("n_docs"))
@@ -145,8 +149,16 @@ def top_ngram_fraction(df: DataFrame, text_col: str = "text",
         f" i -> xxhash64(concat_ws(' ', slice({tmp}, i, {n})), {seed})),"
         f" array())"
     )
-    exploded = (df.withColumn(tmp, F.split(F.col(text_col), " "))
-                .select(F.col(id_col), F.explode(grams).alias("__g")))
+    # _spread: the gram explode runs at scan parallelism — guard against
+    # single-row-group local tables serializing the map side on one core.
+    # explode_rows: InferFiltersFromGenerate would otherwise duplicate the
+    # gram-transform expression into an interpreted Filter; gram arrays
+    # have no NULL elements
+    from ..functions.exprs import explode_rows
+    from .dedup import _spread
+    exploded = explode_rows(
+        _spread(df, id_col).withColumn(tmp, F.split(F.col(text_col), " ")),
+        [id_col], grams, "__g")
     per_gram = exploded.groupBy(id_col, "__g").agg(F.count("*").alias("__c"))
     frac = per_gram.groupBy(id_col).agg(
         F.sum("__c").alias("total_ngrams"),

@@ -6,9 +6,11 @@ x_pack_chunks oracle entry.
 """
 
 import pytest
+from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from json_schema_rs_spark.operators.packing import pack_sequences
+from json_schema_rs_spark.operators.packing import (
+    chunk_windows, pack_sequences)
 
 
 def _reference_packing(rows, budget):
@@ -80,3 +82,64 @@ def test_rejects_nonpositive_budget(spark):
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(_df(spark, [("en", 1, 10)]), "toks", 0,
                        group_col="lang")
+
+
+def _reference_chunks(text, window, stride):
+    """First-principles sliding window over whitespace tokens."""
+    toks = text.split(" ")
+    n = len(toks)
+    n_chunks = 1 if n <= window else -((n - window) // -stride) + 1
+    out = []
+    for i in range(n_chunks):
+        start = i * stride          # 0-indexed here; operator is 1-indexed
+        length = min(window, n - start)
+        out.append((i, start + 1, length, " ".join(toks[start:start + length])))
+    return out
+
+
+class TestChunkWindows:
+    def _got(self, spark, text, window, stride):
+        df = spark.createDataFrame([Row(doc_id=0, text=text)])
+        rows = (chunk_windows(df, window=window, stride=stride)
+                .orderBy("chunk_idx").collect())
+        return [(r["chunk_idx"], r["start_tok"], r["n_toks"], r["chunk_text"])
+                for r in rows]
+
+    @pytest.mark.parametrize("n,window,stride", [
+        (10, 4, 2), (10, 4, 4), (9, 4, 2), (3, 4, 2), (4, 4, 2),
+        (5, 4, 2), (1, 4, 2), (100, 16, 8), (17, 16, 1),
+    ])
+    def test_matches_reference_sliding_window(self, spark, n, window, stride):
+        text = " ".join(f"t{i}" for i in range(n))
+        assert (self._got(spark, text, window, stride)
+                == _reference_chunks(text, window, stride))
+
+    def test_overlap_and_tail(self, spark):
+        got = self._got(spark, "a b c d e f g", 4, 2)
+        assert got == [(0, 1, 4, "a b c d"),
+                       (1, 3, 4, "c d e f"),
+                       (2, 5, 3, "e f g")]
+
+    def test_short_doc_single_chunk(self, spark):
+        assert self._got(spark, "a b", 4, 2) == [(0, 1, 2, "a b")]
+
+    def test_every_token_covered(self, spark):
+        text = " ".join(f"t{i}" for i in range(53))
+        got = self._got(spark, text, 8, 5)
+        covered = set()
+        for _, start, n_toks, _ in got:
+            covered.update(range(start, start + n_toks))
+        assert covered == set(range(1, 54))
+
+    def test_zero_shuffle(self, spark):
+        df = spark.createDataFrame([Row(doc_id=0, text="a b c d e")])
+        plan = (chunk_windows(df, window=2, stride=1)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan
+
+    def test_rejects_bad_params(self, spark):
+        df = spark.createDataFrame([Row(doc_id=0, text="a")])
+        with pytest.raises(ValueError, match="positive"):
+            chunk_windows(df, window=0, stride=1)
+        with pytest.raises(ValueError, match="drop"):
+            chunk_windows(df, window=4, stride=5)
