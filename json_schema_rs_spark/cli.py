@@ -77,6 +77,52 @@ def cmd_validate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_generate(args: argparse.Namespace) -> int:
+    """EP3 analog (reference `jsonschemars generate`, cli/generate.rs):
+    the "generated code" of this engine is the compiled check plan — the
+    vectorized predicate/message SQL per check plus shared validity
+    helper columns. Emits the same plan-manifest JSON the lineage table
+    persists, so the artifact on disk equals what a run records."""
+    from .plans.compiler import compile_table_spec
+    from .plans.spec import parse_spec
+    from .sources.ledger import plan_manifest
+
+    with open(args.spec) as f:
+        spec = json.load(f)
+    # a session is needed either way: schema parsing and Column
+    # construction both go through the JVM
+    spark = build_session("json_schema_rs_spark.generate", args.master)
+    if args.input:
+        schema = spark.read.parquet(args.input).schema
+    else:
+        from pyspark.sql.types import StructType
+        schema = StructType.fromDDL(args.schema)
+    plan = compile_table_spec(parse_spec(spec), schema)
+    out = json.dumps(plan_manifest(plan, spec), indent=2)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out + "\n")
+    else:
+        print(out)
+    return 0
+
+
+def cmd_infer(args: argparse.Namespace) -> int:
+    """Reverse path (reference `ToJsonSchema` / generate_rust round-trip):
+    table schema -> constraint spec JSON."""
+    from .plans.infer import infer_spec
+
+    spark = build_session("json_schema_rs_spark.infer", args.master)
+    spec = infer_spec(spark.read.parquet(args.input))
+    out = json.dumps(spec, indent=2)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out + "\n")
+    else:
+        print(out)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="json_schema_rs_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -100,6 +146,28 @@ def main(argv: list[str] | None = None) -> int:
                         "checks (implies --table-checks)")
     v.add_argument("--master", default=None, help="override spark master (tests)")
     v.set_defaults(fn=cmd_validate)
+
+    g = sub.add_parser("generate",
+                       help="compile a spec against a table schema and emit "
+                            "the check-plan manifest JSON (the engine's "
+                            "generated-code artifact)")
+    g.add_argument("--spec", required=True, help="constraint spec JSON file")
+    grp = g.add_mutually_exclusive_group(required=True)
+    grp.add_argument("--input", help="parquet path whose schema to compile against")
+    grp.add_argument("--schema", help="DDL schema string, e.g. "
+                                      "'conv_id string, turn_idx int'")
+    g.add_argument("--out", default=None, help="write manifest here instead of stdout")
+    g.add_argument("--master", default=None)
+    g.set_defaults(fn=cmd_generate)
+
+    i = sub.add_parser("infer",
+                       help="infer a constraint spec from a parquet table's "
+                            "schema (reverse path)")
+    i.add_argument("--input", required=True, help="parquet path")
+    i.add_argument("--out", default=None)
+    i.add_argument("--master", default=None)
+    i.set_defaults(fn=cmd_infer)
+
     args = p.parse_args(argv)
     return args.fn(args)
 

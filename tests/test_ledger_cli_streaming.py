@@ -118,6 +118,61 @@ class TestCli:
                    "--output", str(tmp_path / "out"), "--buckets", "2"])
         assert rc == 0
 
+    def test_cli_generate_emits_plan_manifest(self, spark, tmp_path, capsys):
+        # EP3 analog: the manifest on stdout must equal what the lineage
+        # table would persist — fingerprint, one entry per check, SQL text
+        from json_schema_rs_spark.cli import main
+        from json_schema_rs_spark.sources.ledger import spec_fingerprint
+        spec_file = tmp_path / "spec.json"
+        spec_file.write_text(json.dumps(SPEC))
+        rc = main(["generate", "--spec", str(spec_file),
+                   "--schema", SCHEMA])
+        assert rc == 0
+        manifest = json.loads(capsys.readouterr().out)
+        assert manifest["spec_fingerprint"] == spec_fingerprint(SPEC)
+        codes = {c["code"] for c in manifest["checks"]
+                 if c["kind"] == "scalar"}
+        assert {"MissingRequired", "NotInEnum",
+                "TooShort", "TooLong"} <= codes
+        # every scalar check carries executable SQL text
+        for c in manifest["checks"]:
+            if c["kind"] == "scalar":
+                assert c["predicate"] and c["message"]
+        assert set(manifest["referenced_columns"]) <= {
+            "conv_id", "turn_idx", "role", "text"}
+
+    def test_cli_generate_schema_from_parquet(self, spark, tdf, tmp_path,
+                                              capsys):
+        from json_schema_rs_spark.cli import main
+        inp = str(tmp_path / "gen_input")
+        tdf.write.parquet(inp)
+        spec_file = tmp_path / "spec.json"
+        spec_file.write_text(json.dumps(SPEC))
+        out_file = str(tmp_path / "manifest.json")
+        rc = main(["generate", "--spec", str(spec_file), "--input", inp,
+                   "--out", out_file])
+        assert rc == 0
+        with open(out_file) as f:
+            manifest = json.load(f)
+        assert manifest["checks"]
+
+    def test_cli_infer_round_trips_through_generate(self, spark, tdf,
+                                                    tmp_path, capsys):
+        # reverse path: infer a spec from the table, then compile it back
+        # against the same table — a valid spec by construction
+        from json_schema_rs_spark.cli import main
+        inp = str(tmp_path / "infer_input")
+        tdf.write.parquet(inp)
+        spec_out = str(tmp_path / "inferred.json")
+        assert main(["infer", "--input", inp, "--out", spec_out]) == 0
+        with open(spec_out) as f:
+            spec = json.load(f)
+        assert spec["type"] == "object"
+        assert set(spec["properties"]) == set(tdf.columns)
+        assert main(["generate", "--spec", spec_out, "--input", inp]) == 0
+        manifest = json.loads(capsys.readouterr().out)
+        assert manifest["checks"]
+
 
 class TestStreaming:
     def test_stream_matches_batch(self, spark, tdf, tmp_path):
