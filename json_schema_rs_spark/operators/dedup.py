@@ -196,21 +196,33 @@ def minhash_signature(
     seed: int = 7,
     out_col: str = "minhash",
     id_col: str = "doc_id",
+    method: str = "numpy",
 ) -> DataFrame:
     """Per-doc MinHash signature (``array<bigint>`` of length
-    ``num_perm``): explode distinct shingles, hash each once
-    (``pmod(xxhash64(s), 2^31-1)``), then ONE hash aggregate computing all
-    ``num_perm`` affine-permutation minima ``min((a·h + b) mod (2^31-1))``
-    per doc. This shape stays entirely inside whole-stage codegen with
-    map-side partial aggregation — the higher-order-function alternative
-    (transform-per-permutation) is CodegenFallback and re-evaluates the
-    base hash per permutation, ~50x slower. Shingle-less docs get the
-    sentinel signature (all ``2^31-1``). The shingle strings themselves
-    are never materialized: :func:`shingle_hashes` hashes each n-gram
-    inside the build lambda, so only longs are exploded and shuffled
-    (signature values are bit-identical to hashing the string shingles —
-    same ``xxhash64(s, seed)``)."""
+    ``num_perm``): ``min((a·h + b) mod (2^31-1))`` over the doc's
+    distinct shingle hashes ``h = pmod(xxhash64(s), 2^31-1)``.
+    Shingle-less docs get the sentinel signature (all ``2^31-1``).
+
+    The signature is ROW-LOCAL (each doc's minima depend only on its own
+    shingles), so the default ``method="numpy"`` computes it with ZERO
+    shuffle: shingle hashing stays JVM-side/codegen
+    (:func:`shingle_hashes` — only longs reach Python), then one
+    Arrow-batched ``mapInPandas`` folds all ``num_perm`` minima
+    vectorized. ``method="agg"`` keeps the previous pure-DataFrame shape
+    (explode + one 64-min hash aggregate + join-back) as the
+    cross-check twin — bit-identical output (asserted in tests), but it
+    pays a per-doc aggregate exchange AND a corpus-scale join-back,
+    both of which the kernel eliminates; at 10^11 docs those are two
+    full shuffles on the designated dedup path. The HOF alternative
+    (transform-per-permutation) is CodegenFallback, ~50x slower than
+    either."""
     df = _spread(df, id_col)
+    params = _minhash_params(num_perm, seed)
+    if method == "numpy":
+        return _minhash_signature_np(df, text_col, n=n, seed=seed,
+                                     params=params, out_col=out_col)
+    if method != "agg":
+        raise ValueError(f"method must be 'numpy' or 'agg', got {method!r}")
     posts = explode_rows(
         shingle_hashes(df, text_col, n=n, seed=seed),
         [id_col], F.col("shingle_hashes"), "_h64",
@@ -218,7 +230,6 @@ def minhash_signature(
         id_col,
         F.pmod(F.col("_h64"), F.lit(_MERSENNE31)).alias("_h"),
     )
-    params = _minhash_params(num_perm, seed)
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(_MERSENNE31)))
         .alias(f"_m{i}")
@@ -229,6 +240,61 @@ def minhash_signature(
     sentinel = F.array_repeat(F.lit(_MERSENNE31).cast("bigint"), num_perm)
     return (df.join(sigs, id_col, "left")
               .withColumn(out_col, F.coalesce(F.col(out_col), sentinel)))
+
+
+def _minhash_signature_np(df: DataFrame, text_col: str, *, n: int,
+                          seed: int, params: list[tuple[int, int]],
+                          out_col: str) -> DataFrame:
+    """Zero-shuffle signature kernel: per Arrow batch, flatten every
+    doc's shingle hashes, compute each permutation vectorized over the
+    flat array, and segment-reduce the minima back per doc.
+
+    Arithmetic is int64-exact end to end (a, b, h < 2^31 so a·h + b
+    < 2^62; Python/NumPy floored ``%`` matches Spark ``pmod`` for the
+    possibly-negative xxhash64 input), making the output bit-identical
+    to the ``method="agg"`` Column fold."""
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    num_perm = len(params)
+    a_vec, b_vec = (list(p) for p in zip(*params))
+    # build a FRESH StructType: StructType.add mutates in place, and
+    # DataFrame.schema is cached — mutating it would make a second
+    # signature call on the same DataFrame object see a phantom
+    # duplicate out_col field (AMBIGUOUS_REFERENCE)
+    schema = StructType(list(df.schema.fields)
+                        + [StructField(out_col, ArrayType(LongType()))])
+    sh_col = "__mh_sh"
+    with_sh = shingle_hashes(df, text_col, n=n, seed=seed, out_col=sh_col)
+
+    def kernel(batches):
+        import numpy as np
+
+        A = np.asarray(a_vec, dtype=np.int64)
+        B = np.asarray(b_vec, dtype=np.int64)
+        M = np.int64(_MERSENNE31)
+        for pdf in batches:
+            arrs = [np.asarray(x, dtype=np.int64)
+                    if x is not None else np.empty(0, dtype=np.int64)
+                    for x in pdf[sh_col]]
+            counts = np.array([len(x) for x in arrs], dtype=np.int64)
+            sig = np.full((len(arrs), num_perm), int(M), dtype=np.int64)
+            nonempty = counts > 0
+            if nonempty.any():
+                flat = (np.concatenate([x for x in arrs if len(x)])
+                        % M)                        # h = pmod(xxhash64, M)
+                ends = np.cumsum(counts[nonempty])
+                starts = np.concatenate(([0], ends[:-1]))
+                mins = np.empty((int(nonempty.sum()), num_perm),
+                                dtype=np.int64)
+                for i in range(num_perm):           # 64 vectorized passes
+                    perm = (A[i] * flat + B[i]) % M
+                    mins[:, i] = np.minimum.reduceat(perm, starts)
+                sig[nonempty] = mins
+            out = pdf.drop(columns=[sh_col])
+            out[out_col] = list(sig)
+            yield out
+
+    return with_sh.mapInPandas(kernel, schema=schema)
 
 
 def minhash_lsh_pairs(
@@ -267,11 +333,25 @@ def minhash_lsh_pairs(
             for i in range(bands)
         ]), "b",
     ).select("_id", "b.band", "b.bkey")
-    la = band_rows.select(F.col("_id").alias("doc_a"), "band", "bkey")
-    lb = band_rows.select(F.col("_id").alias("doc_b"), "band", "bkey")
-    cand = (la.join(lb, ["band", "bkey"])
-              .filter(F.col("doc_a") < F.col("doc_b"))
-              .select("doc_a", "doc_b").distinct())
+    # bucket-grouped pair generation instead of a band self-join: the
+    # self-join shape recomputes the ENTIRE signature lineage once per
+    # side (Spark does not share scan subtrees across join inputs);
+    # grouping by (band, bkey) computes it once, shuffles each doc id
+    # `bands` times (skinny), and emits each bucket's C(k,2) pairs
+    # row-locally. sort_array makes collect_list's order deterministic
+    # and gives doc_a < doc_b by construction. Bucket sizes are the LSH
+    # collision sets — small at any sane (bands, r); the one adversarial
+    # case (all shingle-less docs share the sentinel signature and
+    # collide in every band) was quadratic under the self-join too.
+    buckets = (band_rows.groupBy("band", "bkey")
+               .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+               .filter(F.size("_ids") > 1))
+    pair_arr = F.expr(
+        "flatten(transform(_ids, (a, i) ->"
+        " transform(slice(_ids, i + 2, size(_ids) - i - 1),"
+        " b -> struct(a AS doc_a, b AS doc_b))))")
+    cand = (explode_rows(buckets, [], pair_arr, "_p")
+            .select("_p.doc_a", "_p.doc_b").distinct())
     if not verify_exact:
         return cand.withColumn("jaccard", F.lit(None).cast("double"))
     # verify against the shingle-HASH sets directly (not through the

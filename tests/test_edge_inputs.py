@@ -61,6 +61,28 @@ class TestShortDocShingles:
             assert sig[d] == sentinel
         assert sig[1] != sentinel
 
+    def test_minhash_numpy_kernel_bit_identical_to_agg(self, edge_docs):
+        # the zero-shuffle mapInPandas kernel and the explode+aggregate
+        # twin must agree on every element, incl. sentinel rows
+        a = {r.doc_id: r.minhash for r in dedup.minhash_signature(
+            edge_docs, method="agg").collect()}
+        b = {r.doc_id: r.minhash for r in dedup.minhash_signature(
+            edge_docs, method="numpy").collect()}
+        assert a == b
+
+    def test_minhash_signature_twice_on_same_dataframe(self, edge_docs):
+        # regression: StructType.add mutates DataFrame.schema's cached
+        # object; a second call on the SAME df must not see a phantom
+        # duplicate minhash field (AMBIGUOUS_REFERENCE)
+        first = dedup.minhash_signature(edge_docs).select("doc_id", "minhash")
+        second = dedup.minhash_signature(edge_docs).select("doc_id", "minhash")
+        assert first.collect() == second.collect()
+        assert len(edge_docs.schema.fields) == 2  # untouched
+
+    def test_minhash_rejects_bad_method(self, edge_docs):
+        with pytest.raises(ValueError, match="numpy.*agg|agg.*numpy"):
+            dedup.minhash_signature(edge_docs, method="hof")
+
     def test_minhash_lsh_survives_short_docs(self, edge_docs):
         pairs = {(r.doc_a, r.doc_b)
                  for r in dedup.minhash_lsh_pairs(
