@@ -308,9 +308,19 @@ def minhash_lsh_pairs(
     seed: int = 7,
     threshold: float = 0.8,
     verify_exact: bool = True,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, same output contract as
     :func:`ngram_jaccard_pairs` — ``(doc_a, doc_b, jaccard)``.
+
+    ``max_bucket`` (default None = exact) drops band buckets larger than
+    the cap before pair emission — the stop-shingle analog for LSH. A
+    bucket of k docs emits C(k,2) candidates whichever shape generates
+    them (grouped emit or self-join); a giant bucket means a giant
+    NEAR-IDENTICAL cluster whose pairwise listing is inherently
+    quadratic — at that point the per-pair contract is the wrong output
+    and :func:`near_dup_groups` (cluster ids) is the right one, so
+    production runs set a cap and route hot clusters to grouping.
 
     Candidate generation: split the ``num_perm`` signature into ``bands``
     bands of ``r = num_perm/bands`` rows; docs colliding in any band become
@@ -346,6 +356,8 @@ def minhash_lsh_pairs(
     buckets = (band_rows.groupBy("band", "bkey")
                .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
                .filter(F.size("_ids") > 1))
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("_ids") <= max_bucket)
     pair_arr = F.expr(
         "flatten(transform(_ids, (a, i) ->"
         " transform(slice(_ids, i + 2, size(_ids) - i - 1),"

@@ -83,6 +83,17 @@ class TestShortDocShingles:
         with pytest.raises(ValueError, match="numpy.*agg|agg.*numpy"):
             dedup.minhash_signature(edge_docs, method="hof")
 
+    def test_lsh_max_bucket_drops_hot_clusters(self, spark):
+        # 5 exact dups share one bucket per band -> C(5,2)=10 pairs;
+        # capping below the cluster size suppresses them (route to
+        # near_dup_groups instead), default stays exact
+        rows = [(i, "the same nine word document repeated for every row")
+                for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        assert dedup.minhash_lsh_pairs(df, threshold=0.9).count() == 10
+        assert dedup.minhash_lsh_pairs(df, threshold=0.9,
+                                       max_bucket=4).count() == 0
+
     def test_minhash_lsh_survives_short_docs(self, edge_docs):
         pairs = {(r.doc_a, r.doc_b)
                  for r in dedup.minhash_lsh_pairs(
