@@ -1203,6 +1203,19 @@ WHERE round(list_dot_product(a.v, b.v) /
 """
 
 
+def _q_a_srp_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SRP-LSH (Charikar cosine LSH) near-dup — the training-free scale
+    # path: sign bits from seeded Rademacher hyperplanes, banded bucket
+    # candidates, exact-cosine verify. The oracle SQL is GENERATED from
+    # the same hyperplane helper, so the banding (not just the verified
+    # values) is reproduced cross-engine.
+    return similarity.srp_dup_pairs(_t(spark, sf_dir, "embeddings"),
+                                    threshold=0.42)
+
+
+_SQL_A_SRP_DUP_PAIRS = similarity.srp_dup_pairs_sql(dims=64, threshold=0.42)
+
+
 def _q_a_cosine_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SCALE path for embedding near-dup (candidates only within IVF
     # buckets, zero-shuffle assignment): gated against a DuckDB oracle
@@ -1661,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_cosine_topk": _q_a_cosine,
         "a_cosine_dup_pairs": _q_a_cosine_dup,
         "a_cosine_dup_bucketed": _q_a_cosine_dup_bucketed,
+        "a_srp_dup_pairs": _q_a_srp_dup_pairs,
         "a_ivf_topk": _q_a_ivf,
         "a_ivf_topk_trained": _q_a_ivf_trained,
         # text analysis
@@ -1737,6 +1751,7 @@ def oracle_sql() -> dict[str, str]:
         "a_cosine_topk": _SQL_A_COSINE,
         "a_cosine_dup_pairs": _SQL_A_COSINE_DUP,
         "a_cosine_dup_bucketed": _SQL_A_COSINE_DUP_BUCKETED,
+        "a_srp_dup_pairs": _SQL_A_SRP_DUP_PAIRS,
         "a_ivf_topk": _SQL_A_IVF,
         "x_token_stats": _SQL_X_TOKENS,
         "x_top_tokens": _SQL_X_TOP_TOKENS,

@@ -42,6 +42,7 @@ HEADLINE = [
     "a_cosine_topk",
     "a_cosine_dup_pairs",
     "a_cosine_dup_bucketed",
+    "a_srp_dup_pairs",
     "a_ivf_topk",
     "d_dup_groups",
     "v_pattern_hard",

@@ -20,9 +20,13 @@ reproduce identical bits. No per-row Python anywhere.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..functions.exprs import explode_rows
 
 
 def _dot_d(a, b):
@@ -588,3 +592,252 @@ def ivf_topk(
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)
                   .select("query_id", "neighbor_id", "rank", "cos_sim"))
+
+
+# ---------------------------------------------------------------------------
+# SRP-LSH: signed-random-projection near-dup (Charikar's cosine LSH)
+# ---------------------------------------------------------------------------
+#
+# The third bucketing scheme for embedding near-dup, completing the family:
+# IVF buckets (data-dependent centroids; recall concentrated near centroid
+# boundaries) vs SRP buckets (data-INDEPENDENT hyperplanes; recall is the
+# closed-form banding curve 1-(1-p^r)^b with p = 1 - theta/pi). SRP needs
+# no training pass and no centroid broadcast refresh on appends — the
+# hyperplanes are a pure function of (dims, n_bits, seed) — which is what
+# an incrementally-growing 100 TB corpus wants.
+
+
+def srp_hyperplanes(dims: int, n_bits: int, seed: int) -> list[list[float]]:
+    """Deterministic Rademacher (+/-1) hyperplanes, one row per bit.
+
+    +/-1 components instead of Gaussians: each product is an exact sign
+    flip of a float32-representable embedding value, so the projection is
+    a sum of EXACT doubles — cross-engine divergence is confined to the
+    last-ulp of the summation order, which the sign rule absorbs by
+    rounding (see :func:`srp_band_keys`). For LSH the Rademacher
+    distribution is a standard hyperplane choice (Achlioptas-style sparse
+    projections); the collision probability keeps the 1 - theta/pi form.
+    ``random.Random`` (Mersenne Twister) is version-stable, so the same
+    (dims, n_bits, seed) always yields the same planes — in the Spark
+    kernel AND in the generated oracle SQL."""
+    rng = random.Random(seed)
+    return [[1.0 if rng.getrandbits(1) else -1.0 for _ in range(dims)]
+            for _ in range(n_bits)]
+
+
+def _srp_params(df: DataFrame, vec_col: str, n_bits: int, bands: int,
+                seed: int):
+    """(dims, hyperplanes, r) for this corpus; dims from the first
+    non-null vector (NULL/empty rows can't seed a projection)."""
+    assert n_bits % bands == 0, "n_bits must divide evenly into bands"
+    assert n_bits // bands <= 62, "band key must fit in a bigint"
+    row = (df.filter(F.col(vec_col).isNotNull()
+                     & (F.size(F.col(vec_col)) > 0))
+             .select(F.size(F.col(vec_col)).alias("d")).first())
+    dims = row["d"] if row is not None else 0
+    return dims, srp_hyperplanes(dims, n_bits, seed), n_bits // bands
+
+
+def srp_band_keys(
+    df: DataFrame,
+    *,
+    n_bits: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Skinny ``(_id, band, bkey)`` rows: each vector's ``n_bits`` sign
+    bits, split into ``bands`` band keys of ``r = n_bits/bands`` bits.
+
+    Bit ``j`` is ``round(dot(v, plane_j), 6) >= 0`` — rounding BEFORE the
+    sign makes the bit reproducible across engines whose last-ulp
+    summation order differs (the same convention the cosine operators use
+    for similarity values). Zero-shuffle: the planes ride inside the
+    closure (k x dims doubles), each Arrow batch computes its sign block
+    in NumPy with the dimension-ordered fold, and only ``bands`` skinny
+    rows per vector leave the kernel. NULL / empty / zero-norm /
+    wrong-dims vectors emit no rows (they have no direction to hash)."""
+    import numpy as np
+
+    dims, planes, r = _srp_params(df, vec_col, n_bits, bands, seed)
+    src = df.select(F.col(id_col).cast("bigint").alias("_id"),
+                    F.col(vec_col).alias("_v"))
+    if dims == 0:
+        return src.sparkSession.createDataFrame(
+            [], "_id bigint, band int, bkey bigint")
+    hmat = np.array(planes, dtype="float64").T        # dims x n_bits
+
+    def keys(batches):
+        import pandas as pd
+        for pdf in batches:
+            vecs = pdf["_v"]
+            valid = np.array([v is not None and len(v) == dims
+                              for v in vecs])
+            if not valid.any():
+                yield pd.DataFrame({"_id": pd.Series([], dtype="int64"),
+                                    "band": pd.Series([], dtype="int32"),
+                                    "bkey": pd.Series([], dtype="int64")})
+                continue
+            ids = pdf["_id"].to_numpy(dtype="int64")[valid]
+            mat = np.array([list(v) for v in vecs[valid]], dtype="float64")
+            acc = np.zeros((mat.shape[0], hmat.shape[1]))
+            nrm = np.zeros(mat.shape[0])
+            for d in range(dims):               # ordered fold, bit-exact
+                acc += np.outer(mat[:, d], hmat[d, :])
+                nrm += mat[:, d] * mat[:, d]
+            bits = (np.round(acc, 6) >= 0.0).astype("int64")
+            weights = (1 << np.arange(r, dtype="int64"))
+            # (n, bands) keys: pack each band's r bits little-endian
+            bkeys = bits.reshape(len(ids), bands, r) @ weights
+            live = nrm > 0.0                    # zero-norm: no direction
+            n_live = int(live.sum())
+            yield pd.DataFrame({
+                "_id": np.repeat(ids[live], bands),
+                "band": np.tile(np.arange(bands, dtype="int32"), n_live),
+                "bkey": bkeys[live].reshape(-1),
+            })
+
+    return src.mapInPandas(keys, schema="_id bigint, band int, bkey bigint")
+
+
+def srp_dup_pairs(
+    df: DataFrame,
+    *,
+    threshold: float = 0.95,
+    n_bits: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs via signed-random-projection LSH — the
+    training-free scale path. Output contract matches
+    :func:`cosine_dup_pairs`: ``(doc_a, doc_b, cos_sim)``, ``doc_a <
+    doc_b``, rounded similarity >= ``threshold``; verified pairs carry the
+    bit-identical exact cosine, so precision is exact and recall is the
+    banding curve (defaults 16 bits / 4 bands: ~0.985 at cos 0.95;
+    near-identical vectors collide in every band, recall -> 1).
+
+    Shape at 10^11 vectors: one corpus scan emits ``bands`` skinny
+    ``(id, band, bkey)`` rows per vector (:func:`srp_band_keys` — zero
+    exchange); candidates come from bucket-GROUPED C(k,2) emission (the
+    same shape as MinHash LSH — no band self-join, no signature
+    recompute); candidate verification joins the pair ids back to the
+    vectors and scores each pair in an Arrow-batched NumPy kernel (no
+    interpreted HOF fold on the hot path). ``max_bucket`` bounds the
+    quadratic emission on adversarial near-identical mega-clusters,
+    exactly like the MinHash cap (route those to grouping instead)."""
+    import numpy as np
+
+    band_rows = srp_band_keys(df, n_bits=n_bits, bands=bands, seed=seed,
+                              id_col=id_col, vec_col=vec_col)
+    buckets = (band_rows.groupBy("band", "bkey")
+               .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
+               .filter(F.size("_ids") > 1))
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("_ids") <= max_bucket)
+    pair_arr = F.expr(
+        "flatten(transform(_ids, (a, i) ->"
+        " transform(slice(_ids, i + 2, size(_ids) - i - 1),"
+        " b -> struct(a AS doc_a, b AS doc_b))))")
+    cand = (explode_rows(buckets, [], pair_arr, "_p")
+            .select("_p.doc_a", "_p.doc_b").distinct())
+    src = df.select(F.col(id_col).cast("bigint").alias("_id"),
+                    F.col(vec_col).alias("_v"))
+    cand = (cand.join(src.select(F.col("_id").alias("doc_a"),
+                                 F.col("_v").alias("_va")), "doc_a")
+                .join(src.select(F.col("_id").alias("doc_b"),
+                                 F.col("_v").alias("_vb")), "doc_b"))
+
+    def score(batches):
+        import pandas as pd
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                    "doc_b": pd.Series([], dtype="int64"),
+                                    "_sim": pd.Series([], dtype="float64")})
+                continue
+            a = np.array([list(v) for v in pdf["_va"]], dtype="float64")
+            b = np.array([list(v) for v in pdf["_vb"]], dtype="float64")
+            acc = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for d in range(a.shape[1]):         # ordered fold, bit-exact
+                acc += a[:, d] * b[:, d]
+                na += a[:, d] * a[:, d]
+                nb += b[:, d] * b[:, d]
+            denom = np.sqrt(na) * np.sqrt(nb)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(denom != 0.0, acc / denom, np.nan)
+            yield pd.DataFrame({"doc_a": pdf["doc_a"], "doc_b": pdf["doc_b"],
+                                "_sim": sims})
+
+    out = cand.mapInPandas(score,
+                           schema="doc_a bigint, doc_b bigint, _sim double")
+    sim = (F.round(F.col("_sim"), round_digits)
+           if round_digits is not None else F.col("_sim"))
+    return (out.select("doc_a", "doc_b", sim.alias("cos_sim"))
+               .filter(F.col("cos_sim") >= threshold))
+
+
+def srp_dup_pairs_sql(
+    *,
+    dims: int,
+    threshold: float = 0.95,
+    n_bits: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """The DuckDB twin of :func:`srp_dup_pairs`, generated from the SAME
+    hyperplane helper so the banding is reproduced exactly: sign bits via
+    ``round(list_dot_product(v, <literal plane>), 6) >= 0``, band keys as
+    the same little-endian bit packing, candidates from a band self-join,
+    verification with the engine's own dot products under the shared
+    round-to-6 convention. Used by ``__spark_entry__.oracle_sql()`` and
+    the oracle tests — one source of truth for the planes."""
+    planes = srp_hyperplanes(dims, n_bits, seed)
+    r = n_bits // bands
+    bit_exprs = []
+    for j, plane in enumerate(planes):
+        lit = "[" + ", ".join(f"{x:.1f}" for x in plane) + "]"
+        bit_exprs.append(
+            f"(CASE WHEN round(list_dot_product(v, {lit}), 6) >= 0 "
+            f"THEN 1 ELSE 0 END)")
+    key_rows = []
+    for i in range(bands):
+        terms = " + ".join(f"{bit_exprs[i * r + j]} * {1 << j}"
+                           for j in range(r))
+        key_rows.append(f"SELECT _id, {i} AS band, ({terms}) AS bkey FROM e")
+    keys_sql = " UNION ALL ".join(key_rows)
+    return f"""
+WITH e AS (SELECT {id_col} AS _id,
+                  list_transform({vec_col}, x -> x::DOUBLE) AS v
+           FROM {table}
+           WHERE {vec_col} IS NOT NULL
+             AND len({vec_col}) = {dims}
+             AND list_dot_product(list_transform({vec_col},
+                                                 x -> x::DOUBLE),
+                                  list_transform({vec_col},
+                                                 x -> x::DOUBLE)) > 0),
+k AS ({keys_sql}),
+cand AS (SELECT DISTINCT a._id AS doc_a, b._id AS doc_b
+         FROM k a JOIN k b ON a.band = b.band AND a.bkey = b.bkey
+                          AND a._id < b._id)
+SELECT cand.doc_a, cand.doc_b,
+       round(list_dot_product(ea.v, eb.v) /
+             (sqrt(list_dot_product(ea.v, ea.v)) *
+              sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos_sim
+FROM cand
+JOIN e ea ON ea._id = cand.doc_a
+JOIN e eb ON eb._id = cand.doc_b
+WHERE round(list_dot_product(ea.v, eb.v) /
+            (sqrt(list_dot_product(ea.v, ea.v)) *
+             sqrt(list_dot_product(eb.v, eb.v))), 6) >= {threshold}
+"""
