@@ -1527,6 +1527,30 @@ FROM e
 """
 
 
+def _q_x_render_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # transcripts -> training-ready sequences: each conversation's turns
+    # rendered in stable (turn_idx, role, text) order into one canonical
+    # string + whitespace token count (the pack_sequences budget input).
+    # This is the north rule's per-turn-text-equality invariant as an
+    # operator: the oracle reproduces the exact rendered bytes.
+    from json_schema_rs_spark.operators.packing import render_conversations
+    tx = _transcripts_with_tools(_t(spark, sf_dir, "events"))
+    return render_conversations(tx)
+
+
+_SQL_X_RENDER_CONV = f"""
+WITH tx AS ({_ORACLE_TX_TOOLS}),
+r AS (SELECT conv_id, CAST(count(*) AS INT) AS n_turns,
+             string_agg('<|' || coalesce(role, 'unknown') || '|>'
+                        || chr(10) || coalesce(text, ''), chr(10)
+                        ORDER BY turn_idx, role, text) AS text
+      FROM tx GROUP BY conv_id)
+SELECT conv_id, n_turns, text,
+       CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+FROM r
+"""
+
+
 def _q_x_strat(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-balance the language mix: keep all de, half zh, a quarter en;
     # es/fr fall to the 10% default
@@ -1691,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_strat_sample": _q_x_strat,
         "x_pack_chunks": _q_x_pack,
         "x_chunk_windows": _q_x_chunks,
+        "x_render_conv": _q_x_render_conv,
         # multimodal plumbing
         "m_media_meta": _q_m_media,
         "m_frame_plan": _q_m_frames,
@@ -1765,6 +1790,7 @@ def oracle_sql() -> dict[str, str]:
         "x_strat_sample": _SQL_X_STRAT,
         "x_pack_chunks": _SQL_X_PACK,
         "x_chunk_windows": _SQL_X_CHUNKS,
+        "x_render_conv": _SQL_X_RENDER_CONV,
         "m_media_meta": _SQL_M_MEDIA,
         "m_frame_plan": _SQL_M_FRAMES,
     }

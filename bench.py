@@ -60,6 +60,7 @@ HEADLINE = [
     "x_top_tokens",
     "x_rep_ngram",
     "x_chunk_windows",
+    "x_render_conv",
 ]
 
 

@@ -23,10 +23,10 @@ form packs WITHIN a grouping key (language, source shard, domain):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pack_sequences", "chunk_windows"]
+__all__ = ["pack_sequences", "chunk_windows", "render_conversations"]
 
 
 def pack_sequences(
@@ -101,4 +101,77 @@ def chunk_windows(
         n_toks.alias("n_toks"),
         F.concat_ws(" ", F.slice(F.col(tmp), start, n_toks))
          .alias("chunk_text"),
+    )
+
+
+def render_conversations(
+    df: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    turn_template: str = "<|{role}|>\n{text}",
+    sep: str = "\n",
+    max_turns: int | None = None,
+) -> DataFrame:
+    """Assemble each conversation's turns, in stable turn order, into one
+    training-ready text — the transcripts -> SFT-sequences step between
+    validation/curation and tokenization. This is the north rule's
+    "per-turn text equality under stable (conv_id, turn_idx) ordering"
+    invariant lifted into an operator: the rendered string is a canonical,
+    engine-reproducible serialization of the conversation.
+
+    Output: ``(conv_id, n_turns, text, n_tokens)`` — one row per
+    conversation; ``n_tokens`` is the whitespace-token count of the
+    rendered text (the budget input for :func:`pack_sequences`).
+
+    ``turn_template`` may reference ``{role}`` and ``{text}`` (each at
+    most once); NULL role renders as ``unknown``, NULL text as ``''`` —
+    the convention the stateful streaming checks use for missing fields.
+    ``max_turns`` keeps only each conversation's FIRST ``max_turns``
+    turns by index (truncation-from-the-end, the standard SFT cut).
+
+    Determinism / cross-engine parity: turns sort by the full
+    ``(turn_idx, role, text)`` struct, so even a corpus with duplicate
+    turn indices (an upstream violation this engine detects but must not
+    be corrupted by) renders identically everywhere; with unique indices
+    the tiebreak never fires. An oracle reproduces the text with
+    ``string_agg(... ORDER BY turn_idx, role, text)``.
+
+    Scale shape: ONE hash exchange on ``conv_col`` (the same skinny
+    shuffle every cross-row check rides); ``sort_array`` + the render are
+    row-local over the collected turn array, whose size is bounded by
+    turns-per-conversation, not corpus size. No window, no per-row
+    Python, no second shuffle."""
+    import re
+    parts = re.split(r"(\{role\}|\{text\})", turn_template)
+
+    def render_turn(t: Column) -> Column:
+        cols = []
+        for p in parts:
+            if p == "{role}":
+                cols.append(F.coalesce(t["r"], F.lit("unknown")))
+            elif p == "{text}":
+                cols.append(F.coalesce(t["t"], F.lit("")))
+            elif p:
+                cols.append(F.lit(p))
+        return F.concat(*cols) if cols else F.lit("")
+
+    turn = F.struct(F.col(idx_col).alias("i"),
+                    F.col(role_col).alias("r"),
+                    F.col(text_col).alias("t"))
+    agg = (df.groupBy(F.col(conv_col).alias("conv_id"))
+             .agg(F.sort_array(F.collect_list(turn)).alias("_turns")))
+    if max_turns is not None:
+        if max_turns <= 0:
+            raise ValueError(f"max_turns must be positive, got {max_turns}")
+        agg = agg.withColumn("_turns", F.slice("_turns", 1, max_turns))
+    rendered = F.array_join(
+        F.transform(F.col("_turns"), render_turn), sep)
+    return agg.select(
+        "conv_id",
+        F.size("_turns").cast("int").alias("n_turns"),
+        rendered.alias("text"),
+        F.size(F.split(rendered, r"\s+")).cast("bigint").alias("n_tokens"),
     )

@@ -143,3 +143,78 @@ class TestChunkWindows:
             chunk_windows(df, window=0, stride=1)
         with pytest.raises(ValueError, match="drop"):
             chunk_windows(df, window=4, stride=5)
+
+
+class TestRenderConversations:
+    ROWS = [
+        # conv "a": out-of-order arrival, NULL text on turn 1
+        ("a", 2, "assistant", "fine thanks"),
+        ("a", 0, "user", "hello there"),
+        ("a", 1, "assistant", None),
+        # conv "b": single turn, NULL role
+        ("b", 0, None, "lone turn"),
+    ]
+
+    def _df(self, spark, rows=None):
+        return spark.createDataFrame(
+            rows or self.ROWS,
+            "conv_id string, turn_idx int, role string, text string")
+
+    def _got(self, spark, **kw):
+        from json_schema_rs_spark.operators.packing import (
+            render_conversations)
+        return {r["conv_id"]: r
+                for r in render_conversations(self._df(spark), **kw)
+                .collect()}
+
+    def test_stable_order_and_null_conventions(self, spark):
+        got = self._got(spark)
+        assert got["a"]["text"] == (
+            "<|user|>\nhello there\n<|assistant|>\n\n"
+            "<|assistant|>\nfine thanks")
+        assert got["a"]["n_turns"] == 3
+        assert got["b"]["text"] == "<|unknown|>\nlone turn"
+        assert got["b"]["n_turns"] == 1
+
+    def test_token_count_is_whitespace_chunks(self, spark):
+        got = self._got(spark)
+        # "<|user|>\nhello there\n<|assistant|>\n\n<|assistant|>\nfine
+        # thanks" -> \s+ chunks: <|user|> hello there <|assistant|>
+        # <|assistant|> fine thanks = 7
+        assert got["a"]["n_tokens"] == 7
+        # "<|unknown|>\nlone turn" -> <|unknown|> lone turn = 3
+        assert got["b"]["n_tokens"] == 3
+
+    def test_custom_template_and_sep(self, spark):
+        got = self._got(spark, turn_template="{role}: {text}", sep=" | ")
+        assert got["b"]["text"] == "unknown: lone turn"
+        assert got["a"]["text"].startswith("user: hello there | ")
+
+    def test_max_turns_truncates_from_end(self, spark):
+        got = self._got(spark, max_turns=2)
+        assert got["a"]["n_turns"] == 2
+        assert got["a"]["text"] == "<|user|>\nhello there\n<|assistant|>\n"
+
+    def test_duplicate_turn_idx_renders_deterministically(self, spark):
+        # an upstream DuplicateKey violation must not make rendering
+        # ambiguous: the full (idx, role, text) struct ordering breaks
+        # the tie the same way everywhere ("x" < "y")
+        rows = [("c", 0, "user", "y"), ("c", 0, "user", "x")]
+        from json_schema_rs_spark.operators.packing import (
+            render_conversations)
+        out = render_conversations(self._df(spark, rows)).collect()[0]
+        assert out["text"] == "<|user|>\nx\n<|user|>\ny"
+
+    def test_single_exchange_no_window(self, spark):
+        from json_schema_rs_spark.operators.packing import (
+            render_conversations)
+        plan = (render_conversations(self._df(spark))
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("Exchange") == 1
+        assert "Window" not in plan
+
+    def test_rejects_bad_max_turns(self, spark):
+        from json_schema_rs_spark.operators.packing import (
+            render_conversations)
+        with pytest.raises(ValueError, match="positive"):
+            render_conversations(self._df(spark), max_turns=0)
