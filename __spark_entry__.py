@@ -1179,6 +1179,40 @@ FROM r WHERE rank <= 10
 """
 
 
+def _q_a_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # int8-quantized brute-force top-k: the 4x-cheaper scan. Integer dot
+    # products are exact and order-free, so the oracle reproduces the
+    # similarities bit-for-bit by re-deriving the same quantization.
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.quantized_topk(emb, emb.filter(F.col("vec_id") < 8),
+                                     k=10)
+
+
+_SQL_A_QUANTIZED_TOPK = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) > 0),
+s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+q AS (SELECT vec_id,
+             CASE WHEN mx > 0
+                  THEN list_transform(v, x -> floor((x / mx) * 127.0 + 0.5))
+                  ELSE list_transform(v, x -> 0.0) END AS qv
+      FROM s),
+nz AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS nrm FROM q
+       WHERE list_dot_product(qv, qv) > 0),
+qs AS (SELECT vec_id AS qid, qv AS qqv, nrm AS qn FROM nz WHERE vec_id < 8),
+sc AS (SELECT qid AS query_id, nz.vec_id AS neighbor_id,
+              round(list_dot_product(qqv, nz.qv) / (nz.nrm * qn), 6) AS cos_sim
+       FROM qs JOIN nz ON nz.vec_id <> qid),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM sc)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+FROM r WHERE rank <= 10
+"""
+
+
 def _q_a_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding-cosine near-dup pairs (exact baseline / verifier). The
     # NumPy mapInPandas path: bit-identical to the HOF-fold operator
@@ -1696,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_simhash_pairs": _q_d_simhash_pairs,
         # similarity search
         "a_cosine_topk": _q_a_cosine,
+        "a_quantized_topk": _q_a_quantized_topk,
         "a_cosine_dup_pairs": _q_a_cosine_dup,
         "a_cosine_dup_bucketed": _q_a_cosine_dup_bucketed,
         "a_srp_dup_pairs": _q_a_srp_dup_pairs,
@@ -1774,6 +1809,7 @@ def oracle_sql() -> dict[str, str]:
         "d_simhash": _SQL_D_SIMHASH,
         "d_simhash_pairs": _SQL_D_SIMHASH_PAIRS,
         "a_cosine_topk": _SQL_A_COSINE,
+        "a_quantized_topk": _SQL_A_QUANTIZED_TOPK,
         "a_cosine_dup_pairs": _SQL_A_COSINE_DUP,
         "a_cosine_dup_bucketed": _SQL_A_COSINE_DUP_BUCKETED,
         "a_srp_dup_pairs": _SQL_A_SRP_DUP_PAIRS,
