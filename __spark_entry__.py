@@ -1365,6 +1365,29 @@ FROM documents
 """
 
 
+def _q_x_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # canonical cleaning (control-strip -> NFC -> whitespace collapse):
+    # the pre-dedup normalization stage; the oracle applies the identical
+    # step sequence and must reproduce the exact bytes
+    return (textstats.normalize_text(_t(spark, sf_dir, "documents"))
+            .select("doc_id", "text_norm",
+                    F.length("text_norm").alias("n_chars")))
+
+
+_SQL_X_NORMALIZE = r"""
+SELECT doc_id,
+       trim(regexp_replace(
+            nfc_normalize(regexp_replace(text, '[\x00-\x08\x0B-\x1F\x7F]',
+                                         '', 'g')),
+            '[ \t]+', ' ', 'g')) AS text_norm,
+       length(trim(regexp_replace(
+            nfc_normalize(regexp_replace(text, '[\x00-\x08\x0B-\x1F\x7F]',
+                                         '', 'g')),
+            '[ \t]+', ' ', 'g'))) AS n_chars
+FROM documents
+"""
+
+
 def _q_x_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_score(_t(spark, sf_dir, "documents"))
 
@@ -1751,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_pack_chunks": _q_x_pack,
         "x_chunk_windows": _q_x_chunks,
         "x_render_conv": _q_x_render_conv,
+        "x_normalize_text": _q_x_normalize,
         # multimodal plumbing
         "m_media_meta": _q_m_media,
         "m_frame_plan": _q_m_frames,
@@ -1827,6 +1851,7 @@ def oracle_sql() -> dict[str, str]:
         "x_pack_chunks": _SQL_X_PACK,
         "x_chunk_windows": _SQL_X_CHUNKS,
         "x_render_conv": _SQL_X_RENDER_CONV,
+        "x_normalize_text": _SQL_X_NORMALIZE,
         "m_media_meta": _SQL_M_MEDIA,
         "m_frame_plan": _SQL_M_FRAMES,
     }

@@ -62,6 +62,7 @@ HEADLINE = [
     "x_rep_ngram",
     "x_chunk_windows",
     "x_render_conv",
+    "x_normalize_text",
 ]
 
 

@@ -189,3 +189,56 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text",
         lambda acc, ch: (acc * 31 + F.ascii(ch)) % FINGERPRINT_MOD,
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+CONTROL_CLASS = r"[\x00-\x08\x0B-\x1F\x7F]"  # C0 minus \t \n, plus DEL
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    out_col: str = "text_norm",
+    strip_control: bool = True,
+    nfc: bool = True,
+    collapse_ws: bool = True,
+    lowercase: bool = False,
+) -> DataFrame:
+    """Canonical text cleaning for training corpora — the normalization
+    stage that runs before dedup/fingerprinting so byte-level noise
+    (control chars, combining-character encodings, ragged spacing)
+    doesn't defeat exact and near-dup matching. Appends ``out_col``;
+    NULL text stays NULL.
+
+    Steps, in a FIXED order (each optional): strip C0 control chars
+    (keeping \\t and \\n) and DEL -> Unicode NFC -> collapse space/tab
+    runs to one space and trim -> lowercase. The order is part of the
+    contract: an oracle applies the identical sequence
+    (``regexp_replace`` -> ``nfc_normalize`` -> ``regexp_replace`` +
+    ``trim`` -> ``lower``) and must reproduce the exact bytes.
+
+    Scale shape: the regex/case steps are JVM ``regexp_replace`` /
+    ``lower`` inside whole-stage codegen; only NFC needs Python
+    (``unicodedata`` via an Arrow-batched pandas UDF) — and the UDF is
+    compiled into the plan ONLY when ``nfc=True``, so an ASCII-declared
+    corpus pays zero Python. Row-local, zero shuffle at any size."""
+    col = F.col(text_col)
+    if strip_control:
+        col = F.regexp_replace(col, CONTROL_CLASS, "")
+    if nfc:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def _nfc(s):
+            import unicodedata
+            return s.map(lambda x: None if x is None
+                         else unicodedata.normalize("NFC", x))
+
+        col = _nfc(col)
+    if collapse_ws:
+        col = F.trim(F.regexp_replace(col, r"[ \t]+", " "))
+    if lowercase:
+        col = F.lower(col)
+    # preserve NULL through trim (trim(NULL) is NULL already; the regex
+    # steps are also NULL-safe) — no coalesce anywhere by design
+    return df.withColumn(out_col, col)

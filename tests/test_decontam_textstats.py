@@ -129,3 +129,54 @@ class TestTopNgramFraction:
         r = top_ngram_fraction(df, n=3).collect()[0]
         # 7 trigrams; "a b c" occurs 3 times
         assert (r["total_ngrams"], r["top_ngram_count"]) == (7, 3)
+
+
+class TestNormalizeText:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _one(self, spark, text, **kw):
+        from json_schema_rs_spark.operators.textstats import normalize_text
+        df = self._df(spark, [(0, text)])
+        return normalize_text(df, **kw).collect()[0]["text_norm"]
+
+    def test_control_strip_keeps_tab_newline(self, spark):
+        assert self._one(spark, "a\x07b\x00c\td\ne\x7f",
+                         collapse_ws=False) == "abc\td\ne"
+
+    def test_nfc_composes_combining_chars(self, spark):
+        import unicodedata
+        decomposed = "Café au lait"
+        got = self._one(spark, decomposed)
+        assert got == unicodedata.normalize("NFC", decomposed) == "Café au lait"
+
+    def test_nfc_matches_duckdb(self, spark):
+        import duckdb
+        s = "é̴å"  # stacked combining marks
+        got = self._one(spark, s, strip_control=False, collapse_ws=False)
+        want = duckdb.connect().execute(
+            "SELECT nfc_normalize(?)", [s]).fetchone()[0]
+        assert got == want
+
+    def test_collapse_and_trim(self, spark):
+        assert self._one(spark, "  a \t\t b  c  ") == "a b c"
+        # newlines are NOT collapsed (paragraph structure survives)
+        assert self._one(spark, "a\n\nb") == "a\n\nb"
+
+    def test_null_text_stays_null(self, spark):
+        assert self._one(spark, None) is None
+
+    def test_lowercase_option(self, spark):
+        assert self._one(spark, "AbC", lowercase=True) == "abc"
+
+    def test_python_only_when_nfc(self, spark):
+        from json_schema_rs_spark.operators.textstats import normalize_text
+        df = self._df(spark, [(0, "x")])
+        plan_no = (normalize_text(df, nfc=False)
+                   ._jdf.queryExecution().executedPlan().toString())
+        assert "Python" not in plan_no and "Exchange" not in plan_no
+        plan_yes = (normalize_text(df)
+                    ._jdf.queryExecution().executedPlan().toString())
+        assert "ArrowEvalPython" in plan_yes      # Arrow batches, not rows
+        assert "BatchEvalPython" not in plan_yes
+        assert "Exchange" not in plan_yes
