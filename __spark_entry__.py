@@ -1004,6 +1004,33 @@ FROM agg WHERE dur > 2500000
 """
 
 
+def _q_t_conv_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-conversation pass/fail verdict rollup over the FULL flagship
+    # violation set (row checks + uniqueness + gap-free + monotonic-ts):
+    # the north rule's per-partition verdict table at conversation grain,
+    # clean conversations included
+    from json_schema_rs_spark.operators.table_checks import (
+        violation_verdicts,
+    )
+    tx = _transcripts_from_events(_t(spark, sf_dir, "events"))
+    return violation_verdicts(tx, _flagship(spark, sf_dir))
+
+
+_SQL_T_CONV_VERDICTS = f"""
+WITH viol AS ({_FLAGSHIP_ORACLE}),
+base AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS conv_id FROM events),
+c AS (SELECT conv_id, count(*) AS n_violations,
+             count(DISTINCT turn_idx) AS n_turns_flagged
+      FROM viol GROUP BY conv_id)
+SELECT base.conv_id,
+       coalesce(c.n_violations, 0) AS n_violations,
+       coalesce(c.n_turns_flagged, 0) AS n_turns_flagged,
+       CASE WHEN coalesce(c.n_violations, 0) > 0
+            THEN 'fail' ELSE 'pass' END AS verdict
+FROM base LEFT JOIN c USING (conv_id)
+"""
+
+
 def _q_t_conv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_rs_spark.operators.table_checks import (
         conversation_profile,
@@ -1735,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_tool_pairing": _q_t_tool_pairing,
         "t_conv_bounds": _q_t_conv_bounds,
         "t_conv_profile": _q_t_conv_profile,
+        "t_conv_verdicts": _q_t_conv_verdicts,
         # stats + drift
         "s_profile": _q_s_profile,
         "s_chi2_drift": _q_s_chi2,
@@ -1820,6 +1848,7 @@ def oracle_sql() -> dict[str, str]:
         "t_tool_pairing": _SQL_T_TOOL_PAIRING,
         "t_conv_bounds": _SQL_T_CONV_BOUNDS,
         "t_conv_profile": _SQL_T_CONV_PROFILE,
+        "t_conv_verdicts": _SQL_T_CONV_VERDICTS,
         "s_profile": _SQL_S_PROFILE,
         "s_chi2_drift": _SQL_S_CHI2,
         "s_ks_drift": _SQL_S_KS,

@@ -52,6 +52,7 @@ HEADLINE = [
     "t_role_protocol",
     "t_tool_pairing",
     "t_conv_profile",
+    "t_conv_verdicts",
     "s_psi_drift",
     "a_ivf_topk_trained",
     "s_w1_drift",

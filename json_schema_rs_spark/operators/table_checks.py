@@ -405,3 +405,39 @@ def conversation_profile(
     if tool_col:
         aggs.append(F.count(F.col(tool_col)).alias("tool_calls"))
     return df.groupBy(conv_col).agg(*aggs)
+
+
+def violation_verdicts(
+    df: DataFrame,
+    violations: DataFrame,
+    *,
+    group_cols: Sequence[str] = ("conv_id",),
+    idx_col: str = "turn_idx",
+) -> DataFrame:
+    """Roll violation rows up to pass/fail verdicts at a grouping grain —
+    the north rule's "per-partition pass/fail verdicts" with the group
+    key (conversation, shard, date-partition) as the partition:
+    ``(group_cols..., n_violations, n_turns_flagged, verdict)``, one row
+    per group present in ``df``, ``verdict`` in {'pass', 'fail'}.
+    Groups with no violation row report ``(0, 0, 'pass')`` — the rollup
+    must enumerate CLEAN partitions too, that's the point of a verdict
+    table (an absent row is indistinguishable from an unvalidated one).
+
+    Scale shape: two skinny aggregates (distinct group keys from the
+    corpus; per-group counts from the much smaller violations table) and
+    one equi-join of two already-co-partitioned-by-key sides — nothing
+    wide ever shuffles. ``n_turns_flagged`` uses count(DISTINCT idx),
+    whose two-phase expansion runs over violation rows only."""
+    keys = list(group_cols)
+    base = df.select(*keys).distinct()
+    counts = violations.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_violations"),
+        F.countDistinct(F.col(idx_col)).alias("n_turns_flagged"))
+    return (base.join(counts, keys, "left")
+            .select(*keys,
+                    F.coalesce("n_violations", F.lit(0)).alias("n_violations"),
+                    F.coalesce("n_turns_flagged", F.lit(0))
+                     .alias("n_turns_flagged"),
+                    F.when(F.coalesce("n_violations", F.lit(0)) > 0,
+                           F.lit("fail")).otherwise(F.lit("pass"))
+                     .alias("verdict")))

@@ -220,3 +220,38 @@ def _digest_of(arr):
     d = TDigest(200)
     d.add(arr)
     return d
+
+
+class TestViolationVerdicts:
+    def test_clean_groups_report_pass(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            violation_verdicts)
+        tx = spark.createDataFrame(
+            [("a", 0), ("a", 1), ("b", 0), ("c", 0)],
+            "conv_id string, turn_idx int")
+        viol = spark.createDataFrame(
+            [("a", 0, "/x", "E", "m"), ("a", 0, "/y", "E", "m"),
+             ("a", 1, "/x", "E", "m")],
+            "conv_id string, turn_idx int, instance_path string, "
+            "code string, message string")
+        got = {r["conv_id"]: (r["n_violations"], r["n_turns_flagged"],
+                              r["verdict"])
+               for r in violation_verdicts(tx, viol).collect()}
+        assert got == {"a": (3, 2, "fail"),
+                       "b": (0, 0, "pass"),
+                       "c": (0, 0, "pass")}
+
+    def test_no_wide_shuffle(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            violation_verdicts)
+        tx = spark.createDataFrame([("a", 0, "payload " * 100)],
+                                   "conv_id string, turn_idx int, t string")
+        viol = spark.createDataFrame(
+            [], "conv_id string, turn_idx int, instance_path string, "
+                "code string, message string")
+        plan = (violation_verdicts(tx, viol)
+                ._jdf.queryExecution().executedPlan().toString())
+        # the verdict table shuffles only conv_id keys and count columns,
+        # never the corpus' wide payload columns
+        assert "t#" not in plan.split("Exchange", 1)[-1] or \
+            "hashpartitioning(conv_id" in plan
