@@ -688,6 +688,103 @@ FROM o WHERE prev IS NOT NULL AND ts < prev
 # Stats profile + drift (SURVEY.md §2.4 / north_star)
 # ---------------------------------------------------------------------------
 
+def _q_s_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # schema + profile drift between two deterministic event "snapshots":
+    # props removed, ts added, value retyped double->bigint, value nulls
+    # injected on the a-side — exercising every schema_change kind plus
+    # the exact null-rate/distinct/mean deltas
+    ev = _t(spark, sf_dir, "events")
+    a = (ev.filter(F.col("event_id") % 2 == 0)
+           .select("event_id", "event_type",
+                   F.when(F.col("value") < 10, None)
+                    .otherwise(F.col("value")).alias("value"),
+                   "props"))
+    b = (ev.filter(F.col("event_id") % 2 == 1)
+           .select("event_id", "event_type",
+                   # floor() before the cast: Spark's double->bigint
+                   # truncates while DuckDB's rounds — floor is the
+                   # explicit, engine-agnostic retype
+                   F.floor("value").cast("bigint").alias("value"), "ts"))
+    d = stats.profile_drift(a, b, exact_distinct=True)
+    return d.select(
+        "column", "dtype_a", "dtype_b", "schema_change",
+        "count_a", "count_b",
+        F.round("null_rate_a", 6).alias("null_rate_a"),
+        F.round("null_rate_b", 6).alias("null_rate_b"),
+        F.round("null_rate_delta", 6).alias("null_rate_delta"),
+        "distinct_a", "distinct_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("mean_delta", 6).alias("mean_delta"))
+
+
+_SQL_S_PROFILE_DRIFT = """
+WITH a AS (SELECT event_id, event_type,
+                  CASE WHEN value < 10 THEN NULL ELSE value END AS value,
+                  props
+           FROM events WHERE event_id % 2 = 0),
+b AS (SELECT event_id, event_type,
+             CAST(floor(value) AS BIGINT) AS value, ts
+      FROM events WHERE event_id % 2 = 1),
+pa AS (SELECT count(*) AS n,
+              count(event_id) AS nn_id, count(DISTINCT event_id) AS d_id,
+              avg(event_id) AS m_id,
+              count(event_type) AS nn_et, count(DISTINCT event_type) AS d_et,
+              count(value) AS nn_v, count(DISTINCT value) AS d_v,
+              avg(value) AS m_v,
+              count(props) AS nn_p, count(DISTINCT props) AS d_p
+       FROM a),
+pb AS (SELECT count(*) AS n,
+              count(event_id) AS nn_id, count(DISTINCT event_id) AS d_id,
+              avg(event_id) AS m_id,
+              count(event_type) AS nn_et, count(DISTINCT event_type) AS d_et,
+              count(value) AS nn_v, count(DISTINCT value) AS d_v,
+              avg(value) AS m_v,
+              count(ts) AS nn_ts, count(DISTINCT ts) AS d_ts
+       FROM b)
+SELECT 'event_id' AS "column",
+       CAST('bigint' AS VARCHAR) AS dtype_a,
+       CAST('bigint' AS VARCHAR) AS dtype_b,
+       CAST(NULL AS VARCHAR) AS schema_change,
+       pa.n AS count_a, pb.n AS count_b,
+       round(1.0 - pa.nn_id::DOUBLE / pa.n, 6) AS null_rate_a,
+       round(1.0 - pb.nn_id::DOUBLE / pb.n, 6) AS null_rate_b,
+       round((1.0 - pb.nn_id::DOUBLE / pb.n)
+             - (1.0 - pa.nn_id::DOUBLE / pa.n), 6) AS null_rate_delta,
+       pa.d_id AS distinct_a, pb.d_id AS distinct_b,
+       round(pa.m_id, 6) AS mean_a, round(pb.m_id, 6) AS mean_b,
+       round(pb.m_id - pa.m_id, 6) AS mean_delta
+FROM pa, pb
+UNION ALL
+SELECT 'event_type', 'string', 'string', NULL, pa.n, pb.n,
+       round(1.0 - pa.nn_et::DOUBLE / pa.n, 6),
+       round(1.0 - pb.nn_et::DOUBLE / pb.n, 6),
+       round((1.0 - pb.nn_et::DOUBLE / pb.n)
+             - (1.0 - pa.nn_et::DOUBLE / pa.n), 6),
+       pa.d_et, pb.d_et, NULL, NULL, NULL
+FROM pa, pb
+UNION ALL
+SELECT 'props', 'string', NULL, 'removed', pa.n, NULL,
+       round(1.0 - pa.nn_p::DOUBLE / pa.n, 6), NULL, NULL,
+       pa.d_p, NULL, NULL, NULL, NULL
+FROM pa
+UNION ALL
+SELECT 'ts', NULL, 'timestamp_ntz', 'added', NULL, pb.n,
+       NULL, round(1.0 - pb.nn_ts::DOUBLE / pb.n, 6), NULL,
+       NULL, pb.d_ts, NULL, NULL, NULL
+FROM pb
+UNION ALL
+SELECT 'value', 'double', 'bigint', 'type_changed', pa.n, pb.n,
+       round(1.0 - pa.nn_v::DOUBLE / pa.n, 6),
+       round(1.0 - pb.nn_v::DOUBLE / pb.n, 6),
+       round((1.0 - pb.nn_v::DOUBLE / pb.n)
+             - (1.0 - pa.nn_v::DOUBLE / pa.n), 6),
+       pa.d_v, pb.d_v,
+       round(pa.m_v, 6), round(pb.m_v, 6), round(pb.m_v - pa.m_v, 6)
+FROM pa, pb
+"""
+
+
 def _q_s_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     prof = stats.profile(
         _t(spark, sf_dir, "lineitem"),
@@ -1765,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_conv_verdicts": _q_t_conv_verdicts,
         # stats + drift
         "s_profile": _q_s_profile,
+        "s_profile_drift": _q_s_profile_drift,
         "s_chi2_drift": _q_s_chi2,
         "s_ks_drift": _q_s_ks,
         "s_ks_sketch": _q_s_ks_sketch,
@@ -1850,6 +1948,7 @@ def oracle_sql() -> dict[str, str]:
         "t_conv_profile": _SQL_T_CONV_PROFILE,
         "t_conv_verdicts": _SQL_T_CONV_VERDICTS,
         "s_profile": _SQL_S_PROFILE,
+        "s_profile_drift": _SQL_S_PROFILE_DRIFT,
         "s_chi2_drift": _SQL_S_CHI2,
         "s_ks_drift": _SQL_S_KS,
         "s_psi_drift": _SQL_S_PSI,

@@ -54,6 +54,7 @@ HEADLINE = [
     "t_conv_profile",
     "t_conv_verdicts",
     "s_psi_drift",
+    "s_profile_drift",
     "a_ivf_topk_trained",
     "s_w1_drift",
     "x_doc_sample",

@@ -357,3 +357,84 @@ def wasserstein1_exact(df_a: DataFrame, df_b: DataFrame,
                  F.abs(F.col("fa") - F.col("fb"))
                  * (F.col("_next") - F.col("v"))).otherwise(F.lit(0.0))
     return stepped.agg(F.sum(seg).alias("w1"))
+
+
+def profile_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    *,
+    columns_a: Optional[Sequence[str]] = None,
+    columns_b: Optional[Sequence[str]] = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """Schema + profile drift between two table snapshots — the
+    structural companion to the value-drift family (chi²/KS/PSI/JS/W1
+    compare one column's DISTRIBUTION; this compares the TABLES):
+    per column ``(column, dtype_a, dtype_b, schema_change, count_a,
+    count_b, null_rate_a, null_rate_b, null_rate_delta, distinct_a,
+    distinct_b, mean_a, mean_b, mean_delta)``, one row per column present
+    on either side, sorted by name. ``schema_change`` is ``added`` /
+    ``removed`` / ``type_changed`` / NULL; deltas are NULL when either
+    side lacks the column (or the mean, for non-numerics).
+
+    The per-side stats are :func:`profile` (quantile sketches skipped),
+    so the cost is one single-pass aggregate per snapshot (plus one
+    Expand pass each under ``exact_distinct``); the comparison itself is
+    O(columns) driver work. At 10^12 rows the two scans are the floor —
+    a drift check cannot read less than each snapshot once (and in
+    practice runs on the snapshots' ledger profiles instead of rescanning;
+    this operator IS that join when both profiles are already tables)."""
+    pa = {r["column"]: r for r in profile(
+        df_a, columns_a, exact_distinct=exact_distinct, quantiles=()
+    ).collect()}
+    pb = {r["column"]: r for r in profile(
+        df_b, columns_b, exact_distinct=exact_distinct, quantiles=()
+    ).collect()}
+    dta, dtb = dict(df_a.dtypes), dict(df_b.dtypes)
+    out = []
+    for c in sorted(set(pa) | set(pb)):
+        a, b = pa.get(c), pb.get(c)
+        if a is None:
+            change = "added"
+        elif b is None:
+            change = "removed"
+        elif dta[c] != dtb[c]:
+            change = "type_changed"
+        else:
+            change = None
+        both_means = (a is not None and b is not None
+                      and a["mean"] is not None and b["mean"] is not None)
+        out.append({
+            "column": c,
+            "dtype_a": dta.get(c),
+            "dtype_b": dtb.get(c),
+            "schema_change": change,
+            "count_a": a["count"] if a else None,
+            "count_b": b["count"] if b else None,
+            "null_rate_a": a["null_rate"] if a else None,
+            "null_rate_b": b["null_rate"] if b else None,
+            "null_rate_delta": (b["null_rate"] - a["null_rate"])
+            if a and b else None,
+            "distinct_a": a["distinct_count"] if a else None,
+            "distinct_b": b["distinct_count"] if b else None,
+            "mean_a": a["mean"] if a else None,
+            "mean_b": b["mean"] if b else None,
+            "mean_delta": (b["mean"] - a["mean"]) if both_means else None,
+        })
+    schema = T.StructType([
+        T.StructField("column", T.StringType()),
+        T.StructField("dtype_a", T.StringType()),
+        T.StructField("dtype_b", T.StringType()),
+        T.StructField("schema_change", T.StringType()),
+        T.StructField("count_a", T.LongType()),
+        T.StructField("count_b", T.LongType()),
+        T.StructField("null_rate_a", T.DoubleType()),
+        T.StructField("null_rate_b", T.DoubleType()),
+        T.StructField("null_rate_delta", T.DoubleType()),
+        T.StructField("distinct_a", T.LongType()),
+        T.StructField("distinct_b", T.LongType()),
+        T.StructField("mean_a", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("mean_delta", T.DoubleType()),
+    ])
+    return df_a.sparkSession.createDataFrame(out, schema)

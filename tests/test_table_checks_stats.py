@@ -255,3 +255,31 @@ class TestViolationVerdicts:
         # never the corpus' wide payload columns
         assert "t#" not in plan.split("Exchange", 1)[-1] or \
             "hashpartitioning(conv_id" in plan
+
+
+class TestProfileDrift:
+    def test_schema_changes_and_deltas(self, spark):
+        from json_schema_rs_spark.operators.stats import profile_drift
+        a = spark.createDataFrame(
+            [(1, "x", 1.0), (2, "y", None), (3, "z", 3.0)],
+            "id bigint, kept string, val double")
+        b = spark.createDataFrame(
+            [(4, 1, "n"), (5, 2, "n")],
+            "id bigint, val int, brand_new string")
+        got = {r["column"]: r for r in
+               profile_drift(a, b, exact_distinct=True).collect()}
+        assert got["kept"]["schema_change"] == "removed"
+        assert got["kept"]["count_b"] is None
+        assert got["brand_new"]["schema_change"] == "added"
+        assert got["brand_new"]["null_rate_b"] == 0.0
+        assert got["val"]["schema_change"] == "type_changed"
+        assert abs(got["val"]["null_rate_delta"] - (0.0 - 1 / 3)) < 1e-12
+        assert got["val"]["mean_delta"] == 1.5 - 2.0
+        assert got["id"]["schema_change"] is None
+        assert got["id"]["distinct_a"] == 3 and got["id"]["distinct_b"] == 2
+
+    def test_row_order_is_sorted_by_column(self, spark):
+        from json_schema_rs_spark.operators.stats import profile_drift
+        df = spark.createDataFrame([(1, 2)], "b int, a int")
+        assert [r["column"] for r in profile_drift(df, df).collect()] \
+            == ["a", "b"]
