@@ -1708,6 +1708,32 @@ FROM e
 """
 
 
+def _q_d_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # conversation-grain exact dedup: canonical rendering -> digest
+    # groups. The composition (render_conversations |> exact_duplicate_
+    # groups) IS the transcripts dedup story — identical conversations
+    # collapse regardless of row order or physical layout, because the
+    # rendering is order-canonical.
+    from json_schema_rs_spark.operators.dedup import exact_duplicate_groups
+    from json_schema_rs_spark.operators.packing import render_conversations
+    tx = _transcripts_with_tools(_t(spark, sf_dir, "events"))
+    return exact_duplicate_groups(render_conversations(tx),
+                                  text_col="text", id_col="conv_id")
+
+
+_SQL_D_CONV_DEDUP = f"""
+WITH tx AS ({_ORACLE_TX_TOOLS}),
+r AS (SELECT conv_id,
+             string_agg('<|' || coalesce(role, 'unknown') || '|>'
+                        || chr(10) || coalesce(text, ''), chr(10)
+                        ORDER BY turn_idx, role, text) AS text
+      FROM tx GROUP BY conv_id)
+SELECT md5(text) AS text_hash, count(*) AS n_docs,
+       min(conv_id) AS keep_id
+FROM r GROUP BY md5(text)
+"""
+
+
 def _q_x_render_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # transcripts -> training-ready sequences: each conversation's turns
     # rendered in stable (turn_idx, role, text) order into one canonical
@@ -1901,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_chunk_windows": _q_x_chunks,
         "x_render_conv": _q_x_render_conv,
         "x_normalize_text": _q_x_normalize,
+        "d_conv_dedup": _q_d_conv_dedup,
         # multimodal plumbing
         "m_media_meta": _q_m_media,
         "m_frame_plan": _q_m_frames,
@@ -1980,6 +2007,7 @@ def oracle_sql() -> dict[str, str]:
         "x_chunk_windows": _SQL_X_CHUNKS,
         "x_render_conv": _SQL_X_RENDER_CONV,
         "x_normalize_text": _SQL_X_NORMALIZE,
+        "d_conv_dedup": _SQL_D_CONV_DEDUP,
         "m_media_meta": _SQL_M_MEDIA,
         "m_frame_plan": _SQL_M_FRAMES,
     }
