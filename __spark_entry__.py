@@ -1101,6 +1101,48 @@ FROM agg WHERE dur > 2500000
 """
 
 
+def _q_t_transcript_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the north rule's "per-turn text equality under stable (conv_id,
+    # turn_idx) ordering" as a cross-snapshot check: snapshot a drops
+    # turn 7 of every conversation, snapshot b drops turn 5 and
+    # uppercases turn 2's text — all three diff codes fire
+    from json_schema_rs_spark.operators.table_checks import transcript_diff
+    tx = _transcripts_from_events(_t(spark, sf_dir, "events"))
+    a = tx.filter(F.col("turn_idx") != 7)
+    b = (tx.filter(F.col("turn_idx") != 5)
+           .withColumn("text", F.when(F.col("turn_idx") == 2,
+                                      F.upper("text"))
+                               .otherwise(F.col("text"))))
+    return transcript_diff(a, b)
+
+
+_SQL_T_TRANSCRIPT_DIFF = f"""
+WITH tx AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) - 1 AS INT)
+           AS turn_idx,
+         props AS text
+  FROM events),
+a AS (SELECT * FROM tx WHERE turn_idx <> 7),
+b AS (SELECT conv_id, turn_idx,
+             CASE WHEN turn_idx = 2 THEN upper(text) ELSE text END AS text
+      FROM tx WHERE turn_idx <> 5)
+SELECT coalesce(a.conv_id, b.conv_id) AS conv_id,
+       coalesce(a.turn_idx, b.turn_idx) AS turn_idx,
+       '/text' AS instance_path,
+       CASE WHEN a.conv_id IS NULL THEN 'TurnMissingInA'
+            WHEN b.conv_id IS NULL THEN 'TurnMissingInB'
+            ELSE 'TextMismatch' END AS code,
+       '/text: ' || coalesce(CAST(length(a.text) AS VARCHAR), 'null')
+       || ' -> ' || coalesce(CAST(length(b.text) AS VARCHAR), 'null')
+         AS message
+FROM a FULL OUTER JOIN b USING (conv_id, turn_idx)
+WHERE a.conv_id IS NULL OR b.conv_id IS NULL
+   OR a.text IS DISTINCT FROM b.text
+"""
+
+
 def _q_t_conv_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-conversation pass/fail verdict rollup over the FULL flagship
     # violation set (row checks + uniqueness + gap-free + monotonic-ts):
@@ -1886,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_conv_bounds": _q_t_conv_bounds,
         "t_conv_profile": _q_t_conv_profile,
         "t_conv_verdicts": _q_t_conv_verdicts,
+        "t_transcript_diff": _q_t_transcript_diff,
         # stats + drift
         "s_profile": _q_s_profile,
         "s_profile_drift": _q_s_profile_drift,
@@ -1974,6 +2017,7 @@ def oracle_sql() -> dict[str, str]:
         "t_conv_bounds": _SQL_T_CONV_BOUNDS,
         "t_conv_profile": _SQL_T_CONV_PROFILE,
         "t_conv_verdicts": _SQL_T_CONV_VERDICTS,
+        "t_transcript_diff": _SQL_T_TRANSCRIPT_DIFF,
         "s_profile": _SQL_S_PROFILE,
         "s_profile_drift": _SQL_S_PROFILE_DRIFT,
         "s_chi2_drift": _SQL_S_CHI2,

@@ -53,6 +53,8 @@ HEADLINE = [
     "t_tool_pairing",
     "t_conv_profile",
     "t_conv_verdicts",
+    "t_transcript_diff",
+    "d_conv_dedup",
     "s_psi_drift",
     "s_profile_drift",
     "a_ivf_topk_trained",

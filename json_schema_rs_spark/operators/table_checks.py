@@ -441,3 +441,52 @@ def violation_verdicts(
                     F.when(F.coalesce("n_violations", F.lit(0)) > 0,
                            F.lit("fail")).otherwise(F.lit("pass"))
                      .alias("verdict")))
+
+
+def transcript_diff(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-turn text equality between two transcript snapshots under the
+    stable ``(conv_id, turn_idx)`` key — the north rule's verification
+    invariant as a first-class check. Violation rows in the engine's
+    standard shape: ``TurnMissingInB`` / ``TurnMissingInA`` for turns
+    present on one side only, ``TextMismatch`` where both exist but the
+    text differs (NULL-safe via ``eqNullSafe`` on the digest: NULL ==
+    NULL is equal, NULL vs value is a mismatch — no sentinel values, so
+    no sentinel collisions).
+
+    Scale shape: each side projects to ``(keys, md5(text), length)``
+    BEFORE the join, so the full-outer equi-join shuffles 16-byte digests,
+    never the text column; mismatch messages carry the code-point lengths
+    (digest comparison is exact for equality — that is all the invariant
+    needs). One co-partitioned shuffle per side."""
+    def skinny(df, tag):
+        return df.select(
+            F.col(conv_col).alias(conv_col),
+            F.col(idx_col).alias(idx_col),
+            F.md5(F.col(text_col).cast("binary")).alias(f"_h_{tag}"),
+            F.length(F.col(text_col)).alias(f"_n_{tag}"),
+            F.lit(True).alias(f"_in_{tag}"),
+        )
+    j = skinny(df_a, "a").join(skinny(df_b, "b"),
+                               [conv_col, idx_col], "full_outer")
+    path = "/" + text_col
+    len_a = F.coalesce(F.col("_n_a").cast("string"), F.lit("null"))
+    len_b = F.coalesce(F.col("_n_b").cast("string"), F.lit("null"))
+    return (j.select(
+        F.col(conv_col), F.col(idx_col),
+        F.when(F.col("_in_a").isNull(), F.lit("TurnMissingInA"))
+         .when(F.col("_in_b").isNull(), F.lit("TurnMissingInB"))
+         .when(~F.col("_h_a").eqNullSafe(F.col("_h_b")),
+               F.lit("TextMismatch"))
+         .alias("code"),
+        F.lit(path).alias("instance_path"),
+        F.concat(F.lit(path + ": "), len_a, F.lit(" -> "), len_b)
+         .alias("message"))
+        .filter(F.col("code").isNotNull())
+        .select(conv_col, idx_col, "instance_path", "code", "message"))

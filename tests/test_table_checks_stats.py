@@ -283,3 +283,41 @@ class TestProfileDrift:
         df = spark.createDataFrame([(1, 2)], "b int, a int")
         assert [r["column"] for r in profile_drift(df, df).collect()] \
             == ["a", "b"]
+
+
+class TestTranscriptDiff:
+    def _diff(self, spark, rows_a, rows_b):
+        from json_schema_rs_spark.operators.table_checks import (
+            transcript_diff)
+        schema = "conv_id string, turn_idx int, text string"
+        return {(r["conv_id"], r["turn_idx"]): (r["code"], r["message"])
+                for r in transcript_diff(
+                    spark.createDataFrame(rows_a, schema),
+                    spark.createDataFrame(rows_b, schema)).collect()}
+
+    def test_three_codes_and_null_safety(self, spark):
+        a = [("c", 0, "same"), ("c", 1, "old"), ("c", 2, "only-a"),
+             ("c", 4, None), ("c", 5, None)]
+        b = [("c", 0, "same"), ("c", 1, "new!"), ("c", 3, "only-b"),
+             ("c", 4, None), ("c", 5, "was-null")]
+        got = self._diff(spark, a, b)
+        assert got[("c", 1)] == ("TextMismatch", "/text: 3 -> 4")
+        assert got[("c", 2)][0] == "TurnMissingInB"
+        assert got[("c", 3)][0] == "TurnMissingInA"
+        assert got[("c", 3)][1] == "/text: null -> 6"
+        assert ("c", 4) not in got          # NULL == NULL: equal
+        assert got[("c", 5)] == ("TextMismatch", "/text: null -> 8")
+        assert ("c", 0) not in got
+
+    def test_text_never_shuffles(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            transcript_diff)
+        schema = "conv_id string, turn_idx int, text string"
+        a = spark.createDataFrame([("c", 0, "payload " * 50)], schema)
+        df = transcript_diff(a, a)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # both sides project to (keys, digest, length) before the join:
+        # no Exchange may carry the text attribute itself
+        for part in plan.split("Exchange")[1:]:
+            assert "text#" not in part.split("\n")[0]
+        assert df.count() == 0
