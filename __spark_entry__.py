@@ -1554,6 +1554,42 @@ FROM documents
 """
 
 
+def _q_x_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PII scrub: the corpus text carries no PII, so both engines salt
+    # each doc with the SAME deterministic email / phone / IPv4 derived
+    # from doc_id, then redact — the oracle must reproduce the exact
+    # replacement bytes and per-category counts
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.withColumn("text", F.concat(
+        F.col("text"),
+        F.lit(" contact agent"), F.col("doc_id").cast("string"),
+        F.lit("@corp.example.com or 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit("-4567 from 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".7")))
+    return textstats.redact_pii(salted)
+
+
+_SQL_X_REDACT = r"""
+WITH s AS (SELECT doc_id,
+  text || ' contact agent' || doc_id || '@corp.example.com or 555-01'
+       || lpad((doc_id % 100)::VARCHAR, 2, '0') || '-4567 from 10.0.'
+       || (doc_id % 256)::VARCHAR || '.7' AS t
+FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+  len(regexp_extract_all(t,
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+  len(regexp_extract_all(t, '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b')) AS n_phone,
+  regexp_replace(regexp_replace(regexp_replace(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g') AS text_redacted
+FROM s
+"""
+
+
 def _q_x_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_score(_t(spark, sf_dir, "documents"))
 
@@ -1970,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_chunk_windows": _q_x_chunks,
         "x_render_conv": _q_x_render_conv,
         "x_normalize_text": _q_x_normalize,
+        "x_redact_pii": _q_x_redact,
         "d_conv_dedup": _q_d_conv_dedup,
         # multimodal plumbing
         "m_media_meta": _q_m_media,
@@ -2051,6 +2088,7 @@ def oracle_sql() -> dict[str, str]:
         "x_chunk_windows": _SQL_X_CHUNKS,
         "x_render_conv": _SQL_X_RENDER_CONV,
         "x_normalize_text": _SQL_X_NORMALIZE,
+        "x_redact_pii": _SQL_X_REDACT,
         "d_conv_dedup": _SQL_D_CONV_DEDUP,
         "m_media_meta": _SQL_M_MEDIA,
         "m_frame_plan": _SQL_M_FRAMES,

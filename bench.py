@@ -67,6 +67,7 @@ HEADLINE = [
     "x_chunk_windows",
     "x_render_conv",
     "x_normalize_text",
+    "x_redact_pii",
 ]
 
 

@@ -191,6 +191,42 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text",
     return df.select(F.col(id_col), fp.alias("fingerprint"))
 
 
+# PII redaction patterns, applied in THIS order (the order is part of
+# the contract — an email's host can look like an IP, so emails go
+# first; an IPv4 has three dots where a phone has two separators, so
+# the two never overlap but the fixed order keeps the output
+# deterministic anyway). Every pattern is in the common Java-regex /
+# RE2 subset (no lookaround, no backreferences, ASCII \b) so a DuckDB
+# oracle reproduces the exact replacement bytes.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", *,
+               out_col: str = "text_redacted") -> DataFrame:
+    """Scrub emails / IPv4s / phone numbers from a training corpus —
+    ``(id, n_email, n_ipv4, n_phone, out_col)``.
+
+    The standard pre-training privacy pass: each category is counted on
+    the ORIGINAL text (`regexp_count`), then replaced with a typed
+    placeholder in the fixed `PII_PATTERNS` order. All JVM
+    ``regexp_replace``/``regexp_count`` inside whole-stage codegen —
+    row-local, zero shuffle, linear at any corpus size. NULL text
+    propagates (NULL counts and NULL output), matching the row-local
+    NULL convention of the validators."""
+    orig = F.col(text_col)
+    red = orig
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(orig, F.lit(pat)).alias(f"n_{name}"))
+        red = F.regexp_replace(red, pat, repl)
+    return df.select(F.col(id_col), *counts, red.alias(out_col))
+
+
 CONTROL_CLASS = r"[\x00-\x08\x0B-\x1F\x7F]"  # C0 minus \t \n, plus DEL
 
 
