@@ -645,6 +645,18 @@ WHERE event_type IS NOT NULL
 """
 
 
+def _q_t_referential_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same check, forced onto the at-scale join path: shuffle left-anti
+    # with AQE skew-join handling, for vocabularies too large to
+    # broadcast — value-identical to t_referential (same oracle), plan
+    # asserted broadcast-free in tests/test_physical_plans.py
+    events = _t(spark, sf_dir, "events")
+    vocab = spark.createDataFrame(
+        [("click",), ("view",), ("purchase",)], "event_type string")
+    return referential_violations(events, "event_type", vocab,
+                                  keys=("event_id",), strategy="shuffle")
+
+
 def _q_t_gapfree(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", (F.col("l_linenumber") - 1).alias("turn_idx"))
@@ -1956,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # table-level checks
         "t_unique_keys": _q_t_unique,
         "t_referential": _q_t_referential,
+        "t_referential_shuffle": _q_t_referential_shuffle,
         "t_gapfree_ordering": _q_t_gapfree,
         "t_monotonic_ts": _q_t_monotonic,
         # conversation-protocol checks
@@ -2047,6 +2060,7 @@ def oracle_sql() -> dict[str, str]:
         "v_invalid_json": _SQL_V_INVALID_JSON,
         "t_unique_keys": _SQL_T_UNIQUE,
         "t_referential": _SQL_T_REFERENTIAL,
+        "t_referential_shuffle": _SQL_T_REFERENTIAL,
         "t_gapfree_ordering": _SQL_T_GAPFREE,
         "t_monotonic_ts": _SQL_T_MONOTONIC,
         "t_role_protocol": _SQL_T_ROLE_PROTOCOL,

@@ -69,12 +69,25 @@ def referential_violations(
     vocab_name: Optional[str] = None,
     keys: Sequence[str] = ("conv_id", "turn_idx"),
     vocab_column: Optional[str] = None,
+    strategy: str = "broadcast",
 ) -> DataFrame:
     """Values of ``column`` not present in a vocabulary — ``enum``
     membership (validator/mod.rs:96-108) with the allowed set as a table.
 
     Small vocab list -> compiled to a literal ``isin`` (no join at all);
-    vocab DataFrame -> broadcast left-anti join (no shuffle of ``df``).
+    vocab DataFrame -> anti join, picked by ``strategy``:
+
+    - ``"broadcast"`` (default): broadcast left-anti join — zero shuffle
+      of ``df``; the right choice whenever the distinct vocabulary fits
+      an executor (role/tool registries, enum tables).
+    - ``"shuffle"``: shuffle left-anti join for vocabularies too large
+      to broadcast (e.g. a 10^9-row entity registry). Both sides hash-
+      partition on the join key; AQE's skew-join split
+      (``OptimizeSkewedJoin``) re-plans oversized partitions at runtime,
+      so a hot vocabulary value (the skewed-key case the north rule
+      names) cannot pin the join on one task. Same output, plan-asserted
+      broadcast-free in tests.
+
     NULLs are "absent" and never violate (match the row-local convention).
     """
     keys = list(keys)
@@ -83,7 +96,11 @@ def referential_violations(
     if isinstance(vocab, DataFrame):
         vcol = vocab_column or vocab.columns[0]
         right = vocab.select(F.col(vcol).alias(column)).distinct()
-        bad = base.join(F.broadcast(right), on=column, how="left_anti")
+        if strategy == "shuffle":
+            bad = base.join(right.hint("shuffle_merge"),
+                            on=column, how="left_anti")
+        else:
+            bad = base.join(F.broadcast(right), on=column, how="left_anti")
     else:
         bad = base.filter(~F.col(column).isin(list(vocab)))
     path = "/" + column

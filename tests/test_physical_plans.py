@@ -53,6 +53,24 @@ def test_referential_vocab_df_broadcasts(spark, sf_dir):
     assert "SortMergeJoin" not in plan  # fact table must not shuffle
 
 
+def test_referential_shuffle_strategy_avoids_broadcast(spark, sf_dir):
+    # the huge-vocabulary path: both sides hash-partition on the key
+    # (AQE skew-join eligible); no BroadcastExchange anywhere, and the
+    # result is value-identical to the broadcast path
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    vocab = spark.createDataFrame(
+        [("click",), ("view",)], "event_type string")
+    sh = referential_violations(ev, "event_type", vocab,
+                                keys=("event_id",), strategy="shuffle")
+    plan = _plan(sh)
+    assert "BroadcastExchange" not in plan
+    assert "SortMergeJoin" in plan
+    br = referential_violations(ev, "event_type", vocab,
+                                keys=("event_id",))
+    assert sorted(map(tuple, sh.collect())) == \
+        sorted(map(tuple, br.collect()))
+
+
 def test_cosine_topk_broadcasts_queries(spark, emb):
     plan = _plan(similarity.cosine_topk(
         emb, emb.filter(F.col("vec_id") < 3), k=3))
