@@ -1602,6 +1602,44 @@ FROM s
 """
 
 
+def _q_x_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus-frequency line dedup: both engines append the SAME canned
+    # footer lines (one above the doc-frequency threshold, one below)
+    # to the single-line docs; the hot footer must vanish, the rare one
+    # and every unique body line must survive byte-exactly
+    docs = _t(spark, sf_dir, "documents")
+    ml = docs.withColumn("text", F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit("\nSubscribe to our newsletter today"))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 50 == 0,
+               F.lit("\nRare footer line")).otherwise(F.lit(""))))
+    return textstats.drop_boilerplate_lines(ml, max_docs=20)
+
+
+_SQL_X_BOILERPLATE = r"""
+WITH m AS (SELECT doc_id,
+  text || CASE WHEN doc_id % 2 = 0
+               THEN chr(10) || 'Subscribe to our newsletter today' ELSE '' END
+       || CASE WHEN doc_id % 50 = 0
+               THEN chr(10) || 'Rare footer line' ELSE '' END AS t
+FROM documents),
+l AS (SELECT doc_id, unnest(list_distinct(string_split(t, chr(10)))) AS line
+      FROM m),
+bl AS (SELECT line FROM l WHERE len(line) >= 1
+       GROUP BY line HAVING count(*) > 20),
+blc AS (SELECT coalesce(list(line), []) AS bll FROM bl),
+s AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM m)
+SELECT s.doc_id,
+  CAST(len(s.ls) - len(list_filter(s.ls, x -> NOT list_contains(blc.bll, x)))
+       AS INT) AS n_dropped,
+  array_to_string(list_filter(s.ls, x -> NOT list_contains(blc.bll, x)),
+                  chr(10)) AS text_clean
+FROM s, blc
+"""
+
+
 def _q_x_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_score(_t(spark, sf_dir, "documents"))
 
@@ -2020,6 +2058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_render_conv": _q_x_render_conv,
         "x_normalize_text": _q_x_normalize,
         "x_redact_pii": _q_x_redact,
+        "x_boilerplate": _q_x_boilerplate,
         "d_conv_dedup": _q_d_conv_dedup,
         # multimodal plumbing
         "m_media_meta": _q_m_media,
@@ -2103,6 +2142,7 @@ def oracle_sql() -> dict[str, str]:
         "x_render_conv": _SQL_X_RENDER_CONV,
         "x_normalize_text": _SQL_X_NORMALIZE,
         "x_redact_pii": _SQL_X_REDACT,
+        "x_boilerplate": _SQL_X_BOILERPLATE,
         "d_conv_dedup": _SQL_D_CONV_DEDUP,
         "m_media_meta": _SQL_M_MEDIA,
         "m_frame_plan": _SQL_M_FRAMES,

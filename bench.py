@@ -68,6 +68,7 @@ HEADLINE = [
     "x_render_conv",
     "x_normalize_text",
     "x_redact_pii",
+    "x_boilerplate",
 ]
 
 

@@ -191,6 +191,89 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text",
     return df.select(F.col(id_col), fp.alias("fingerprint"))
 
 
+def drop_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    sep: str = "\n",
+    max_docs: int = 10,
+    min_line_chars: int = 1,
+    max_blocklist: int = 1_000_000,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Corpus-frequency line dedup (the CCNet/RefinedWeb boilerplate
+    pass): drop every line that appears in more than ``max_docs``
+    distinct documents (navbars, cookie banners, canned footers) —
+    ``(id, n_dropped, out_col)``.
+
+    Two phases, neither of which shuffles document text:
+
+    1. Doc-frequency aggregate: per-doc DISTINCT lines (``array_distinct``
+       on the split — so a doc repeating its own line counts once)
+       explode map-side and hash-aggregate with partial combine — only
+       (line, partial-count) pairs shuffle, vocabulary-of-lines-sized.
+       Lines shorter than ``min_line_chars`` are never blocklisted
+       (keeps empty lines / paragraph structure intact).
+    2. The blocklist (lines with frequency > ``max_docs``) is by
+       construction small — boilerplate is the point — and is collected
+       with a ``max_blocklist`` fail-fast, broadcast once, and applied
+       as a ROW-LOCAL rewrite in an Arrow-batched pandas UDF (set
+       membership per line, original order preserved). The corpus never
+       shuffles and is scanned exactly twice. An empty blocklist
+       short-circuits to a zero-Python identity projection.
+
+    ``sep`` is split literally on both phases (and must be reassembled
+    literally, so the clean text round-trips byte-exactly). NULL text
+    propagates."""
+    import re as _re
+
+    from ..functions.exprs import explode_rows
+    from .dedup import _spread
+
+    split_expr = F.split(F.col(text_col), _re.escape(sep), -1)
+    lines = explode_rows(
+        _spread(df, id_col).withColumn("__bl_ls", F.array_distinct(split_expr)),
+        [id_col], F.col("__bl_ls"), "__line")
+    freq = (lines.filter(F.length("__line") >= min_line_chars)
+            .groupBy("__line").agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_docs))
+    head = freq.select("__line").limit(max_blocklist + 1).collect()
+    if len(head) > max_blocklist:
+        raise ValueError(
+            f"boilerplate blocklist exceeds max_blocklist={max_blocklist}; "
+            f"raise the cap or tighten max_docs/min_line_chars")
+    blocklist = frozenset(r["__line"] for r in head)
+
+    if not blocklist:
+        return df.select(F.col(id_col),
+                         F.lit(0).alias("n_dropped"),
+                         F.col(text_col).alias(out_col))
+
+    from pyspark.sql.functions import pandas_udf
+    bcast = df.sparkSession.sparkContext.broadcast(blocklist)
+
+    @pandas_udf(f"struct<n_dropped:int, {out_col}:string>")
+    def _rewrite(s):
+        import pandas as pd
+        bs = bcast.value
+        nd, out = [], []
+        for t in s:
+            if t is None:
+                nd.append(None)
+                out.append(None)
+                continue
+            parts = t.split(sep)
+            kept = [p for p in parts if p not in bs]
+            nd.append(len(parts) - len(kept))
+            out.append(sep.join(kept))
+        return pd.DataFrame({"n_dropped": nd, out_col: out})
+
+    packed = df.select(F.col(id_col), _rewrite(F.col(text_col)).alias("__r"))
+    return packed.select(F.col(id_col), F.col("__r.n_dropped").alias("n_dropped"),
+                         F.col(f"__r.{out_col}").alias(out_col))
+
+
 # PII redaction patterns, applied in THIS order (the order is part of
 # the contract — an email's host can look like an IP, so emails go
 # first; an IPv4 has three dots where a phone has two separators, so
