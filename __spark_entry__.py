@@ -1602,6 +1602,45 @@ FROM s
 """
 
 
+def _q_x_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # provenance filtering: both engines salt each doc with the same
+    # doc_id-derived URLs (two for every third doc), extract + canon the
+    # domain set, and apply the same two-domain blocklist
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.withColumn("text", F.concat(
+        F.col("text"),
+        F.lit(" see https://Site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" and http://mirror"),
+                        (F.col("doc_id") % 4).cast("string"),
+                        F.lit(".example.net/x")))
+         .otherwise(F.lit(""))))
+    return textstats.url_domain_stats(
+        salted, blocklist=("site2.example.com", "mirror1.example.net"))
+
+
+_SQL_X_URL_DOMAINS = r"""
+WITH s AS (SELECT doc_id,
+  text || ' see https://Site' || (doc_id % 7) || '.example.com/p/' || doc_id
+       || CASE WHEN doc_id % 3 = 0
+               THEN ' and http://mirror' || (doc_id % 4) || '.example.net/x'
+               ELSE '' END AS t
+FROM documents),
+d AS (SELECT doc_id, t,
+  list_sort(list_distinct(list_transform(
+      regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1),
+      x -> lower(x)))) AS domains
+FROM s)
+SELECT doc_id,
+  len(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1)) AS n_urls,
+  domains,
+  len(list_intersect(domains,
+      ['site2.example.com', 'mirror1.example.net'])) > 0 AS is_blocked
+FROM d
+"""
+
+
 def _q_x_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-frequency line dedup: both engines append the SAME canned
     # footer lines (one above the doc-frequency threshold, one below)
@@ -2059,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_normalize_text": _q_x_normalize,
         "x_redact_pii": _q_x_redact,
         "x_boilerplate": _q_x_boilerplate,
+        "x_url_domains": _q_x_url_domains,
         "d_conv_dedup": _q_d_conv_dedup,
         # multimodal plumbing
         "m_media_meta": _q_m_media,
@@ -2143,6 +2183,7 @@ def oracle_sql() -> dict[str, str]:
         "x_normalize_text": _SQL_X_NORMALIZE,
         "x_redact_pii": _SQL_X_REDACT,
         "x_boilerplate": _SQL_X_BOILERPLATE,
+        "x_url_domains": _SQL_X_URL_DOMAINS,
         "d_conv_dedup": _SQL_D_CONV_DEDUP,
         "m_media_meta": _SQL_M_MEDIA,
         "m_frame_plan": _SQL_M_FRAMES,

@@ -69,6 +69,7 @@ HEADLINE = [
     "x_normalize_text",
     "x_redact_pii",
     "x_boilerplate",
+    "x_url_domains",
 ]
 
 

@@ -191,6 +191,41 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text",
     return df.select(F.col(id_col), fp.alias("fingerprint"))
 
 
+# scheme + host only — the common Java-regex / RE2 subset (no lookaround);
+# group 1 is the host, lowercased downstream for domain identity
+URL_REGEX = r"https?://([A-Za-z0-9.-]+)"
+
+
+def url_domain_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", *,
+                     blocklist: "Sequence[str]" = ()) -> DataFrame:
+    """Source-domain extraction + blocklist verdict per document —
+    ``(id, n_urls, domains, is_blocked)``.
+
+    The provenance-filtering stage of a web-corpus pipeline: every
+    ``http(s)`` URL's host is extracted (`regexp_extract_all` group 1),
+    lowercased, deduped, and sorted (so the array is a canonical value);
+    ``is_blocked`` is a literal `arrays_overlap` against the compiled
+    blocklist — filter on it to drop documents citing banned sources.
+    All JVM expressions in whole-stage codegen: row-local, zero shuffle,
+    no join (the blocklist is a plan literal — for million-domain lists
+    switch to a broadcast semi-join on an exploded domain column)."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_REGEX), 1)
+    domains = F.array_sort(F.array_distinct(
+        F.transform(urls, lambda u: F.lower(u))))
+    if blocklist:
+        blocked = F.arrays_overlap(
+            domains, F.array(*[F.lit(b.lower()) for b in blocklist]))
+    else:
+        blocked = F.when(domains.isNotNull(), F.lit(False))
+    return df.select(
+        F.col(id_col),
+        F.size(urls).alias("n_urls"),
+        domains.alias("domains"),
+        blocked.alias("is_blocked"),
+    )
+
+
 def drop_boilerplate_lines(
     df: DataFrame,
     text_col: str = "text",
