@@ -1629,11 +1629,15 @@ WITH s AS (SELECT doc_id,
 FROM documents),
 d AS (SELECT doc_id, t,
   list_sort(list_distinct(list_transform(
-      regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1),
+      regexp_extract_all(t,
+        'https?://(?:[A-Za-z0-9._%+-]+@)?([A-Za-z0-9](?:[A-Za-z0-9.-]*[A-Za-z0-9])?)',
+        1),
       x -> lower(x)))) AS domains
 FROM s)
 SELECT doc_id,
-  len(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1)) AS n_urls,
+  len(regexp_extract_all(t,
+      'https?://(?:[A-Za-z0-9._%+-]+@)?([A-Za-z0-9](?:[A-Za-z0-9.-]*[A-Za-z0-9])?)',
+      1)) AS n_urls,
   domains,
   len(list_intersect(domains,
       ['site2.example.com', 'mirror1.example.net'])) > 0 AS is_blocked
@@ -1893,7 +1897,9 @@ WITH tx AS ({_ORACLE_TX_TOOLS}),
 r AS (SELECT conv_id,
              string_agg('<|' || coalesce(role, 'unknown') || '|>'
                         || chr(10) || coalesce(text, ''), chr(10)
-                        ORDER BY turn_idx, role, text) AS text
+                        ORDER BY coalesce(turn_idx, -2147483648),
+                                 coalesce(role, 'unknown'),
+                                 coalesce(text, '')) AS text
       FROM tx GROUP BY conv_id)
 SELECT md5(text) AS text_hash, count(*) AS n_docs,
        min(conv_id) AS keep_id
@@ -1917,7 +1923,9 @@ WITH tx AS ({_ORACLE_TX_TOOLS}),
 r AS (SELECT conv_id, CAST(count(*) AS INT) AS n_turns,
              string_agg('<|' || coalesce(role, 'unknown') || '|>'
                         || chr(10) || coalesce(text, ''), chr(10)
-                        ORDER BY turn_idx, role, text) AS text
+                        ORDER BY coalesce(turn_idx, -2147483648),
+                                 coalesce(role, 'unknown'),
+                                 coalesce(text, '')) AS text
       FROM tx GROUP BY conv_id)
 SELECT conv_id, n_turns, text,
        CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens

@@ -332,9 +332,17 @@ def minhash_lsh_pairs(
     assert num_perm % bands == 0
     df = _spread(df, id_col)
     r = num_perm // bands
+    # shingle-less docs (< n words) all share the sentinel signature and
+    # would collide in EVERY band — a C(k,2) blowup over a set whose
+    # pairs are jaccard-NULL and filtered at verify anyway. Real minima
+    # are pmod values < 2^31-1, so minhash[0] == sentinel identifies
+    # exactly those docs; dropping them before banding is
+    # semantics-preserving and removes the one bucket that grows with
+    # corpus size instead of with near-dup density.
     sig = minhash_signature(df, text_col, n=n, num_perm=num_perm, seed=seed,
                             id_col=id_col) \
-        .select(F.col(id_col).alias("_id"), "minhash")
+        .select(F.col(id_col).alias("_id"), "minhash") \
+        .filter(F.element_at("minhash", 1) != F.lit(_MERSENNE31))
     band_rows = explode_rows(
         sig, ["_id"],
         F.array(*[
@@ -350,9 +358,12 @@ def minhash_lsh_pairs(
     # `bands` times (skinny), and emits each bucket's C(k,2) pairs
     # row-locally. sort_array makes collect_list's order deterministic
     # and gives doc_a < doc_b by construction. Bucket sizes are the LSH
-    # collision sets — small at any sane (bands, r); the one adversarial
-    # case (all shingle-less docs share the sentinel signature and
-    # collide in every band) was quadratic under the self-join too.
+    # collision sets — small at any sane (bands, r) now that sentinel
+    # docs are excluded above; note a bucket's C(k,2) pairs materialize
+    # as ONE array value, so a corpus with a giant genuinely
+    # near-identical cluster needs ``max_bucket`` (and near_dup_groups
+    # for the cluster itself) — the per-pair contract is the wrong
+    # output for such clusters regardless of emission shape.
     buckets = (band_rows.groupBy("band", "bkey")
                .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
                .filter(F.size("_ids") > 1))
@@ -549,6 +560,15 @@ def near_dup_groups(
     if method == "auto":
         e = e.localCheckpoint(eager=True)
         method = "driver" if e.count() <= driver_max_edges else "star"
+    elif method == "driver":
+        # an EXPLICIT driver request still honours the cap — collecting
+        # an unbounded edge table would OOM the driver, the exact
+        # failure the cap exists to prevent (auto falls back instead of
+        # failing; a forced driver run fails fast with the remedy)
+        if e.count() > driver_max_edges:
+            raise ValueError(
+                f"edge set exceeds driver_max_edges={driver_max_edges}; "
+                f"use method='star' (or 'auto') for graphs this size")
     if method == "driver":
         return _cc_driver(e)
     if method == "star":

@@ -133,11 +133,17 @@ def render_conversations(
     turns by index (truncation-from-the-end, the standard SFT cut).
 
     Determinism / cross-engine parity: turns sort by the full
-    ``(turn_idx, role, text)`` struct, so even a corpus with duplicate
-    turn indices (an upstream violation this engine detects but must not
-    be corrupted by) renders identically everywhere; with unique indices
-    the tiebreak never fires. An oracle reproduces the text with
-    ``string_agg(... ORDER BY turn_idx, role, text)``.
+    ``(turn_idx, role, text)`` struct with role/text already SUBSTITUTED
+    (NULL→``unknown``/``''``), so even a corpus with duplicate turn
+    indices (an upstream violation this engine detects but must not be
+    corrupted by) renders identically everywhere; with unique indices
+    the tiebreak never fires. Sorting the substituted values — never a
+    NULL — also sidesteps the engines' opposite NULL-ordering defaults
+    (Spark ``sort_array`` is NULLS FIRST, SQL ``ORDER BY ASC`` is
+    typically NULLS LAST); a NULL ``turn_idx`` pins to INT_MIN (front of
+    the conversation in every engine). An oracle reproduces the text
+    with ``string_agg(... ORDER BY coalesce(turn_idx, -2147483648),
+    coalesce(role, 'unknown'), coalesce(text, ''))``.
 
     Scale shape: ONE hash exchange on ``conv_col`` (the same skinny
     shuffle every cross-row check rides); ``sort_array`` + the render are
@@ -151,16 +157,20 @@ def render_conversations(
         cols = []
         for p in parts:
             if p == "{role}":
-                cols.append(F.coalesce(t["r"], F.lit("unknown")))
+                cols.append(t["r"])
             elif p == "{text}":
-                cols.append(F.coalesce(t["t"], F.lit("")))
+                cols.append(t["t"])
             elif p:
                 cols.append(F.lit(p))
         return F.concat(*cols) if cols else F.lit("")
 
-    turn = F.struct(F.col(idx_col).alias("i"),
-                    F.col(role_col).alias("r"),
-                    F.col(text_col).alias("t"))
+    # substitute NULLs BEFORE the struct so the sort key is never NULL
+    # (see docstring: engines disagree on NULL ordering defaults)
+    turn = F.struct(F.coalesce(F.col(idx_col),
+                               F.lit(-2147483648)).alias("i"),
+                    F.coalesce(F.col(role_col),
+                               F.lit("unknown")).alias("r"),
+                    F.coalesce(F.col(text_col), F.lit("")).alias("t"))
     agg = (df.groupBy(F.col(conv_col).alias("conv_id"))
              .agg(F.sort_array(F.collect_list(turn)).alias("_turns")))
     if max_turns is not None:

@@ -640,15 +640,20 @@ def srp_hyperplanes(dims: int, n_bits: int, seed: int) -> list[list[float]]:
 
 
 def _srp_params(df: DataFrame, vec_col: str, n_bits: int, bands: int,
-                seed: int):
-    """(dims, hyperplanes, r) for this corpus; dims from the first
-    non-null vector (NULL/empty rows can't seed a projection)."""
+                seed: int, dims: int | None = None):
+    """(dims, hyperplanes, r) for this corpus. Pass ``dims`` explicitly
+    on corpora that may mix dimensionalities (e.g. mid-encoder-
+    migration): the default infers it from an ARBITRARY first non-null
+    vector, which on a mixed corpus is partition-order-dependent — and
+    every vector of any other length silently emits no band rows
+    (wrong-dims vectors have no projection under these planes)."""
     assert n_bits % bands == 0, "n_bits must divide evenly into bands"
     assert n_bits // bands <= 62, "band key must fit in a bigint"
-    row = (df.filter(F.col(vec_col).isNotNull()
-                     & (F.size(F.col(vec_col)) > 0))
-             .select(F.size(F.col(vec_col)).alias("d")).first())
-    dims = row["d"] if row is not None else 0
+    if dims is None:
+        row = (df.filter(F.col(vec_col).isNotNull()
+                         & (F.size(F.col(vec_col)) > 0))
+                 .select(F.size(F.col(vec_col)).alias("d")).first())
+        dims = row["d"] if row is not None else 0
     return dims, srp_hyperplanes(dims, n_bits, seed), n_bits // bands
 
 
@@ -660,9 +665,12 @@ def srp_band_keys(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """Skinny ``(_id, band, bkey)`` rows: each vector's ``n_bits`` sign
     bits, split into ``bands`` band keys of ``r = n_bits/bands`` bits.
+    ``dims`` defaults to the first non-null vector's length — pass it
+    explicitly on mixed-dims corpora (see :func:`_srp_params`).
 
     Bit ``j`` is ``round(dot(v, plane_j), 6) >= 0`` — rounding BEFORE the
     sign makes the bit reproducible across engines whose last-ulp
@@ -674,7 +682,7 @@ def srp_band_keys(
     wrong-dims vectors emit no rows (they have no direction to hash)."""
     import numpy as np
 
-    dims, planes, r = _srp_params(df, vec_col, n_bits, bands, seed)
+    dims, planes, r = _srp_params(df, vec_col, n_bits, bands, seed, dims)
     src = df.select(F.col(id_col).cast("bigint").alias("_id"),
                     F.col(vec_col).alias("_v"))
     if dims == 0:
@@ -726,6 +734,7 @@ def srp_dup_pairs(
     vec_col: str = "embedding",
     round_digits: int | None = 6,
     max_bucket: int | None = None,
+    dims: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via signed-random-projection LSH — the
     training-free scale path. Output contract matches
@@ -756,7 +765,7 @@ def srp_dup_pairs(
     import numpy as np
 
     band_rows = srp_band_keys(df, n_bits=n_bits, bands=bands, seed=seed,
-                              id_col=id_col, vec_col=vec_col)
+                              id_col=id_col, vec_col=vec_col, dims=dims)
     buckets = (band_rows.groupBy("band", "bkey")
                .agg(F.sort_array(F.collect_list("_id")).alias("_ids"))
                .filter(F.size("_ids") > 1))
@@ -910,21 +919,22 @@ def quantize_embeddings(
             n = len(pdf)
             qcol: list = [None] * n
             scol: list = [None] * n
-            valid = np.array([v is not None and len(v) > 0 for v in vecs]) \
-                if n else np.zeros(0, dtype=bool)
-            if valid.any():
-                mat = _stack_f64(vecs[valid])
+            lens = np.array([len(v) if v is not None else 0 for v in vecs],
+                            dtype="int64") if n else np.zeros(0, "int64")
+            # quantization is per-vector, so mixed-dims corpora (e.g.
+            # mid-encoder-migration) are fine — stack per length group
+            # instead of crashing np.stack on a ragged batch
+            for L in np.unique(lens[lens > 0]):
+                idx = np.nonzero(lens == L)[0]
+                mat = _stack_f64(vecs.iloc[idx])
                 s = np.max(np.abs(mat), axis=1)
                 with np.errstate(divide="ignore", invalid="ignore"):
                     q = np.floor((mat / s[:, None]) * 127.0 + 0.5)
                 q = np.where(s[:, None] > 0.0, q, 0.0).astype("int32")
                 scale = np.where(s > 0.0, s / 127.0, 0.0)
-                vi = 0
-                for i in range(n):
-                    if valid[i]:
-                        qcol[i] = q[vi].tolist()
-                        scol[i] = float(scale[vi])
-                        vi += 1
+                for vi, i in enumerate(idx):
+                    qcol[i] = q[vi].tolist()
+                    scol[i] = float(scale[vi])
             yield pd.DataFrame({id_col: pdf[id_col], "qvec": qcol,
                                 "scale": scol})
 
@@ -968,6 +978,14 @@ def quantized_topk(
     q_mat = np.array([r["qvec"] for r in q_rows], dtype="int64")
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1).astype("float64"))
     b_q = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_norm))
+    # prune margin scales with the rounding grain: two raw sims up to
+    # 10^-round_digits apart can round into a tie the global window
+    # breaks on neighbor_id, so the batch cut must keep that band (with
+    # no rounding, ties require raw equality and margin 0 keeps them —
+    # the >= cut is inclusive)
+    margin = (1.01 * 10.0 ** -round_digits) if round_digits is not None \
+        else 0.0
+    q_dims = q_mat.shape[1]
 
     def score(batches):
         import pandas as pd
@@ -975,7 +993,7 @@ def quantized_topk(
         for pdf in batches:
             outs = {"query_id": [], "neighbor_id": [], "_sim": []}
             live = [i for i, qv in enumerate(pdf["qvec"])
-                    if qv is not None and any(qv)]
+                    if qv is not None and len(qv) == q_dims and any(qv)]
             if live:
                 nids = pdf[id_col].to_numpy(dtype="int64")[live]
                 cmat = np.array([pdf["qvec"].iloc[i] for i in live],
@@ -991,13 +1009,13 @@ def quantized_topk(
                     order = np.lexsort((cand_ids, -cand))
                     if len(order) > k:
                         # rounding-margin SUPERSET prune: the global
-                        # window ranks on round(sim, 6), so a raw-sim cut
-                        # exactly at the k-th row could drop a row that
-                        # rounds into a tie and wins on neighbor_id.
-                        # Keeping everything within half an ulp-of-round
-                        # of the k-th raw sim guarantees every possible
-                        # global top-k row survives the batch prune.
-                        cut = cand[order[k - 1]] - 1.01e-6
+                        # window ranks on round(sim, round_digits), so a
+                        # raw-sim cut exactly at the k-th row could drop
+                        # a row that rounds into a tie and wins on
+                        # neighbor_id. Keeping everything within one
+                        # rounding grain of the k-th raw sim guarantees
+                        # every possible global top-k row survives.
+                        cut = cand[order[k - 1]] - margin
                         order = order[cand[order] >= cut]
                     top = order
                     outs["query_id"].extend([ids_[qi]] * len(top))

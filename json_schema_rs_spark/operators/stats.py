@@ -404,6 +404,11 @@ def profile_drift(
             change = None
         both_means = (a is not None and b is not None
                       and a["mean"] is not None and b["mean"] is not None)
+        # an EMPTY snapshot profiles null_rate=None (0-row table) — the
+        # delta must degrade to None, not TypeError
+        both_nr = (a is not None and b is not None
+                   and a["null_rate"] is not None
+                   and b["null_rate"] is not None)
         out.append({
             "column": c,
             "dtype_a": dta.get(c),
@@ -414,7 +419,7 @@ def profile_drift(
             "null_rate_a": a["null_rate"] if a else None,
             "null_rate_b": b["null_rate"] if b else None,
             "null_rate_delta": (b["null_rate"] - a["null_rate"])
-            if a and b else None,
+            if both_nr else None,
             "distinct_a": a["distinct_count"] if a else None,
             "distinct_b": b["distinct_count"] if b else None,
             "mean_a": a["mean"] if a else None,

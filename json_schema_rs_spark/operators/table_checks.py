@@ -90,6 +90,9 @@ def referential_violations(
 
     NULLs are "absent" and never violate (match the row-local convention).
     """
+    if strategy not in ("broadcast", "shuffle"):
+        raise ValueError(f"strategy must be 'broadcast' or 'shuffle', "
+                         f"got {strategy!r}")
     keys = list(keys)
     name = vocab_name or column
     base = df.filter(F.col(column).isNotNull())

@@ -191,9 +191,14 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text",
     return df.select(F.col(id_col), fp.alias("fingerprint"))
 
 
-# scheme + host only — the common Java-regex / RE2 subset (no lookaround);
-# group 1 is the host, lowercased downstream for domain identity
-URL_REGEX = r"https?://([A-Za-z0-9.-]+)"
+# scheme + optional userinfo + host — the common Java-regex / RE2 subset
+# (no lookaround); group 1 is the host, lowercased downstream for domain
+# identity. The host must start AND end alphanumeric, so trailing
+# sentence punctuation ("see https://x.com.") never leaks into the
+# domain, and 'user@evil.com' URLs resolve to evil.com, not 'user' —
+# either slip would let a blocklisted domain evade the verdict.
+URL_REGEX = (r"https?://(?:[A-Za-z0-9._%+-]+@)?"
+             r"([A-Za-z0-9](?:[A-Za-z0-9.-]*[A-Za-z0-9])?)")
 
 
 def url_domain_stats(df: DataFrame, text_col: str = "text",
@@ -281,9 +286,14 @@ def drop_boilerplate_lines(
     blocklist = frozenset(r["__line"] for r in head)
 
     if not blocklist:
-        return df.select(F.col(id_col),
-                         F.lit(0).alias("n_dropped"),
-                         F.col(text_col).alias(out_col))
+        # NULL text must report NULL n_dropped on BOTH paths (the rewrite
+        # UDF propagates NULL) — the verdict for a row cannot depend on
+        # whether other documents happened to share lines
+        return df.select(
+            F.col(id_col),
+            F.when(F.col(text_col).isNotNull(), F.lit(0))
+             .cast("int").alias("n_dropped"),
+            F.col(text_col).alias(out_col))
 
     from pyspark.sql.functions import pandas_udf
     bcast = df.sparkSession.sparkContext.broadcast(blocklist)

@@ -1,0 +1,142 @@
+"""Regression tests for the round-3 self-review findings: empty-snapshot
+drift, sentinel-bucket LSH blowup, prune-margin vs rounding grain,
+URL-regex evasion, strategy validation, mixed-dims quantization,
+NULL-consistency of the boilerplate short-circuit, NULL-field render
+ordering, and the forced-driver CC gate."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.operators.dedup import (
+    minhash_lsh_pairs, near_dup_groups)
+from json_schema_rs_spark.operators.packing import render_conversations
+from json_schema_rs_spark.operators.similarity import (
+    quantize_embeddings, quantized_topk)
+from json_schema_rs_spark.operators.stats import profile_drift
+from json_schema_rs_spark.operators.table_checks import (
+    referential_violations)
+from json_schema_rs_spark.operators.textstats import drop_boilerplate_lines
+
+
+class TestProfileDriftEmptySnapshot:
+    def test_empty_side_degrades_to_none_not_typeerror(self, spark):
+        empty = spark.createDataFrame([], "x int")
+        full = spark.createDataFrame([Row(x=1), Row(x=None)])
+        out = {r["column"]: r for r in profile_drift(empty, full).collect()}
+        assert out["x"]["null_rate_delta"] is None
+        assert out["x"]["null_rate_b"] == 0.5
+        # and the symmetric case
+        out2 = {r["column"]: r for r in profile_drift(full, empty).collect()}
+        assert out2["x"]["null_rate_delta"] is None
+
+
+class TestSentinelBucketExcluded:
+    def test_many_shingleless_docs_no_quadratic_bucket(self, spark):
+        # 200 docs of < n words all share the sentinel signature; before
+        # the fix they formed one C(200,2)-pair bucket in EVERY band.
+        # They must emit nothing, while a genuine near-dup pair among
+        # normal docs still surfaces.
+        rows = [Row(doc_id=i, text="ab") for i in range(200)]
+        body = "the quick brown fox jumps over the lazy dog again and again"
+        rows += [Row(doc_id=500, text=body),
+                 Row(doc_id=501, text=body + " tail")]
+        df = spark.createDataFrame(rows)
+        pairs = minhash_lsh_pairs(df, threshold=0.5).collect()
+        assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(500, 501)]
+
+
+class TestQuantizedTopkMarginTracksRounding:
+    def test_coarse_rounding_matches_unpruned(self, spark):
+        rng = np.random.default_rng(11)
+        vecs = rng.normal(size=(60, 8))
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(x) for x in v])
+             for i, v in enumerate(vecs)])
+        q = df.filter(F.col("vec_id") < 2)
+        # k >= corpus means the batch prune can never fire: ground truth
+        full = quantized_topk(df, q, k=59, round_digits=2).collect()
+        want = {(r["query_id"], r["rank"]): r["neighbor_id"]
+                for r in full if r["rank"] <= 5}
+        got = {(r["query_id"], r["rank"]): r["neighbor_id"]
+               for r in quantized_topk(df, q, k=5, round_digits=2).collect()}
+        assert got == want
+
+
+class TestQuantizeMixedDims:
+    def test_ragged_batch_quantizes_per_vector(self, spark):
+        df = spark.createDataFrame([
+            Row(vec_id=0, embedding=[1.0, -2.0]),
+            Row(vec_id=1, embedding=[0.5, 0.5, 1.0, -1.0]),
+            Row(vec_id=2, embedding=None),
+            Row(vec_id=3, embedding=[0.0, 0.0]),
+        ], "vec_id long, embedding array<double>")
+        out = {r["vec_id"]: r for r in
+               quantize_embeddings(df).coalesce(1).collect()}
+        assert out[0]["qvec"] == [64, -127]
+        assert len(out[1]["qvec"]) == 4 and out[1]["qvec"][2] == 127
+        assert out[2]["qvec"] is None
+        assert out[3]["qvec"] == [0, 0] and out[3]["scale"] == 0.0
+
+
+class TestReferentialStrategyValidation:
+    def test_unknown_strategy_raises(self, spark):
+        df = spark.createDataFrame([Row(conv_id="c", turn_idx=0, role="x")])
+        vocab = spark.createDataFrame([("user",)], "role string")
+        with pytest.raises(ValueError, match="strategy"):
+            referential_violations(df, "role", vocab, strategy="Shuffle")
+
+
+class TestBoilerplateNullConsistency:
+    def test_null_text_same_verdict_on_both_paths(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=0, text="a\nb"), Row(doc_id=1, text=None)],
+            "doc_id int, text string")
+        # empty-blocklist short-circuit
+        sc = {r["doc_id"]: r["n_dropped"] for r in
+              drop_boilerplate_lines(df, max_docs=10).collect()}
+        # rewrite path (force a blocklist with a second doc sharing 'a')
+        df2 = df.union(spark.createDataFrame(
+            [Row(doc_id=2, text="a\nc")], "doc_id int, text string"))
+        rw = {r["doc_id"]: r["n_dropped"] for r in
+              drop_boilerplate_lines(df2, max_docs=1).collect()}
+        assert sc[1] is None and rw[1] is None
+        assert sc[0] == 0 and rw[0] == 1
+
+
+class TestRenderNullFieldsCrossEngine:
+    def test_duplicate_idx_null_role_matches_duckdb(self, spark):
+        rows = [
+            Row(conv_id="c", turn_idx=0, role=None, text="x"),
+            Row(conv_id="c", turn_idx=0, role="user", text="y"),
+            Row(conv_id="c", turn_idx=1, role="assistant", text=None),
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string")
+        got = render_conversations(df).collect()[0]["text"]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE tx(conv_id VARCHAR, turn_idx INT, "
+                    "role VARCHAR, text VARCHAR)")
+        con.executemany("INSERT INTO tx VALUES (?,?,?,?)",
+                        [tuple(r) for r in rows])
+        want = con.execute(
+            "SELECT string_agg('<|' || coalesce(role,'unknown') || '|>' "
+            " || chr(10) || coalesce(text,''), chr(10) "
+            " ORDER BY coalesce(turn_idx,-2147483648), "
+            "          coalesce(role,'unknown'), coalesce(text,'')) "
+            "FROM tx GROUP BY conv_id").fetchone()[0]
+        assert got == want
+
+
+class TestDriverCcGate:
+    def test_forced_driver_respects_edge_cap(self, spark):
+        pairs = spark.createDataFrame(
+            [Row(doc_a=i, doc_b=i + 1) for i in range(10)])
+        with pytest.raises(ValueError, match="driver_max_edges"):
+            near_dup_groups(pairs, method="driver", driver_max_edges=3)
+        # under the cap it still works
+        out = near_dup_groups(pairs, method="driver",
+                              driver_max_edges=100).collect()
+        assert all(r["group_id"] == 0 for r in out)

@@ -17,6 +17,8 @@ def docs(spark):
         Row(doc_id=2, text="ftp://not.matched.org and https://ok.io"),
         Row(doc_id=3, text=""),
         Row(doc_id=4, text=None),
+        Row(doc_id=5, text="see https://bad.example.com. end of sentence"),
+        Row(doc_id=6, text="auth http://user.name@evil.com/x form"),
     ], "doc_id int, text string")
 
 
@@ -29,6 +31,15 @@ class TestUrlDomainStats:
         assert out[2]["domains"] == ["ok.io"]  # ftp scheme ignored
         assert out[3]["domains"] == []
         assert out[4]["domains"] is None and out[4]["is_blocked"] is None
+        # trailing sentence punctuation stays out of the domain
+        assert out[5]["domains"] == ["bad.example.com"]
+        # userinfo URLs resolve to the host, not the user
+        assert out[6]["domains"] == ["evil.com"]
+
+    def test_blocklist_not_evaded_by_punctuation_or_userinfo(self, docs):
+        out = {r["doc_id"]: r["is_blocked"] for r in url_domain_stats(
+            docs, blocklist=("bad.example.com", "evil.com")).collect()}
+        assert out[5] is True and out[6] is True
 
     def test_blocklist_verdict_case_insensitive(self, docs):
         out = {r["doc_id"]: r for r in url_domain_stats(
