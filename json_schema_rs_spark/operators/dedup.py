@@ -44,8 +44,10 @@ from ..functions.exprs import explode_rows
 _MERSENNE31 = 2_147_483_647  # 2^31 - 1, prime; keeps a*h+b within int64
 
 
-def _spread(df: DataFrame, id_col: str) -> DataFrame:
-    """Local-parallelism guard for the signature operators.
+def _spread(df: DataFrame, id_col: str, *more_cols: str) -> DataFrame:
+    """Local-parallelism guard for the map-heavy operators (the ONE
+    shared implementation — json_mode / similarity import it rather than
+    re-inlining the idiom).
 
     Their expensive stage is the MAP side (split/shingle/hash/partial-agg
     per document), which runs with the parallelism of the input scan. A
@@ -59,7 +61,8 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     output is identical either way."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, F.col(id_col))
+        return df.repartition(target, F.col(id_col),
+                              *[F.col(c) for c in more_cols])
     return df
 
 

@@ -108,10 +108,8 @@ def validate_json_column(
                     emit(i, path, v.code, message)
             yield pd.DataFrame(out)
 
-    src = df.select(*keys, json_col)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par, *keys)
+    from .dedup import _spread
+    src = _spread(df.select(*keys, json_col), *keys)
     return src.mapInPandas(run, schema=out_schema)
 
 

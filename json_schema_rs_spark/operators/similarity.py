@@ -182,15 +182,11 @@ def cosine_dup_pairs_np(
                 f"cosine_dup_pairs_np is the driver-collect verifier for "
                 f"moderate corpora (cap {max_corpus_rows} rows; got more). "
                 f"Use cosine_dup_pairs_bucketed for at-scale near-dup.")
-    # parallelism guard (same rationale as dedup._spread): a small corpus
-    # in one parquet row group scans as ONE partition, serializing the
-    # whole O(n^2/P) kernel on a single core — and making its wall time
-    # hostage to single-core scheduling noise. A production corpus is
-    # many files; locally, hash-spread the skinny (_id, _v) projection so
-    # every core gets a block. Output is per-row, partitioning-invariant.
-    par = src.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par, "_id")
+    # parallelism guard: a small corpus in one parquet row group scans as
+    # ONE partition, serializing the whole O(n^2/P) kernel on a single
+    # core. Shared implementation — see dedup._spread.
+    from .dedup import _spread
+    src = _spread(src, "_id")
     rows = src.collect()
     ids = np.array([r["_id"] for r in rows], dtype="int64")
     mat = np.array([r["_v"] for r in rows], dtype="float64")
@@ -501,26 +497,22 @@ def ivf_topk(
                              F.col(vec_col).alias("centroid")))
     import numpy as np
 
-    bucketed = assign_buckets(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    # ONE centroid collect + broadcast for the whole IVF plan: the
+    # assignment kernel's (cids, cmat, cn) tuple is exactly what the
+    # probe needs, so the probe shares the assignment's broadcast
+    # instead of collecting/broadcasting the same table a second time
+    # (two redundant driver round-trips per call, and the second
+    # broadcast was never released — it accumulated across e.g.
+    # nprobe parameter sweeps).
+    bucketed, bcasts = _assign_buckets_bcast(corpus, centroids,
+                                             id_col=id_col, vec_col=vec_col)
+    b_probe = bcasts[0]
     # probes: each query's nprobe most-similar centroids, computed with
     # the same dimension-ordered NumPy fold as assignment (ties -> lowest
     # centroid id, matching cosine_topk's neighbor_id-asc tie-break).
-    # Centroids are tiny by definition and the query set is small, so one
-    # collect + broadcast keeps the whole IVF plan free of interpreted
-    # HOF folds. Zero-norm queries produce no probes (no finite sims).
-    cen_rows = sorted(
-        centroids.select(F.col("centroid_id").cast("bigint").alias("cid"),
-                         F.col("centroid").cast("array<double>").alias("cv"))
-                 .collect(),
-        key=lambda r: r["cid"])
-    p_cids = np.array([r["cid"] for r in cen_rows], dtype="int64")
-    p_cmat = np.array([list(r["cv"]) for r in cen_rows], dtype="float64")
-    p_cn = np.zeros(len(cen_rows))
-    for d in range(p_cmat.shape[1] if len(cen_rows) else 0):
-        p_cn += p_cmat[:, d] * p_cmat[:, d]
-    p_cn = np.sqrt(p_cn)
-    b_probe = corpus.sparkSession.sparkContext.broadcast(
-        (p_cids, p_cmat, p_cn))
+    # Zero-norm queries produce no probes (no finite sims); NULL or
+    # wrong-dims query vectors are skipped (no projection under these
+    # centroids), matching the assignment kernel's validity rule.
 
     qp = _prep(queries, id_col, vec_col, "query_id", "_qv", "_qn")
     probe_schema = T.StructType([
@@ -532,12 +524,17 @@ def ivf_topk(
         import pandas as pd
         cids_, cmat_, cn_ = b_probe.value
         nc = len(cids_)
+        dims_ = cmat_.shape[1] if nc else 0
         for pdf in batches:
             out_q, out_b = [], []
-            if len(pdf) and nc:
+            valid = np.array([v is not None and len(v) == dims_
+                              for v in pdf["_qv"]], dtype=bool) \
+                if len(pdf) else np.zeros(0, dtype=bool)
+            if valid.any() and nc:
+                pdf = pdf.iloc[np.nonzero(valid)[0]]
                 qm = _stack_f64(pdf["_qv"])
                 acc = np.zeros((len(pdf), nc))
-                for d in range(cmat_.shape[1]):   # ordered fold, bit-exact
+                for d in range(dims_):            # ordered fold, bit-exact
                     acc += np.outer(qm[:, d], cmat_[:, d])
                 qn = pdf["_qn"].to_numpy(dtype="float64")
                 with np.errstate(divide="ignore", invalid="ignore"):

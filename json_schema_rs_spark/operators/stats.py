@@ -19,11 +19,20 @@ import math
 from typing import Iterator, Optional, Sequence
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.tdigest import TDigest, ks_from_digests, w1_from_digests
+
+def _totals_window():
+    """Unpartitioned full-frame window used to ride grand totals
+    alongside per-row values on TINY aggregated frames (nbins /
+    categories rows) — one single-partition exchange of a handful of
+    rows, never corpus data. Built lazily: column expressions need an
+    active SparkContext, which import time may not have."""
+    return Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
 
 
 def profile(
@@ -274,16 +283,22 @@ def psi(
         F.coalesce("na", F.lit(0)).alias("na"),
         F.coalesce("nb", F.lit(0)).alias("nb"),
     )
-    totals = joined.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb")) \
-                   .collect()[0]
-    ta, tb = totals["ta"] or 0, totals["tb"] or 0
-    pa = F.greatest(F.col("na") / F.lit(float(ta)), F.lit(eps))
-    pb = F.greatest(F.col("nb") / F.lit(float(tb)), F.lit(eps))
-    return joined.agg(
+    # totals ride in the SAME pass as the statistic: a window-sum over
+    # the nbins-sized joined result (one tiny single-partition exchange)
+    # instead of a collect() that re-executed both groupBys and re-read
+    # both tables — the one-scan-per-sample claim, kept honest
+    wall = _totals_window()
+    scored = joined.select(
+        "na", "nb",
+        F.sum("na").over(wall).alias("ta"),
+        F.sum("nb").over(wall).alias("tb"))
+    pa = F.greatest(F.col("na") / F.col("ta").cast("double"), F.lit(eps))
+    pb = F.greatest(F.col("nb") / F.col("tb").cast("double"), F.lit(eps))
+    return scored.agg(
         F.sum((pa - pb) * F.log(pa / pb)).alias("psi"),
         F.lit(nbins).cast("int").alias("nbins"),
-        F.lit(ta).cast("bigint").alias("n_a"),
-        F.lit(tb).cast("bigint").alias("n_b"),
+        F.coalesce(F.max("ta"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.max("tb"), F.lit(0)).cast("bigint").alias("n_b"),
     )
 
 
@@ -306,18 +321,22 @@ def js_divergence(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
         F.coalesce("na", F.lit(0)).alias("na"),
         F.coalesce("nb", F.lit(0)).alias("nb"),
     )
-    totals = joined.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb")) \
-                   .collect()[0]
-    ta, tb = totals["ta"] or 0, totals["tb"] or 0
-    p = F.col("na") / F.lit(float(ta))
-    q = F.col("nb") / F.lit(float(tb))
+    # same one-pass totals shape as psi(): window-sum over the
+    # categories-sized join instead of a second full scan per sample
+    wall = _totals_window()
+    scored = joined.select(
+        "na", "nb",
+        F.sum("na").over(wall).alias("ta"),
+        F.sum("nb").over(wall).alias("tb"))
+    p = F.col("na") / F.col("ta").cast("double")
+    q = F.col("nb") / F.col("tb").cast("double")
     m = (p + q) / F.lit(2.0)
     kl_p = F.when(F.col("na") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
     kl_q = F.when(F.col("nb") > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
-    return joined.agg(
+    return scored.agg(
         (F.sum(kl_p) / F.lit(2.0) + F.sum(kl_q) / F.lit(2.0)).alias("js"),
-        F.lit(ta).cast("bigint").alias("n_a"),
-        F.lit(tb).cast("bigint").alias("n_b"),
+        F.coalesce(F.max("ta"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.max("tb"), F.lit(0)).cast("bigint").alias("n_b"),
     )
 
 

@@ -236,13 +236,21 @@ def run_checkpointed_validation(
     This is EXACT, not per-chunk-approximate, because buckets hash on
     ``bucket_col`` (= the conversation key): every conversation lands
     whole inside one bucket, and all cross-row checks are per-conversation.
-    Their violation counts ride in the same ledger rows.
+    Their violation counts ride in the same ledger rows. That exactness
+    REQUIRES ``bucket_col == key_cols[0]`` — chunking on any other column
+    would split conversations across chunks (wrong cross-row verdicts)
+    and mis-bucket their violation rows — so that configuration raises.
 
     ``fail_after_chunks`` is a test hook simulating a mid-run crash.
     Returns a summary dict with per-run totals and bucket lists.
     """
     from ..operators.runner import ValidationEngine
 
+    if table_checks and bucket_col != key_cols[0]:
+        raise ValueError(
+            f"table_checks requires bucket_col == key_cols[0] so every "
+            f"conversation is whole inside one chunk; got bucket_col="
+            f"{bucket_col!r} vs key_cols[0]={key_cols[0]!r}")
     run_id = run_id or uuid.uuid4().hex[:12]
     ledger = ValidationLedger(spark, f"{output_path}/ledger")
     engine = ValidationEngine(spec, key_cols=key_cols)
@@ -286,12 +294,11 @@ def run_checkpointed_validation(
                 part, conv_col=key_cols[0], idx_col=key_cols[1],
                 ts_col=ts_col, role_protocol=role_protocol,
                 tool_pairing=tool_pairing)
-            # bucket is a pure function of the conversation key, so it is
-            # recomputable on the violation rows themselves
-            tv_b = tv.withColumn(
-                "bucket",
-                F.pmod(F.xxhash64(F.col(key_cols[0])),
-                       F.lit(n_buckets)).cast("int"))
+            # bucket is a pure function of the conversation key
+            # (bucket_col == key_cols[0], enforced above), so it is
+            # recomputable on the violation rows with the SAME expression
+            # that selected the chunk
+            tv_b = tv.withColumn("bucket", bucket_expr)
             tcounts = {int(r["bucket"]): int(r["c"])
                        for r in tv_b.groupBy("bucket")
                                     .agg(F.count(F.lit(1)).alias("c"))

@@ -148,7 +148,11 @@ def _make_func(conv_col: str, idx_col: str, ts_col: str, gap_ms: int,
     columns = [conv_col, idx_col, "instance_path", "code", "message"]
     idx_path, ts_path = "/" + idx_col, "/" + ts_col
     p = protocol or {}
-    buffer_roles = ("allowed_transitions" in p) or p.get("tool_pairing")
+    # the tool column is read ONLY for tool pairing — a role-DFA-only
+    # stream need not carry one (parity with the batch operator, which
+    # never touches tools for the DFA)
+    buffer_tools = bool(p.get("tool_pairing"))
+    buffer_roles = ("allowed_transitions" in p) or buffer_tools
     role_col = p.get("role_col", "role")
     tool_col = p.get("tool_col", "tool")
 
@@ -177,8 +181,11 @@ def _make_func(conv_col: str, idx_col: str, ts_col: str, gap_ms: int,
             if buffer_roles:
                 roles.extend(None if pd.isna(v) else str(v)
                              for v in pdf[role_col])
-                tools.extend(None if pd.isna(v) else str(v)
-                             for v in pdf[tool_col])
+                if buffer_tools:
+                    tools.extend(None if pd.isna(v) else str(v)
+                                 for v in pdf[tool_col])
+                else:
+                    tools.extend([None] * len(pdf))
         state.update((idxs, ts_us, roles, tools))
         # close when the watermark passes this conversation's last event
         # by session_gap (event-time session window semantics). Clamped
@@ -222,6 +229,14 @@ def stateful_transcript_checks(
     if role_protocol is not None:
         protocol["allowed_transitions"] = role_protocol[0]
         protocol["allowed_first"] = role_protocol[1]
+    # fail at plan time, not as a KeyError inside the state worker
+    cols = set(stream_df.columns)
+    if (role_protocol is not None or tool_pairing) and role_col not in cols:
+        raise ValueError(f"role column {role_col!r} not in stream columns "
+                         f"{sorted(cols)} (required by the protocol checks)")
+    if tool_pairing and tool_col not in cols:
+        raise ValueError(f"tool column {tool_col!r} not in stream columns "
+                         f"{sorted(cols)} (required by tool_pairing)")
     # watermarks require TIMESTAMP; normalize TIMESTAMP_NTZ inputs (the
     # cast reads NTZ in the session timezone — pin it, e.g. to UTC)
     if dict(stream_df.dtypes).get(ts_col) == "timestamp_ntz":

@@ -130,6 +130,40 @@ class TestRenderNullFieldsCrossEngine:
         assert got == want
 
 
+class TestLedgerBucketKeyCoupling:
+    def test_table_checks_require_bucket_on_conversation_key(
+            self, spark, tmp_path):
+        from json_schema_rs_spark.sources.ledger import (
+            run_checkpointed_validation)
+        df = spark.createDataFrame(
+            [Row(conv_id="c", turn_idx=0, role="user", user_id="u")],
+            "conv_id string, turn_idx int, role string, user_id string")
+        with pytest.raises(ValueError, match="bucket_col"):
+            run_checkpointed_validation(
+                spark, df, {"type": "object"}, str(tmp_path / "out"),
+                bucket_col="user_id", key_cols=("conv_id", "turn_idx"),
+                table_checks=True, ts_col=None)
+
+
+class TestIvfNullQueryVector:
+    def test_null_query_embedding_skipped_not_crash(self, spark):
+        from json_schema_rs_spark.operators.similarity import ivf_topk
+        rng = np.random.default_rng(5)
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(x) for x in v])
+             for i, v in enumerate(rng.normal(size=(40, 6)))],
+            "vec_id long, embedding array<double>")
+        q = spark.createDataFrame(
+            [Row(vec_id=0, embedding=[float(x) for x in rng.normal(size=6)]),
+             Row(vec_id=1, embedding=None),
+             Row(vec_id=2, embedding=[1.0, 2.0])],  # wrong dims
+            "vec_id long, embedding array<double>")
+        out = ivf_topk(df, q, k=3, n_centroids=4, nprobe=2).collect()
+        # the valid query returns results; NULL / wrong-dims emit nothing
+        assert {r["query_id"] for r in out} == {0}
+        assert len(out) == 3
+
+
 class TestDriverCcGate:
     def test_forced_driver_respects_edge_cap(self, spark):
         pairs = spark.createDataFrame(

@@ -180,6 +180,48 @@ PROTO_SCHEMA = ("conv_id string, turn_idx int, role string, tool string, "
 PROTO_SENTINEL = ("ZZ-flush", 0, "user", None, _ts(59))
 
 
+def test_role_dfa_only_stream_needs_no_tool_column(spark, tmp_path):
+    """A role-DFA-only stream (no tool_pairing) over a table WITHOUT a
+    tool column must work — the batch DFA operator never reads tools,
+    and the stream must not KeyError inside the state worker."""
+    from json_schema_rs_spark.operators.table_checks import (
+        role_transition_violations,
+    )
+    rows = [(c, i, r, ts) for (c, i, r, _t, ts) in PROTO_ROWS]
+    d = _write_chunks(spark, tmp_path, [rows + [SENTINEL]], schema=SCHEMA)
+    out = stateful_transcript_checks(
+        spark.readStream.schema(SCHEMA).parquet(d),
+        watermark_delay="10 minutes", session_gap_ms=5_000,
+        role_protocol=PROTOCOL)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("stateful_dfa_only")
+         .option("checkpointLocation", str(tmp_path / "ckpt5")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in
+                 spark.sql("SELECT * FROM stateful_dfa_only").collect())
+    df = spark.createDataFrame(rows, SCHEMA)
+    expected = sorted(
+        tuple(r) for r in
+        turn_gap_violations(df)
+        .unionByName(monotonic_ts_violations(df))
+        .unionByName(role_transition_violations(df, *PROTOCOL)).collect())
+    assert {"BadFirstRole", "BadRoleTransition"} <= {r[3] for r in expected}
+    assert got == expected
+
+
+def test_missing_protocol_columns_fail_at_plan_time(spark, tmp_path):
+    d = _write_chunks(spark, tmp_path, [ROWS], schema=SCHEMA)
+    stream = spark.readStream.schema(SCHEMA).parquet(d)
+    with pytest.raises(ValueError, match="tool column"):
+        stateful_transcript_checks(stream, tool_pairing=True)
+    with pytest.raises(ValueError, match="role column"):
+        stateful_transcript_checks(
+            stream.drop("role"), role_protocol=PROTOCOL)
+
+
 def test_protocol_checks_match_batch_bytes(spark, tmp_path):
     from json_schema_rs_spark.operators.table_checks import (
         role_transition_violations,
