@@ -138,14 +138,21 @@ def chi2_two_sample(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
         F.coalesce("na", F.lit(0)).alias("na"),
         F.coalesce("nb", F.lit(0)).alias("nb"),
     )
-    totals = joined.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb")) \
-                   .collect()[0]
-    ta, tb = totals["ta"] or 0, totals["tb"] or 0
-    tot = ta + tb
+    # totals ride the categories-sized join via a tiny single-partition
+    # window (same one-pass shape as psi/js_divergence) — the previous
+    # collect() re-executed both count aggregations, re-reading both
+    # input tables
+    wall = _totals_window()
     with_exp = joined.select(
         "category", "na", "nb",
-        (F.lit(ta) * (F.col("na") + F.col("nb")) / F.lit(tot)).alias("ea"),
-        (F.lit(tb) * (F.col("na") + F.col("nb")) / F.lit(tot)).alias("eb"),
+        F.sum("na").over(wall).alias("ta"),
+        F.sum("nb").over(wall).alias("tb"),
+    ).select(
+        "category", "na", "nb", "ta", "tb",
+        (F.col("ta") * (F.col("na") + F.col("nb"))
+         / (F.col("ta") + F.col("tb"))).alias("ea"),
+        (F.col("tb") * (F.col("na") + F.col("nb"))
+         / (F.col("ta") + F.col("tb"))).alias("eb"),
     )
     return with_exp.agg(
         F.sum(
@@ -155,8 +162,8 @@ def chi2_two_sample(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
             .otherwise(F.lit(0.0))
         ).alias("chi2"),
         (F.count(F.lit(1)) - 1).cast("bigint").alias("dof"),
-        F.lit(ta).cast("bigint").alias("n_a"),
-        F.lit(tb).cast("bigint").alias("n_b"),
+        F.coalesce(F.max("ta"), F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce(F.max("tb"), F.lit(0)).cast("bigint").alias("n_b"),
     )
 
 
