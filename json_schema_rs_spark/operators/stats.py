@@ -177,7 +177,6 @@ def ks_exact(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
     """
     a = df_a.select(F.col(column).cast("double").alias("v")).dropna()
     b = df_b.select(F.col(column).cast("double").alias("v")).dropna()
-    na, nb = a.count(), b.count()
     ga = a.groupBy("v").agg(F.count(F.lit(1)).alias("ca"))
     gb = b.groupBy("v").agg(F.count(F.lit(1)).alias("cb"))
     merged = ga.join(gb, "v", "full_outer").select(
@@ -186,10 +185,16 @@ def ks_exact(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
         F.coalesce("cb", F.lit(0)).alias("cb"),
     )
     from pyspark.sql import Window
+    # sample sizes are the grand totals of the per-value counts, so they
+    # ride the (already single-partition) distinct-value frame — the
+    # standalone count() pair cost one extra full scan per input
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = _totals_window()
     ecdf = merged.select(
-        (F.sum("ca").over(w) / F.lit(float(na))).alias("fa"),
-        (F.sum("cb").over(w) / F.lit(float(nb))).alias("fb"),
+        (F.sum("ca").over(w) / F.sum("ca").over(wall).cast("double"))
+        .alias("fa"),
+        (F.sum("cb").over(w) / F.sum("cb").over(wall).cast("double"))
+        .alias("fb"),
     )
     return ecdf.agg(F.max(F.abs(F.col("fa") - F.col("fb"))).alias("ks"))
 
@@ -362,7 +367,6 @@ def wasserstein1_exact(df_a: DataFrame, df_b: DataFrame,
     """
     a = df_a.select(F.col(column).cast("double").alias("v")).dropna()
     b = df_b.select(F.col(column).cast("double").alias("v")).dropna()
-    na, nb = a.count(), b.count()
     ga = a.groupBy("v").agg(F.count(F.lit(1)).alias("ca"))
     gb = b.groupBy("v").agg(F.count(F.lit(1)).alias("cb"))
     merged = ga.join(gb, "v", "full_outer").select(
@@ -371,12 +375,16 @@ def wasserstein1_exact(df_a: DataFrame, df_b: DataFrame,
         F.coalesce("cb", F.lit(0)).alias("cb"),
     )
     from pyspark.sql import Window
+    # sample sizes ride the distinct-value frame (see ks_exact)
     w_cdf = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     w_next = Window.orderBy("v")
+    wall = _totals_window()
     stepped = merged.select(
         "v",
-        (F.sum("ca").over(w_cdf) / F.lit(float(na))).alias("fa"),
-        (F.sum("cb").over(w_cdf) / F.lit(float(nb))).alias("fb"),
+        (F.sum("ca").over(w_cdf) / F.sum("ca").over(wall).cast("double"))
+        .alias("fa"),
+        (F.sum("cb").over(w_cdf) / F.sum("cb").over(wall).cast("double"))
+        .alias("fb"),
         F.lead("v").over(w_next).alias("_next"),
     )
     seg = F.when(F.col("_next").isNotNull(),
