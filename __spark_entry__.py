@@ -1566,6 +1566,83 @@ FROM documents
 """
 
 
+def _q_v_profile_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stats -> constraint predicates (the north-star "per-column stats
+    # feed constraint predicates" path): profile the even-id snapshot,
+    # auto-generate a spec (observed bounds + enum + required), validate
+    # the odd-id snapshot with injected drift (value x10 on ~1%, an
+    # out-of-vocabulary event_type on ~1%). The oracle re-derives the
+    # SAME envelope from the even half and applies the same predicates
+    # with byte-identical messages.
+    from json_schema_rs_spark.plans.infer import spec_from_profile
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = (ev.filter(F.col("event_id") % 2 == 1)
+           .withColumn("event_type",
+                       F.when(F.col("event_id") % 89 == 0, F.lit("hover"))
+                        .otherwise(F.col("event_type")))
+           .withColumn("value",
+                       F.when(F.col("event_id") % 97 == 0,
+                              F.col("value") * 10)
+                        .otherwise(F.col("value"))))
+    spec = spec_from_profile(a, ["event_type", "value"])
+    return ValidationEngine(spec, key_cols=("event_id",)) \
+        .validate(b).violations
+
+
+_SQL_V_PROFILE_SPEC = """
+WITH a AS (SELECT * FROM events WHERE event_id % 2 = 0),
+b AS (SELECT event_id,
+        CASE WHEN event_id % 89 = 0 THEN 'hover' ELSE event_type END
+          AS event_type,
+        CASE WHEN event_id % 97 = 0 THEN value * 10 ELSE value END AS value
+      FROM events WHERE event_id % 2 = 1),
+env AS (SELECT min(value) AS mn, max(value) AS mx,
+               list_sort(list(DISTINCT event_type)) AS vs
+        FROM a),
+msg AS (SELECT mn, mx,
+               array_to_string(list_transform(vs, x -> '"' || x || '"'),
+                               ', ') AS allowed
+        FROM env)
+SELECT event_id, '/event_type' AS instance_path, 'NotInEnum' AS code,
+  '/event_type: value "' || b.event_type || '" not in enum (allowed: '
+    || m.allowed || ')' AS message
+FROM b, msg m
+WHERE b.event_type IS NOT NULL AND NOT list_contains(
+        (SELECT vs FROM env), b.event_type)
+UNION ALL
+SELECT event_id, '/value', 'AboveMaximum',
+  '/value: value ' ||
+  CASE WHEN b.value = floor(b.value)
+       THEN CAST(CAST(b.value AS BIGINT) AS VARCHAR)
+       ELSE CAST(b.value AS VARCHAR) END ||
+  ' is above maximum ' ||
+  CASE WHEN m.mx = floor(m.mx)
+       THEN CAST(CAST(m.mx AS BIGINT) AS VARCHAR)
+       ELSE CAST(m.mx AS VARCHAR) END
+FROM b, msg m WHERE b.value > m.mx
+UNION ALL
+SELECT event_id, '/value', 'BelowMinimum',
+  '/value: value ' ||
+  CASE WHEN b.value = floor(b.value)
+       THEN CAST(CAST(b.value AS BIGINT) AS VARCHAR)
+       ELSE CAST(b.value AS VARCHAR) END ||
+  ' is below minimum ' ||
+  CASE WHEN m.mn = floor(m.mn)
+       THEN CAST(CAST(m.mn AS BIGINT) AS VARCHAR)
+       ELSE CAST(m.mn AS VARCHAR) END
+FROM b, msg m WHERE b.value < m.mn
+UNION ALL
+SELECT event_id, '/event_type', 'MissingRequired',
+  '/event_type: missing required property "event_type"'
+FROM b WHERE event_type IS NULL
+UNION ALL
+SELECT event_id, '/value', 'MissingRequired',
+  '/value: missing required property "value"'
+FROM b WHERE value IS NULL
+"""
+
+
 def _q_x_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PII scrub: the corpus text carries no PII, so both engines salt
     # each doc with the SAME deterministic email / phone / IPv4 derived
@@ -2104,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_chunk_windows": _q_x_chunks,
         "x_render_conv": _q_x_render_conv,
         "x_normalize_text": _q_x_normalize,
+        "v_profile_spec": _q_v_profile_spec,
         "x_redact_pii": _q_x_redact,
         "x_boilerplate": _q_x_boilerplate,
         "x_url_domains": _q_x_url_domains,
@@ -2189,6 +2267,7 @@ def oracle_sql() -> dict[str, str]:
         "x_chunk_windows": _SQL_X_CHUNKS,
         "x_render_conv": _SQL_X_RENDER_CONV,
         "x_normalize_text": _SQL_X_NORMALIZE,
+        "v_profile_spec": _SQL_V_PROFILE_SPEC,
         "x_redact_pii": _SQL_X_REDACT,
         "x_boilerplate": _SQL_X_BOILERPLATE,
         "x_url_domains": _SQL_X_URL_DOMAINS,

@@ -70,6 +70,7 @@ HEADLINE = [
     "x_redact_pii",
     "x_boilerplate",
     "x_url_domains",
+    "v_profile_spec",
 ]
 
 

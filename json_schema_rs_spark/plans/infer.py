@@ -61,3 +61,93 @@ def infer_spec(source: Union[DataFrame, T.StructType]) -> dict:
     """Schema -> spec dict (the table row as the root object)."""
     schema = source.schema if isinstance(source, DataFrame) else source
     return _object_for(schema)
+
+
+_NUMERIC_DTYPES = ("tinyint", "smallint", "int", "bigint", "float",
+                   "double")
+
+
+def spec_from_profile(
+    df: DataFrame,
+    columns: "Union[list, tuple, None]" = None,
+    *,
+    enum_max_distinct: int = 16,
+    required_max_null_rate: float = 0.0,
+) -> dict:
+    """MEASURED stats -> constraint spec: the "per-column stats feed
+    constraint predicates" path (BASELINE.json north_star). Where
+    :func:`infer_spec` derives constraints from declared TYPES, this
+    profiles a reference snapshot and tightens to its observed DATA:
+
+    - numeric columns get ``minimum``/``maximum`` = the observed range;
+    - string columns with at most ``enum_max_distinct`` distinct values
+      become an ``enum`` of the observed values (sorted — deterministic
+      message bytes), otherwise plain ``{"type": "string"}``;
+    - boolean columns get ``{"type": "boolean"}``;
+    - columns whose null rate <= ``required_max_null_rate`` go in
+      ``required``;
+    - other dtypes (timestamp, array, map, ...) are skipped — profile
+      stats don't translate to row predicates for them.
+
+    By construction, validating the PROFILED snapshot with the returned
+    spec yields zero violations (every bound/enum/required fact was
+    measured on it); validating the NEXT snapshot turns any drift past
+    the observed envelope into typed violation rows — compile with
+    ``ValidationEngine(spec_from_profile(baseline)).validate(current)``.
+
+    Cost: one :func:`..operators.stats.profile` aggregate pass (O(1)
+    rows to the driver) plus one tiny distinct-collect per enum
+    CANDIDATE (approx distinct gate first, exact ``limit(k+1)`` check
+    second — never more than ``enum_max_distinct + 1`` values move).
+    """
+    from ..operators.stats import profile
+
+    dtypes = dict(df.dtypes)
+    columns = [c for c in (columns or df.columns)]
+    unknown = [c for c in columns if c not in dtypes]
+    if unknown:
+        raise ValueError(f"columns not in DataFrame: {unknown}")
+    prof = {r["column"]: r for r in
+            profile(df, columns, quantiles=()).collect()}
+
+    props: dict = {}
+    required: list = []
+    for c in columns:
+        p, dt = prof[c], dtypes[c]
+        node: dict = {}
+        if dt in _NUMERIC_DTYPES or dt.startswith("decimal"):
+            is_int = dt in ("tinyint", "smallint", "int", "bigint")
+            node["type"] = "integer" if is_int else "number"
+            if p["min"] is not None:
+                # profile min/max are engine-cast strings of existing
+                # values (no accumulation): int parses exactly, double
+                # round-trips through Java's shortest form
+                cast = int if is_int else float
+                node["minimum"] = cast(p["min"])
+                node["maximum"] = cast(p["max"])
+        elif dt == "string":
+            node["type"] = "string"
+            # approx gate with slack, then exact bounded collect — the
+            # HLL estimate is ±~2.5%, so candidates within 1.5x + 8 get
+            # the exact check and nothing larger moves any data
+            approx = p["distinct_count"] or 0
+            if approx <= enum_max_distinct * 1.5 + 8:
+                from pyspark.sql import functions as F
+                vals = (df.select(F.col(c)).filter(F.col(c).isNotNull())
+                          .distinct().limit(enum_max_distinct + 1)
+                          .collect())
+                if len(vals) <= enum_max_distinct:
+                    node["enum"] = sorted(r[c] for r in vals)
+        elif dt == "boolean":
+            node["type"] = "boolean"
+        else:
+            continue  # no row-predicate translation for this dtype
+        props[c] = node
+        nr = p["null_rate"]
+        if nr is not None and nr <= required_max_null_rate:
+            required.append(c)
+
+    spec: dict = {"type": "object", "properties": props}
+    if required:
+        spec["required"] = required
+    return spec
