@@ -25,6 +25,18 @@ from pyspark.sql import types as T
 
 from ..functions.tdigest import TDigest, ks_from_digests, w1_from_digests
 
+NUMERIC_DTYPES = ("tinyint", "smallint", "int", "bigint", "float",
+                  "double")
+
+
+def is_numeric_dtype(dt: str) -> bool:
+    """Shared profile/spec gate: dtypes whose min/max/mean translate to
+    numeric stats and row-level bound predicates (incl. decimal(p,s)).
+    Single source of truth for :func:`profile` and
+    :func:`..plans.infer.spec_from_profile` — keep them agreeing."""
+    return dt in NUMERIC_DTYPES or dt.startswith("decimal")
+
+
 def _totals_window():
     """Unpartitioned full-frame window used to ride grand totals
     alongside per-row values on TINY aggregated frames (nbins /
@@ -50,9 +62,7 @@ def profile(
     columns = list(columns or df.columns)
     dtypes = dict(df.dtypes)
     aggs = [F.count(F.lit(1)).alias("_rows")]
-    numeric = {c for c in columns if dtypes[c] in
-               ("tinyint", "smallint", "int", "bigint", "float", "double")
-               or dtypes[c].startswith("decimal")}
+    numeric = {c for c in columns if is_numeric_dtype(dtypes[c])}
     for c in columns:
         aggs.append(F.count(c).alias(f"{c}__nonnull"))
         if not exact_distinct:
@@ -149,9 +159,13 @@ def chi2_two_sample(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
         F.sum("nb").over(wall).alias("tb"),
     ).select(
         "category", "na", "nb", "ta", "tb",
-        (F.col("ta") * (F.col("na") + F.col("nb"))
+        # expected counts in DOUBLE: ta/tb are bigint row totals, and
+        # ta * (na + nb) overflows int64 once both snapshots pass ~3e9
+        # rows (the when(ea > 0) guard below would then silently drop
+        # the wrapped-negative term) — cast before the product
+        (F.col("ta").cast("double") * (F.col("na") + F.col("nb"))
          / (F.col("ta") + F.col("tb"))).alias("ea"),
-        (F.col("tb") * (F.col("na") + F.col("nb"))
+        (F.col("tb").cast("double") * (F.col("na") + F.col("nb"))
          / (F.col("ta") + F.col("tb"))).alias("eb"),
     )
     return with_exp.agg(

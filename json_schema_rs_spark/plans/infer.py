@@ -63,10 +63,6 @@ def infer_spec(source: Union[DataFrame, T.StructType]) -> dict:
     return _object_for(schema)
 
 
-_NUMERIC_DTYPES = ("tinyint", "smallint", "int", "bigint", "float",
-                   "double")
-
-
 def spec_from_profile(
     df: DataFrame,
     columns: "Union[list, tuple, None]" = None,
@@ -79,10 +75,19 @@ def spec_from_profile(
     :func:`infer_spec` derives constraints from declared TYPES, this
     profiles a reference snapshot and tightens to its observed DATA:
 
-    - numeric columns get ``minimum``/``maximum`` = the observed range;
-    - string columns with at most ``enum_max_distinct`` distinct values
+    - numeric columns get ``minimum``/``maximum`` = the observed range
+      (``float`` columns parse the bound back through float32 so the
+      spec bound equals the engine's float->double widening of the
+      column value — a double-parsed "0.1" would sit BELOW the widened
+      0.10000000149... and false-fire on the very row that defined the
+      max); a NaN endpoint is omitted (NaN sorts greatest in Spark, so
+      one NaN row would otherwise disable AboveMaximum forever and emit
+      a non-JSON bound);
+    - string columns with 1..``enum_max_distinct`` distinct values
       become an ``enum`` of the observed values (sorted — deterministic
-      message bytes), otherwise plain ``{"type": "string"}``;
+      message bytes), otherwise plain ``{"type": "string"}``; an
+      all-NULL column stays un-enumed (an empty enum would be skipped
+      by the compiler and silently disable the vocabulary check);
     - boolean columns get ``{"type": "boolean"}``;
     - columns whose null rate <= ``required_max_null_rate`` go in
       ``required``;
@@ -96,48 +101,73 @@ def spec_from_profile(
     ``ValidationEngine(spec_from_profile(baseline)).validate(current)``.
 
     Cost: one :func:`..operators.stats.profile` aggregate pass (O(1)
-    rows to the driver) plus one tiny distinct-collect per enum
-    CANDIDATE (approx distinct gate first, exact ``limit(k+1)`` check
-    second — never more than ``enum_max_distinct + 1`` values move).
+    rows to the driver) plus ONE more aggregate job covering every enum
+    candidate at once (size-capped sorted ``collect_set`` per
+    candidate; the HLL gate bounds each set's cardinality and the
+    server-side ``slice`` bounds what moves to the driver) — the job
+    count is independent of how many columns qualify.
     """
-    from ..operators.stats import profile
+    import math
+
+    from ..operators.stats import is_numeric_dtype, profile
 
     dtypes = dict(df.dtypes)
-    columns = [c for c in (columns or df.columns)]
+    columns = list(columns if columns is not None else df.columns)
     unknown = [c for c in columns if c not in dtypes]
     if unknown:
         raise ValueError(f"columns not in DataFrame: {unknown}")
     prof = {r["column"]: r for r in
             profile(df, columns, quantiles=()).collect()}
 
+    # approx gate with slack (HLL estimate is +-~2.5%, so candidates
+    # within 1.5x + 8 get the exact check), then one agg job resolves
+    # ALL candidates exactly: sort_array(collect_set) is UTF8-byte
+    # ordered == Python str ordering for the message-byte determinism,
+    # slice caps driver transfer at k+1 values per column
+    enum_cand = [c for c in columns if dtypes[c] == "string"
+                 and (prof[c]["distinct_count"] or 0)
+                 <= enum_max_distinct * 1.5 + 8]
+    enum_vals: dict = {}
+    if enum_cand:
+        from pyspark.sql import functions as F
+        row = df.agg(*[
+            F.slice(F.sort_array(F.collect_set(F.col(c))),
+                    1, enum_max_distinct + 1).alias(c)
+            for c in enum_cand
+        ]).collect()[0]
+        for c in enum_cand:
+            vals = row[c]
+            if vals and len(vals) <= enum_max_distinct:
+                enum_vals[c] = list(vals)
+
     props: dict = {}
     required: list = []
     for c in columns:
         p, dt = prof[c], dtypes[c]
         node: dict = {}
-        if dt in _NUMERIC_DTYPES or dt.startswith("decimal"):
+        if is_numeric_dtype(dt):
             is_int = dt in ("tinyint", "smallint", "int", "bigint")
             node["type"] = "integer" if is_int else "number"
             if p["min"] is not None:
-                # profile min/max are engine-cast strings of existing
-                # values (no accumulation): int parses exactly, double
-                # round-trips through Java's shortest form
-                cast = int if is_int else float
-                node["minimum"] = cast(p["min"])
-                node["maximum"] = cast(p["max"])
+                if is_int:
+                    mn, mx = int(p["min"]), int(p["max"])
+                elif dt == "float":
+                    # parse through float32: the engine compares the
+                    # column widened to double, and float32("0.1")
+                    # widens to 0.10000000149..., not double("0.1")
+                    import numpy as np
+                    mn = float(np.float32(p["min"]))
+                    mx = float(np.float32(p["max"]))
+                else:
+                    mn, mx = float(p["min"]), float(p["max"])
+                if is_int or not math.isnan(mn):
+                    node["minimum"] = mn
+                if is_int or not math.isnan(mx):
+                    node["maximum"] = mx
         elif dt == "string":
             node["type"] = "string"
-            # approx gate with slack, then exact bounded collect — the
-            # HLL estimate is ±~2.5%, so candidates within 1.5x + 8 get
-            # the exact check and nothing larger moves any data
-            approx = p["distinct_count"] or 0
-            if approx <= enum_max_distinct * 1.5 + 8:
-                from pyspark.sql import functions as F
-                vals = (df.select(F.col(c)).filter(F.col(c).isNotNull())
-                          .distinct().limit(enum_max_distinct + 1)
-                          .collect())
-                if len(vals) <= enum_max_distinct:
-                    node["enum"] = sorted(r[c] for r in vals)
+            if c in enum_vals:
+                node["enum"] = enum_vals[c]
         elif dt == "boolean":
             node["type"] = "boolean"
         else:

@@ -69,3 +69,52 @@ class TestSpecFromProfile:
             "id long, ts timestamp, tags array<string>")
         spec = spec_from_profile(df)
         assert set(spec["properties"]) == {"id"}
+
+    def test_float32_bounds_match_widened_values(self, spark):
+        # float32 0.1f/0.7f widen to 0.10000000149.../0.699999988...;
+        # a double-parsed "0.1" bound would false-fire AboveMaximum on
+        # the very row that defined the max (review finding)
+        df = spark.createDataFrame(
+            [Row(id=1, x=0.7), Row(id=2, x=0.1)], "id long, x float")
+        spec = spec_from_profile(df)
+        import numpy as np
+        assert spec["properties"]["x"]["maximum"] == float(np.float32("0.7"))
+        assert spec["properties"]["x"]["minimum"] == float(np.float32("0.1"))
+        report = ValidationEngine(spec, key_cols=("id",)).validate(df)
+        assert report.violations.count() == 0
+
+    def test_nan_endpoint_omitted(self, spark):
+        # NaN sorts greatest in Spark: max would be NaN, disabling
+        # AboveMaximum forever and emitting a non-JSON bound
+        import json
+        df = spark.createDataFrame(
+            [Row(id=1, x=1.0), Row(id=2, x=float("nan")),
+             Row(id=3, x=5.0)], "id long, x double")
+        spec = spec_from_profile(df)
+        node = spec["properties"]["x"]
+        assert "maximum" not in node
+        assert node["minimum"] == 1.0
+        json.dumps(spec)  # NaN bound would make this invalid JSON
+
+    def test_all_null_string_gets_no_empty_enum(self, spark):
+        # enum: [] would be silently skipped by the compiler, disabling
+        # the vocabulary check while looking like a constraint
+        df = spark.createDataFrame(
+            [Row(id=1, k=None), Row(id=2, k=None)], "id long, k string")
+        spec = spec_from_profile(df)
+        assert spec["properties"]["k"] == {"type": "string"}
+
+    def test_explicit_empty_column_list(self, spark):
+        # [] must mean "no columns", not fall through to df.columns
+        df = spark.createDataFrame([Row(id=1)], "id long")
+        spec = spec_from_profile(df, [])
+        assert spec["properties"] == {}
+        assert "required" not in spec
+
+    def test_multi_candidate_enums_resolved_in_one_agg(self, spark):
+        df = spark.createDataFrame(
+            [Row(id=i, a=["x", "y"][i % 2], b=["p", "q", "r"][i % 3])
+             for i in range(12)], "id long, a string, b string")
+        spec = spec_from_profile(df)
+        assert spec["properties"]["a"]["enum"] == ["x", "y"]
+        assert spec["properties"]["b"]["enum"] == ["p", "q", "r"]
