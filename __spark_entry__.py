@@ -125,6 +125,40 @@ FROM tx WHERE conv_id IS NULL
 """
 
 
+def _q_v_clean_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clean-corpus routing: the rows the flagship ROW-LOCAL spec passes
+    (the ``valid=true`` partition of ``run_checkpointed_validation(...,
+    route_rows=True)``'s routed output — here as a query so the oracle
+    can value-check the routing predicate). Valid <=> zero violations
+    from required/enum/length/bounds; table-level checks ride the
+    ledger path, not the per-row valid flag."""
+    tx = _transcripts_from_events(_t(spark, sf_dir, "events"))
+    # flagship's minLength 10 flags EVERY synthetic row (props are 8-9
+    # chars) -> empty clean set; route on a spec the data can pass so
+    # the oracle value-checks a meaningful split (~80% clean)
+    spec = {**FLAGSHIP_SPEC,
+            "properties": {**FLAGSHIP_SPEC["properties"],
+                           "text": {"type": "string", "minLength": 5,
+                                    "maxLength": 4000}}}
+    engine = ValidationEngine(spec, key_cols=("conv_id", "turn_idx"))
+    return (engine.validate(tx).flagged
+            .filter(F.col("valid"))
+            .select("conv_id", "turn_idx", "role"))
+
+
+_SQL_V_CLEAN_ROUTE = f"""
+WITH tx AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+         {_ROLE_MAP} AS role, props AS text
+  FROM events)
+SELECT conv_id, turn_idx, role FROM tx
+WHERE conv_id IS NOT NULL AND text IS NOT NULL
+  AND role IN ('system','user','assistant','tool')
+  AND length(text) BETWEEN 5 AND 4000
+"""
+
+
 # ---------------------------------------------------------------------------
 # Row-local validation operators (SURVEY.md §2.2), each over a driver table
 # ---------------------------------------------------------------------------
@@ -2182,6 +2216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_render_conv": _q_x_render_conv,
         "x_normalize_text": _q_x_normalize,
         "v_profile_spec": _q_v_profile_spec,
+        "v_clean_route": _q_v_clean_route,
         "x_redact_pii": _q_x_redact,
         "x_boilerplate": _q_x_boilerplate,
         "x_url_domains": _q_x_url_domains,
@@ -2268,6 +2303,7 @@ def oracle_sql() -> dict[str, str]:
         "x_render_conv": _SQL_X_RENDER_CONV,
         "x_normalize_text": _SQL_X_NORMALIZE,
         "v_profile_spec": _SQL_V_PROFILE_SPEC,
+        "v_clean_route": _SQL_V_CLEAN_ROUTE,
         "x_redact_pii": _SQL_X_REDACT,
         "x_boilerplate": _SQL_X_BOILERPLATE,
         "x_url_domains": _SQL_X_URL_DOMAINS,

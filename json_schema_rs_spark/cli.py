@@ -58,6 +58,7 @@ def cmd_validate(args: argparse.Namespace) -> int:
         ts_col=args.ts_col or None,
         role_protocol=protocol,
         tool_pairing=tool_pairing,
+        route_rows=args.route_rows,
     )
     print(json.dumps(summary))
     # exit code reflects the WHOLE run (ledger totals), so a resume of an
@@ -134,6 +135,10 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--buckets", type=int, default=64)
     v.add_argument("--bucket-col", default="conv_id")
     v.add_argument("--keys", default="conv_id,turn_idx")
+    v.add_argument("--route-rows", action="store_true",
+                   help="also write every row to {output}/routed/"
+                        "bucket=*/valid=true|false (clean corpus + "
+                        "quarantine) in the same per-chunk pass")
     v.add_argument("--table-checks", action="store_true",
                    help="also run cross-row checks (duplicate key, "
                         "gap-free, monotonic ts) per bucket chunk")

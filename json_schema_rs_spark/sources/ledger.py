@@ -24,7 +24,7 @@ import time
 import uuid
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 LEDGER_SCHEMA = (
@@ -222,6 +222,7 @@ def run_checkpointed_validation(
     ts_col: Optional[str] = "ts",
     role_protocol: Optional[tuple] = None,
     tool_pairing: bool = False,
+    route_rows: bool = False,
 ) -> dict:
     """Validate ``source`` in resumable bucket chunks.
 
@@ -240,6 +241,19 @@ def run_checkpointed_validation(
     REQUIRES ``bucket_col == key_cols[0]`` — chunking on any other column
     would split conversations across chunks (wrong cross-row verdicts)
     and mis-bucket their violation rows — so that configuration raises.
+
+    ``route_rows=True`` additionally routes EVERY row of each chunk to
+    ``{output_path}/routed/bucket=*/valid=true|false`` — the clean
+    partition is the validated corpus ready for downstream training
+    stages, the ``valid=false`` partition is the quarantine (full
+    original row + its rendered ``violations`` array for repair; note
+    parquet partition-value inference reads the ``valid`` partition
+    column back as the STRING 'true'/'false'). The
+    route is ONE write action whose ledger metrics ride the same scan
+    via ``observe()``, replacing the separate metrics aggregate — with
+    routing on, each chunk is scanned once for the row path (write +
+    metrics) plus the skinny filter-then-render violations branch,
+    exactly the action count of a non-routed run.
 
     ``fail_after_chunks`` is a test hook simulating a mid-run crash.
     Returns a summary dict with per-run totals and bucket lists.
@@ -274,13 +288,46 @@ def run_checkpointed_validation(
         part = source.withColumn("_bucket", bucket_expr) \
                      .filter(F.col("_bucket").isin(chunk))
         report = engine.validate(part)
-        # one aggregation per chunk for ledger metrics, grouped by bucket
-        agg = (report.flagged
-               .groupBy("_bucket")
-               .agg(F.count(F.lit(1)).alias("rows"),
-                    F.sum(F.col("valid").cast("long")).alias("valid_rows"),
-                    F.sum(F.size("violations").cast("long")).alias("violation_count"))
-               .collect())
+        if route_rows:
+            # one write action routes clean + quarantine rows; per-bucket
+            # ledger metrics ride the same scan via observe() (chunks
+            # hold <= buckets_per_chunk buckets, so this is a handful of
+            # conditional sums, not a groupBy)
+            obs = Observation(f"route_{run_id}_{ci}")
+            metrics = []
+            for b in chunk:
+                hit = F.col("bucket") == F.lit(b)
+                metrics += [
+                    F.sum(hit.cast("long")).alias(f"rows_{b}"),
+                    F.sum(F.when(hit, F.col("valid").cast("long"))
+                          .otherwise(F.lit(0))).alias(f"valid_{b}"),
+                    F.sum(F.when(hit, F.size("violations").cast("long"))
+                          .otherwise(F.lit(0))).alias(f"vc_{b}"),
+                ]
+            routed = (report.flagged
+                      .withColumnRenamed("_bucket", "bucket")
+                      .observe(obs, metrics[0], *metrics[1:]))
+            (routed.write.mode("append").partitionBy("bucket", "valid")
+                   .parquet(f"{output_path}/routed"))
+            got = obs.get
+            by_bucket = {b: {"rows": int(got[f"rows_{b}"] or 0),
+                             "valid_rows": int(got[f"valid_{b}"] or 0),
+                             "violation_count": int(got[f"vc_{b}"] or 0)}
+                         for b in chunk
+                         if got[f"rows_{b}"]}
+        else:
+            # one aggregation per chunk for ledger metrics, by bucket
+            agg = (report.flagged
+                   .groupBy("_bucket")
+                   .agg(F.count(F.lit(1)).alias("rows"),
+                        F.sum(F.col("valid").cast("long")).alias("valid_rows"),
+                        F.sum(F.size("violations").cast("long")).alias("violation_count"))
+                   .collect())
+            by_bucket = {int(r["_bucket"]): {
+                "rows": int(r["rows"]),
+                "valid_rows": int(r["valid_rows"]),
+                "violation_count": int(r["violation_count"])}
+                for r in agg}
         (report.violations.join(
             part.select(*key_cols, "_bucket").dropDuplicates(list(key_cols)),
             on=list(key_cols), how="left")
@@ -306,7 +353,6 @@ def run_checkpointed_validation(
             (tv_b.write.mode("append").partitionBy("bucket")
                  .parquet(f"{output_path}/violations"))
         wall = time.monotonic() - t0
-        by_bucket = {r["_bucket"]: r for r in agg}
         entries = []
         for b in chunk:
             r = by_bucket.get(b)

@@ -90,6 +90,67 @@ class TestLedgerResume:
 
 
 class TestCli:
+    def test_route_rows_clean_and_quarantine(self, spark, tdf, tmp_path):
+        out = str(tmp_path / "routed1")
+        s1 = run_checkpointed_validation(
+            spark, tdf, SPEC, out, run_id="rr1", n_buckets=8,
+            buckets_per_chunk=3, route_rows=True)
+        routed = spark.read.parquet(f"{out}/routed")
+        # every input row lands in exactly one partition
+        assert routed.count() == tdf.count()
+        clean = routed.filter("valid = 'true'")
+        quarantine = routed.filter("valid = 'false'")
+        # routing agrees with the engine's own valid flag, row by key
+        eng = ValidationEngine(SPEC, key_cols=("conv_id", "turn_idx"))
+        expect = eng.validate(tdf).flagged
+        assert clean.count() == expect.filter("valid").count()
+        exp_keys = {(r["conv_id"], r["turn_idx"])
+                    for r in expect.filter("NOT valid")
+                    .select("conv_id", "turn_idx").collect()}
+        got_keys = {(r["conv_id"], r["turn_idx"])
+                    for r in quarantine.select("conv_id", "turn_idx")
+                    .collect()}
+        assert got_keys == exp_keys
+        # quarantine rows carry their rendered violations for repair
+        assert quarantine.filter(F.size("violations") == 0).count() == 0
+        # observe()-riding metrics equal a groupBy recount
+        assert s1["valid_rows"] == clean.count()
+        assert s1["rows"] == tdf.count()
+
+    def test_route_rows_metrics_match_unrouted_run(self, spark, tdf,
+                                                   tmp_path):
+        a = run_checkpointed_validation(
+            spark, tdf, SPEC, str(tmp_path / "ra"), run_id="ra",
+            n_buckets=8, route_rows=True)
+        b = run_checkpointed_validation(
+            spark, tdf, SPEC, str(tmp_path / "rb"), run_id="rb",
+            n_buckets=8, route_rows=False)
+        for k in ("rows", "valid_rows", "violation_count"):
+            assert a[k] == b[k]
+        # ledger rows byte-compatible: same per-bucket counts
+        la = {(r["bucket"], r["rows"], r["valid_rows"], r["violation_count"])
+              for r in ValidationLedger(
+                  spark, f"{tmp_path / 'ra'}/ledger").entries("ra").collect()}
+        lb = {(r["bucket"], r["rows"], r["valid_rows"], r["violation_count"])
+              for r in ValidationLedger(
+                  spark, f"{tmp_path / 'rb'}/ledger").entries("rb").collect()}
+        assert la == lb
+
+    def test_route_rows_crash_resume_no_duplicates(self, spark, tdf,
+                                                   tmp_path):
+        out = str(tmp_path / "routed2")
+        run_checkpointed_validation(
+            spark, tdf, SPEC, out, run_id="rr2", n_buckets=8,
+            buckets_per_chunk=2, fail_after_chunks=2, route_rows=True)
+        s2 = run_checkpointed_validation(
+            spark, tdf, SPEC, out, run_id="rr2", n_buckets=8,
+            buckets_per_chunk=2, route_rows=True)
+        assert s2["remaining_buckets"] == []
+        routed = spark.read.parquet(f"{out}/routed")
+        assert routed.count() == tdf.count()
+        assert (routed.select("conv_id", "turn_idx").distinct().count()
+                == tdf.select("conv_id", "turn_idx").distinct().count())
+
     def test_cli_validate_exit_code_and_output(self, spark, tdf, tmp_path, capsys):
         from json_schema_rs_spark.cli import main
         inp = str(tmp_path / "input")
