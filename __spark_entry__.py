@@ -1189,6 +1189,24 @@ WHERE a.conv_id IS NULL OR b.conv_id IS NULL
 """
 
 
+def _q_v_violation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # which constraints fire, how often, and how many distinct turn keys
+    # they hit — the post-run ops dashboard query over the full flagship
+    # violation set
+    from json_schema_rs_spark.operators.table_checks import violation_stats
+    return violation_stats(_flagship(spark, sf_dir))
+
+
+_SQL_V_VIOLATION_STATS = f"""
+WITH viol AS ({_FLAGSHIP_ORACLE})
+SELECT code, instance_path,
+       COUNT(*) AS n_violations,
+       COUNT(DISTINCT (COALESCE(conv_id, '<NULL>'),
+                       CAST(turn_idx AS VARCHAR))) AS n_keys
+FROM viol GROUP BY code, instance_path
+"""
+
+
 def _q_t_conv_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-conversation pass/fail verdict rollup over the FULL flagship
     # violation set (row checks + uniqueness + gap-free + monotonic-ts):
@@ -2173,6 +2191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_conv_bounds": _q_t_conv_bounds,
         "t_conv_profile": _q_t_conv_profile,
         "t_conv_verdicts": _q_t_conv_verdicts,
+        "v_violation_stats": _q_v_violation_stats,
         "t_transcript_diff": _q_t_transcript_diff,
         # stats + drift
         "s_profile": _q_s_profile,
@@ -2268,6 +2287,7 @@ def oracle_sql() -> dict[str, str]:
         "t_conv_bounds": _SQL_T_CONV_BOUNDS,
         "t_conv_profile": _SQL_T_CONV_PROFILE,
         "t_conv_verdicts": _SQL_T_CONV_VERDICTS,
+        "v_violation_stats": _SQL_V_VIOLATION_STATS,
         "t_transcript_diff": _SQL_T_TRANSCRIPT_DIFF,
         "s_profile": _SQL_S_PROFILE,
         "s_profile_drift": _SQL_S_PROFILE_DRIFT,

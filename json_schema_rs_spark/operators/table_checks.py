@@ -463,6 +463,31 @@ def violation_verdicts(
                      .alias("verdict")))
 
 
+def violation_stats(
+    violations: DataFrame,
+    *,
+    key_cols: Sequence[str] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Ops rollup over a violation table: which constraints fire, how
+    often, and how many distinct row keys they hit —
+    ``(code, instance_path, n_violations, n_keys)``. At 10^12-turn
+    scale this is the dashboard query run after every validation pass
+    (billions of violation rows -> a handful of constraint buckets).
+
+    Scale shape: one hash aggregate whose key cardinality equals the
+    number of checks in the spec, so map-side partial aggregation
+    absorbs essentially all input; the distinct-key count expands over
+    violation rows only, never the corpus. NULL key components are
+    substituted (not dropped) before the distinct so a MissingRequired
+    row on the key column itself still counts — and so engines agree
+    (SQL COUNT(DISTINCT a, b) drops any-NULL tuples)."""
+    keys = [F.coalesce(F.col(k).cast("string"), F.lit("<NULL>"))
+            for k in key_cols if k in violations.columns]
+    return (violations.groupBy("code", "instance_path")
+            .agg(F.count(F.lit(1)).alias("n_violations"),
+                 F.countDistinct(*keys).alias("n_keys")))
+
+
 def transcript_diff(
     df_a: DataFrame,
     df_b: DataFrame,

@@ -257,6 +257,39 @@ class TestViolationVerdicts:
             "hashpartitioning(conv_id" in plan
 
 
+class TestViolationStats:
+    def test_counts_and_null_keys(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            violation_stats)
+        viol = spark.createDataFrame(
+            [("a", 0, "/x", "TooShort", "m"),
+             ("a", 0, "/x", "TooShort", "m"),   # same key, same check
+             ("b", 1, "/x", "TooShort", "m"),
+             (None, 2, "/conv_id", "MissingRequired", "m"),
+             (None, 3, "/conv_id", "MissingRequired", "m")],
+            "conv_id string, turn_idx int, instance_path string, "
+            "code string, message string")
+        got = {(r["code"], r["instance_path"]):
+               (r["n_violations"], r["n_keys"])
+               for r in violation_stats(viol).collect()}
+        # NULL conv_id keys must COUNT (distinct on substituted key),
+        # not vanish under SQL any-NULL distinct semantics
+        assert got == {("TooShort", "/x"): (3, 2),
+                       ("MissingRequired", "/conv_id"): (2, 2)}
+
+    def test_partial_aggregate_shape(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            violation_stats)
+        viol = spark.createDataFrame(
+            [("a", 0, "/x", "E", "m")],
+            "conv_id string, turn_idx int, instance_path string, "
+            "code string, message string")
+        plan = (violation_stats(viol)
+                ._jdf.queryExecution().executedPlan().toString())
+        # map-side partial aggregation before the exchange
+        assert "partial" in plan.lower()
+
+
 class TestProfileDrift:
     def test_schema_changes_and_deltas(self, spark):
         from json_schema_rs_spark.operators.stats import profile_drift
