@@ -60,6 +60,7 @@ HEADLINE = [
     "a_ivf_topk_trained",
     "s_w1_drift",
     "x_doc_sample",
+    "x_mix_sources",
     "x_pack_chunks",
     "x_decontaminate",
     "x_top_tokens",

@@ -36,8 +36,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bucket_hex", "deterministic_sample", "stratified_sample",
-           "train_eval_split"]
+__all__ = ["bucket_hex", "deterministic_sample", "mix_sources",
+           "stratified_sample", "train_eval_split"]
 
 _HEX_SPACE = 16 ** 8  # 8 hex chars = 32 bits of the md5
 
@@ -98,6 +98,56 @@ def stratified_sample(
         thr = F.when(F.col(strata_col) == F.lit(value),
                      F.lit(_threshold(frac))).otherwise(thr)
     return df.where(bucket_hex(key_col, salt) < thr)
+
+
+def mix_sources(
+    df: DataFrame,
+    source_col: str,
+    weights: "dict[str, int]",
+    key_col: str,
+    *,
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted corpus mixing: downsample each source so the OUTPUT
+    follows the integer target ``weights`` (the training-mixture
+    recipe: "5 parts web, 3 parts books, 2 parts code"), keeping as
+    much data as possible — the bottleneck source (smallest
+    ``n_i / w_i``) is kept whole and every other source is
+    deterministically thinned to match its proportion. Sources not in
+    ``weights`` are dropped (weight 0).
+
+    All mixture arithmetic is EXACT integer math (arbitrary-precision
+    on the driver, HUGEINT in a SQL oracle): capacity
+    ``T = min_i floor(n_i * W / w_i)``, per-source hash threshold
+    ``floor(w_i * T * 16^8 / (W * n_i))`` — so the selected row set is
+    bit-identical across engines and reruns, with no float-rounding
+    divergence in the thresholds. Cost: one tiny count aggregate
+    (one row per source to the driver) + one codegen'd filter over a
+    literal source->threshold map — no join, no shuffle of the corpus.
+
+    Raises if a weighted source has no rows (a mixture naming a missing
+    source is a config error, not an empty result)."""
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError(f"weights must be non-negative, got {weights}")
+    counts = {r[source_col]: r["n"] for r in
+              df.groupBy(source_col)
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+    active = {src: w for src, w in weights.items() if w > 0}
+    missing = [src for src in active if not counts.get(src)]
+    if missing:
+        raise ValueError(f"weighted sources have no rows: {missing}")
+    W = sum(active.values())
+    T = min(counts[src] * W // w for src, w in active.items())
+    pairs = []
+    for src, w in active.items():
+        thr = w * T * _HEX_SPACE // (W * counts[src])
+        # bottleneck keeps everything: 'g' sorts above every hex digit
+        pairs += [F.lit(src),
+                  F.lit("g" if thr >= _HEX_SPACE else format(thr, "08x"))]
+    thr_map = F.create_map(*pairs)
+    # absent sources look up NULL -> NULL comparison -> dropped
+    return df.where(bucket_hex(key_col, salt)
+                    < F.element_at(thr_map, F.col(source_col)))
 
 
 def train_eval_split(

@@ -161,3 +161,63 @@ def test_bucket_hex_exposed_column(spark):
     got = {r["k"]: r["b"] for r in
            df.select("k", bucket_hex("k", "q").alias("b")).collect()}
     assert got == {"a": _bucket("a", "q"), "b": _bucket("b", "q")}
+
+
+def test_mix_sources_exact_thresholds(spark):
+    from json_schema_rs_spark.operators.sampling import (_HEX_SPACE,
+                                                         mix_sources)
+    rows = [(i, ["web", "books", "code"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "k bigint, src string")
+    out = mix_sources(df, "src", {"web": 5, "books": 3, "code": 2},
+                      "k", salt="t")
+    got = {r["src"]: 0 for r in out.collect()}
+    for r in out.collect():
+        got[r["src"]] = got.get(r["src"], 0) + 1
+    # recompute the exact integer thresholds driver-side
+    n = {"web": 100, "books": 100, "code": 100}
+    W = 10
+    T = min(n[s] * W // w for s, w in
+            {"web": 5, "books": 3, "code": 2}.items())
+    for src, w in {"web": 5, "books": 3, "code": 2}.items():
+        thr = w * T * _HEX_SPACE // (W * n[src])
+        want = sum(1 for i in range(300)
+                   if ["web", "books", "code"][i % 3] == src
+                   and (thr >= _HEX_SPACE or
+                        int(_bucket(i, "t"), 16) < thr))
+        assert got.get(src, 0) == want
+    # the bottleneck source (largest weight per row) is kept whole
+    assert got["web"] == 100
+
+
+def test_mix_sources_partitioning_invariant(spark):
+    from json_schema_rs_spark.operators.sampling import mix_sources
+    rows = [(i, "a" if i % 2 else "b") for i in range(400)]
+    df = spark.createDataFrame(rows, "k bigint, src string")
+    w = {"a": 3, "b": 1}
+    one = {r["k"] for r in
+           mix_sources(df.coalesce(1), "src", w, "k").collect()}
+    many = {r["k"] for r in
+            mix_sources(df.repartition(16), "src", w, "k").collect()}
+    assert one == many
+
+
+def test_mix_sources_drops_unweighted_and_rejects_missing(spark):
+    from json_schema_rs_spark.operators.sampling import mix_sources
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "junk")], "k bigint, src string")
+    out = mix_sources(df, "src", {"a": 1, "b": 1}, "k")
+    assert {r["src"] for r in out.collect()} <= {"a", "b"}
+    with pytest.raises(ValueError, match="no rows"):
+        mix_sources(df, "src", {"a": 1, "ghost": 1}, "k")
+    with pytest.raises(ValueError, match="non-negative"):
+        mix_sources(df, "src", {"a": -1}, "k")
+
+
+def test_mix_sources_filter_is_shuffle_free(spark):
+    from json_schema_rs_spark.operators.sampling import mix_sources
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(50)],
+        "k bigint, src string")
+    plan = (mix_sources(df, "src", {"a": 1, "b": 1}, "k")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
