@@ -1991,6 +1991,38 @@ WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || '#mix3'), 1, 8) < thr.t
 """
 
 
+def _q_x_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same recipe but budgeted in CHARACTERS (n_chars stands in for
+    # token counts): proportions hold in tokens, docs kept whole
+    return sampling.mix_sources(
+        _t(spark, sf_dir, "documents"), "source",
+        {"src0": 5, "src1": 3, "src2": 2}, "doc_id", salt="mixb",
+        budget_col="n_chars",
+    ).select("doc_id", "source")
+
+
+_SQL_X_MIX_BUDGET = """
+WITH w(source, wt) AS (VALUES ('src0', 5), ('src1', 3), ('src2', 2)),
+counts AS (
+  SELECT d.source, SUM(d.n_chars) AS n FROM documents d
+  JOIN w ON d.source = w.source GROUP BY d.source),
+params AS (SELECT SUM(wt) AS tw FROM w),
+cap AS (
+  SELECT MIN(CAST(n AS HUGEINT) * tw // wt) AS cap_t
+  FROM counts JOIN w USING (source) CROSS JOIN params),
+thr AS (
+  SELECT source,
+         CASE WHEN CAST(wt AS HUGEINT) * cap_t * 4294967296 // (tw * n)
+                   >= 4294967296 THEN 'g'
+              ELSE printf('%08x', CAST(CAST(wt AS HUGEINT) * cap_t
+                   * 4294967296 // (tw * n) AS BIGINT)) END AS t
+  FROM counts JOIN w USING (source) CROSS JOIN params CROSS JOIN cap)
+SELECT d.doc_id, d.source FROM documents d
+JOIN thr ON d.source = thr.source
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || '#mixb'), 1, 8) < thr.t
+"""
+
+
 def _q_x_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").withColumn(
         "toks", F.size(F.split(F.col("text"), " ")).cast("bigint"))
@@ -2263,6 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_split_counts": _q_x_split,
         "x_strat_sample": _q_x_strat,
         "x_mix_sources": _q_x_mix,
+        "x_mix_budget": _q_x_mix_budget,
         "x_pack_chunks": _q_x_pack,
         "x_chunk_windows": _q_x_chunks,
         "x_render_conv": _q_x_render_conv,
@@ -2352,6 +2385,7 @@ def oracle_sql() -> dict[str, str]:
         "x_split_counts": _SQL_X_SPLIT,
         "x_strat_sample": _SQL_X_STRAT,
         "x_mix_sources": _SQL_X_MIX,
+        "x_mix_budget": _SQL_X_MIX_BUDGET,
         "x_pack_chunks": _SQL_X_PACK,
         "x_chunk_windows": _SQL_X_CHUNKS,
         "x_render_conv": _SQL_X_RENDER_CONV,

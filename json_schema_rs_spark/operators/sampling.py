@@ -107,6 +107,7 @@ def mix_sources(
     key_col: str,
     *,
     salt: str = "mix",
+    budget_col: "str | None" = None,
 ) -> DataFrame:
     """Weighted corpus mixing: downsample each source so the OUTPUT
     follows the integer target ``weights`` (the training-mixture
@@ -115,6 +116,13 @@ def mix_sources(
     ``n_i / w_i``) is kept whole and every other source is
     deterministically thinned to match its proportion. Sources not in
     ``weights`` are dropped (weight 0).
+
+    ``budget_col`` switches the mixture unit from row count to the SUM
+    of an integer column (token counts): proportions then hold in
+    tokens — what a training mix actually budgets — while documents
+    are still kept or dropped whole by their key hash, so the realized
+    token split is the expectation under uniform hashing, with the
+    thresholds themselves still exact.
 
     All mixture arithmetic is EXACT integer math (arbitrary-precision
     on the driver, HUGEINT in a SQL oracle): capacity
@@ -129,9 +137,10 @@ def mix_sources(
     source is a config error, not an empty result)."""
     if not weights or any(w < 0 for w in weights.values()):
         raise ValueError(f"weights must be non-negative, got {weights}")
+    unit = (F.count(F.lit(1)) if budget_col is None
+            else F.sum(F.col(budget_col).cast("long")))
     counts = {r[source_col]: r["n"] for r in
-              df.groupBy(source_col)
-                .agg(F.count(F.lit(1)).alias("n")).collect()}
+              df.groupBy(source_col).agg(unit.alias("n")).collect()}
     active = {src: w for src, w in weights.items() if w > 0}
     missing = [src for src in active if not counts.get(src)]
     if missing:

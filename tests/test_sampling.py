@@ -221,3 +221,31 @@ def test_mix_sources_filter_is_shuffle_free(spark):
     plan = (mix_sources(df, "src", {"a": 1, "b": 1}, "k")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_mix_sources_token_budget(spark):
+    from json_schema_rs_spark.operators.sampling import (_HEX_SPACE,
+                                                         mix_sources)
+    # source "big" has few docs but huge token counts: by-rows it would
+    # be the bottleneck's peer; by-budget it must be thinned hard
+    rows = [(i, "big", 1000) for i in range(10)] + \
+           [(100 + i, "small", 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "k bigint, src string, toks int")
+    out = mix_sources(df, "src", {"big": 1, "small": 1}, "k",
+                      salt="b", budget_col="toks")
+    # exact threshold recompute: n_big=10000 toks, n_small=1000 toks,
+    # W=2, T=min(10000*2//1, 1000*2//1)=2000
+    n = {"big": 10000, "small": 1000}
+    T = min(v * 2 // 1 for v in n.values())
+    got = {}
+    for r in out.collect():
+        got[r["src"]] = got.get(r["src"], 0) + 1
+    for src in n:
+        thr = 1 * T * _HEX_SPACE // (2 * n[src])
+        want_keys = [k for k, s, _ in rows if s == src
+                     and (thr >= _HEX_SPACE or
+                          int(_bucket(k, "b"), 16) < thr)]
+        assert got.get(src, 0) == len(want_keys)
+    # the token-cheap source is kept whole, the token-heavy one thinned
+    assert got["small"] == 100
+    assert got.get("big", 0) < 10
