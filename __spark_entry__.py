@@ -1974,17 +1974,17 @@ WITH w(source, wt) AS (VALUES ('src0', 5), ('src1', 3), ('src2', 2)),
 counts AS (
   SELECT d.source, COUNT(*) AS n FROM documents d
   JOIN w ON d.source = w.source GROUP BY d.source),
-params AS (SELECT SUM(wt) AS tw FROM w),
-cap AS (
-  SELECT MIN(CAST(n AS HUGEINT) * tw // wt) AS cap_t
-  FROM counts JOIN w USING (source) CROSS JOIN params),
+bott AS (
+  SELECT source AS bsrc, wt AS bwt, n AS bn
+  FROM counts JOIN w USING (source)
+  ORDER BY CAST(n AS HUGEINT) * (30 // wt), source LIMIT 1),
 thr AS (
   SELECT source,
-         CASE WHEN CAST(wt AS HUGEINT) * cap_t * 4294967296 // (tw * n)
+         CASE WHEN CAST(wt AS HUGEINT) * bn * 4294967296 // (bwt * n)
                    >= 4294967296 THEN 'g'
-              ELSE printf('%08x', CAST(CAST(wt AS HUGEINT) * cap_t
-                   * 4294967296 // (tw * n) AS BIGINT)) END AS t
-  FROM counts JOIN w USING (source) CROSS JOIN params CROSS JOIN cap)
+              ELSE printf('%08x', CAST(CAST(wt AS HUGEINT) * bn
+                   * 4294967296 // (bwt * n) AS BIGINT)) END AS t
+  FROM counts JOIN w USING (source) CROSS JOIN bott)
 SELECT d.doc_id, d.source FROM documents d
 JOIN thr ON d.source = thr.source
 WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || '#mix3'), 1, 8) < thr.t
@@ -2006,17 +2006,17 @@ WITH w(source, wt) AS (VALUES ('src0', 5), ('src1', 3), ('src2', 2)),
 counts AS (
   SELECT d.source, SUM(d.n_chars) AS n FROM documents d
   JOIN w ON d.source = w.source GROUP BY d.source),
-params AS (SELECT SUM(wt) AS tw FROM w),
-cap AS (
-  SELECT MIN(CAST(n AS HUGEINT) * tw // wt) AS cap_t
-  FROM counts JOIN w USING (source) CROSS JOIN params),
+bott AS (
+  SELECT source AS bsrc, wt AS bwt, n AS bn
+  FROM counts JOIN w USING (source)
+  ORDER BY CAST(n AS HUGEINT) * (30 // wt), source LIMIT 1),
 thr AS (
   SELECT source,
-         CASE WHEN CAST(wt AS HUGEINT) * cap_t * 4294967296 // (tw * n)
+         CASE WHEN CAST(wt AS HUGEINT) * bn * 4294967296 // (bwt * n)
                    >= 4294967296 THEN 'g'
-              ELSE printf('%08x', CAST(CAST(wt AS HUGEINT) * cap_t
-                   * 4294967296 // (tw * n) AS BIGINT)) END AS t
-  FROM counts JOIN w USING (source) CROSS JOIN params CROSS JOIN cap)
+              ELSE printf('%08x', CAST(CAST(wt AS HUGEINT) * bn
+                   * 4294967296 // (bwt * n) AS BIGINT)) END AS t
+  FROM counts JOIN w USING (source) CROSS JOIN bott)
 SELECT d.doc_id, d.source FROM documents d
 JOIN thr ON d.source = thr.source
 WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || '#mixb'), 1, 8) < thr.t

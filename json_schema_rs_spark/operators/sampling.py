@@ -113,44 +113,73 @@ def mix_sources(
     follows the integer target ``weights`` (the training-mixture
     recipe: "5 parts web, 3 parts books, 2 parts code"), keeping as
     much data as possible — the bottleneck source (smallest
-    ``n_i / w_i``) is kept whole and every other source is
-    deterministically thinned to match its proportion. Sources not in
-    ``weights`` are dropped (weight 0).
+    ``n_i / w_i``) is kept WHOLE by construction and every other
+    source is deterministically thinned to match its proportion.
+    Sources not in ``weights`` are dropped (weight 0).
 
     ``budget_col`` switches the mixture unit from row count to the SUM
     of an integer column (token counts): proportions then hold in
     tokens — what a training mix actually budgets — while documents
     are still kept or dropped whole by their key hash, so the realized
     token split is the expectation under uniform hashing, with the
-    thresholds themselves still exact.
+    thresholds themselves still exact. A NULL budget value is a config
+    error and raises (silently counting it as 0 would skew the mix).
 
     All mixture arithmetic is EXACT integer math (arbitrary-precision
-    on the driver, HUGEINT in a SQL oracle): capacity
-    ``T = min_i floor(n_i * W / w_i)``, per-source hash threshold
-    ``floor(w_i * T * 16^8 / (W * n_i))`` — so the selected row set is
-    bit-identical across engines and reruns, with no float-rounding
-    divergence in the thresholds. Cost: one tiny count aggregate
-    (one row per source to the driver) + one codegen'd filter over a
+    on the driver, HUGEINT in a SQL oracle): the bottleneck source
+    ``b`` minimizes ``n_i / w_i`` (compared as scaled integers, ties
+    broken by source name), and every other source keeps hash fraction
+    ``w_i * n_b / (w_b * n_i)`` via threshold
+    ``floor(w_i * n_b * 16^8 / (w_b * n_i))`` — the bottleneck's own
+    ratio is exactly 1, so it is never thinned by rounding, and the
+    selected row set is bit-identical across engines and reruns with
+    no float arithmetic anywhere. Cost: one tiny count aggregate (one
+    row per source to the driver) + one codegen'd filter over a
     literal source->threshold map — no join, no shuffle of the corpus.
 
     Raises if a weighted source has no rows (a mixture naming a missing
     source is a config error, not an empty result)."""
-    if not weights or any(w < 0 for w in weights.values()):
-        raise ValueError(f"weights must be non-negative, got {weights}")
-    unit = (F.count(F.lit(1)) if budget_col is None
-            else F.sum(F.col(budget_col).cast("long")))
-    counts = {r[source_col]: r["n"] for r in
-              df.groupBy(source_col).agg(unit.alias("n")).collect()}
+    if (not weights or any(w < 0 for w in weights.values())
+            or all(w == 0 for w in weights.values())):
+        raise ValueError(
+            f"weights must be non-negative with at least one positive, "
+            f"got {weights}")
+    if budget_col is None:
+        aggs = [F.count(F.lit(1)).alias("n"), F.lit(0).alias("nulls")]
+    else:
+        aggs = [F.sum(F.col(budget_col).cast("long")).alias("n"),
+                F.count(F.when(F.col(budget_col).isNull(), 1))
+                 .alias("nulls")]
+    stats = {r[source_col]: r for r in
+             df.groupBy(source_col).agg(*aggs).collect()}
     active = {src: w for src, w in weights.items() if w > 0}
-    missing = [src for src in active if not counts.get(src)]
+    bad = [src for src in active
+           if src in stats and stats[src]["nulls"]]
+    if bad:
+        raise ValueError(
+            f"budget_col {budget_col!r} has NULL values in sources "
+            f"{bad}; fill or filter them first")
+    counts = {src: stats[src]["n"] if src in stats else 0
+              for src in active}
+    missing = [src for src in active if not counts[src]]
     if missing:
-        raise ValueError(f"weighted sources have no rows: {missing}")
-    W = sum(active.values())
-    T = min(counts[src] * W // w for src, w in active.items())
+        raise ValueError(
+            f"weighted sources have no rows"
+            f"{' or zero total budget' if budget_col else ''}: {missing}")
+    # bottleneck = argmin n_i / w_i, compared exactly: scale each n_i by
+    # P // w_i where P = prod(weights) (every w_i divides P); ties break
+    # on source name so both engines pick the same b
+    P = 1
+    for w in active.values():
+        P *= w
+    b = min(active, key=lambda src: (counts[src] * (P // active[src]),
+                                     src))
+    wb, nb = active[b], counts[b]
     pairs = []
     for src, w in active.items():
-        thr = w * T * _HEX_SPACE // (W * counts[src])
-        # bottleneck keeps everything: 'g' sorts above every hex digit
+        thr = w * nb * _HEX_SPACE // (wb * counts[src])
+        # ratio >= 1 (the bottleneck and any exact tie) keeps
+        # everything: 'g' sorts above every hex digit
         pairs += [F.lit(src),
                   F.lit("g" if thr >= _HEX_SPACE else format(thr, "08x"))]
     thr_map = F.create_map(*pairs)

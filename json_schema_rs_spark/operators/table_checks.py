@@ -480,9 +480,16 @@ def violation_stats(
     violation rows only, never the corpus. NULL key components are
     substituted (not dropped) before the distinct so a MissingRequired
     row on the key column itself still counts — and so engines agree
-    (SQL COUNT(DISTINCT a, b) drops any-NULL tuples)."""
+    (SQL COUNT(DISTINCT a, b) drops any-NULL tuples). Every ``key_cols``
+    entry must exist in ``violations`` — a silently dropped key column
+    would over-merge ``n_keys`` with no signal."""
+    absent = [k for k in key_cols if k not in violations.columns]
+    if absent:
+        raise ValueError(
+            f"key columns not in violations table: {absent} "
+            f"(have: {violations.columns})")
     keys = [F.coalesce(F.col(k).cast("string"), F.lit("<NULL>"))
-            for k in key_cols if k in violations.columns]
+            for k in key_cols]
     return (violations.groupBy("code", "instance_path")
             .agg(F.count(F.lit(1)).alias("n_violations"),
                  F.countDistinct(*keys).alias("n_keys")))

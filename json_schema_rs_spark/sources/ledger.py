@@ -206,6 +206,19 @@ class PlanLineage:
         return json.loads(rows[0].plan_json) if rows else None
 
 
+def _clear_dirs(spark: SparkSession, paths: Sequence[str]) -> None:
+    """Recursively delete directories through the Hadoop FileSystem API
+    (works for local paths in tests and object stores at scale) —
+    used to make bucket re-processing idempotent on resume."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for p in paths:
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        fs = hp.getFileSystem(conf)
+        if fs.exists(hp):
+            fs.delete(hp, True)
+
+
 def run_checkpointed_validation(
     spark: SparkSession,
     source: DataFrame,
@@ -243,7 +256,7 @@ def run_checkpointed_validation(
     and mis-bucket their violation rows — so that configuration raises.
 
     ``route_rows=True`` additionally routes EVERY row of each chunk to
-    ``{output_path}/routed/bucket=*/valid=true|false`` — the clean
+    ``{output_path}/routed/run_id=*/bucket=*/valid=true|false`` — the clean
     partition is the validated corpus ready for downstream training
     stages, the ``valid=false`` partition is the quarantine (full
     original row + its rendered ``violations`` array for repair; note
@@ -254,6 +267,15 @@ def run_checkpointed_validation(
     routing on, each chunk is scanned once for the row path (write +
     metrics) plus the skinny filter-then-render violations branch,
     exactly the action count of a non-routed run.
+
+    Both violation and routed outputs are RUN-SCOPED
+    (``.../run_id=<id>/bucket=<b>/``, surfaced as partition columns on
+    read), and a resume first clears the pending buckets' directories:
+    a crash between a data append and its ledger commit row leaves
+    partial files, and re-appending them would duplicate rows in the
+    clean corpus — clearing-then-rewriting makes bucket re-processing
+    idempotent while completed buckets (ledger-marked) are never
+    touched. Two runs sharing an ``output_path`` never interleave.
 
     ``fail_after_chunks`` is a test hook simulating a mid-run crash.
     Returns a summary dict with per-run totals and bucket lists.
@@ -276,6 +298,21 @@ def run_checkpointed_validation(
     done = ledger.completed_buckets(run_id)
     pending = [b for b in range(n_buckets) if b not in done]
     bucket_expr = F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets)).cast("int")
+
+    viol_path = f"{output_path}/violations/run_id={run_id}"
+    routed_path = f"{output_path}/routed/run_id={run_id}"
+    if route_rows:
+        clash = [c for c in ("bucket", "valid") if c in source.columns]
+        if clash:
+            raise ValueError(
+                f"route_rows writes partition/flag columns {clash} that "
+                f"already exist in the source; rename them first")
+    # idempotent resume: clear partial output of any pending (never
+    # ledger-committed) bucket before re-appending it — unconditional,
+    # because a crash can land mid-FIRST-chunk with zero ledger rows
+    _clear_dirs(spark, [f"{viol_path}/bucket={b}" for b in pending])
+    if route_rows:
+        _clear_dirs(spark, [f"{routed_path}/bucket={b}" for b in pending])
 
     chunks = [pending[i:i + buckets_per_chunk]
               for i in range(0, len(pending), buckets_per_chunk)]
@@ -308,7 +345,7 @@ def run_checkpointed_validation(
                       .withColumnRenamed("_bucket", "bucket")
                       .observe(obs, metrics[0], *metrics[1:]))
             (routed.write.mode("append").partitionBy("bucket", "valid")
-                   .parquet(f"{output_path}/routed"))
+                   .parquet(routed_path))
             got = obs.get
             by_bucket = {b: {"rows": int(got[f"rows_{b}"] or 0),
                              "valid_rows": int(got[f"valid_{b}"] or 0),
@@ -333,7 +370,7 @@ def run_checkpointed_validation(
             on=list(key_cols), how="left")
             .withColumn("bucket", F.col("_bucket")).drop("_bucket")
             .write.mode("append").partitionBy("bucket")
-            .parquet(f"{output_path}/violations"))
+            .parquet(viol_path))
         tcounts: dict = {}
         if table_checks:
             from ..operators.pipeline import cross_row_violations
@@ -351,7 +388,7 @@ def run_checkpointed_validation(
                                     .agg(F.count(F.lit(1)).alias("c"))
                                     .collect()}
             (tv_b.write.mode("append").partitionBy("bucket")
-                 .parquet(f"{output_path}/violations"))
+                 .parquet(viol_path))
         wall = time.monotonic() - t0
         entries = []
         for b in chunk:

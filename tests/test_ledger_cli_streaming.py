@@ -434,3 +434,59 @@ class TestLedgerTableChecks:
         assert summary["violation_count"] == viol.count()
         assert {r.code for r in viol.collect()} & {"BadRoleTransition",
                                                    "ToolResultWithoutCall"}
+
+
+class TestRoutedIdempotence:
+    def test_partial_append_cleared_on_resume(self, spark, tdf, tmp_path):
+        # crash AFTER a data append but BEFORE its ledger commit row:
+        # simulate by planting stray parquet rows in a pending bucket
+        # dir; the resume must clear them, not duplicate them
+        out = str(tmp_path / "ridem")
+        run_checkpointed_validation(
+            spark, tdf, SPEC, out, run_id="ri", n_buckets=4,
+            buckets_per_chunk=1, fail_after_chunks=2, route_rows=True)
+        from json_schema_rs_spark.sources.ledger import ValidationLedger
+        done = ValidationLedger(spark, f"{out}/ledger") \
+            .completed_buckets("ri")
+        pending = [b for b in range(4) if b not in done]
+        stray = tdf.limit(7).withColumn("violations", F.array()) \
+            .withColumn("valid", F.lit(True))
+        (stray.write.mode("append")
+              .parquet(f"{out}/routed/run_id=ri/bucket={pending[0]}/"
+                       f"valid=true"))
+        (tdf.limit(3).select(
+            "conv_id", "turn_idx",
+            F.lit("/x").alias("instance_path"), F.lit("E").alias("code"),
+            F.lit("m").alias("message"))
+         .write.mode("append")
+         .parquet(f"{out}/violations/run_id=ri/bucket={pending[0]}"))
+        run_checkpointed_validation(
+            spark, tdf, SPEC, out, run_id="ri", n_buckets=4,
+            buckets_per_chunk=1, route_rows=True)
+        routed = spark.read.parquet(f"{out}/routed")
+        assert routed.count() == tdf.count()  # strays gone, no dupes
+        viol = spark.read.parquet(f"{out}/violations")
+        direct = ValidationEngine(SPEC).validate(tdf).violations
+        assert viol.count() == direct.count()
+        assert viol.filter("code = 'E'").count() == 0
+
+    def test_two_runs_never_interleave(self, spark, tdf, tmp_path):
+        out = str(tmp_path / "rtwo")
+        for rid in ("ra", "rb"):
+            run_checkpointed_validation(
+                spark, tdf, SPEC, out, run_id=rid, n_buckets=4,
+                route_rows=True)
+        routed = spark.read.parquet(f"{out}/routed")
+        # run_id surfaces as a partition column; each run holds exactly
+        # one full copy
+        assert routed.filter("run_id = 'ra'").count() == tdf.count()
+        assert routed.filter("run_id = 'rb'").count() == tdf.count()
+
+    def test_route_rows_rejects_colliding_columns(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [("a", 0, "user", "hello text!", None, None, 1)],
+            SCHEMA + ", bucket int")
+        with pytest.raises(ValueError, match="bucket"):
+            run_checkpointed_validation(
+                spark, df, SPEC, str(tmp_path / "clash"), run_id="rc",
+                n_buckets=2, route_rows=True)

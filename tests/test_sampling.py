@@ -174,12 +174,11 @@ def test_mix_sources_exact_thresholds(spark):
     for r in out.collect():
         got[r["src"]] = got.get(r["src"], 0) + 1
     # recompute the exact integer thresholds driver-side
+    # (bottleneck = argmin n/w -> web; thr_i = w_i*n_b*16^8/(w_b*n_i))
     n = {"web": 100, "books": 100, "code": 100}
-    W = 10
-    T = min(n[s] * W // w for s, w in
-            {"web": 5, "books": 3, "code": 2}.items())
+    wb, nb = 5, n["web"]
     for src, w in {"web": 5, "books": 3, "code": 2}.items():
-        thr = w * T * _HEX_SPACE // (W * n[src])
+        thr = w * nb * _HEX_SPACE // (wb * n[src])
         want = sum(1 for i in range(300)
                    if ["web", "books", "code"][i % 3] == src
                    and (thr >= _HEX_SPACE or
@@ -233,15 +232,15 @@ def test_mix_sources_token_budget(spark):
     df = spark.createDataFrame(rows, "k bigint, src string, toks int")
     out = mix_sources(df, "src", {"big": 1, "small": 1}, "k",
                       salt="b", budget_col="toks")
-    # exact threshold recompute: n_big=10000 toks, n_small=1000 toks,
-    # W=2, T=min(10000*2//1, 1000*2//1)=2000
+    # exact threshold recompute: bottleneck = small (1000 toks at
+    # weight 1); thr_big = 1*1000*16^8 // (1*10000)
     n = {"big": 10000, "small": 1000}
-    T = min(v * 2 // 1 for v in n.values())
+    wb, nb = 1, n["small"]
     got = {}
     for r in out.collect():
         got[r["src"]] = got.get(r["src"], 0) + 1
     for src in n:
-        thr = 1 * T * _HEX_SPACE // (2 * n[src])
+        thr = 1 * nb * _HEX_SPACE // (wb * n[src])
         want_keys = [k for k, s, _ in rows if s == src
                      and (thr >= _HEX_SPACE or
                           int(_bucket(k, "b"), 16) < thr)]
@@ -249,3 +248,27 @@ def test_mix_sources_token_budget(spark):
     # the token-cheap source is kept whole, the token-heavy one thinned
     assert got["small"] == 100
     assert got.get("big", 0) < 10
+
+
+def test_mix_sources_bottleneck_kept_whole_non_divisible(spark):
+    # w_b does not divide n_b*W: the old capacity-T formula thinned the
+    # bottleneck by floor rounding; the ratio formula keeps it whole
+    from json_schema_rs_spark.operators.sampling import mix_sources
+    rows = [(i, "a") for i in range(100)] + \
+           [(1000 + i, "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "k bigint, src string")
+    out = mix_sources(df, "src", {"a": 3, "b": 1}, "k", salt="nd")
+    got = {}
+    for r in out.collect():
+        got[r["src"]] = got.get(r["src"], 0) + 1
+    assert got["a"] == 100  # bottleneck (n/w = 33.3 vs 100) kept whole
+
+
+def test_mix_sources_rejects_bad_configs(spark):
+    from json_schema_rs_spark.operators.sampling import mix_sources
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 5)], "k bigint, src string, toks int")
+    with pytest.raises(ValueError, match="at least one positive"):
+        mix_sources(df, "src", {"a": 0}, "k")
+    with pytest.raises(ValueError, match="NULL values"):
+        mix_sources(df, "src", {"a": 1}, "k", budget_col="toks")

@@ -277,6 +277,16 @@ class TestViolationStats:
         assert got == {("TooShort", "/x"): (3, 2),
                        ("MissingRequired", "/conv_id"): (2, 2)}
 
+    def test_rejects_absent_key_columns(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            violation_stats)
+        viol = spark.createDataFrame(
+            [("a", 0, "/x", "E", "m")],
+            "conv_id string, turn_idx int, instance_path string, "
+            "code string, message string")
+        with pytest.raises(ValueError, match="key columns"):
+            violation_stats(viol, key_cols=("conv_id", "turn_id"))
+
     def test_partial_aggregate_shape(self, spark):
         from json_schema_rs_spark.operators.table_checks import (
             violation_stats)
