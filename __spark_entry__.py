@@ -1909,6 +1909,68 @@ FROM documents d LEFT JOIN f USING (doc_id)
 """
 
 
+def _q_x_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lee-et-al cross-document duplicated-ngram coverage: fraction of each
+    # doc's 3-gram occurrences whose 3-gram appears in >= 2 distinct docs.
+    # Grams travel as xxhash64 longs; the oracle re-derives the same
+    # counts over gram STRINGS (identical up to 64-bit collisions).
+    return textstats.duplicated_ngram_coverage(
+        _t(spark, sf_dir, "documents"), n=3, min_docs=2)
+
+
+_SQL_X_DUP_NGRAMS = """
+WITH w AS (SELECT doc_id, string_split(coalesce(text,''), ' ') AS ws
+           FROM documents),
+g AS (SELECT doc_id, unnest([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+                             for i in range(1, len(ws) - 1)]) AS gm
+      FROM w WHERE len(ws) >= 3),
+c AS (SELECT doc_id, gm, count(*) AS c FROM g GROUP BY 1, 2),
+dfq AS (SELECT gm, count(*) AS nd FROM c GROUP BY gm),
+agg AS (SELECT doc_id, sum(c) AS total,
+               sum(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS dup
+        FROM c JOIN dfq USING (gm) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(agg.total, 0) AS total_ngrams,
+       coalesce(agg.dup, 0) AS dup_ngrams,
+       round(coalesce(agg.dup * 1.0 / nullif(agg.total, 0), 0.0), 6)
+         AS dup_ngram_frac
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
+def _q_x_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet-style unigram-LM quality score: add-one-smoothed average
+    # token log-prob under the corpus's own top-512 vocabulary. Per-token
+    # scores are integer micro-nats (ln computed ONCE per vocab entry on
+    # the driver with C-libm), so the per-doc sum is order-free and the
+    # oracle reproduces it bit-exactly with its own ln.
+    return textstats.lm_quality(
+        _t(spark, sf_dir, "documents"), vocab_size=512)
+
+
+_SQL_X_LM_QUALITY = """
+WITH w AS (SELECT doc_id, string_split(coalesce(text,''), ' ') AS ws
+           FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT sum(c) AS n FROM cnt),
+vocab AS (SELECT t, c FROM cnt ORDER BY c DESC, t ASC LIMIT 512),
+nv AS (SELECT (SELECT count(*) FROM vocab) AS v, (SELECT n FROM tot) AS n),
+micro AS (SELECT t,
+                 cast(floor(ln((c + 1) / cast(n + v + 1 AS double))
+                            * 1000000) AS bigint) AS m
+          FROM vocab, nv),
+oov AS (SELECT cast(floor(ln(1.0 / cast(n + v + 1 AS double))
+                          * 1000000) AS bigint) AS m FROM nv),
+scored AS (SELECT doc_id, count(*) AS n_tokens,
+                  sum(coalesce(micro.m, (SELECT m FROM oov))) AS logp_micro
+           FROM tok LEFT JOIN micro USING (t) GROUP BY doc_id)
+SELECT doc_id, n_tokens, logp_micro,
+       round(logp_micro / (n_tokens * 1000000.0), 6) AS avg_logp
+FROM scored
+"""
+
+
 def _q_x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # benchmark decontamination: docs with doc_id % 97 == 0 stand in for
     # the eval set; every other doc is marked if it shares any word
@@ -2286,6 +2348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_token_stats": _q_x_tokens,
         "x_top_tokens": _q_x_top_tokens,
         "x_rep_ngram": _q_x_rep_ngram,
+        "x_dup_ngrams": _q_x_dup_ngrams,
+        "x_lm_quality": _q_x_lm_quality,
         "x_decontaminate": _q_x_decontaminate,
         "x_quality": _q_x_quality,
         "x_language_id": _q_x_langid,
@@ -2377,6 +2441,8 @@ def oracle_sql() -> dict[str, str]:
         "x_token_stats": _SQL_X_TOKENS,
         "x_top_tokens": _SQL_X_TOP_TOKENS,
         "x_rep_ngram": _SQL_X_REP_NGRAM,
+        "x_dup_ngrams": _SQL_X_DUP_NGRAMS,
+        "x_lm_quality": _SQL_X_LM_QUALITY,
         "x_decontaminate": _SQL_X_DECONTAM,
         "x_quality": _SQL_X_QUALITY,
         "x_language_id": _SQL_X_LANGID,

@@ -65,6 +65,8 @@ HEADLINE = [
     "x_decontaminate",
     "x_top_tokens",
     "x_rep_ngram",
+    "x_dup_ngrams",
+    "x_lm_quality",
     "x_chunk_windows",
     "x_render_conv",
     "x_normalize_text",

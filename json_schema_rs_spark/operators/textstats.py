@@ -406,3 +406,147 @@ def normalize_text(
     # preserve NULL through trim (trim(NULL) is NULL already; the regex
     # steps are also NULL-safe) — no coalesce anywhere by design
     return df.withColumn(out_col, col)
+
+
+def duplicated_ngram_coverage(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id", *, n: int = 3,
+                              min_docs: int = 2, seed: int = 7,
+                              round_digits: int = 6) -> DataFrame:
+    """Cross-document duplicated n-gram coverage (the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better"
+    diagnostic): for every document, the fraction of its n-gram
+    occurrences whose n-gram also appears in at least ``min_docs``
+    distinct documents — ``(id, total_ngrams, dup_ngrams,
+    dup_ngram_frac)``. Complements :func:`top_ngram_fraction` (WITHIN-doc
+    repetition) with the BETWEEN-doc signal that drives substring-level
+    corpus dedup decisions.
+
+    N-grams travel as 64-bit xxhash64 longs (the dedup hashing contract;
+    collision probability |grams|^2/2^64). Scale shape: one gram explode
+    at scan parallelism (`_spread` + `explode_rows` guards), a per-(doc,
+    gram) count with map-side combine (skinny 16-byte keys), a gram-keyed
+    doc-frequency aggregate, one gram-keyed equi-join of those two skinny
+    tables (both sides already hash-partitioned by gram — AQE coalesces,
+    no corpus text anywhere), a per-doc rollup, and a left join back so
+    short docs (< n words) report 0.0. Nothing corpus-wide is collected
+    or broadcast."""
+    from ..functions.exprs import explode_rows
+    from .dedup import _spread
+    tmp = "__dnc_words"
+    grams = F.expr(
+        f"if(size({tmp}) >= {n},"
+        f" transform(sequence(1, size({tmp}) - {n - 1}),"
+        f" i -> xxhash64(concat_ws(' ', slice({tmp}, i, {n})), {seed})),"
+        f" array())"
+    )
+    exploded = explode_rows(
+        _spread(df, id_col).withColumn(
+            tmp, F.split(F.coalesce(F.col(text_col), F.lit("")), " ")),
+        [id_col], grams, "__g")
+    per = exploded.groupBy(id_col, "__g").agg(F.count("*").alias("__c"))
+    dfreq = per.groupBy("__g").agg(F.count("*").alias("__nd"))
+    rolled = (per.join(dfreq, "__g")
+              .groupBy(id_col)
+              .agg(F.sum("__c").alias("total_ngrams"),
+                   F.sum(F.when(F.col("__nd") >= min_docs, F.col("__c"))
+                         .otherwise(F.lit(0))).alias("dup_ngrams")))
+    return (df.select(id_col).join(rolled, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("total_ngrams"),
+                           F.lit(0).cast("bigint")).alias("total_ngrams"),
+                F.coalesce(F.col("dup_ngrams"),
+                           F.lit(0).cast("bigint")).alias("dup_ngrams"),
+                F.round(F.coalesce(
+                    F.try_divide(F.col("dup_ngrams").cast("double"),
+                                 F.col("total_ngrams").cast("double")),
+                    F.lit(0.0)), round_digits).alias("dup_ngram_frac"),
+            ))
+
+
+def unigram_lm_table(df: DataFrame, text_col: str = "text", *,
+                     vocab_size: int = 4096) -> tuple[list[tuple], int, int]:
+    """Train the unigram LM used by :func:`lm_quality`: the top
+    ``vocab_size`` whitespace tokens by (count desc, token asc) — a total
+    order, so the head is unique and any engine re-derives it — plus the
+    corpus token total N and the kept vocabulary size V.
+
+    Returns ``(rows, n_total, v)`` where ``rows`` is
+    ``[(token, count, micro_nats)]`` and ``micro_nats =
+    floor(ln((count+1)/(N+V+1)) * 1e6)`` computed DRIVER-side with C-libm
+    ``math.log`` — the engine never evaluates a transcendental, so the
+    per-token score is an exact integer contract any libm-based engine
+    (DuckDB, Python) reproduces bit-identically. One corpus token
+    aggregate (vocabulary-sized shuffle with map-side combine) + a
+    TakeOrdered head + one scalar total; V+1 rows reach the driver."""
+    import math
+    from ..functions.exprs import explode_rows
+    from .dedup import _spread
+    toks = explode_rows(
+        _spread(df, df.columns[0]).withColumn(
+            "__lm_words",
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")),
+        [], F.col("__lm_words"), "__t")
+    # the head and the total are two actions over the same
+    # vocabulary-sized aggregate — persist it so the corpus-wide token
+    # explode runs ONCE, not twice
+    cnt = toks.groupBy("__t").agg(F.count("*").alias("__c")).persist()
+    try:
+        head = (cnt.orderBy(F.desc("__c"), F.asc("__t"))
+                .limit(vocab_size).collect())
+        n_total = cnt.agg(F.sum("__c")).collect()[0][0] or 0
+    finally:
+        cnt.unpersist()
+    v = len(head)
+    denom = float(n_total + v + 1)
+    rows = [(r["__t"], r["__c"],
+             int(math.floor(math.log((r["__c"] + 1) / denom) * 1_000_000)))
+            for r in head]
+    return rows, int(n_total), v
+
+
+def lm_quality(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", *, vocab_size: int = 4096,
+               lm: tuple[list[tuple], int, int] | None = None,
+               round_digits: int = 6) -> DataFrame:
+    """Unigram language-model quality score (the CCNet/Wikipedia-LM
+    filtering shape with a self-trained unigram model): per document the
+    add-one-smoothed average log-probability of its tokens —
+    ``(id, n_tokens, logp_micro, avg_logp)``. Low ``avg_logp`` = token
+    distribution far from the corpus head = boilerplate/garble candidate.
+    Pass ``lm=unigram_lm_table(reference_df)`` to score against a held
+    reference corpus instead of ``df`` itself.
+
+    Exactness: every per-token score is an INTEGER (micro-nats, ln done
+    once per vocab entry on the driver — see :func:`unigram_lm_table`),
+    so the per-doc sum is order-free and bit-exact; the only float ops
+    are one division and one round at the very end. Scale shape: scoring
+    is one token explode + a BROADCAST left join against the V-row vocab
+    + a per-doc integer sum with map-side combine (skinny (id, long)
+    shuffle); OOV tokens take the constant smoothing score via coalesce.
+    Training reads the corpus once (see :func:`unigram_lm_table`)."""
+    import math
+    rows, n_total, v = lm if lm is not None else unigram_lm_table(
+        df, text_col, vocab_size=vocab_size)
+    oov_micro = int(math.floor(
+        math.log(1.0 / (n_total + v + 1)) * 1_000_000)) if n_total else 0
+    spark = df.sparkSession
+    vocab = spark.createDataFrame(
+        [(t, m) for t, _, m in rows], "__t string, __m bigint")
+    from ..functions.exprs import explode_rows
+    from .dedup import _spread
+    toks = explode_rows(
+        _spread(df, id_col).withColumn(
+            "__lm_words",
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " ")),
+        [id_col], F.col("__lm_words"), "__t")
+    scored = (toks.join(F.broadcast(vocab), "__t", "left")
+              .groupBy(id_col)
+              .agg(F.count("*").alias("n_tokens"),
+                   F.sum(F.coalesce(F.col("__m"), F.lit(oov_micro)))
+                   .alias("logp_micro")))
+    return scored.select(
+        F.col(id_col), F.col("n_tokens"), F.col("logp_micro"),
+        F.round(F.col("logp_micro") /
+                (F.col("n_tokens").cast("double") * F.lit(1_000_000.0)),
+                round_digits).alias("avg_logp"))

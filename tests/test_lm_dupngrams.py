@@ -1,0 +1,147 @@
+"""Cross-document duplicated-ngram coverage + unigram-LM quality score.
+
+First-principles expectations on hand-built corpora; plan-shape asserts
+(broadcast vocab join, no corpus-text shuffle) ride along. The DuckDB
+value oracle runs in the driver gate (x_dup_ngrams / x_lm_quality).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from json_schema_rs_spark.operators.textstats import (
+    duplicated_ngram_coverage, lm_quality, unigram_lm_table)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame([
+        # docs 0 and 1 share the 3-gram "the quick brown"; doc 0 also
+        # repeats it internally (two occurrences, both corpus-duplicated)
+        Row(doc_id=0, text="the quick brown fox the quick brown"),
+        Row(doc_id=1, text="the quick brown cat sleeps"),
+        Row(doc_id=2, text="completely unrelated words appear here"),
+        Row(doc_id=3, text="tiny doc"),       # < n words -> 0 ngrams
+        Row(doc_id=4, text=""),               # empty text
+        Row(doc_id=5, text=None),             # NULL text
+    ])
+
+
+class TestDuplicatedNgramCoverage:
+    def test_counts_and_fraction(self, corpus):
+        out = {r["doc_id"]: r for r in
+               duplicated_ngram_coverage(corpus, n=3).collect()}
+        assert len(out) == 6
+        # doc 0: 5 3-grams, the two "the quick brown" occurrences are
+        # duplicated (shared with doc 1); its internal repeat counts both
+        assert out[0]["total_ngrams"] == 5
+        assert out[0]["dup_ngrams"] == 2
+        assert out[0]["dup_ngram_frac"] == pytest.approx(0.4)
+        # doc 1: 3 3-grams, one shared
+        assert out[1]["total_ngrams"] == 3
+        assert out[1]["dup_ngrams"] == 1
+        # doc 2: no gram appears elsewhere
+        assert out[2]["total_ngrams"] == 3
+        assert out[2]["dup_ngrams"] == 0
+        assert out[2]["dup_ngram_frac"] == 0.0
+        # short / empty / NULL docs report zeros, not missing rows
+        for d in (3, 4, 5):
+            assert out[d]["total_ngrams"] == 0
+            assert out[d]["dup_ngrams"] == 0
+            assert out[d]["dup_ngram_frac"] == 0.0
+
+    def test_min_docs_threshold(self, spark):
+        df = spark.createDataFrame([
+            Row(doc_id=i, text="a b c filler%d" % i) for i in range(3)])
+        # "a b c" appears in 3 docs: duplicated at min_docs<=3, not at 4
+        at3 = {r["doc_id"]: r["dup_ngrams"] for r in
+               duplicated_ngram_coverage(df, n=3, min_docs=3).collect()}
+        at4 = {r["doc_id"]: r["dup_ngrams"] for r in
+               duplicated_ngram_coverage(df, n=3, min_docs=4).collect()}
+        assert all(v == 1 for v in at3.values())
+        assert all(v == 0 for v in at4.values())
+
+    def test_within_doc_repeat_alone_is_not_cross_doc(self, spark):
+        # a gram repeated inside ONE doc only is not "duplicated":
+        # doc-frequency is counted over distinct docs, not occurrences
+        df = spark.createDataFrame(
+            [Row(doc_id=0, text="x y z x y z"),
+             Row(doc_id=1, text="totally different words here")])
+        out = {r["doc_id"]: r for r in
+               duplicated_ngram_coverage(df, n=3).collect()}
+        assert out[0]["total_ngrams"] == 4
+        assert out[0]["dup_ngrams"] == 0
+
+    def test_no_corpus_text_in_any_exchange(self, corpus):
+        plan = duplicated_ngram_coverage(corpus, n=3)._jdf.queryExecution() \
+            .executedPlan().toString()
+        # the gram pipeline shuffles hashes and counts, never text
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                assert "text" not in line
+
+
+class TestLmQuality:
+    def test_head_token_scores_higher(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=0, text="common common common common")] +
+            [Row(doc_id=i, text="common filler%d" % i) for i in range(1, 5)] +
+            [Row(doc_id=9, text="zzz qqq www vvv")])     # all tail/OOV
+        out = {r["doc_id"]: r for r in lm_quality(df, vocab_size=3).collect()}
+        # the all-head doc outscores the all-OOV doc
+        assert out[0]["avg_logp"] > out[9]["avg_logp"]
+        assert out[0]["n_tokens"] == 4 and out[9]["n_tokens"] == 4
+
+    def test_micro_nats_match_closed_form(self, spark):
+        # 2 docs, tiny vocab: recompute the expected integers by hand
+        df = spark.createDataFrame([Row(doc_id=0, text="a a b"),
+                                    Row(doc_id=1, text="c")])
+        rows, n, v = unigram_lm_table(df, vocab_size=10)
+        assert n == 4 and v == 3
+        by_tok = {t: (c, m) for t, c, m in rows}
+        denom = float(n + v + 1)
+        for t, c in (("a", 2), ("b", 1), ("c", 1)):
+            assert by_tok[t][0] == c
+            assert by_tok[t][1] == int(
+                math.floor(math.log((c + 1) / denom) * 1_000_000))
+        out = {r["doc_id"]: r for r in
+               lm_quality(df, lm=(rows, n, v)).collect()}
+        exp0 = 2 * by_tok["a"][1] + by_tok["b"][1]
+        assert out[0]["logp_micro"] == exp0
+        assert out[0]["avg_logp"] == pytest.approx(
+            round(exp0 / (3 * 1_000_000.0), 6))
+
+    def test_reference_corpus_lm(self, spark):
+        # train on a reference corpus, score a different one: OOV-heavy
+        # target docs score at the floor
+        ref = spark.createDataFrame(
+            [Row(doc_id=i, text="good clean text") for i in range(3)])
+        lm = unigram_lm_table(ref, vocab_size=100)
+        target = spark.createDataFrame(
+            [Row(doc_id=0, text="good clean text"),
+             Row(doc_id=1, text="garble zxqv wvut")])
+        out = {r["doc_id"]: r["avg_logp"] for r in
+               lm_quality(target, lm=lm).collect()}
+        assert out[0] > out[1]
+        rows, n, v = lm
+        oov = int(math.floor(math.log(1.0 / (n + v + 1)) * 1_000_000))
+        assert out[1] == pytest.approx(round(oov / 1_000_000.0, 6))
+
+    def test_vocab_join_is_broadcast(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text="w%d common" % i) for i in range(20)])
+        plan = lm_quality(df, vocab_size=8)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_null_and_empty_text_score(self, spark):
+        df = spark.createDataFrame([Row(doc_id=0, text="a a a"),
+                                    Row(doc_id=1, text=""),
+                                    Row(doc_id=2, text=None)])
+        out = {r["doc_id"]: r for r in lm_quality(df, vocab_size=4).collect()}
+        # "" and NULL both tokenize to the single token "" — one row each
+        assert len(out) == 3
+        assert out[1]["n_tokens"] == 1 and out[2]["n_tokens"] == 1
+        assert out[1]["logp_micro"] == out[2]["logp_micro"]
