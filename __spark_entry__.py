@@ -235,6 +235,84 @@ FROM orders WHERE o_totalprice > 300000
 """
 
 
+def _q_v_ext_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # extension keywords (the reference's design.md TODO list, implemented
+    # as opt-in draft-2020-12 extensions): multipleOf + exclusive bounds,
+    # vectorized in the same zero-shuffle row plan
+    spec = {"type": "object", "properties": {
+        "l_quantity": {"type": "number", "multipleOf": 5,
+                       "exclusiveMinimum": 2, "exclusiveMaximum": 48}}}
+    return ValidationEngine(spec, key_cols=("l_orderkey", "l_linenumber"),
+                            extensions=True) \
+        .validate(_t(spark, sf_dir, "lineitem")).violations
+
+
+# l_quantity values are integral doubles -> Rust f64 Display drops ".0"
+_SQL_V_EXT_NUMERIC = """
+SELECT l_orderkey, l_linenumber, '/l_quantity' AS instance_path,
+       'NotMultipleOf' AS code,
+  '/l_quantity: value ' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) ||
+  ' is not a multiple of 5' AS message
+FROM lineitem WHERE l_quantity % 5 <> 0
+UNION ALL
+SELECT l_orderkey, l_linenumber, '/l_quantity', 'BelowExclusiveMinimum',
+  '/l_quantity: value ' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) ||
+  ' is not greater than exclusive minimum 2'
+FROM lineitem WHERE l_quantity <= 2
+UNION ALL
+SELECT l_orderkey, l_linenumber, '/l_quantity', 'AboveExclusiveMaximum',
+  '/l_quantity: value ' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) ||
+  ' is not less than exclusive maximum 48'
+FROM lineitem WHERE l_quantity >= 48
+"""
+
+
+def _q_v_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # conditional extension keywords over the transcript shape: IF the
+    # turn is a tool turn THEN `tool` is required, ELSE any present tool
+    # must come from the enum; `not` bans the narrator role outright;
+    # dependentRequired ties tool presence to a timestamp
+    spec = {
+        "type": "object",
+        "if": {"properties": {"role": {"const": "tool"}},
+               "required": ["role"]},
+        "then": {"required": ["tool"]},
+        "else": {"properties": {
+            "tool": {"type": "string", "enum": ["search", "browser"]}}},
+        "not": {"properties": {"role": {"const": "narrator"}},
+                "required": ["role"]},
+        "dependentRequired": {"tool": ["ts"]},
+        "properties": {"role": {"type": "string"}},
+    }
+    tx = _transcripts_with_tools(_t(spark, sf_dir, "events"))
+    return ValidationEngine(spec, key_cols=("conv_id", "turn_idx"),
+                            extensions=True).validate(tx).violations
+
+
+def _sql_v_conditional() -> str:
+    return f"""
+WITH tx AS ({_ORACLE_TX_TOOLS})
+SELECT conv_id, turn_idx, '' AS instance_path,
+       'NotSchemaMatched' AS code,
+       'root: instance matches the schema in "not"' AS message
+FROM tx WHERE role = 'narrator'
+UNION ALL
+SELECT conv_id, turn_idx, '/tool', 'MissingRequired',
+       '/tool: missing required property "tool"'
+FROM tx WHERE role = 'tool' AND tool IS NULL
+UNION ALL
+SELECT conv_id, turn_idx, '/tool', 'NotInEnum',
+       '/tool: value "' || tool ||
+       '" not in enum (allowed: "search", "browser")'
+FROM tx WHERE role <> 'tool' AND tool IS NOT NULL
+      AND tool NOT IN ('search', 'browser')
+UNION ALL
+SELECT conv_id, turn_idx, '/ts', 'MissingDependentRequired',
+       '/ts: missing property "ts" required by presence of "tool"'
+FROM tx WHERE tool IS NOT NULL AND ts IS NULL
+"""
+
+
 def _q_v_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = {"type": "object", "properties": {
         "text": {"type": "string", "minLength": 50, "maxLength": 600}}}
@@ -2285,6 +2363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_enum": _q_v_enum,
         "v_const": _q_v_const,
         "v_bounds_int": _q_v_bounds,
+        "v_ext_numeric": _q_v_ext_numeric,
+        "v_conditional": _q_v_conditional,
         "v_bounds_frac": _q_v_bounds_frac,
         "v_length": _q_v_length,
         "v_pattern": _q_v_pattern,
@@ -2388,6 +2468,8 @@ def oracle_sql() -> dict[str, str]:
         "v_enum": _SQL_V_ENUM,
         "v_const": _SQL_V_CONST,
         "v_bounds_int": _SQL_V_BOUNDS,
+        "v_ext_numeric": _SQL_V_EXT_NUMERIC,
+        "v_conditional": _sql_v_conditional(),
         "v_bounds_frac": _SQL_V_BOUNDS_FRAC,
         "v_length": _SQL_V_LENGTH,
         "v_pattern": _SQL_V_PATTERN,

@@ -47,6 +47,8 @@ HEADLINE = [
     "a_ivf_topk",
     "d_dup_groups",
     "v_pattern_hard",
+    "v_ext_numeric",
+    "v_conditional",
     "x_quality",
     "m_media_meta",
     "t_role_protocol",

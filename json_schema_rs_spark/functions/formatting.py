@@ -168,3 +168,52 @@ def msg_no_subschema_matched(location: str, subschema_count: int) -> str:
 def msg_multiple_subschemas_matched(location: str, match_count: int, subschema_count: int) -> str:
     return (f"{location}: instance matches {match_count} of the {subschema_count} "
             f"oneOf subschema(s), exactly one required")
+
+
+# --- extension-keyword messages (engine extensions; the reference has no
+# Display formats for these — design.md lists them as TODO — so the
+# formats below are THIS engine's contract, byte-shared between the
+# vectorized compiler and the pyvalidator twin) ---
+
+def msg_not_multiple_of(location: str, actual: float, multiple_of: float) -> str:
+    return (f"{location}: value {fmt_f64(actual)} is not a multiple of "
+            f"{fmt_f64(multiple_of)}")
+
+
+def msg_below_exclusive_minimum(location: str, actual: float, bound: float) -> str:
+    return (f"{location}: value {fmt_f64(actual)} is not greater than "
+            f"exclusive minimum {fmt_f64(bound)}")
+
+
+def msg_above_exclusive_maximum(location: str, actual: float, bound: float) -> str:
+    return (f"{location}: value {fmt_f64(actual)} is not less than "
+            f"exclusive maximum {fmt_f64(bound)}")
+
+
+def msg_not_schema_matched(location: str) -> str:
+    return f'{location}: instance matches the schema in "not"'
+
+
+def msg_too_few_properties(location: str, actual: int, min_properties: int) -> str:
+    return (f"{location}: object has {actual} propert(y/ies), "
+            f"minProperties is {min_properties}")
+
+
+def msg_too_many_properties(location: str, actual: int, max_properties: int) -> str:
+    return (f"{location}: object has {actual} propert(y/ies), "
+            f"maxProperties is {max_properties}")
+
+
+def msg_missing_dependent_required(location: str, prop: str, present: str) -> str:
+    return (f'{location}: missing property "{prop}" required by '
+            f'presence of "{present}"')
+
+
+def msg_too_few_contains(location: str, actual: int, min_contains: int) -> str:
+    return (f'{location}: array has {actual} item(s) matching "contains", '
+            f"minimum is {min_contains}")
+
+
+def msg_too_many_contains(location: str, actual: int, max_contains: int) -> str:
+    return (f'{location}: array has {actual} item(s) matching "contains", '
+            f"maximum is {max_contains}")

@@ -55,6 +55,7 @@ def validate_json_column(
     *,
     key_cols: Sequence[str] = ("conv_id", "turn_idx"),
     strict: bool = False,
+    extensions: bool = False,
 ) -> DataFrame:
     """Violations for a JSON-document string column:
     ``(key cols..., instance_path, code, message)``.
@@ -71,7 +72,8 @@ def validate_json_column(
     files (guard is a free no-op); locally the skinny (keys, payload)
     projection is hash-spread once. Output is per-row, so results are
     partitioning-invariant."""
-    root = spec if isinstance(spec, SchemaNode) else parse_spec(spec, strict=strict)
+    root = spec if isinstance(spec, SchemaNode) else parse_spec(
+        spec, strict=strict, extensions=extensions)
     keys = list(key_cols)
     prefix = "/" + json_col
 

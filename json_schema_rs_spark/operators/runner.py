@@ -67,8 +67,12 @@ class ValidationEngine:
         *,
         key_cols: Sequence[str] = ("conv_id", "turn_idx"),
         strict: bool = False,
+        extensions: bool = False,
     ) -> None:
-        self.root = spec if isinstance(spec, SchemaNode) else parse_spec(spec, strict=strict)
+        # extensions=True opts into the draft-2020-12 keyword extensions
+        # (spec.EXTENSION_KEYWORDS); off = byte-identical reference parity
+        self.root = spec if isinstance(spec, SchemaNode) else parse_spec(
+            spec, strict=strict, extensions=extensions)
         self.key_cols = list(key_cols)
         self._plan_cache: dict[str, CompiledPlan] = {}
 

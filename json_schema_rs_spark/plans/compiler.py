@@ -329,6 +329,27 @@ def compile_node(
         ))
         gate = gate & eq_any
 
+    # 3a. not (EXTENSION — design.md:383-387 TODO; draft 2020-12
+    # semantics). Evaluated alongside the other keywords, never gates.
+    if node.not_schema is not None:
+        checks.append(ScalarCheck(
+            cond=gate & _validity(ctx, node.not_schema, tgt), path=path,
+            code="NotSchemaMatched",
+            message=_msg(loc, [F.lit('instance matches the schema in "not"')]),
+        ))
+
+    # 3b. if/then/else (EXTENSION — design.md:389-393 TODO): the branch
+    # checks are the sub-schemas' own checks gated on the if-validity —
+    # `if` alone never produces a violation.
+    if node.if_schema is not None:
+        cond_v = _validity(ctx, node.if_schema, tgt)
+        if node.then_schema is not None:
+            checks.extend(compile_node(
+                ctx, node.then_schema, tgt, path, path_str, gate & cond_v))
+        if node.else_schema is not None:
+            checks.extend(compile_node(
+                ctx, node.else_schema, tgt, path, path_str, gate & ~cond_v))
+
     # 4. anyOf — handled exclusively
     if node.any_of is not None:
         n = len(node.any_of)
@@ -537,6 +558,41 @@ def _compile_type_scoped(
                     F.lit(f" is above maximum {fmt.fmt_f64(node.maximum)}"),
                 ]),
             ))
+        # extensions: exclusive bounds + multipleOf (draft 2020-12)
+        if node.exclusive_minimum is not None:
+            checks.append(ScalarCheck(
+                cond=ngate & (d <= F.lit(node.exclusive_minimum)), path=path,
+                code="BelowExclusiveMinimum",
+                message=_msg(loc, [
+                    F.lit("value "), fmt_f64_col(tgt.col),
+                    F.lit(" is not greater than exclusive minimum "
+                          f"{fmt.fmt_f64(node.exclusive_minimum)}"),
+                ]),
+            ))
+        if node.exclusive_maximum is not None:
+            checks.append(ScalarCheck(
+                cond=ngate & (d >= F.lit(node.exclusive_maximum)), path=path,
+                code="AboveExclusiveMaximum",
+                message=_msg(loc, [
+                    F.lit("value "), fmt_f64_col(tgt.col),
+                    F.lit(" is not less than exclusive maximum "
+                          f"{fmt.fmt_f64(node.exclusive_maximum)}"),
+                ]),
+            ))
+        if node.multiple_of is not None:
+            # verdict-compatible with Python's float %: both remainders
+            # are IEEE fmod up to sign, and sign never flips the ==0 test.
+            # NaN % m is NaN -> not a multiple (coalesce keeps the check
+            # firing rather than silently passing NaN).
+            is_mult = (d % F.lit(node.multiple_of)) == F.lit(0.0)
+            checks.append(ScalarCheck(
+                cond=ngate & ~F.coalesce(is_mult, F.lit(False)), path=path,
+                code="NotMultipleOf",
+                message=_msg(loc, [
+                    F.lit("value "), fmt_f64_col(tgt.col),
+                    F.lit(f" is not a multiple of {fmt.fmt_f64(node.multiple_of)}"),
+                ]),
+            ))
         return checks
 
     if t == "array":
@@ -623,6 +679,67 @@ def _compile_required_properties(
         if key in fields:
             kcol, kdtype = fields[key]
             checks.extend(_compile_property(ctx, sub, key, kcol, kdtype, path, path_str, gate))
+    checks.extend(_compile_object_extensions(node, fields, path, path_str, gate))
+    return checks
+
+
+def _compile_object_extensions(
+    node: SchemaNode,
+    fields: dict,
+    path: Column,
+    path_str: Optional[str],
+    gate: Column,
+) -> list[Check]:
+    """Extension keywords over object targets: minProperties /
+    maxProperties / dependentRequired (draft 2020-12). For typed targets
+    "present" = non-null among the DECLARED fields — the same
+    presence convention `required` uses; a property name absent from the
+    struct/table is never present (so it can't satisfy a dependency and
+    never triggers one)."""
+    checks: list[Check] = []
+    loc = _loc_col(path, path_str)
+    if node.min_properties is not None or node.max_properties is not None:
+        n_present = None
+        for kcol, _ in fields.values():
+            c = kcol.isNotNull().cast("int")
+            n_present = c if n_present is None else (n_present + c)
+        if n_present is None:
+            n_present = F.lit(0)
+        if node.min_properties is not None:
+            checks.append(ScalarCheck(
+                cond=gate & (n_present < F.lit(node.min_properties)),
+                path=path, code="TooFewProperties",
+                message=_msg(loc, [
+                    F.lit("object has "), n_present.cast("string"),
+                    F.lit(f" propert(y/ies), minProperties is {node.min_properties}"),
+                ]),
+            ))
+        if node.max_properties is not None:
+            checks.append(ScalarCheck(
+                cond=gate & (n_present > F.lit(node.max_properties)),
+                path=path, code="TooManyProperties",
+                message=_msg(loc, [
+                    F.lit("object has "), n_present.cast("string"),
+                    F.lit(f" propert(y/ies), maxProperties is {node.max_properties}"),
+                ]),
+            ))
+    if node.dependent_required is not None:
+        for trigger, deps in sorted(node.dependent_required.items()):
+            if trigger not in fields:
+                continue  # trigger property can never be present
+            present = fields[trigger][0].isNotNull()
+            for dep in deps:
+                dpath_str = (path_str + "/" + escape_segment(dep)) \
+                    if path_str is not None else None
+                dpath = F.concat(path, F.lit("/" + escape_segment(dep)))
+                missing = fields[dep][0].isNull() if dep in fields else F.lit(True)
+                checks.append(ScalarCheck(
+                    cond=gate & present & missing, path=dpath,
+                    code="MissingDependentRequired",
+                    message=_msg(_loc_col(dpath, dpath_str), [F.lit(
+                        f'missing property "{dep}" required by '
+                        f'presence of "{trigger}"')]),
+                ))
     return checks
 
 
@@ -709,6 +826,50 @@ def _compile_array(
                 _serde_value(dup_tgt), F.lit(")"),
             ]),
         ))
+    # extension: contains / minContains / maxContains (draft 2020-12 —
+    # minContains/maxContains only take effect when `contains` is present;
+    # minContains defaults to 1, and 0 makes `contains` always satisfied)
+    if node.contains is not None:
+        elem_dtype = tgt.dtype.elementType  # type: ignore[union-attr]
+
+        def elem_valid(x: Column) -> Column:
+            et = _make_target(x, elem_dtype, null_is_absent=False)
+            trial = compile_node(ctx, node.contains, et, F.lit(""), "", F.lit(True))
+            return bool_and([c.ok() for c in trial])
+
+        cnt = F.size(F.filter(arr, elem_valid))
+        min_c = node.min_contains if node.min_contains is not None else 1
+        checks.append(ScalarCheck(
+            cond=gate & (cnt < F.lit(min_c)), path=path, code="TooFewContains",
+            message=_msg(loc, [
+                F.lit("array has "), cnt.cast("string"),
+                F.lit(f' item(s) matching "contains", minimum is {min_c}'),
+            ]),
+        ))
+        if node.max_contains is not None:
+            checks.append(ScalarCheck(
+                cond=gate & (cnt > F.lit(node.max_contains)), path=path,
+                code="TooManyContains",
+                message=_msg(loc, [
+                    F.lit("array has "), cnt.cast("string"),
+                    F.lit(f' item(s) matching "contains", maximum is {node.max_contains}'),
+                ]),
+            ))
+    # extension: prefixItems — per-index sub-schema over the first k
+    # elements (F.get is out-of-bounds-NULL-safe under ANSI mode, unlike
+    # element_at); with prefixItems present, `items` applies only to the
+    # elements AFTER the prefix (draft 2020-12)
+    n_prefix = 0
+    if node.prefix_items is not None:
+        elem_dtype = tgt.dtype.elementType  # type: ignore[union-attr]
+        n_prefix = len(node.prefix_items)
+        for i, sub in enumerate(node.prefix_items):
+            elem_tgt = _make_target(F.get(arr, i), elem_dtype,
+                                    null_is_absent=False)
+            epath_str = (path_str + f"/{i}") if path_str is not None else None
+            epath = F.concat(path, F.lit(f"/{i}"))
+            checks.extend(compile_node(ctx, sub, elem_tgt, epath, epath_str,
+                                       gate & (n > F.lit(i))))
     if node.items is not None:
         elem_dtype = tgt.dtype.elementType  # type: ignore[union-attr]
 
@@ -719,7 +880,10 @@ def _compile_array(
             arrays = [c.to_array() for c in elem_checks]
             if not arrays:
                 return _empty_violations()
-            return F.concat(*arrays) if len(arrays) > 1 else arrays[0]
+            out = F.concat(*arrays) if len(arrays) > 1 else arrays[0]
+            if n_prefix:
+                out = F.when(i >= F.lit(n_prefix), out).otherwise(_empty_violations())
+            return out
 
         per_elem_arrays = F.transform(arr, per_element)
         item_viols = F.when(gate, F.flatten(per_elem_arrays)).otherwise(_empty_violations())
@@ -838,7 +1002,14 @@ def _referenced_columns(root: SchemaNode, schema: T.StructType) -> list[str]:
             out.update(set(n.required) & names)
         if n.additional_properties is not None and n.additional_properties != ALLOW:
             out.update(names)  # additionalProperties inspects every column
-        for sub in (n.all_of or []) + (n.any_of or []) + (n.one_of or []):
+        if n.min_properties is not None or n.max_properties is not None:
+            out.update(names)  # property counting inspects every column
+        if n.dependent_required is not None:
+            for k, deps in n.dependent_required.items():
+                out.update(({k} | set(deps)) & names)
+        for sub in ((n.all_of or []) + (n.any_of or []) + (n.one_of or [])
+                    + [s for s in (n.not_schema, n.if_schema, n.then_schema,
+                                   n.else_schema) if s is not None]):
             walk(sub)
         for m in (n.defs, n.definitions):
             if m:

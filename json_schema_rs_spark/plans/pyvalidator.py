@@ -142,6 +142,21 @@ def validate_with_root(root: SchemaNode, start: SchemaNode, instance: Any) -> li
                                     [fmt.json_compact(a) for a in schema.enum])))
             continue
 
+        # 3a. not (EXTENSION — mirrors compiler.py step 3a): fires when
+        # the sub-schema matches; never abandons the node
+        if schema.not_schema is not None \
+                and len(validate_with_root(root, schema.not_schema, inst)) == 0:
+            errors.append(Violation(path.as_str(), "NotSchemaMatched",
+                                    fmt.msg_not_schema_matched(loc)))
+
+        # 3b. if/then/else (EXTENSION): the matching branch's checks run
+        # at the same path; `if` alone never produces a violation
+        if schema.if_schema is not None:
+            cond_ok = len(validate_with_root(root, schema.if_schema, inst)) == 0
+            branch = schema.then_schema if cond_ok else schema.else_schema
+            if branch is not None:
+                stack.append((branch, inst, path))
+
         # 4. anyOf — handled exclusively (validator/mod.rs:109-133)
         if schema.any_of is not None:
             if len(schema.any_of) == 0:
@@ -209,7 +224,7 @@ def validate_with_root(root: SchemaNode, start: SchemaNode, instance: Any) -> li
                     path.as_str(), "ExpectedArray",
                     fmt.msg_expected_type(loc, "array", fmt.json_type_name(inst))))
                 continue
-            _check_array(schema, inst, path, loc, stack, errors)
+            _check_array(root, schema, inst, path, loc, stack, errors)
         elif t == "boolean":
             if not isinstance(inst, bool):
                 errors.append(Violation(
@@ -260,6 +275,31 @@ def _check_required_and_properties(schema: SchemaNode, obj: dict, path: JsonPoin
                for key, sub in schema.sorted_properties() if key in obj]
     for item in reversed(pending):
         stack.append(item)
+    # extensions: minProperties / maxProperties / dependentRequired.
+    # For dynamic JSON objects "present" = key in the dict (the compiler's
+    # typed analog counts non-null declared columns).
+    n_present = len(obj)
+    if schema.min_properties is not None and n_present < schema.min_properties:
+        errors.append(Violation(
+            path.as_str(), "TooFewProperties",
+            fmt.msg_too_few_properties(path.display_root_or_path(), n_present,
+                                       schema.min_properties)))
+    if schema.max_properties is not None and n_present > schema.max_properties:
+        errors.append(Violation(
+            path.as_str(), "TooManyProperties",
+            fmt.msg_too_many_properties(path.display_root_or_path(), n_present,
+                                        schema.max_properties)))
+    if schema.dependent_required is not None:
+        for trigger, deps in sorted(schema.dependent_required.items()):
+            if trigger not in obj:
+                continue
+            for dep in deps:
+                if dep not in obj:
+                    p = path.push(dep)
+                    errors.append(Violation(
+                        p.as_str(), "MissingDependentRequired",
+                        fmt.msg_missing_dependent_required(
+                            p.display_root_or_path(), dep, trigger)))
 
 
 def _check_string(schema: SchemaNode, inst: Any, path: JsonPointer,
@@ -305,10 +345,25 @@ def _check_bounds(schema: SchemaNode, x: float, path: JsonPointer,
     if schema.maximum is not None and x > schema.maximum:
         errors.append(Violation(path.as_str(), "AboveMaximum",
                                 fmt.msg_above_maximum(loc, x, schema.maximum)))
+    # extensions: exclusive bounds + multipleOf (draft 2020-12)
+    if schema.exclusive_minimum is not None and x <= schema.exclusive_minimum:
+        errors.append(Violation(
+            path.as_str(), "BelowExclusiveMinimum",
+            fmt.msg_below_exclusive_minimum(loc, x, schema.exclusive_minimum)))
+    if schema.exclusive_maximum is not None and x >= schema.exclusive_maximum:
+        errors.append(Violation(
+            path.as_str(), "AboveExclusiveMaximum",
+            fmt.msg_above_exclusive_maximum(loc, x, schema.exclusive_maximum)))
+    if schema.multiple_of is not None and not (x % schema.multiple_of == 0):
+        # float %: same ==0 verdict as the compiler's IEEE remainder
+        errors.append(Violation(
+            path.as_str(), "NotMultipleOf",
+            fmt.msg_not_multiple_of(loc, x, schema.multiple_of)))
 
 
-def _check_array(schema: SchemaNode, arr: list, path: JsonPointer,
-                 loc: str, stack: list, errors: list[Violation]) -> None:
+def _check_array(root: SchemaNode, schema: SchemaNode, arr: list,
+                 path: JsonPointer, loc: str, stack: list,
+                 errors: list[Violation]) -> None:
     """type:"array" body (validator/mod.rs:351-407): minItems/maxItems,
     uniqueItems (first duplicate by (i, j) scan order), items recursion with
     element index as path segment."""
@@ -331,6 +386,26 @@ def _check_array(schema: SchemaNode, arr: list, path: JsonPointer,
         if dup is not None:
             errors.append(Violation(path.as_str(), "DuplicateArrayItems",
                                     fmt.msg_duplicate_array_items(loc, dup)))
+    # extensions: contains / minContains / maxContains (draft 2020-12;
+    # effective only when `contains` is present, minContains defaults 1)
+    if schema.contains is not None:
+        cnt = sum(1 for e in arr
+                  if len(validate_with_root(root, schema.contains, e)) == 0)
+        min_c = schema.min_contains if schema.min_contains is not None else 1
+        if cnt < min_c:
+            errors.append(Violation(path.as_str(), "TooFewContains",
+                                    fmt.msg_too_few_contains(loc, cnt, min_c)))
+        if schema.max_contains is not None and cnt > schema.max_contains:
+            errors.append(Violation(
+                path.as_str(), "TooManyContains",
+                fmt.msg_too_many_contains(loc, cnt, schema.max_contains)))
+    # extensions: prefixItems — first k elements get their own schemas;
+    # `items` then applies only to elements AFTER the prefix
+    k = 0
+    if schema.prefix_items is not None:
+        k = len(schema.prefix_items)
+        for i in range(min(k, n) - 1, -1, -1):
+            stack.append((schema.prefix_items[i], arr[i], path.push(str(i))))
     if schema.items is not None:
-        for i in range(n - 1, -1, -1):
+        for i in range(n - 1, k - 1, -1):
             stack.append((schema.items, arr[i], path.push(str(i))))

@@ -35,6 +35,21 @@ KNOWN_KEYWORDS = {
     "default", "deprecated", "examples", "allOf", "anyOf", "oneOf",
 }
 
+# ENGINE EXTENSIONS — the reference's own TODO list (design.md:383-677:
+# `not`, `if/then/else`, `minProperties`/`maxProperties`,
+# `dependentRequired`, `contains`/`minContains`/`maxContains`,
+# `prefixItems`, `exclusiveMinimum`/`exclusiveMaximum`, `multipleOf`),
+# implemented here with draft 2020-12 semantics. OPT-IN
+# (``extensions=True``): with extensions off these keywords behave exactly
+# as the reference — ignored when lenient, rejected in strict mode — so
+# reference parity is byte-identical by default.
+EXTENSION_KEYWORDS = {
+    "not", "if", "then", "else", "multipleOf",
+    "exclusiveMinimum", "exclusiveMaximum",
+    "minProperties", "maxProperties", "dependentRequired",
+    "contains", "minContains", "maxContains", "prefixItems",
+}
+
 # Spec-version inference (spec_version.rs:8-17; settings.rs:70-79): resolved
 # from the $schema URI, defaulting to Draft 2020-12.
 DRAFT_URIS = {
@@ -106,6 +121,22 @@ class SchemaNode:
     all_of: Optional[list["SchemaNode"]] = None
     any_of: Optional[list["SchemaNode"]] = None
     one_of: Optional[list["SchemaNode"]] = None
+    # --- extension keywords (EXTENSION_KEYWORDS; parsed only with
+    # extensions=True, always None under the reference-parity default) ---
+    not_schema: Optional["SchemaNode"] = None
+    if_schema: Optional["SchemaNode"] = None
+    then_schema: Optional["SchemaNode"] = None
+    else_schema: Optional["SchemaNode"] = None
+    multiple_of: Optional[float] = None
+    exclusive_minimum: Optional[float] = None
+    exclusive_maximum: Optional[float] = None
+    min_properties: Optional[int] = None
+    max_properties: Optional[int] = None
+    dependent_required: Optional[dict[str, list[str]]] = None
+    contains: Optional["SchemaNode"] = None
+    min_contains: Optional[int] = None
+    max_contains: Optional[int] = None
+    prefix_items: Optional[list["SchemaNode"]] = None
 
     @property
     def has_const(self) -> bool:
@@ -173,9 +204,11 @@ def _parse_type(v: Any) -> Optional[str]:
     raise SpecParseError(f"type must be a string or array of strings, got {v!r}")
 
 
-def _parse_node_map(v: Any, what: str, strict: bool) -> dict[str, SchemaNode]:
+def _parse_node_map(v: Any, what: str, strict: bool,
+                    extensions: bool = False) -> dict[str, SchemaNode]:
     _expect(isinstance(v, dict), f"{what} must be an object")
-    return {k: parse_node(sub, strict=strict) for k, sub in v.items()}
+    return {k: parse_node(sub, strict=strict, extensions=extensions)
+            for k, sub in v.items()}
 
 
 def _parse_uint(v: Any, what: str) -> int:
@@ -190,16 +223,22 @@ def _parse_num(v: Any, what: str) -> float:
     return float(v)
 
 
-def parse_node(doc: Any, *, strict: bool = False) -> SchemaNode:
+def parse_node(doc: Any, *, strict: bool = False,
+               extensions: bool = False) -> SchemaNode:
     """Parse one schema object into a :class:`SchemaNode`.
 
     ``strict=True`` mirrors ``disallow_unknown_fields``
     (json_schema.rs:510-525): any key outside the reference vocabulary is a
-    parse error.
+    parse error. ``extensions=True`` additionally parses
+    :data:`EXTENSION_KEYWORDS` (draft 2020-12 semantics; the reference's
+    design.md TODO list) — off by default so the parity contract holds:
+    extension keywords are ignored when lenient and unknown in strict mode,
+    exactly like the reference.
     """
     _expect(isinstance(doc, dict), f"schema must be a JSON object, got {type(doc).__name__}")
     if strict:
-        unknown = sorted(set(doc) - KNOWN_KEYWORDS)
+        vocab = KNOWN_KEYWORDS | EXTENSION_KEYWORDS if extensions else KNOWN_KEYWORDS
+        unknown = sorted(set(doc) - vocab)
         _expect(not unknown, f"unknown field(s) in strict mode: {', '.join(unknown)}")
 
     n = SchemaNode()
@@ -211,11 +250,11 @@ def parse_node(doc: Any, *, strict: bool = False) -> SchemaNode:
     if "type" in doc:
         n.type = _parse_type(doc["type"])
     if "$defs" in doc:
-        n.defs = _parse_node_map(doc["$defs"], "$defs", strict)
+        n.defs = _parse_node_map(doc["$defs"], "$defs", strict, extensions)
     if "definitions" in doc:
-        n.definitions = _parse_node_map(doc["definitions"], "definitions", strict)
+        n.definitions = _parse_node_map(doc["definitions"], "definitions", strict, extensions)
     if "properties" in doc:
-        n.properties = _parse_node_map(doc["properties"], "properties", strict)
+        n.properties = _parse_node_map(doc["properties"], "properties", strict, extensions)
     if "additionalProperties" in doc:
         ap = doc["additionalProperties"]
         if ap is True:
@@ -223,7 +262,8 @@ def parse_node(doc: Any, *, strict: bool = False) -> SchemaNode:
         elif ap is False:
             n.additional_properties = FORBID
         elif isinstance(ap, dict):
-            n.additional_properties = parse_node(ap, strict=strict)
+            n.additional_properties = parse_node(ap, strict=strict,
+                                                 extensions=extensions)
         else:
             raise SpecParseError("additionalProperties must be a bool or a schema")
     if "required" in doc:
@@ -237,7 +277,8 @@ def parse_node(doc: Any, *, strict: bool = False) -> SchemaNode:
     if "const" in doc:
         n.const = doc["const"]
     if "items" in doc:
-        n.items = parse_node(doc["items"], strict=strict)
+        n.items = parse_node(doc["items"], strict=strict,
+                             extensions=extensions)
     if "uniqueItems" in doc:
         _expect(isinstance(doc["uniqueItems"], bool), "uniqueItems must be a bool")
         n.unique_items = doc["uniqueItems"]
@@ -262,14 +303,67 @@ def parse_node(doc: Any, *, strict: bool = False) -> SchemaNode:
     for kw, attr in (("allOf", "all_of"), ("anyOf", "any_of"), ("oneOf", "one_of")):
         if kw in doc:
             _expect(isinstance(doc[kw], list), f"{kw} must be an array")
-            setattr(n, attr, [parse_node(s, strict=strict) for s in doc[kw]])
+            setattr(n, attr, [parse_node(s, strict=strict, extensions=extensions)
+                              for s in doc[kw]])
+    if extensions:
+        _parse_extensions(n, doc, strict=strict)
     return n
 
 
-def parse_spec(spec: Union[str, bytes, dict], *, strict: bool = False) -> SchemaNode:
+def _parse_extensions(n: SchemaNode, doc: dict, *, strict: bool) -> None:
+    """Parse :data:`EXTENSION_KEYWORDS` into their SchemaNode fields
+    (draft 2020-12 value shapes; boolean-schema forms are not part of the
+    model — sub-schemas must be objects, like everywhere else here)."""
+    def sub(kw: str) -> SchemaNode:
+        return parse_node(doc[kw], strict=strict, extensions=True)
+
+    if "not" in doc:
+        n.not_schema = sub("not")
+    if "if" in doc:
+        n.if_schema = sub("if")
+    if "then" in doc:
+        n.then_schema = sub("then")
+    if "else" in doc:
+        n.else_schema = sub("else")
+    if "multipleOf" in doc:
+        m = _parse_num(doc["multipleOf"], "multipleOf")
+        _expect(m > 0, "multipleOf must be > 0")
+        n.multiple_of = m
+    if "exclusiveMinimum" in doc:
+        n.exclusive_minimum = _parse_num(doc["exclusiveMinimum"], "exclusiveMinimum")
+    if "exclusiveMaximum" in doc:
+        n.exclusive_maximum = _parse_num(doc["exclusiveMaximum"], "exclusiveMaximum")
+    if "minProperties" in doc:
+        n.min_properties = _parse_uint(doc["minProperties"], "minProperties")
+    if "maxProperties" in doc:
+        n.max_properties = _parse_uint(doc["maxProperties"], "maxProperties")
+    if "dependentRequired" in doc:
+        dr = doc["dependentRequired"]
+        _expect(isinstance(dr, dict) and all(
+            isinstance(v, list) and all(isinstance(x, str) for x in v)
+            for v in dr.values()),
+            "dependentRequired must map property names to arrays of strings")
+        n.dependent_required = {k: list(v) for k, v in dr.items()}
+    if "contains" in doc:
+        n.contains = sub("contains")
+    if "minContains" in doc:
+        n.min_contains = _parse_uint(doc["minContains"], "minContains")
+    if "maxContains" in doc:
+        n.max_contains = _parse_uint(doc["maxContains"], "maxContains")
+    if "prefixItems" in doc:
+        pi = doc["prefixItems"]
+        _expect(isinstance(pi, list) and len(pi) > 0,
+                "prefixItems must be a non-empty array of schemas")
+        n.prefix_items = [parse_node(s, strict=strict, extensions=True)
+                          for s in pi]
+
+
+def parse_spec(spec: Union[str, bytes, dict], *, strict: bool = False,
+               extensions: bool = False) -> SchemaNode:
     """Parse a spec from a JSON string/bytes or an already-loaded dict
     (the analog of ``JsonSchema::new_from_{str,slice,serde_value}``,
-    json_schema.rs:603-688)."""
+    json_schema.rs:603-688). ``extensions`` opts into
+    :data:`EXTENSION_KEYWORDS`."""
     if isinstance(spec, (str, bytes)):
         try:
             doc = json.loads(spec)
@@ -277,7 +371,7 @@ def parse_spec(spec: Union[str, bytes, dict], *, strict: bool = False) -> Schema
             raise SpecParseError(f"invalid JSON: {e}") from e
     else:
         doc = spec
-    return parse_node(doc, strict=strict)
+    return parse_node(doc, strict=strict, extensions=extensions)
 
 
 def resolved_spec_version(root: SchemaNode) -> str:

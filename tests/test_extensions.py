@@ -1,0 +1,261 @@
+"""Draft-2020-12 extension keywords (the reference's design.md TODO list):
+not, if/then/else, multipleOf, exclusiveMinimum/Maximum, minProperties/
+maxProperties, dependentRequired, contains/minContains/maxContains,
+prefixItems.
+
+Three gates:
+1. parity-off: with extensions=False (default) the keywords are inert —
+   lenient parse ignores them, strict parse rejects them (reference
+   behavior, byte-identical);
+2. compiler vs pyvalidator byte-equality over typed rows (same harness as
+   test_compiler_spark);
+3. verdict differential vs the ``jsonschema`` package on dynamic
+   instances (the third engine actually implements these keywords).
+"""
+
+import pytest
+from pyspark.sql import Row
+
+from json_schema_rs_spark import ValidationEngine
+from json_schema_rs_spark.plans.pyvalidator import validate
+from json_schema_rs_spark.plans.spec import SpecParseError, parse_spec
+
+from test_compiler_spark import row_to_instance, spark_violations
+
+
+def python_violations_ext(spec, df, keys=("id",)):
+    root = parse_spec(spec, extensions=True)
+    out = []
+    for row in df.collect():
+        inst = row_to_instance(row)
+        for v in validate(root, inst):
+            out.append(tuple(row[k] for k in keys) + (v.path, v.code, v.message))
+    return sorted(out)
+
+
+def cross_check(spark, spec, rows, schema, keys=("id",)):
+    df = spark.createDataFrame(rows, schema=schema)
+    engine = ValidationEngine(spec, key_cols=keys, extensions=True)
+    got = spark_violations(engine, df, keys)
+    want = python_violations_ext(spec, df, keys)
+    assert got == want, f"\nspark: {got}\npy:    {want}"
+    return got
+
+
+class TestParityOff:
+    def test_lenient_default_ignores_extensions(self, spark):
+        spec = {"type": "object",
+                "properties": {"a": {"type": "integer", "multipleOf": 5}},
+                "not": {"type": "object"}}
+        df = spark.createDataFrame([Row(id=1, a=7)], "id int, a int")
+        # default engine: multipleOf/not invisible -> zero violations
+        s = ValidationEngine(spec, key_cols=("id",)).validate(df).summary()
+        assert s["violation_count"] == 0
+        # extensions on: 7 is not a multiple of 5, and `not` matches
+        s2 = ValidationEngine(spec, key_cols=("id",),
+                              extensions=True).validate(df).summary()
+        assert s2["violation_count"] == 2
+
+    def test_strict_default_rejects_extension_keywords(self):
+        with pytest.raises(SpecParseError, match="multipleOf"):
+            parse_spec({"type": "integer", "multipleOf": 5}, strict=True)
+        # strict + extensions accepts them
+        n = parse_spec({"type": "integer", "multipleOf": 5},
+                       strict=True, extensions=True)
+        assert n.multiple_of == 5.0
+
+
+class TestNumericExtensions:
+    SCHEMA = "id int, a long, b double"
+    SPEC = {"type": "object", "properties": {
+        "a": {"type": "integer", "multipleOf": 3},
+        "b": {"type": "number", "exclusiveMinimum": 0,
+              "exclusiveMaximum": 10.5},
+    }}
+
+    def test_cross_engine_bytes(self, spark):
+        rows = [Row(id=1, a=9, b=5.0),       # clean
+                Row(id=2, a=7, b=0.0),       # not multiple; == exmin
+                Row(id=3, a=-6, b=10.5),     # negative multiple ok; == exmax
+                Row(id=4, a=None, b=-1.5),   # absent a; below exmin
+                Row(id=5, a=0, b=10.4999)]   # zero is a multiple
+        got = cross_check(spark, self.SPEC, rows, self.SCHEMA)
+        codes = sorted(c for _, _, c, _ in got)
+        assert codes == ["AboveExclusiveMaximum", "BelowExclusiveMinimum",
+                         "BelowExclusiveMinimum", "NotMultipleOf"]
+
+    def test_fractional_multiple_of(self, spark):
+        spec = {"type": "object", "properties": {
+            "b": {"type": "number", "multipleOf": 0.5}}}
+        rows = [Row(id=1, b=2.5), Row(id=2, b=2.75), Row(id=3, b=-1.5)]
+        got = cross_check(spark, spec, rows, "id int, b double")
+        assert [r[0] for r in got] == [2]
+
+    def test_jsonschema_verdicts(self):
+        jsonschema = pytest.importorskip("jsonschema")
+        spec = {"type": "number", "multipleOf": 0.5,
+                "exclusiveMinimum": -2, "exclusiveMaximum": 7}
+        root = parse_spec(spec, extensions=True)
+        v3 = jsonschema.Draft202012Validator(spec)
+        for x in (-2.5, -2, -1.5, 0, 0.25, 3.5, 6.5, 7, 7.5):
+            assert (len(validate(root, x)) == 0) == v3.is_valid(x), x
+
+
+class TestNotIfThenElse:
+    def test_not_cross_engine(self, spark):
+        spec = {"type": "object", "properties": {
+            "s": {"type": "string", "not": {"enum": ["forbidden", "banned"]}}}}
+        rows = [Row(id=1, s="ok"), Row(id=2, s="forbidden"), Row(id=3, s=None)]
+        got = cross_check(spark, spec, rows, "id int, s string")
+        assert [(r[0], r[2]) for r in got] == [(2, "NotSchemaMatched")]
+
+    def test_if_then_else_cross_engine(self, spark):
+        # the transcript shape: IF role is "tool" THEN tool is required,
+        # ELSE tool must be absent-or-enum
+        spec = {"type": "object",
+                "if": {"properties": {"role": {"const": "tool"}},
+                       "required": ["role"]},
+                "then": {"required": ["tool"]},
+                "else": {"properties": {"tool": {"enum": ["search"]}}},
+                "properties": {"role": {"type": "string"}}}
+        rows = [Row(id=1, role="tool", tool="search"),    # then: ok
+                Row(id=2, role="tool", tool=None),        # then: missing tool
+                Row(id=3, role="user", tool="search"),    # else: ok
+                Row(id=4, role="user", tool="browser"),   # else: enum miss
+                Row(id=5, role=None, tool=None)]          # if fails (role absent): else, ok
+        got = cross_check(spark, spec, rows, "id int, role string, tool string")
+        assert [(r[0], r[2]) for r in got] == [
+            (2, "MissingRequired"), (4, "NotInEnum")]
+
+    def test_then_without_if_is_inert(self, spark):
+        spec = {"type": "object", "then": {"required": ["x"]},
+                "properties": {"x": {"type": "string"}}}
+        rows = [Row(id=1, x=None)]
+        assert cross_check(spark, spec, rows, "id int, x string") == []
+
+    def test_jsonschema_verdicts(self):
+        jsonschema = pytest.importorskip("jsonschema")
+        spec = {"if": {"properties": {"a": {"const": 1}}, "required": ["a"]},
+                "then": {"required": ["b"]},
+                "else": {"not": {"required": ["b"]}}}
+        root = parse_spec(spec, extensions=True)
+        v3 = jsonschema.Draft202012Validator(spec)
+        for inst in ({"a": 1, "b": 2}, {"a": 1}, {"a": 2, "b": 2},
+                     {"a": 2}, {}, {"b": 1}):
+            assert (len(validate(root, inst)) == 0) == v3.is_valid(inst), inst
+
+
+class TestObjectExtensions:
+    def test_min_max_properties_cross_engine(self, spark):
+        spec = {"type": "object", "minProperties": 2, "maxProperties": 3,
+                "properties": {"id": {"type": "integer"}}}
+        # presence = non-null column among (id, x, y, z)
+        rows = [Row(id=1, x="a", y=None, z=None),   # 2 present: ok
+                Row(id=2, x=None, y=None, z=None),  # 1: too few
+                Row(id=3, x="a", y="b", z="c")]     # 4: too many
+        got = cross_check(spark, spec, rows,
+                          "id int, x string, y string, z string")
+        assert [(r[0], r[2]) for r in got] == [
+            (2, "TooFewProperties"), (3, "TooManyProperties")]
+
+    def test_dependent_required_cross_engine(self, spark):
+        spec = {"type": "object",
+                "dependentRequired": {"tool": ["ts", "role"]},
+                "properties": {"tool": {"type": "string"}}}
+        rows = [Row(id=1, tool="search", ts="t", role="r"),  # ok
+                Row(id=2, tool="search", ts=None, role="r"), # missing ts
+                Row(id=3, tool=None, ts=None, role=None)]    # trigger absent
+        got = cross_check(spark, spec, rows,
+                          "id int, tool string, ts string, role string")
+        assert [(r[0], r[1], r[2]) for r in got] == [
+            (2, "/ts", "MissingDependentRequired")]
+
+    def test_jsonschema_verdicts(self):
+        jsonschema = pytest.importorskip("jsonschema")
+        spec = {"minProperties": 1, "maxProperties": 2,
+                "dependentRequired": {"a": ["b"]}}
+        root = parse_spec(spec, extensions=True)
+        v3 = jsonschema.Draft202012Validator(spec)
+        for inst in ({}, {"a": 1}, {"a": 1, "b": 2}, {"b": 2},
+                     {"a": 1, "b": 2, "c": 3}, {"x": 1, "y": 2}):
+            assert (len(validate(root, inst)) == 0) == v3.is_valid(inst), inst
+
+
+class TestArrayExtensions:
+    SCHEMA = "id int, arr array<int>"
+
+    def test_contains_cross_engine(self, spark):
+        spec = {"type": "object", "properties": {
+            "arr": {"type": "array",
+                    "contains": {"type": "integer", "minimum": 10},
+                    "minContains": 2, "maxContains": 3}}}
+        rows = [Row(id=1, arr=[10, 11, 1]),        # 2 matches: ok
+                Row(id=2, arr=[10, 1, 2]),         # 1: too few
+                Row(id=3, arr=[10, 11, 12, 13]),   # 4: too many
+                Row(id=4, arr=[]),                 # 0: too few
+                Row(id=5, arr=[1, None, 12, 20])]  # null element skipped: 2 ok
+        got = cross_check(spark, spec, rows, self.SCHEMA)
+        assert [(r[0], r[2]) for r in got] == [
+            (2, "TooFewContains"), (3, "TooManyContains"),
+            (4, "TooFewContains")]
+
+    def test_min_contains_zero_always_satisfied(self, spark):
+        spec = {"type": "object", "properties": {
+            "arr": {"type": "array", "contains": {"const": 99},
+                    "minContains": 0}}}
+        rows = [Row(id=1, arr=[1, 2]), Row(id=2, arr=[])]
+        assert cross_check(spark, spec, rows, self.SCHEMA) == []
+
+    def test_prefix_items_and_items_after(self, spark):
+        # NOTE: sub-schemas must carry a `type` for numeric bounds to
+        # fire — typeless nodes enforce only presence checks, the
+        # engine-wide reference semantic (validator/mod.rs:417-441)
+        spec = {"type": "object", "properties": {
+            "arr": {"type": "array",
+                    "prefixItems": [{"const": 0},
+                                    {"type": "integer", "minimum": 100}],
+                    "items": {"type": "integer", "maximum": 9}}}}
+        rows = [Row(id=1, arr=[0, 100, 1, 2]),   # ok everywhere
+                Row(id=2, arr=[5, 100, 1]),      # prefix 0 mismatch
+                Row(id=3, arr=[0, 1, 50]),       # prefix 1 below min, item 2 above max
+                Row(id=4, arr=[0]),              # shorter than prefix: ok
+                Row(id=5, arr=[])]               # empty: ok
+        got = cross_check(spark, spec, rows, self.SCHEMA)
+        assert [(r[0], r[1], r[2]) for r in got] == [
+            (2, "/arr/0", "NotConst"),
+            (3, "/arr/1", "BelowMinimum"),
+            (3, "/arr/2", "AboveMaximum")]
+
+    def test_jsonschema_verdicts(self):
+        jsonschema = pytest.importorskip("jsonschema")
+        spec = {"type": "array",
+                "prefixItems": [{"const": 0}],
+                "items": {"type": "integer", "maximum": 9},
+                "contains": {"type": "integer", "minimum": 5},
+                "minContains": 1, "maxContains": 2}
+        root = parse_spec(spec, extensions=True)
+        v3 = jsonschema.Draft202012Validator(spec)
+        for inst in ([0, 5], [0, 1], [0, 5, 6, 7], [0], [],
+                     [1, 5], [0, 5, 6], [0, 10]):
+            assert (len(validate(root, inst)) == 0) == v3.is_valid(inst), inst
+
+
+class TestExtensionsPlanShape:
+    def test_row_local_extensions_no_exchange(self, spark):
+        """Every extension keyword stays in the zero-shuffle row plan."""
+        spec = {"type": "object", "minProperties": 1,
+                "dependentRequired": {"a": ["b"]},
+                "if": {"required": ["a"]}, "then": {"required": ["b"]},
+                "not": {"properties": {"a": {"const": -1}}},
+                "properties": {
+                    "a": {"type": "integer", "multipleOf": 2,
+                          "exclusiveMinimum": 0},
+                    "arr": {"type": "array", "contains": {"minimum": 1},
+                            "prefixItems": [{"const": 0}]}}}
+        df = spark.createDataFrame(
+            [Row(id=1, a=2, b="x", arr=[0, 1])],
+            "id int, a long, b string, arr array<int>")
+        engine = ValidationEngine(spec, key_cols=("id",), extensions=True)
+        plan = engine.validate(df).violations._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan, plan
