@@ -313,6 +313,44 @@ FROM tx WHERE tool IS NOT NULL AND ts IS NULL
 """
 
 
+def _q_v_ext_object(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # object extension keywords over the transcript shape:
+    # patternProperties constrains every ^te-named field (text) without
+    # declaring it in `properties`; propertyNames bans the name "tool"
+    # (fires only where the property is PRESENT — tool is nullable);
+    # dependentSchemas gates a whole-instance sub-schema on tool presence
+    spec = {
+        "type": "object",
+        "patternProperties": {"^te": {"type": "string", "minLength": 9}},
+        "propertyNames": {"not": {"const": "tool"}},
+        "dependentSchemas": {
+            "tool": {"properties": {"role": {"const": "tool"}}}},
+        "properties": {"role": {"type": "string"}},
+    }
+    tx = _transcripts_with_tools(_t(spark, sf_dir, "events"))
+    return ValidationEngine(spec, key_cols=("conv_id", "turn_idx"),
+                            extensions=True).validate(tx).violations
+
+
+def _sql_v_ext_object() -> str:
+    return f"""
+WITH tx AS ({_ORACLE_TX_TOOLS})
+SELECT conv_id, turn_idx, '/text' AS instance_path, 'TooShort' AS code,
+       '/text: string has ' || CAST(length(text) AS VARCHAR) ||
+       ' code points, minLength is 9' AS message
+FROM tx WHERE length(text) < 9
+UNION ALL
+SELECT conv_id, turn_idx, '/tool', 'InvalidPropertyName',
+       '/tool: property name "tool" does not match "propertyNames"'
+FROM tx WHERE tool IS NOT NULL
+UNION ALL
+SELECT conv_id, turn_idx, '/role', 'NotConst',
+       '/role: value "' || role ||
+       '" does not match const (expected: "tool")'
+FROM tx WHERE tool IS NOT NULL AND role <> 'tool'
+"""
+
+
 def _q_v_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = {"type": "object", "properties": {
         "text": {"type": "string", "minLength": 50, "maxLength": 600}}}
@@ -2365,6 +2403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_bounds_int": _q_v_bounds,
         "v_ext_numeric": _q_v_ext_numeric,
         "v_conditional": _q_v_conditional,
+        "v_ext_object": _q_v_ext_object,
         "v_bounds_frac": _q_v_bounds_frac,
         "v_length": _q_v_length,
         "v_pattern": _q_v_pattern,
@@ -2470,6 +2509,7 @@ def oracle_sql() -> dict[str, str]:
         "v_bounds_int": _SQL_V_BOUNDS,
         "v_ext_numeric": _SQL_V_EXT_NUMERIC,
         "v_conditional": _sql_v_conditional(),
+        "v_ext_object": _sql_v_ext_object(),
         "v_bounds_frac": _SQL_V_BOUNDS_FRAC,
         "v_length": _SQL_V_LENGTH,
         "v_pattern": _SQL_V_PATTERN,

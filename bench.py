@@ -49,6 +49,7 @@ HEADLINE = [
     "v_pattern_hard",
     "v_ext_numeric",
     "v_conditional",
+    "v_ext_object",
     "x_quality",
     "m_media_meta",
     "t_role_protocol",

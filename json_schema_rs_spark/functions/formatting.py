@@ -217,3 +217,7 @@ def msg_too_few_contains(location: str, actual: int, min_contains: int) -> str:
 def msg_too_many_contains(location: str, actual: int, max_contains: int) -> str:
     return (f'{location}: array has {actual} item(s) matching "contains", '
             f"maximum is {max_contains}")
+
+
+def msg_invalid_property_name(location: str, name: str) -> str:
+    return f'{location}: property name "{name}" does not match "propertyNames"'

@@ -631,7 +631,11 @@ def _compile_object(
     descent, additionalProperties over undeclared fields."""
     checks = _compile_required_properties(ctx, node, tgt, path, path_str, gate)
     fields = tgt.fields or {}
-    extra = [k for k in fields if k not in node.properties]
+    # extension: a property matched by patternProperties is NOT
+    # "additional" (draft 2020-12 additionalProperties semantics)
+    pattern_matched = _pattern_matched_names(node, fields)
+    extra = [k for k in fields
+             if k not in node.properties and k not in pattern_matched]
     ap = node.additional_properties
     if ap == FORBID:
         for k in extra:
@@ -679,24 +683,41 @@ def _compile_required_properties(
         if key in fields:
             kcol, kdtype = fields[key]
             checks.extend(_compile_property(ctx, sub, key, kcol, kdtype, path, path_str, gate))
-    checks.extend(_compile_object_extensions(node, fields, path, path_str, gate))
+    checks.extend(_compile_object_extensions(ctx, node, tgt, path, path_str, gate))
     return checks
 
 
+def _pattern_matched_names(node: SchemaNode, fields: dict) -> set:
+    """Declared field names matched by any patternProperties pattern —
+    STATIC at plan time for typed targets (names come from the schema).
+    Patterns were ECMA-validated at parse; the rare valid-ECMA shape
+    Python cannot express raises loudly here (never a silent no-match)."""
+    if node.pattern_properties is None:
+        return set()
+    out = set()
+    for pat in node.pattern_properties:
+        rx = ecma_regex.compile_python(pat)  # may raise UnsupportedPatternError
+        out.update(k for k in fields if rx.search(k) is not None)
+    return out
+
+
 def _compile_object_extensions(
+    ctx: CompileContext,
     node: SchemaNode,
-    fields: dict,
+    tgt: Target,
     path: Column,
     path_str: Optional[str],
     gate: Column,
 ) -> list[Check]:
     """Extension keywords over object targets: minProperties /
-    maxProperties / dependentRequired (draft 2020-12). For typed targets
+    maxProperties / dependentRequired / patternProperties /
+    propertyNames / dependentSchemas (draft 2020-12). For typed targets
     "present" = non-null among the DECLARED fields — the same
     presence convention `required` uses; a property name absent from the
     struct/table is never present (so it can't satisfy a dependency and
     never triggers one)."""
     checks: list[Check] = []
+    fields = tgt.fields or {}
     loc = _loc_col(path, path_str)
     if node.min_properties is not None or node.max_properties is not None:
         n_present = None
@@ -740,6 +761,51 @@ def _compile_object_extensions(
                         f'missing property "{dep}" required by '
                         f'presence of "{trigger}"')]),
                 ))
+    # patternProperties: sub-schemas over every DECLARED field whose name
+    # matches — name matching is static at plan time, so this compiles to
+    # ordinary per-property checks (applies in addition to `properties`,
+    # draft 2020-12)
+    if node.pattern_properties is not None:
+        matched: dict[str, list[SchemaNode]] = {}
+        for pat, sub in sorted(node.pattern_properties.items()):
+            rx = ecma_regex.compile_python(pat)
+            for k in fields:
+                if rx.search(k) is not None:
+                    matched.setdefault(k, []).append(sub)
+        for k in sorted(matched):
+            kcol, kdtype = fields[k]
+            for sub in matched[k]:
+                checks.extend(_compile_property(
+                    ctx, sub, k, kcol, kdtype, path, path_str, gate))
+    # propertyNames: the NAME (a string instance) must satisfy the
+    # sub-schema. Typed targets have static names, so each name is judged
+    # ONCE at plan time with the pyvalidator twin; a failing name flags
+    # every row where that property is present.
+    if node.property_names is not None:
+        from .pyvalidator import validate_with_root
+        for k in sorted(fields):
+            if len(validate_with_root(ctx.root, node.property_names, k)) == 0:
+                continue
+            kcol, _ = fields[k]
+            kpath_str = (path_str + "/" + escape_segment(k)) \
+                if path_str is not None else None
+            kpath = F.concat(path, F.lit("/" + escape_segment(k)))
+            checks.append(ScalarCheck(
+                cond=gate & kcol.isNotNull(), path=kpath,
+                code="InvalidPropertyName",
+                message=_msg(_loc_col(kpath, kpath_str), [F.lit(
+                    f'property name "{k}" does not match "propertyNames"')]),
+            ))
+    # dependentSchemas: trigger present -> the WHOLE instance must also
+    # satisfy the sub-schema (compiled against the same target, gated on
+    # the trigger's presence)
+    if node.dependent_schemas is not None:
+        for trigger, sub in sorted(node.dependent_schemas.items()):
+            if trigger not in fields:
+                continue
+            checks.extend(compile_node(
+                ctx, sub, tgt, path, path_str,
+                gate & fields[trigger][0].isNotNull()))
     return checks
 
 
@@ -1004,12 +1070,22 @@ def _referenced_columns(root: SchemaNode, schema: T.StructType) -> list[str]:
             out.update(names)  # additionalProperties inspects every column
         if n.min_properties is not None or n.max_properties is not None:
             out.update(names)  # property counting inspects every column
+        if n.property_names is not None:
+            out.update(names)  # every name judged, presence per column
+        if n.pattern_properties is not None:
+            for pat in n.pattern_properties:
+                rx = ecma_regex.compile_python(pat)
+                out.update(k for k in names if rx.search(k) is not None)
         if n.dependent_required is not None:
             for k, deps in n.dependent_required.items():
                 out.update(({k} | set(deps)) & names)
+        if n.dependent_schemas is not None:
+            out.update(set(n.dependent_schemas) & names)
         for sub in ((n.all_of or []) + (n.any_of or []) + (n.one_of or [])
                     + [s for s in (n.not_schema, n.if_schema, n.then_schema,
-                                   n.else_schema) if s is not None]):
+                                   n.else_schema) if s is not None]
+                    + list((n.pattern_properties or {}).values())
+                    + list((n.dependent_schemas or {}).values())):
             walk(sub)
         for m in (n.defs, n.definitions):
             if m:

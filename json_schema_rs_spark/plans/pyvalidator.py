@@ -201,7 +201,7 @@ def validate_with_root(root: SchemaNode, start: SchemaNode, instance: Any) -> li
                     path.as_str(), "ExpectedObject",
                     fmt.msg_expected_type(loc, "object", fmt.json_type_name(inst))))
                 continue
-            _check_object(schema, inst, path, stack, errors)
+            _check_object(root, schema, inst, path, stack, errors)
         elif t == "string":
             _check_string(schema, inst, path, loc, errors)
         elif t == "integer":
@@ -234,16 +234,22 @@ def validate_with_root(root: SchemaNode, start: SchemaNode, instance: Any) -> li
             # type absent or not enforced (e.g. "null"): required/properties
             # still apply to objects (validator/mod.rs:417-441)
             if isinstance(inst, dict):
-                _check_required_and_properties(schema, inst, path, stack, errors)
+                _check_required_and_properties(root, schema, inst, path, stack, errors)
 
     return errors
 
 
-def _check_object(schema: SchemaNode, obj: dict, path: JsonPointer,
-                  stack: list, errors: list[Violation]) -> None:
+def _check_object(root: SchemaNode, schema: SchemaNode, obj: dict,
+                  path: JsonPointer, stack: list,
+                  errors: list[Violation]) -> None:
     """type:"object" body (validator/mod.rs:174-229)."""
-    _check_required_and_properties(schema, obj, path, stack, errors)
-    extra = [k for k in obj if k not in schema.properties]
+    _check_required_and_properties(root, schema, obj, path, stack, errors)
+    # a property matched by patternProperties is NOT "additional" (2020-12)
+    pp = sorted(schema.pattern_properties.items()) \
+        if schema.pattern_properties is not None else []
+    pp_rx = [(ecma_regex.compile_python(pat), sub) for pat, sub in pp]
+    extra = [k for k in obj if k not in schema.properties
+             and not any(rx.search(k) is not None for rx, _ in pp_rx)]
     if extra:
         ap = schema.additional_properties
         if ap == FORBID:
@@ -257,7 +263,8 @@ def _check_object(schema: SchemaNode, obj: dict, path: JsonPointer,
                 stack.append((ap, obj[k], path.push(k)))
 
 
-def _check_required_and_properties(schema: SchemaNode, obj: dict, path: JsonPointer,
+def _check_required_and_properties(root: SchemaNode, schema: SchemaNode,
+                                   obj: dict, path: JsonPointer,
                                    stack: list, errors: list[Violation]) -> None:
     """required + properties descent, shared by object and typeless nodes
     (validator/mod.rs:183-202, 417-441). Note the MissingRequired path is
@@ -300,6 +307,34 @@ def _check_required_and_properties(schema: SchemaNode, obj: dict, path: JsonPoin
                         p.as_str(), "MissingDependentRequired",
                         fmt.msg_missing_dependent_required(
                             p.display_root_or_path(), dep, trigger)))
+    # patternProperties: sub-schemas over every key whose name matches
+    # (in addition to `properties`)
+    if schema.pattern_properties is not None:
+        pending_pp = []
+        for pat, sub in sorted(schema.pattern_properties.items()):
+            rx = ecma_regex.compile_python(pat)
+            pending_pp.extend((sub, obj[k], path.push(k))
+                              for k in sorted(obj) if rx.search(k) is not None)
+        for item in reversed(pending_pp):
+            stack.append(item)
+    # propertyNames: every key, as a string instance, must satisfy the
+    # sub-schema (combinator-style trial; the violation is ours)
+    if schema.property_names is not None:
+        for k in sorted(obj):
+            if len(validate_with_root(root, schema.property_names, k)) > 0:
+                p = path.push(k)
+                errors.append(Violation(
+                    p.as_str(), "InvalidPropertyName",
+                    fmt.msg_invalid_property_name(
+                        p.display_root_or_path(), k)))
+    # dependentSchemas: trigger present -> the whole instance must also
+    # satisfy the sub-schema
+    if schema.dependent_schemas is not None:
+        pending_ds = [(sub, obj, path)
+                      for trigger, sub in sorted(schema.dependent_schemas.items())
+                      if trigger in obj]
+        for item in reversed(pending_ds):
+            stack.append(item)
 
 
 def _check_string(schema: SchemaNode, inst: Any, path: JsonPointer,

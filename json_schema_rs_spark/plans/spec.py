@@ -48,6 +48,7 @@ EXTENSION_KEYWORDS = {
     "exclusiveMinimum", "exclusiveMaximum",
     "minProperties", "maxProperties", "dependentRequired",
     "contains", "minContains", "maxContains", "prefixItems",
+    "patternProperties", "propertyNames", "dependentSchemas",
 }
 
 # Spec-version inference (spec_version.rs:8-17; settings.rs:70-79): resolved
@@ -137,6 +138,9 @@ class SchemaNode:
     min_contains: Optional[int] = None
     max_contains: Optional[int] = None
     prefix_items: Optional[list["SchemaNode"]] = None
+    pattern_properties: Optional[dict[str, "SchemaNode"]] = None
+    property_names: Optional["SchemaNode"] = None
+    dependent_schemas: Optional[dict[str, "SchemaNode"]] = None
 
     @property
     def has_const(self) -> bool:
@@ -356,6 +360,26 @@ def _parse_extensions(n: SchemaNode, doc: dict, *, strict: bool) -> None:
                 "prefixItems must be a non-empty array of schemas")
         n.prefix_items = [parse_node(s, strict=strict, extensions=True)
                           for s in pi]
+    if "patternProperties" in doc:
+        # unlike `pattern` (whose invalid forms become
+        # InvalidPatternInSchema VIOLATIONS for reference parity), an
+        # invalid patternProperties key is a PARSE error: the extension
+        # has no parity contract and a bad pattern can never match a name
+        from ..functions import ecma_regex
+        pp = doc["patternProperties"]
+        _expect(isinstance(pp, dict), "patternProperties must be an object")
+        for pat in pp:
+            if not ecma_regex.translate(pat).valid:
+                raise SpecParseError(
+                    f'patternProperties pattern "{pat}" is not valid ECMA-262')
+        n.pattern_properties = _parse_node_map(
+            pp, "patternProperties", strict, extensions=True)
+    if "propertyNames" in doc:
+        n.property_names = sub("propertyNames")
+    if "dependentSchemas" in doc:
+        n.dependent_schemas = _parse_node_map(
+            doc["dependentSchemas"], "dependentSchemas", strict,
+            extensions=True)
 
 
 def parse_spec(spec: Union[str, bytes, dict], *, strict: bool = False,

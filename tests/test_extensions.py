@@ -245,6 +245,9 @@ class TestExtensionsPlanShape:
         """Every extension keyword stays in the zero-shuffle row plan."""
         spec = {"type": "object", "minProperties": 1,
                 "dependentRequired": {"a": ["b"]},
+                "dependentSchemas": {"b": {"required": ["a"]}},
+                "patternProperties": {"^b$": {"type": "string"}},
+                "propertyNames": {"maxLength": 3},
                 "if": {"required": ["a"]}, "then": {"required": ["b"]},
                 "not": {"properties": {"a": {"const": -1}}},
                 "properties": {
@@ -259,3 +262,69 @@ class TestExtensionsPlanShape:
         plan = engine.validate(df).violations._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+class TestObjectSchemaExtensions:
+    def test_pattern_properties_cross_engine(self, spark):
+        spec = {"type": "object",
+                "patternProperties": {
+                    "^meta_": {"type": "string", "minLength": 2}},
+                "properties": {"id": {"type": "integer"}}}
+        rows = [Row(id=1, meta_a="ok", meta_b="xx", other="z"),
+                Row(id=2, meta_a="y", meta_b=None, other=None),  # too short
+                Row(id=3, meta_a=None, meta_b="zz", other="q")]
+        got = cross_check(spark, spec, rows,
+                          "id int, meta_a string, meta_b string, other string")
+        assert [(r[0], r[1], r[2]) for r in got] == [(2, "/meta_a", "TooShort")]
+
+    def test_pattern_properties_excuse_additional(self, spark):
+        spec = {"type": "object", "additionalProperties": False,
+                "patternProperties": {"^x_": {"type": "string"}},
+                "properties": {"id": {"type": "integer"}}}
+        rows = [Row(id=1, x_a="ok", rogue="bad"),
+                Row(id=2, x_a="ok", rogue=None)]
+        got = cross_check(spark, spec, rows, "id int, x_a string, rogue string")
+        assert [(r[0], r[1], r[2]) for r in got] == [
+            (1, "/rogue", "DisallowedAdditionalProperty")]
+
+    def test_property_names_cross_engine(self, spark):
+        spec = {"type": "object",
+                "propertyNames": {"type": "string", "maxLength": 4}}
+        rows = [Row(id=1, ab="x", toolong="y"),
+                Row(id=2, ab="x", toolong=None)]  # absent -> not judged present
+        got = cross_check(spark, spec, rows, "id int, ab string, toolong string")
+        assert [(r[0], r[1], r[2]) for r in got] == [
+            (1, "/toolong", "InvalidPropertyName")]
+
+    def test_dependent_schemas_cross_engine(self, spark):
+        spec = {"type": "object",
+                "dependentSchemas": {
+                    "tool": {"required": ["ts"],
+                             "properties": {"role": {"const": "tool"}}}},
+                "properties": {"role": {"type": "string"}}}
+        rows = [Row(id=1, tool="search", ts="t", role="tool"),   # ok
+                Row(id=2, tool="search", ts=None, role="tool"),  # missing ts
+                Row(id=3, tool="search", ts="t", role="user"),   # const miss
+                Row(id=4, tool=None, ts=None, role="user")]      # untriggered
+        got = cross_check(spark, spec, rows,
+                          "id int, tool string, ts string, role string")
+        assert [(r[0], r[1], r[2]) for r in got] == [
+            (2, "/ts", "MissingRequired"), (3, "/role", "NotConst")]
+
+    def test_jsonschema_verdicts(self):
+        jsonschema = pytest.importorskip("jsonschema")
+        spec = {"type": "object",
+                "patternProperties": {"^n_": {"type": "integer"}},
+                "propertyNames": {"type": "string", "pattern": "^[a-z_]+$"},
+                "dependentSchemas": {"a": {"required": ["b"]}},
+                "properties": {"a": {"type": "integer"},
+                               "b": {"type": "integer"}}}
+        root = parse_spec(spec, extensions=True)
+        v3 = jsonschema.Draft202012Validator(spec)
+        for inst in ({"a": 1, "b": 2}, {"a": 1}, {"n_x": 1}, {"n_x": "s"},
+                     {"BAD": 1}, {"b": 2, "n_y": 0}, {}):
+            assert (len(validate(root, inst)) == 0) == v3.is_valid(inst), inst
+
+    def test_invalid_pattern_properties_rejected_at_parse(self):
+        with pytest.raises(SpecParseError, match="ECMA-262"):
+            parse_spec({"patternProperties": {"(?i)x": {}}}, extensions=True)
