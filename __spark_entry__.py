@@ -351,6 +351,31 @@ FROM tx WHERE tool IS NOT NULL AND role <> 'tool'
 """
 
 
+def _q_v_content_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # content* extension keywords (E13): props is a JSON string column;
+    # contentMediaType asserts it parses, contentSchema validates the
+    # PARSED document (violations re-rooted under /props)
+    spec = {"type": "object", "properties": {
+        "props": {"type": "string", "contentMediaType": "application/json",
+                  "contentSchema": {
+                      "type": "object", "required": ["k"],
+                      "properties": {"k": {"type": "integer",
+                                           "maximum": 80}}}}}}
+    return ValidationEngine(spec, key_cols=("event_id",),
+                            extensions=True) \
+        .validate(_t(spark, sf_dir, "events")).violations
+
+
+_SQL_V_CONTENT_JSON = """
+SELECT event_id, '/props/k' AS instance_path, 'AboveMaximum' AS code,
+  '/props/k: value ' ||
+  CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR) ||
+  ' is above maximum 80' AS message
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 80
+"""
+
+
 def _q_v_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = {"type": "object", "properties": {
         "text": {"type": "string", "minLength": 50, "maxLength": 600}}}
@@ -2404,6 +2429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_ext_numeric": _q_v_ext_numeric,
         "v_conditional": _q_v_conditional,
         "v_ext_object": _q_v_ext_object,
+        "v_content_json": _q_v_content_json,
         "v_bounds_frac": _q_v_bounds_frac,
         "v_length": _q_v_length,
         "v_pattern": _q_v_pattern,
@@ -2510,6 +2536,7 @@ def oracle_sql() -> dict[str, str]:
         "v_ext_numeric": _SQL_V_EXT_NUMERIC,
         "v_conditional": _sql_v_conditional(),
         "v_ext_object": _sql_v_ext_object(),
+        "v_content_json": _SQL_V_CONTENT_JSON,
         "v_bounds_frac": _SQL_V_BOUNDS_FRAC,
         "v_length": _SQL_V_LENGTH,
         "v_pattern": _SQL_V_PATTERN,

@@ -50,6 +50,7 @@ HEADLINE = [
     "v_ext_numeric",
     "v_conditional",
     "v_ext_object",
+    "v_content_json",
     "x_quality",
     "m_media_meta",
     "t_role_protocol",

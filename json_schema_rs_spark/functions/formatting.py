@@ -221,3 +221,11 @@ def msg_too_many_contains(location: str, actual: int, max_contains: int) -> str:
 
 def msg_invalid_property_name(location: str, name: str) -> str:
     return f'{location}: property name "{name}" does not match "propertyNames"'
+
+
+def msg_invalid_content_encoding(location: str, encoding: str) -> str:
+    return f'{location}: string is not valid "{encoding}" content'
+
+
+def msg_invalid_content_media_type(location: str, media_type: str) -> str:
+    return f'{location}: string content is not valid "{media_type}"'

@@ -519,6 +519,7 @@ def _compile_type_scoped(
                     F.lit('string "'), s, F.lit('" is not a valid UUID'),
                 ]),
             ))
+        checks.extend(_compile_content(ctx, node, s, path, sgate, loc))
         return checks
 
     if t in ("integer", "number"):
@@ -954,6 +955,88 @@ def _compile_array(
         per_elem_arrays = F.transform(arr, per_element)
         item_viols = F.when(gate, F.flatten(per_elem_arrays)).otherwise(_empty_violations())
         checks.append(ArrayCheck(arr=item_viols))
+    return checks
+
+
+def _compile_content(
+    ctx: "CompileContext",
+    node: SchemaNode,
+    s: Column,
+    path: Column,
+    sgate: Column,
+    loc: Column,
+) -> list[Check]:
+    """content* assertive extensions over string targets (E13): base64
+    validity stays fully vectorized (same regex + length%4 rule as
+    :func:`pyvalidator.content_b64_valid`, so cross-engine verdicts are
+    identical by construction); contentMediaType/contentSchema need a real
+    JSON parser, so they run in Arrow-batched pandas UDFs sharing
+    :func:`pyvalidator.content_parse_json` — the declared slow path, like
+    the rare-ECMA pattern fallback. The ladder gates later steps on
+    earlier success (bad base64 never reaches the JSON parse)."""
+    checks: list[Check] = []
+    if node.content_encoding is None and node.content_media_type is None:
+        return checks
+    cgate = sgate
+    if node.content_encoding is not None:  # parse guarantees "base64"
+        ok = s.rlike("^[A-Za-z0-9+/]*={0,2}$") & (F.length(s) % 4 == 0)
+        checks.append(ScalarCheck(
+            cond=cgate & ~ok, path=path, code="InvalidContentEncoding",
+            message=_msg(loc, [F.lit(
+                f'string is not valid "{node.content_encoding}" content')]),
+        ))
+        cgate = cgate & ok
+    if node.content_media_type is not None:
+        enc = node.content_encoding
+        mt = node.content_media_type  # parse guarantees "application/json"
+        if node.content_schema is None:
+            @F.pandas_udf("boolean")
+            def _parses(sr: pd.Series) -> pd.Series:
+                from . import pyvalidator as pv
+                return sr.map(lambda v: v is not None
+                              and pv.content_parse_json(v, enc)[0])
+
+            checks.append(ScalarCheck(
+                cond=cgate & ~F.coalesce(_parses(s), F.lit(False)),
+                path=path, code="InvalidContentMediaType",
+                message=_msg(loc, [F.lit(
+                    f'string content is not valid "{mt}"')]),
+            ))
+        else:
+            root, cschema = ctx.root, node.content_schema
+
+            @F.pandas_udf(VIOLATION_ARRAY_DDL)
+            def _content_viols(sr: pd.Series, pr: pd.Series) -> pd.Series:
+                from . import pyvalidator as pv
+                from ..functions import formatting as fmt
+                from ..operators.json_mode import _reroot
+                out = []
+                for v, prefix in zip(sr, pr):
+                    if v is None:
+                        out.append([])
+                        continue
+                    ok, parsed = pv.content_parse_json(v, enc)
+                    if not ok:
+                        locd = "root" if prefix == "" else prefix
+                        out.append([{
+                            "instance_path": prefix,
+                            "code": "InvalidContentMediaType",
+                            "message": fmt.msg_invalid_content_media_type(
+                                locd, mt)}])
+                        continue
+                    rows = []
+                    for viol in pv.validate_with_root(root, cschema, parsed):
+                        new_path, new_msg = _reroot(
+                            viol.path, viol.message, prefix)
+                        rows.append({"instance_path": new_path,
+                                     "code": viol.code,
+                                     "message": new_msg})
+                    out.append(rows)
+                return pd.Series(out)
+
+            arr = F.coalesce(_content_viols(s, path), _empty_violations())
+            checks.append(ArrayCheck(
+                arr=F.when(cgate, arr).otherwise(_empty_violations())))
     return checks
 
 

@@ -25,6 +25,8 @@ All errors are collected; there is no fail-fast (validator/mod.rs:1-3).
 
 from __future__ import annotations
 
+import base64
+import json
 import re
 from dataclasses import dataclass
 from typing import Any
@@ -203,7 +205,7 @@ def validate_with_root(root: SchemaNode, start: SchemaNode, instance: Any) -> li
                 continue
             _check_object(root, schema, inst, path, stack, errors)
         elif t == "string":
-            _check_string(schema, inst, path, loc, errors)
+            _check_string(schema, inst, path, loc, stack, errors)
         elif t == "integer":
             if not _is_integer(inst):
                 errors.append(Violation(
@@ -337,8 +339,39 @@ def _check_required_and_properties(root: SchemaNode, schema: SchemaNode,
             stack.append(item)
 
 
+_B64_RX = re.compile(r"^[A-Za-z0-9+/]*={0,2}$")
+
+
+def content_b64_valid(s: str) -> bool:
+    """The engine's base64 validity rule (RFC 4648 §4 alphabet, correct
+    padding length). Both engines share THIS definition — the vectorized
+    compiler evaluates the same regex + length%4 JVM-side, so verdicts are
+    identical by construction. Non-canonical trailing bits are accepted
+    (as ``base64.b64decode`` also does)."""
+    return _B64_RX.match(s) is not None and len(s) % 4 == 0
+
+
+def content_parse_json(s: str, encoding: "str | None") -> tuple[bool, Any]:
+    """Decode (if ``encoding``) and parse a content string as JSON.
+    Returns ``(ok, parsed)``; validity is defined by ``json.loads`` over
+    UTF-8 text — the SAME definition the Arrow-batched compiler UDF uses,
+    so verdicts are cross-engine identical by construction. Callers must
+    have checked :func:`content_b64_valid` first when encoding is set."""
+    if encoding == "base64":
+        try:
+            text = base64.b64decode(s).decode("utf-8")
+        except (ValueError, UnicodeDecodeError):
+            return False, None
+    else:
+        text = s
+    try:
+        return True, json.loads(text)
+    except ValueError:
+        return False, None
+
+
 def _check_string(schema: SchemaNode, inst: Any, path: JsonPointer,
-                  loc: str, errors: list[Violation]) -> None:
+                  loc: str, stack: list, errors: list[Violation]) -> None:
     """type:"string" body (validator/mod.rs:231-289). A non-string gets
     ExpectedString but does NOT abandon the node — length/pattern/uuid simply
     skip non-strings."""
@@ -369,6 +402,25 @@ def _check_string(schema: SchemaNode, inst: Any, path: JsonPointer,
     if schema.format == "uuid" and not is_valid_uuid(inst):
         errors.append(Violation(path.as_str(), "InvalidUuidFormat",
                                 fmt.msg_invalid_uuid_format(loc, inst)))
+    # content* extensions (assertive, draft-07 style): encoding gate ->
+    # media-type parse -> contentSchema over the DECODED instance (pushed
+    # onto the same interpreter stack, so $refs and the full keyword
+    # ladder apply; the pointer continues from this path, which re-roots
+    # inner violations for free)
+    if schema.content_encoding is not None and not content_b64_valid(inst):
+        errors.append(Violation(
+            path.as_str(), "InvalidContentEncoding",
+            fmt.msg_invalid_content_encoding(loc, schema.content_encoding)))
+        return
+    if schema.content_media_type is not None:
+        ok, parsed = content_parse_json(inst, schema.content_encoding)
+        if not ok:
+            errors.append(Violation(
+                path.as_str(), "InvalidContentMediaType",
+                fmt.msg_invalid_content_media_type(
+                    loc, schema.content_media_type)))
+        elif schema.content_schema is not None:
+            stack.append((schema.content_schema, parsed, path))
 
 
 def _check_bounds(schema: SchemaNode, x: float, path: JsonPointer,

@@ -49,6 +49,7 @@ EXTENSION_KEYWORDS = {
     "minProperties", "maxProperties", "dependentRequired",
     "contains", "minContains", "maxContains", "prefixItems",
     "patternProperties", "propertyNames", "dependentSchemas",
+    "contentEncoding", "contentMediaType", "contentSchema",
 }
 
 # Spec-version inference (spec_version.rs:8-17; settings.rs:70-79): resolved
@@ -141,6 +142,9 @@ class SchemaNode:
     pattern_properties: Optional[dict[str, "SchemaNode"]] = None
     property_names: Optional["SchemaNode"] = None
     dependent_schemas: Optional[dict[str, "SchemaNode"]] = None
+    content_encoding: Optional[str] = None
+    content_media_type: Optional[str] = None
+    content_schema: Optional["SchemaNode"] = None
 
     @property
     def has_const(self) -> bool:
@@ -380,6 +384,29 @@ def _parse_extensions(n: SchemaNode, doc: dict, *, strict: bool) -> None:
         n.dependent_schemas = _parse_node_map(
             doc["dependentSchemas"], "dependentSchemas", strict,
             extensions=True)
+    # content* (design.md:611-615 TODO): implemented ASSERTIVELY
+    # (draft-07 style) because an opt-in extension that only annotates
+    # would be inert here; 2020-12 downgraded these to annotations, so
+    # this is deliberately stricter than 2020-12 — documented divergence
+    if "contentEncoding" in doc:
+        ce = doc["contentEncoding"]
+        _expect(isinstance(ce, str), "contentEncoding must be a string")
+        if ce != "base64":
+            raise SpecParseError(
+                f'contentEncoding "{ce}" is not supported (only "base64")')
+        n.content_encoding = ce
+    if "contentMediaType" in doc:
+        mt = doc["contentMediaType"]
+        _expect(isinstance(mt, str), "contentMediaType must be a string")
+        if mt != "application/json":
+            raise SpecParseError(
+                f'contentMediaType "{mt}" is not supported '
+                '(only "application/json")')
+        n.content_media_type = mt
+    if "contentSchema" in doc:
+        _expect("contentMediaType" in doc,
+                "contentSchema requires contentMediaType")
+        n.content_schema = sub("contentSchema")
 
 
 def parse_spec(spec: Union[str, bytes, dict], *, strict: bool = False,

@@ -1,7 +1,8 @@
 """Draft-2020-12 extension keywords (the reference's design.md TODO list):
 not, if/then/else, multipleOf, exclusiveMinimum/Maximum, minProperties/
 maxProperties, dependentRequired, contains/minContains/maxContains,
-prefixItems.
+prefixItems, patternProperties, propertyNames, dependentSchemas, and the
+assertive content* triple (contentEncoding/contentMediaType/contentSchema).
 
 Three gates:
 1. parity-off: with extensions=False (default) the keywords are inert —
@@ -328,3 +329,89 @@ class TestObjectSchemaExtensions:
     def test_invalid_pattern_properties_rejected_at_parse(self):
         with pytest.raises(SpecParseError, match="ECMA-262"):
             parse_spec({"patternProperties": {"(?i)x": {}}}, extensions=True)
+
+
+def _b64json(d):
+    import base64
+    import json
+    return base64.b64encode(json.dumps(d).encode()).decode()
+
+
+class TestContentExtensions:
+    SPEC = {"type": "object", "properties": {
+        "payload": {"type": "string", "contentEncoding": "base64",
+                    "contentMediaType": "application/json",
+                    "contentSchema": {
+                        "type": "object", "required": ["k"],
+                        "properties": {"k": {"type": "integer",
+                                             "maximum": 50}}}},
+        "raw": {"type": "string", "contentMediaType": "application/json"}}}
+
+    def test_content_ladder_cross_engine(self, spark):
+        rows = [
+            Row(id=0, payload=_b64json({"k": 10}), raw="{}"),   # clean
+            Row(id=1, payload="!!notb64", raw="{}"),            # bad base64
+            Row(id=2, payload=_b64json({"k": 99}), raw="nope"),
+            Row(id=3, payload="e29vcHM=", raw="[1,2]"),         # b64 of {oops
+            Row(id=4, payload=_b64json({"x": 1}), raw=None),
+        ]
+        got = cross_check(spark, self.SPEC, rows,
+                          "id int, payload string, raw string")
+        assert [(r[0], r[1], r[2]) for r in got] == [
+            (1, "/payload", "InvalidContentEncoding"),
+            (2, "/payload/k", "AboveMaximum"),
+            (2, "/raw", "InvalidContentMediaType"),
+            (3, "/payload", "InvalidContentMediaType"),
+            (4, "/payload/k", "MissingRequired"),
+        ]
+
+    def test_content_schema_refs_and_nesting(self, spark):
+        # contentSchema is a full sub-document: $refs resolve against the
+        # ROOT schema; nested violations re-root under the property path
+        spec = {"type": "object",
+                "$defs": {"pt": {"type": "object", "required": ["x"]}},
+                "properties": {"doc": {
+                    "type": "string", "contentMediaType": "application/json",
+                    "contentSchema": {
+                        "type": "object",
+                        "properties": {"p": {"$ref": "#/$defs/pt"}}}}}}
+        rows = [Row(id=1, doc='{"p": {"x": 1}}'),
+                Row(id=2, doc='{"p": {}}')]
+        got = cross_check(spark, spec, rows, "id int, doc string")
+        assert [(r[0], r[1], r[2]) for r in got] == [
+            (2, "/doc/p/x", "MissingRequired")]
+
+    def test_json_mode_content(self):
+        # the pure-Python path gets content* on nested strings for free
+        root = parse_spec(
+            {"type": "object", "properties": {
+                "inner": {"type": "string", "contentEncoding": "base64"}}},
+            extensions=True)
+        assert validate(root, {"inner": "AAAA"}) == []
+        bad = validate(root, {"inner": "A"})
+        assert [(v.path, v.code) for v in bad] == [
+            ("/inner", "InvalidContentEncoding")]
+
+    def test_stricter_than_2020_12_documented_divergence(self):
+        # 2020-12 makes content* annotation-only; this engine asserts them
+        # (draft-07 style) because an inert opt-in extension is useless.
+        jsonschema = pytest.importorskip("jsonschema")
+        spec = {"type": "string", "contentEncoding": "base64"}
+        assert jsonschema.Draft202012Validator(spec).is_valid("!!!")
+        root = parse_spec(spec, extensions=True)
+        # typed-target compiler never sees a bare-string root, but the
+        # pyvalidator (JSON mode) does:
+        assert [v.code for v in validate(root, "!!!")] == [
+            "InvalidContentEncoding"]
+
+    def test_content_parse_rules(self):
+        for bad, msg in ((
+                {"contentEncoding": "base32"}, "only .base64."), (
+                {"contentMediaType": "text/html"}, "only .application/json."), (
+                {"contentSchema": {}}, "requires contentMediaType")):
+            with pytest.raises(SpecParseError, match=msg):
+                parse_spec(bad, extensions=True)
+        # off by default: inert lenient, rejected strict
+        parse_spec({"contentEncoding": "base32"})  # ignored, no error
+        with pytest.raises(SpecParseError, match="unknown field"):
+            parse_spec({"contentEncoding": "base64"}, strict=True)
