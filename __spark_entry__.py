@@ -267,6 +267,49 @@ FROM lineitem WHERE l_quantity >= 48
 """
 
 
+def _q_v_ext_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # $anchor / $dynamicAnchor / $dynamicRef (design.md TODOs): named refs
+    # over the single schema resource resolve at plan time exactly like
+    # pointer $refs, so the compiled plan is identical to inlining the
+    # target — zero extra cost in the zero-shuffle row path
+    spec = {
+        "type": "object",
+        "$defs": {
+            "qty": {"$anchor": "qty", "type": "number",
+                    "exclusiveMinimum": 2, "maximum": 45},
+            "tax": {"$dynamicAnchor": "tax", "type": "number",
+                    "maximum": 0.07},
+        },
+        "properties": {
+            "l_quantity": {"$ref": "#qty"},
+            "l_tax": {"$dynamicRef": "#tax"},
+        },
+    }
+    return ValidationEngine(spec, key_cols=("l_orderkey", "l_linenumber"),
+                            extensions=True) \
+        .validate(_t(spark, sf_dir, "lineitem")).violations
+
+
+# l_quantity is an integral double (Rust Display drops ".0"); l_tax is a
+# two-decimal double that DuckDB and Rust render identically ("0.08")
+_SQL_V_EXT_ANCHORS = """
+SELECT l_orderkey, l_linenumber, '/l_quantity' AS instance_path,
+       'BelowExclusiveMinimum' AS code,
+  '/l_quantity: value ' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) ||
+  ' is not greater than exclusive minimum 2' AS message
+FROM lineitem WHERE l_quantity <= 2
+UNION ALL
+SELECT l_orderkey, l_linenumber, '/l_quantity', 'AboveMaximum',
+  '/l_quantity: value ' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) ||
+  ' is above maximum 45'
+FROM lineitem WHERE l_quantity > 45
+UNION ALL
+SELECT l_orderkey, l_linenumber, '/l_tax', 'AboveMaximum',
+  '/l_tax: value ' || CAST(l_tax AS VARCHAR) || ' is above maximum 0.07'
+FROM lineitem WHERE l_tax > 0.07
+"""
+
+
 def _q_v_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     # conditional extension keywords over the transcript shape: IF the
     # turn is a tool turn THEN `tool` is required, ELSE any present tool
@@ -2427,6 +2470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_const": _q_v_const,
         "v_bounds_int": _q_v_bounds,
         "v_ext_numeric": _q_v_ext_numeric,
+        "v_ext_anchors": _q_v_ext_anchors,
         "v_conditional": _q_v_conditional,
         "v_ext_object": _q_v_ext_object,
         "v_content_json": _q_v_content_json,
@@ -2534,6 +2578,7 @@ def oracle_sql() -> dict[str, str]:
         "v_const": _SQL_V_CONST,
         "v_bounds_int": _SQL_V_BOUNDS,
         "v_ext_numeric": _SQL_V_EXT_NUMERIC,
+        "v_ext_anchors": _SQL_V_EXT_ANCHORS,
         "v_conditional": _sql_v_conditional(),
         "v_ext_object": _sql_v_ext_object(),
         "v_content_json": _SQL_V_CONTENT_JSON,

@@ -294,7 +294,8 @@ def compile_node(
     try:
         node = resolve_transitive(root, node)
     except RefResolutionError as e:
-        ref_str = node.ref if node.ref is not None else "<missing>"
+        ref_str = node.ref if node.ref is not None \
+            else (node.dynamic_ref or "<missing>")
         return [ScalarCheck(
             cond=gate, path=path, code="InvalidRef",
             message=_msg(loc, [F.lit(f'could not resolve $ref "{ref_str}": {e.rust_debug()}')]),
@@ -1176,4 +1177,9 @@ def _referenced_columns(root: SchemaNode, schema: T.StructType) -> list[str]:
                     walk(sub)
 
     walk(root)
+    if root.anchors:
+        # anchored nodes can live outside $defs; refs may apply them to
+        # the row target, so their referenced names count (conservative)
+        for sub in root.anchors.values():
+            walk(sub)
     return sorted(out)

@@ -123,7 +123,8 @@ def validate_with_root(root: SchemaNode, start: SchemaNode, instance: Any) -> li
         try:
             schema = resolve_transitive(root, schema)
         except RefResolutionError as e:
-            ref_str = schema.ref if schema.ref is not None else "<missing>"
+            ref_str = schema.ref if schema.ref is not None \
+                else (schema.dynamic_ref or "<missing>")
             errors.append(Violation(path.as_str(), "InvalidRef",
                                     fmt.msg_invalid_ref(loc, ref_str, e.rust_debug())))
             continue

@@ -15,6 +15,7 @@ Error ``reason`` strings in ``InvalidRef`` messages reproduce the Rust
 
 from __future__ import annotations
 
+import re
 from typing import Optional
 
 from .spec import SchemaNode
@@ -107,8 +108,20 @@ def parse_ref(ref_str: str) -> tuple[str, Optional[str]]:
     raise RefResolutionError("UnsupportedFragment", ref_str)
 
 
+_ANCHOR_SHAPE = re.compile(r"^#[A-Za-z_][-A-Za-z0-9._]*$")
+
+
 def resolve_ref(root: SchemaNode, ref_str: str) -> SchemaNode:
-    """Single-step resolution (ref_resolver.rs:118-155)."""
+    """Single-step resolution (ref_resolver.rs:118-155). Extension: when
+    the root was parsed with extensions on (``root.anchors`` is set),
+    plain ``#name`` fragments resolve against the collected
+    ``$anchor``/``$dynamicAnchor`` map; with extensions off the same ref
+    falls through to the reference's UnsupportedFragment error."""
+    if root.anchors is not None and _ANCHOR_SHAPE.match(ref_str):
+        name = ref_str[1:]
+        if name in root.anchors:
+            return root.anchors[name]
+        raise RefResolutionError("AnchorNotFound", ref_str, name)
     container, name = parse_ref(ref_str)
     if container == "root":
         return root
@@ -133,8 +146,10 @@ def resolve_transitive(root: SchemaNode, schema: SchemaNode) -> SchemaNode:
     (draft-07-style semantics, as the reference does)."""
     current = schema
     visited: set[str] = set()
-    while current.ref is not None:
-        ref_str = current.ref
+    while current.ref is not None or current.dynamic_ref is not None:
+        # $ref wins when both are present (replace semantics, like $ref)
+        ref_str = current.ref if current.ref is not None \
+            else current.dynamic_ref
         if ref_str in visited:
             raise RefResolutionError("RefCycle", ref_str)
         visited.add(ref_str)

@@ -22,6 +22,7 @@ validator.
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass, field
 from typing import Any, Optional, Union
 
@@ -50,7 +51,11 @@ EXTENSION_KEYWORDS = {
     "contains", "minContains", "maxContains", "prefixItems",
     "patternProperties", "propertyNames", "dependentSchemas",
     "contentEncoding", "contentMediaType", "contentSchema",
+    "$anchor", "$dynamicAnchor", "$dynamicRef",
 }
+
+# draft 2020-12 §8.2.2 anchor-name shape
+_ANCHOR_NAME_RE = re.compile(r"^[A-Za-z_][-A-Za-z0-9._]*$")
 
 # Spec-version inference (spec_version.rs:8-17; settings.rs:70-79): resolved
 # from the $schema URI, defaulting to Draft 2020-12.
@@ -145,6 +150,36 @@ class SchemaNode:
     content_encoding: Optional[str] = None
     content_media_type: Optional[str] = None
     content_schema: Optional["SchemaNode"] = None
+    anchor: Optional[str] = None
+    dynamic_anchor: Optional[str] = None
+    dynamic_ref: Optional[str] = None
+    # root-only: anchor name -> node, collected by parse_spec when
+    # extensions are on (presence also flags extension mode to refs.py).
+    # repr/compare excluded: the map may contain the root itself (a root
+    # carrying $anchor), which would make dataclass repr/eq recurse.
+    anchors: Optional[dict[str, "SchemaNode"]] = field(
+        default=None, repr=False, compare=False)
+
+    def children(self) -> "list[SchemaNode]":
+        """Every direct sub-schema node (tree edges only, no $ref edges)."""
+        out: list[SchemaNode] = []
+        out.extend(self.properties.values())
+        for m in (self.defs, self.definitions, self.pattern_properties,
+                  self.dependent_schemas):
+            if m:
+                out.extend(m.values())
+        for lst in (self.all_of, self.any_of, self.one_of,
+                    self.prefix_items):
+            if lst:
+                out.extend(lst)
+        for s in (self.items, self.not_schema, self.if_schema,
+                  self.then_schema, self.else_schema, self.contains,
+                  self.property_names, self.content_schema):
+            if isinstance(s, SchemaNode):
+                out.append(s)
+        if isinstance(self.additional_properties, SchemaNode):
+            out.append(self.additional_properties)
+        return out
 
     @property
     def has_const(self) -> bool:
@@ -189,6 +224,11 @@ def _node_repr(n: "SchemaNode"):
         return v
     out = {}
     for f_ in n.__dataclass_fields__:
+        if f_ == "anchors":
+            # derived index over the same tree (may contain the root
+            # itself) — structurally identical trees collect identical
+            # anchor maps, so it adds nothing and would recurse
+            continue
         v = getattr(n, f_)
         if v is None or v is _ABSENT or (f_ == "properties" and not v):
             continue
@@ -407,6 +447,22 @@ def _parse_extensions(n: SchemaNode, doc: dict, *, strict: bool) -> None:
         _expect("contentMediaType" in doc,
                 "contentSchema requires contentMediaType")
         n.content_schema = sub("contentSchema")
+    # $anchor/$dynamicAnchor/$dynamicRef (design.md:201-223 TODOs): plain
+    # "#name" fragments over the SINGLE schema resource this engine
+    # supports. With one resource the dynamic scope is the document
+    # itself, so $dynamicRef degenerates to (and is implemented as)
+    # anchor lookup — spec-faithful for single-resource documents.
+    for kw, attr in (("$anchor", "anchor"),
+                     ("$dynamicAnchor", "dynamic_anchor")):
+        if kw in doc:
+            a = doc[kw]
+            _expect(isinstance(a, str) and _ANCHOR_NAME_RE.match(a)
+                    is not None, f"{kw} must be a valid anchor name")
+            setattr(n, attr, a)
+    if "$dynamicRef" in doc:
+        dr = doc["$dynamicRef"]
+        _expect(isinstance(dr, str), "$dynamicRef must be a string")
+        n.dynamic_ref = dr
 
 
 def parse_spec(spec: Union[str, bytes, dict], *, strict: bool = False,
@@ -422,7 +478,23 @@ def parse_spec(spec: Union[str, bytes, dict], *, strict: bool = False,
             raise SpecParseError(f"invalid JSON: {e}") from e
     else:
         doc = spec
-    return parse_node(doc, strict=strict, extensions=extensions)
+    root = parse_node(doc, strict=strict, extensions=extensions)
+    if extensions:
+        anchors: dict[str, SchemaNode] = {}
+
+        def collect(n: SchemaNode) -> None:
+            for name in (n.anchor, n.dynamic_anchor):
+                if name is not None:
+                    if name in anchors and anchors[name] is not n:
+                        raise SpecParseError(
+                            f'duplicate anchor name "{name}"')
+                    anchors[name] = n
+            for c in n.children():
+                collect(c)
+
+        collect(root)
+        root.anchors = anchors  # set (possibly empty) = extension mode
+    return root
 
 
 def resolved_spec_version(root: SchemaNode) -> str:

@@ -415,3 +415,104 @@ class TestContentExtensions:
         parse_spec({"contentEncoding": "base32"})  # ignored, no error
         with pytest.raises(SpecParseError, match="unknown field"):
             parse_spec({"contentEncoding": "base64"}, strict=True)
+
+class TestAnchorsDynamicRef:
+    """$anchor / $dynamicAnchor / $dynamicRef (design.md TODO rows).
+
+    Single-resource documents only (the engine, like the reference, has no
+    $id/remote resolution), so the dynamic scope IS the document and
+    $dynamicRef degenerates to anchor lookup — spec-faithful for this
+    subset, and identical to what Draft202012Validator does on the same
+    documents.
+    """
+
+    SPEC = {"type": "object",
+            "$defs": {
+                "posint": {"$anchor": "posint",
+                           "type": "integer", "minimum": 1},
+                "wrap": {"$dynamicRef": "#dynpos"},
+                "dynpos": {"$dynamicAnchor": "dynpos",
+                           "type": "integer", "maximum": 9}},
+            "properties": {
+                "a": {"$ref": "#posint"},
+                "b": {"$dynamicRef": "#posint"},
+                "c": {"$ref": "#/$defs/wrap"}}}
+
+    def test_cross_engine_bytes(self, spark):
+        rows = [Row(id=1, a=2, b=3, c=4),        # clean
+                Row(id=2, a=0, b=0, c=10),       # all three fire
+                Row(id=3, a=None, b=None, c=None)]  # absent: inert
+        got = cross_check(spark, self.SPEC, rows,
+                          "id int, a long, b long, c long")
+        assert [(r[0], r[1], r[2]) for r in got] == [
+            (2, "/a", "BelowMinimum"), (2, "/b", "BelowMinimum"),
+            (2, "/c", "AboveMaximum")]
+
+    def test_anchor_not_found_cross_engine(self, spark):
+        # unresolvable anchor -> InvalidRef at validate time (reference
+        # shape: resolution errors are per-row violations, not parse
+        # errors — ref_resolver.rs:118-155), naming the AnchorNotFound
+        # variant in the Rust-Debug reason string
+        spec = {"type": "object",
+                "properties": {"x": {"$ref": "#nowhere"}}}
+        rows = [Row(id=1, x=1)]
+        got = cross_check(spark, spec, rows, "id int, x long")
+        assert [(r[0], r[1], r[2]) for r in got] == [(1, "/x", "InvalidRef")]
+        assert 'AnchorNotFound { ref_str: "#nowhere", name: "nowhere" }' \
+            in got[0][3]
+
+    def test_extensions_off_keeps_reference_behavior(self, spark):
+        # with extensions off, "#name" refs stay UnsupportedFragment
+        # (byte-parity with the reference, ref_resolver.rs:76-110) and
+        # $anchor/$dynamicRef are unknown keywords: lenient-inert,
+        # strict-rejected
+        spec = {"type": "object",
+                "properties": {"x": {"$ref": "#posint"}},
+                "$defs": {"posint": {"$anchor": "posint",
+                                     "type": "integer", "minimum": 1}}}
+        df = spark.createDataFrame([Row(id=1, x=0)], "id int, x long")
+        engine = ValidationEngine(spec, key_cols=("id",))
+        got = spark_violations(engine, df, ("id",))
+        assert [(r[1], r[2]) for r in got] == [("/x", "InvalidRef")]
+        assert 'UnsupportedFragment { ref_str: "#posint" }' in got[0][3]
+        with pytest.raises(SpecParseError, match=r"\$anchor"):
+            parse_spec({"$anchor": "a"}, strict=True)
+
+    def test_parse_rules(self):
+        for bad, msg in ((
+                {"$anchor": "1bad"}, "valid anchor name"), (
+                {"$anchor": 7}, "valid anchor name"), (
+                {"$dynamicRef": 3}, "must be a string"), (
+                {"$defs": {"a": {"$anchor": "dup"},
+                           "b": {"$dynamicAnchor": "dup"}}},
+                "duplicate anchor")):
+            with pytest.raises(SpecParseError, match=msg):
+                parse_spec(bad, extensions=True)
+        # same node may carry both spellings of one name
+        root = parse_spec({"$anchor": "n", "$dynamicAnchor": "n"},
+                          extensions=True)
+        assert root.anchors == {"n": root}
+
+    def test_root_self_anchor_is_recursion_safe(self, spark):
+        # a root carrying its own anchor puts root into root.anchors —
+        # repr/eq/fingerprint must not recurse, and a $ref to it must
+        # behave exactly like $ref "#"
+        spec = {"$anchor": "top", "type": "object",
+                "required": ["id"],
+                "properties": {"id": {"type": "integer"}}}
+        root = parse_spec(spec, extensions=True)
+        repr(root)                      # dataclass repr: anchors excluded
+        assert root.fingerprint() == parse_spec(
+            dict(spec), extensions=True).fingerprint()
+        rows = [Row(id=None, x=1)]
+        got = cross_check(spark, spec, rows, "id int, x long")
+        assert [(r[1], r[2]) for r in got] == [("/id", "MissingRequired")]
+
+    def test_jsonschema_verdicts(self):
+        jsonschema = pytest.importorskip("jsonschema")
+        root = parse_spec(self.SPEC, extensions=True)
+        v3 = jsonschema.Draft202012Validator(self.SPEC)
+        for inst in ({"a": 1, "b": 1, "c": 9}, {"a": 0}, {"b": 0},
+                     {"c": 10}, {"a": 5, "b": 0, "c": 11}, {},
+                     {"a": 1.5}, {"c": 3}):
+            assert (len(validate(root, inst)) == 0) == v3.is_valid(inst), inst
