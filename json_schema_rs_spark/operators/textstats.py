@@ -142,38 +142,63 @@ def top_ngram_fraction(df: DataFrame, text_col: str = "text",
     map-side combine; the join back is on the id — drop it (use the
     ``frac`` aggregate directly as a semi/anti filter) when only the
     keep/drop verdict is needed at scale."""
-    tmp = "__tnf_words"
+    per_gram = _per_doc_gram_counts(df, text_col, id_col, n=n, seed=seed)
+    frac = per_gram.groupBy(id_col).agg(
+        F.sum("__c").alias("total_ngrams"),
+        F.max("__c").alias("top_ngram_count"))
+    return _join_back_frac(df, id_col, frac, "top_ngram_count",
+                           "top_ngram_frac", round_digits)
+
+
+def _per_doc_gram_counts(df: DataFrame, text_col: str, id_col: str, *,
+                         n: int, seed: int) -> DataFrame:
+    """Skinny ``(id, gram-hash, count)`` table — the ONE definition of a
+    word n-gram (xxhash64 over space-joined word windows, the dedup
+    hashing contract) shared by the within-doc (:func:`top_ngram_fraction`)
+    and cross-doc (:func:`duplicated_ngram_coverage`) repetition metrics,
+    so the two can never silently disagree on what an n-gram is.
+
+    NULL text coalesces to "" (one empty word — zero grams for n >= 2;
+    for n=1 its single empty-string gram counts, same as "" text).
+    _spread: the gram explode runs at scan parallelism — guard against
+    single-row-group local tables serializing the map side on one core.
+    explode_rows: InferFiltersFromGenerate would otherwise duplicate the
+    gram-transform expression into an interpreted Filter; gram arrays
+    have no NULL elements. The count aggregate gets map-side combine."""
+    from ..functions.exprs import explode_rows
+    from .dedup import _spread
+    tmp = "__gram_words"
     grams = F.expr(
         f"if(size({tmp}) >= {n},"
         f" transform(sequence(1, size({tmp}) - {n - 1}),"
         f" i -> xxhash64(concat_ws(' ', slice({tmp}, i, {n})), {seed})),"
         f" array())"
     )
-    # _spread: the gram explode runs at scan parallelism — guard against
-    # single-row-group local tables serializing the map side on one core.
-    # explode_rows: InferFiltersFromGenerate would otherwise duplicate the
-    # gram-transform expression into an interpreted Filter; gram arrays
-    # have no NULL elements
-    from ..functions.exprs import explode_rows
-    from .dedup import _spread
     exploded = explode_rows(
-        _spread(df, id_col).withColumn(tmp, F.split(F.col(text_col), " ")),
+        _spread(df, id_col).withColumn(
+            tmp, F.split(F.coalesce(F.col(text_col), F.lit("")), " ")),
         [id_col], grams, "__g")
-    per_gram = exploded.groupBy(id_col, "__g").agg(F.count("*").alias("__c"))
-    frac = per_gram.groupBy(id_col).agg(
-        F.sum("__c").alias("total_ngrams"),
-        F.max("__c").alias("top_ngram_count"))
-    return (df.select(id_col).join(frac, id_col, "left")
+    return exploded.groupBy(id_col, "__g").agg(F.count("*").alias("__c"))
+
+
+def _join_back_frac(df: DataFrame, id_col: str, rolled: DataFrame,
+                    num_col: str, frac_col: str,
+                    round_digits: int) -> DataFrame:
+    """Left-join a ``(id, total_ngrams, <num_col>)`` rollup back onto the
+    full id set so short docs (< n words) report 0 counts and 0.0
+    fraction instead of vanishing; shared tail of the repetition
+    metrics."""
+    return (df.select(id_col).join(rolled, id_col, "left")
             .select(
                 F.col(id_col),
                 F.coalesce(F.col("total_ngrams"),
                            F.lit(0).cast("bigint")).alias("total_ngrams"),
-                F.coalesce(F.col("top_ngram_count"),
-                           F.lit(0).cast("bigint")).alias("top_ngram_count"),
+                F.coalesce(F.col(num_col),
+                           F.lit(0).cast("bigint")).alias(num_col),
                 F.round(F.coalesce(
-                    F.try_divide(F.col("top_ngram_count").cast("double"),
+                    F.try_divide(F.col(num_col).cast("double"),
                                  F.col("total_ngrams").cast("double")),
-                    F.lit(0.0)), round_digits).alias("top_ngram_frac"),
+                    F.lit(0.0)), round_digits).alias(frac_col),
             ))
 
 
@@ -430,41 +455,19 @@ def duplicated_ngram_coverage(df: DataFrame, text_col: str = "text",
     no corpus text anywhere), a per-doc rollup, and a left join back so
     short docs (< n words) report 0.0. Nothing corpus-wide is collected
     or broadcast."""
-    from ..functions.exprs import explode_rows
-    from .dedup import _spread
-    tmp = "__dnc_words"
-    grams = F.expr(
-        f"if(size({tmp}) >= {n},"
-        f" transform(sequence(1, size({tmp}) - {n - 1}),"
-        f" i -> xxhash64(concat_ws(' ', slice({tmp}, i, {n})), {seed})),"
-        f" array())"
-    )
-    exploded = explode_rows(
-        _spread(df, id_col).withColumn(
-            tmp, F.split(F.coalesce(F.col(text_col), F.lit("")), " ")),
-        [id_col], grams, "__g")
-    per = exploded.groupBy(id_col, "__g").agg(F.count("*").alias("__c"))
+    per = _per_doc_gram_counts(df, text_col, id_col, n=n, seed=seed)
     dfreq = per.groupBy("__g").agg(F.count("*").alias("__nd"))
     rolled = (per.join(dfreq, "__g")
               .groupBy(id_col)
               .agg(F.sum("__c").alias("total_ngrams"),
                    F.sum(F.when(F.col("__nd") >= min_docs, F.col("__c"))
                          .otherwise(F.lit(0))).alias("dup_ngrams")))
-    return (df.select(id_col).join(rolled, id_col, "left")
-            .select(
-                F.col(id_col),
-                F.coalesce(F.col("total_ngrams"),
-                           F.lit(0).cast("bigint")).alias("total_ngrams"),
-                F.coalesce(F.col("dup_ngrams"),
-                           F.lit(0).cast("bigint")).alias("dup_ngrams"),
-                F.round(F.coalesce(
-                    F.try_divide(F.col("dup_ngrams").cast("double"),
-                                 F.col("total_ngrams").cast("double")),
-                    F.lit(0.0)), round_digits).alias("dup_ngram_frac"),
-            ))
+    return _join_back_frac(df, id_col, rolled, "dup_ngrams",
+                           "dup_ngram_frac", round_digits)
 
 
 def unigram_lm_table(df: DataFrame, text_col: str = "text", *,
+                     id_col: str | None = None,
                      vocab_size: int = 4096) -> tuple[list[tuple], int, int]:
     """Train the unigram LM used by :func:`lm_quality`: the top
     ``vocab_size`` whitespace tokens by (count desc, token asc) — a total
@@ -482,8 +485,19 @@ def unigram_lm_table(df: DataFrame, text_col: str = "text", *,
     import math
     from ..functions.exprs import explode_rows
     from .dedup import _spread
+    # only the text column rides the (possible) local-parallelism
+    # exchange; spread on id_col when the caller names one (lm_quality
+    # does), else round-robin — NEVER hash whatever column happens to be
+    # first (it could be the megabyte text itself, or a boolean)
+    base = df.select(text_col)
+    if id_col is not None:
+        base = _spread(df.select(id_col, text_col), id_col).select(text_col)
+    else:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if base.rdd.getNumPartitions() < target:  # same guard as _spread
+            base = base.repartition(target)
     toks = explode_rows(
-        _spread(df, df.columns[0]).withColumn(
+        base.withColumn(
             "__lm_words",
             F.split(F.coalesce(F.col(text_col), F.lit("")), " ")),
         [], F.col("__lm_words"), "__t")
@@ -527,7 +541,7 @@ def lm_quality(df: DataFrame, text_col: str = "text",
     Training reads the corpus once (see :func:`unigram_lm_table`)."""
     import math
     rows, n_total, v = lm if lm is not None else unigram_lm_table(
-        df, text_col, vocab_size=vocab_size)
+        df, text_col, id_col=id_col, vocab_size=vocab_size)
     oov_micro = int(math.floor(
         math.log(1.0 / (n_total + v + 1)) * 1_000_000)) if n_total else 0
     spark = df.sparkSession

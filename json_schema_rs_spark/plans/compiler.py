@@ -582,11 +582,16 @@ def _compile_type_scoped(
                 ]),
             ))
         if node.multiple_of is not None:
-            # verdict-compatible with Python's float %: both remainders
-            # are IEEE fmod up to sign, and sign never flips the ==0 test.
-            # NaN % m is NaN -> not a multiple (coalesce keeps the check
-            # firing rather than silently passing NaN).
-            is_mult = (d % F.lit(node.multiple_of)) == F.lit(0.0)
+            # quotient-is-integer, NOT raw IEEE remainder: d % 0.1 is
+            # nonzero for d=90.0 (0.1 isn't binary-exact) while 90.0/0.1
+            # rounds to exactly 900.0 — the jsonschema package (the
+            # differential oracle for extensions) tests the quotient, so
+            # the remainder form mass-flagged valid decimal multiples.
+            # `q % 1.0 == 0` is exact for integral q; NaN/Inf quotients
+            # (NaN input, or overflow from a tiny divisor) give NaN % 1.0
+            # = NaN -> not a multiple. Verdict-equal to Python `% 1.0`
+            # (signs differ, the ==0 test doesn't).
+            is_mult = ((d / F.lit(node.multiple_of)) % F.lit(1.0)) == F.lit(0.0)
             checks.append(ScalarCheck(
                 cond=ngate & ~F.coalesce(is_mult, F.lit(False)), path=path,
                 code="NotMultipleOf",
@@ -635,7 +640,7 @@ def _compile_object(
     fields = tgt.fields or {}
     # extension: a property matched by patternProperties is NOT
     # "additional" (draft 2020-12 additionalProperties semantics)
-    pattern_matched = _pattern_matched_names(node, fields)
+    pattern_matched = _pattern_matched_subs(node, fields).keys()
     extra = [k for k in fields
              if k not in node.properties and k not in pattern_matched]
     ap = node.additional_properties
@@ -689,18 +694,26 @@ def _compile_required_properties(
     return checks
 
 
-def _pattern_matched_names(node: SchemaNode, fields: dict) -> set:
-    """Declared field names matched by any patternProperties pattern —
-    STATIC at plan time for typed targets (names come from the schema).
-    Patterns were ECMA-validated at parse; the rare valid-ECMA shape
-    Python cannot express raises loudly here (never a silent no-match)."""
+def _pattern_matched_subs(node: SchemaNode,
+                          fields: dict) -> "dict[str, list[SchemaNode]]":
+    """Declared field name -> matching patternProperties sub-schemas (in
+    sorted-pattern order) — STATIC at plan time for typed targets (names
+    come from the schema). The ONE matching implementation, shared by the
+    additionalProperties exclusion (a pattern-matched field is NOT
+    "additional", 2020-12) and the patternProperties check compilation,
+    so the two can never drift. Patterns were ECMA-validated at parse;
+    the rare valid-ECMA shape Python cannot express raises loudly here
+    (never a silent no-match); compile_python is lru-cached so calling
+    this twice per node costs nothing."""
+    matched: dict[str, list[SchemaNode]] = {}
     if node.pattern_properties is None:
-        return set()
-    out = set()
-    for pat in node.pattern_properties:
+        return matched
+    for pat, sub in sorted(node.pattern_properties.items()):
         rx = ecma_regex.compile_python(pat)  # may raise UnsupportedPatternError
-        out.update(k for k in fields if rx.search(k) is not None)
-    return out
+        for k in fields:
+            if rx.search(k) is not None:
+                matched.setdefault(k, []).append(sub)
+    return matched
 
 
 def _compile_object_extensions(
@@ -768,12 +781,7 @@ def _compile_object_extensions(
     # ordinary per-property checks (applies in addition to `properties`,
     # draft 2020-12)
     if node.pattern_properties is not None:
-        matched: dict[str, list[SchemaNode]] = {}
-        for pat, sub in sorted(node.pattern_properties.items()):
-            rx = ecma_regex.compile_python(pat)
-            for k in fields:
-                if rx.search(k) is not None:
-                    matched.setdefault(k, []).append(sub)
+        matched = _pattern_matched_subs(node, fields)
         for k in sorted(matched):
             kcol, kdtype = fields[k]
             for sub in matched[k]:
@@ -907,13 +915,15 @@ def _compile_array(
 
         cnt = F.size(F.filter(arr, elem_valid))
         min_c = node.min_contains if node.min_contains is not None else 1
-        checks.append(ScalarCheck(
-            cond=gate & (cnt < F.lit(min_c)), path=path, code="TooFewContains",
-            message=_msg(loc, [
-                F.lit("array has "), cnt.cast("string"),
-                F.lit(f' item(s) matching "contains", minimum is {min_c}'),
-            ]),
-        ))
+        if min_c > 0:  # cnt < 0 can't fire; don't pay for the filter
+            checks.append(ScalarCheck(
+                cond=gate & (cnt < F.lit(min_c)), path=path,
+                code="TooFewContains",
+                message=_msg(loc, [
+                    F.lit("array has "), cnt.cast("string"),
+                    F.lit(f' item(s) matching "contains", minimum is {min_c}'),
+                ]),
+            ))
         if node.max_contains is not None:
             checks.append(ScalarCheck(
                 cond=gate & (cnt > F.lit(node.max_contains)), path=path,
@@ -980,7 +990,10 @@ def _compile_content(
         return checks
     cgate = sgate
     if node.content_encoding is not None:  # parse guarantees "base64"
-        ok = s.rlike("^[A-Za-z0-9+/]*={0,2}$") & (F.length(s) % 4 == 0)
+        # \A..\z, not ^..$: Java (and Python) $ matches BEFORE a final
+        # newline, so "AAAA\n" would slip through the ^..$ form on both
+        # engines and then blow up in base64.b64decode
+        ok = s.rlike(r"\A[A-Za-z0-9+/]*={0,2}\z") & (F.length(s) % 4 == 0)
         checks.append(ScalarCheck(
             cond=cgate & ~ok, path=path, code="InvalidContentEncoding",
             message=_msg(loc, [F.lit(

@@ -35,7 +35,7 @@ from ..functions import ecma_regex
 from ..functions import formatting as fmt
 from .pointer import JsonPointer
 from .refs import RefResolutionError, resolve_transitive
-from .spec import FORBID, SchemaNode
+from .spec import ALLOW, FORBID, SchemaNode
 
 _UUID_HYPHENATED = re.compile(
     r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
@@ -247,6 +247,9 @@ def _check_object(root: SchemaNode, schema: SchemaNode, obj: dict,
                   errors: list[Violation]) -> None:
     """type:"object" body (validator/mod.rs:174-229)."""
     _check_required_and_properties(root, schema, obj, path, stack, errors)
+    ap = schema.additional_properties
+    if ap is None or ap == ALLOW:
+        return  # nothing constrains extras — skip the per-key regex scan
     # a property matched by patternProperties is NOT "additional" (2020-12)
     pp = sorted(schema.pattern_properties.items()) \
         if schema.pattern_properties is not None else []
@@ -254,7 +257,6 @@ def _check_object(root: SchemaNode, schema: SchemaNode, obj: dict,
     extra = [k for k in obj if k not in schema.properties
              and not any(rx.search(k) is not None for rx, _ in pp_rx)]
     if extra:
-        ap = schema.additional_properties
         if ap == FORBID:
             for k in extra:
                 p = path.push(k)
@@ -340,16 +342,18 @@ def _check_required_and_properties(root: SchemaNode, schema: SchemaNode,
             stack.append(item)
 
 
-_B64_RX = re.compile(r"^[A-Za-z0-9+/]*={0,2}$")
+_B64_RX = re.compile(r"[A-Za-z0-9+/]*={0,2}")
 
 
 def content_b64_valid(s: str) -> bool:
     """The engine's base64 validity rule (RFC 4648 §4 alphabet, correct
     padding length). Both engines share THIS definition — the vectorized
-    compiler evaluates the same regex + length%4 JVM-side, so verdicts are
-    identical by construction. Non-canonical trailing bits are accepted
-    (as ``base64.b64decode`` also does)."""
-    return _B64_RX.match(s) is not None and len(s) % 4 == 0
+    compiler evaluates the same regex (``\\A..\\z``-anchored) + length%4
+    JVM-side, so verdicts are identical by construction. ``fullmatch``
+    (not ``^..$``, whose ``$`` matches before a final newline) so
+    "AAAA\\n" is rejected like ``base64.b64decode`` would. Non-canonical
+    trailing bits are accepted (as ``b64decode`` also does)."""
+    return _B64_RX.fullmatch(s) is not None and len(s) % 4 == 0
 
 
 def content_parse_json(s: str, encoding: "str | None") -> tuple[bool, Any]:
@@ -442,8 +446,11 @@ def _check_bounds(schema: SchemaNode, x: float, path: JsonPointer,
         errors.append(Violation(
             path.as_str(), "AboveExclusiveMaximum",
             fmt.msg_above_exclusive_maximum(loc, x, schema.exclusive_maximum)))
-    if schema.multiple_of is not None and not (x % schema.multiple_of == 0):
-        # float %: same ==0 verdict as the compiler's IEEE remainder
+    if schema.multiple_of is not None \
+            and not ((x / schema.multiple_of) % 1.0 == 0):
+        # quotient-is-integer (jsonschema-package semantics; see the
+        # compiler twin): raw `x % m == 0` falsely flags e.g. 90.0 with
+        # multipleOf 0.1. NaN/Inf quotients -> NaN % 1.0 -> not a multiple.
         errors.append(Violation(
             path.as_str(), "NotMultipleOf",
             fmt.msg_not_multiple_of(loc, x, schema.multiple_of)))

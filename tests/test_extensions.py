@@ -101,6 +101,28 @@ class TestNumericExtensions:
         for x in (-2.5, -2, -1.5, 0, 0.25, 3.5, 6.5, 7, 7.5):
             assert (len(validate(root, x)) == 0) == v3.is_valid(x), x
 
+    def test_decimal_multiple_of_quotient_semantics(self, spark):
+        # regression: raw IEEE remainder (90.0 % 0.1 != 0) mass-flagged
+        # valid decimal multiples; the quotient-is-integer form matches
+        # the jsonschema package on non-binary-exact divisors
+        jsonschema = pytest.importorskip("jsonschema")
+        spec_j = {"type": "number", "multipleOf": 0.1}
+        root = parse_spec(spec_j, extensions=True)
+        v3 = jsonschema.Draft202012Validator(spec_j)
+        for x in (90.0, 0.3, 3.3, 0.1, 1.0, 0.25, 10.02, 4.35, -90.0):
+            assert (len(validate(root, x)) == 0) == v3.is_valid(x), x
+        # jsonschema raises ValueError on non-finite instances; this
+        # engine treats them as not-a-multiple (NaN quotient)
+        for x in (float("nan"), float("inf"), float("-inf")):
+            assert [v.code for v in validate(root, x)] == ["NotMultipleOf"]
+        # cross-engine bytes on the same divisor
+        spec = {"type": "object", "properties": {
+            "b": {"type": "number", "multipleOf": 0.1}}}
+        rows = [Row(id=1, b=90.0), Row(id=2, b=0.3), Row(id=3, b=-90.0),
+                Row(id=4, b=4.35), Row(id=5, b=None)]
+        got = cross_check(spark, spec, rows, "id int, b double")
+        assert [r[0] for r in got] == [2, 4]
+
 
 class TestNotIfThenElse:
     def test_not_cross_engine(self, spark):
@@ -380,6 +402,23 @@ class TestContentExtensions:
         got = cross_check(spark, spec, rows, "id int, doc string")
         assert [(r[0], r[1], r[2]) for r in got] == [
             (2, "/doc/p/x", "MissingRequired")]
+
+    def test_trailing_newline_is_not_base64(self, spark):
+        # regression: ^..$ anchors let "$" match before a final newline on
+        # BOTH engines (Python re and Java rlike), so "AAAAAAA\n" (len 8,
+        # %4==0) passed the validity gate and then blew up b64decode;
+        # \A..\z / fullmatch reject it
+        from json_schema_rs_spark.plans.pyvalidator import content_b64_valid
+        assert not content_b64_valid("AAAAAAA\n")
+        assert not content_b64_valid("AAAA\n")
+        assert content_b64_valid("AAAA")
+        spec = {"type": "object", "properties": {
+            "p": {"type": "string", "contentEncoding": "base64"}}}
+        rows = [Row(id=1, p="AAAAAAA\n"), Row(id=2, p="AAAA"),
+                Row(id=3, p="AAAA\nAAAA")]
+        got = cross_check(spark, spec, rows, "id int, p string")
+        assert [(r[0], r[2]) for r in got] == [
+            (1, "InvalidContentEncoding"), (3, "InvalidContentEncoding")]
 
     def test_json_mode_content(self):
         # the pure-Python path gets content* on nested strings for free
