@@ -310,6 +310,47 @@ FROM lineitem WHERE l_tax > 0.07
 """
 
 
+def _q_v_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # assertive `format` extension (E15): date / ipv4 / email over
+    # deterministically-derived string columns; the formats are single
+    # shared regexes (+ shared calendar arithmetic for date) evaluated
+    # JVM-side — whole-stage codegen, zero shuffle
+    spec = {"type": "object", "properties": {
+        "date_str": {"type": "string", "format": "date"},
+        "ip": {"type": "string", "format": "ipv4"},
+        "em": {"type": "string", "format": "email"},
+    }}
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("2023-02-29"))
+         .otherwise(F.col("o_orderdate").cast("date").cast("string"))
+         .alias("date_str"),
+        F.concat((F.col("o_orderkey") % 300).cast("string"),
+                 F.lit(".10.20.30")).alias("ip"),
+        F.when(F.col("o_orderkey") % 17 == 0, F.col("o_orderstatus"))
+         .otherwise(F.concat(F.col("o_orderstatus"), F.lit("@example.com")))
+         .alias("em"),
+    )
+    return ValidationEngine(spec, key_cols=("o_orderkey",),
+                            extensions=True).validate(o).violations
+
+
+_SQL_V_FORMATS = """
+SELECT o_orderkey, '/date_str' AS instance_path, 'InvalidFormat' AS code,
+  '/date_str: string "2023-02-29" is not a valid "date"' AS message
+FROM orders WHERE o_orderkey % 13 = 0
+UNION ALL
+SELECT o_orderkey, '/ip', 'InvalidFormat',
+  '/ip: string "' || CAST(o_orderkey % 300 AS VARCHAR) ||
+  '.10.20.30" is not a valid "ipv4"'
+FROM orders WHERE o_orderkey % 300 BETWEEN 256 AND 299
+UNION ALL
+SELECT o_orderkey, '/em', 'InvalidFormat',
+  '/em: string "' || o_orderstatus || '" is not a valid "email"'
+FROM orders WHERE o_orderkey % 17 = 0
+"""
+
+
 def _q_v_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     # conditional extension keywords over the transcript shape: IF the
     # turn is a tool turn THEN `tool` is required, ELSE any present tool
@@ -2471,6 +2512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_bounds_int": _q_v_bounds,
         "v_ext_numeric": _q_v_ext_numeric,
         "v_ext_anchors": _q_v_ext_anchors,
+        "v_formats": _q_v_formats,
         "v_conditional": _q_v_conditional,
         "v_ext_object": _q_v_ext_object,
         "v_content_json": _q_v_content_json,
@@ -2579,6 +2621,7 @@ def oracle_sql() -> dict[str, str]:
         "v_bounds_int": _SQL_V_BOUNDS,
         "v_ext_numeric": _SQL_V_EXT_NUMERIC,
         "v_ext_anchors": _SQL_V_EXT_ANCHORS,
+        "v_formats": _SQL_V_FORMATS,
         "v_conditional": _sql_v_conditional(),
         "v_ext_object": _sql_v_ext_object(),
         "v_content_json": _SQL_V_CONTENT_JSON,

@@ -161,6 +161,12 @@ def msg_invalid_uuid_format(location: str, value: str) -> str:
     return f'{location}: string "{value}" is not a valid UUID'
 
 
+def msg_invalid_format(location: str, value: str, fmt_name: str) -> str:
+    """Extension formats (E15) — ours to define, styled after
+    :func:`msg_invalid_uuid_format`."""
+    return f'{location}: string "{value}" is not a valid "{fmt_name}"'
+
+
 def msg_no_subschema_matched(location: str, subschema_count: int) -> str:
     return f"{location}: instance does not match any of the {subschema_count} subschema(s)"
 

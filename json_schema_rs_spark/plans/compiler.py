@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import ecma_regex
+from ..functions import formats
 from ..functions import formatting as fmt
 from ..functions.exprs import (
     UUID_REGEX,
@@ -518,6 +519,18 @@ def _compile_type_scoped(
                 cond=sgate & ~s.rlike(UUID_REGEX), path=path, code="InvalidUuidFormat",
                 message=_msg(loc, [
                     F.lit('string "'), s, F.lit('" is not a valid UUID'),
+                ]),
+            ))
+        if node.ext_format is not None:
+            # assertive format extension (E15): one shared regex (+
+            # shared date arithmetic) per format — functions/formats.py
+            ok = formats.spark_valid(node.ext_format, s)
+            checks.append(ScalarCheck(
+                cond=sgate & ~F.coalesce(ok, F.lit(False)), path=path,
+                code="InvalidFormat",
+                message=_msg(loc, [
+                    F.lit('string "'), s,
+                    F.lit(f'" is not a valid "{node.ext_format}"'),
                 ]),
             ))
         checks.extend(_compile_content(ctx, node, s, path, sgate, loc))

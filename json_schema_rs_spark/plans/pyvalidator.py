@@ -32,6 +32,7 @@ from dataclasses import dataclass
 from typing import Any
 
 from ..functions import ecma_regex
+from ..functions import formats
 from ..functions import formatting as fmt
 from .pointer import JsonPointer
 from .refs import RefResolutionError, resolve_transitive
@@ -407,6 +408,12 @@ def _check_string(schema: SchemaNode, inst: Any, path: JsonPointer,
     if schema.format == "uuid" and not is_valid_uuid(inst):
         errors.append(Violation(path.as_str(), "InvalidUuidFormat",
                                 fmt.msg_invalid_uuid_format(loc, inst)))
+    # assertive format extension (E15) — shared rules, functions/formats.py
+    if schema.ext_format is not None \
+            and not formats.python_valid(schema.ext_format, inst):
+        errors.append(Violation(
+            path.as_str(), "InvalidFormat",
+            fmt.msg_invalid_format(loc, inst, schema.ext_format)))
     # content* extensions (assertive, draft-07 style): encoding gate ->
     # media-type parse -> contentSchema over the DECODED instance (pushed
     # onto the same interpreter stack, so $refs and the full keyword

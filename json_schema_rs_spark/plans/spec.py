@@ -26,6 +26,8 @@ import re
 from dataclasses import dataclass, field
 from typing import Any, Optional, Union
 
+from ..functions import formats
+
 # Keywords the reference model understands (serde field set of JsonSchema,
 # json_schema.rs:279-403). Anything else is "unknown" in strict mode.
 KNOWN_KEYWORDS = {
@@ -153,6 +155,9 @@ class SchemaNode:
     anchor: Optional[str] = None
     dynamic_anchor: Optional[str] = None
     dynamic_ref: Optional[str] = None
+    # assertive `format` (E15, extensions only); core `format` keeps the
+    # reference's annotation-except-uuid behavior
+    ext_format: Optional[str] = None
     # root-only: anchor name -> node, collected by parse_spec when
     # extensions are on (presence also flags extension mode to refs.py).
     # repr/compare excluded: the map may contain the root itself (a root
@@ -463,6 +468,12 @@ def _parse_extensions(n: SchemaNode, doc: dict, *, strict: bool) -> None:
         dr = doc["$dynamicRef"]
         _expect(isinstance(dr, str), "$dynamicRef must be a string")
         n.dynamic_ref = dr
+    # assertive `format` (E15): `format` itself is a CORE keyword (the
+    # reference stores any string and validates only "uuid"); under
+    # extensions the selected formats become assertions via ext_format.
+    # Unknown formats stay annotations in BOTH modes (documented).
+    if "format" in doc and doc["format"] in formats.EXT_FORMATS:
+        n.ext_format = doc["format"]
 
 
 def parse_spec(spec: Union[str, bytes, dict], *, strict: bool = False,

@@ -555,3 +555,128 @@ class TestAnchorsDynamicRef:
                      {"c": 10}, {"a": 5, "b": 0, "c": 11}, {},
                      {"a": 1.5}, {"c": 3}):
             assert (len(validate(root, inst)) == 0) == v3.is_valid(inst), inst
+
+class TestFormats:
+    """Assertive `format` extension (E15) — the selected formats the
+    jsonschema package's FormatChecker can differentially verify here."""
+
+    CASES = {
+        "date": ["2024-02-29", "2023-02-29", "2024-1-1", "20240101",
+                 "2024-W01-1", "2024-013", "0000-01-01", "999-01-01",
+                 "2024-00-10", "2024-13-01", "2024-04-31", "2024-04-30",
+                 "1-01-01", "2024-02-29 ", " 2024-02-29", "2024-02-29\n"],
+        "date-time": [
+            "2024-01-01T00:00:00Z", "2024-01-01t00:00:00z",
+            "2024-02-30T00:00:00Z", "2024-01-01T23:59:60Z",
+            "2024-01-01T00:00:00+05:30", "2024-01-01T00:00:00",
+            "2024-01-01 00:00:00Z", "2024-01-01T00:00:00.123456789Z",
+            "2024-01-01T24:00:00Z", "2024-01-01T00:00:00+24:00",
+            "2024-01-01T00:00:00-00:00", "2024-01-01T00:00Z",
+            "2024-01-01T00:00:00.Z", "2024-01-01T00:00:00+0530",
+            "0000-01-01T00:00:00Z", "9999-12-31T23:59:59+23:59",
+            "2024-01-01T00:00:00.5+05:30"],
+        "ipv4": ["1.2.3.4", "01.2.3.4", "256.1.1.1", "1.2.3", "1.2.3.4.5",
+                 " 1.2.3.4", "0.0.0.0", "255.255.255.255", "1.2.3.04",
+                 "1.2.3.4\n", "1.2.3.400", "12.34.56.78"],
+        "ipv6": ["::1", "::", "1:2:3:4:5:6:7:8", "::ffff:1.2.3.4",
+                 "fe80::1%eth0", "1::2::3", "::0001", "12345::",
+                 "1:2:3:4:5:6:1.2.3.4", "::1.2.3.4", "1::", ":",
+                 ":::", "1:2:3:4:5:6:7:8:9", "1:2:3:4:5:6:7:1.2.3.4",
+                 "a:b:c:d:e:f:A:B", "::1\n", "g::1"],
+        "json-pointer": ["", "/a/b", "/a~0b", "/a~2b", "a/b", "/", "/a~",
+                         "/~1", "//", "/a/", "~", "/é", "/a~01"],
+        "email": ["a@b", "a b@c", "@", "no-at", "", "x@y@z", "@@"],
+    }
+
+    def test_jsonschema_verdicts(self):
+        jsonschema = pytest.importorskip("jsonschema")
+        fc = jsonschema.FormatChecker()
+        for f, cases in self.CASES.items():
+            root = parse_spec({"type": "string", "format": f},
+                              extensions=True)
+            v3 = jsonschema.Draft202012Validator(
+                {"type": "string", "format": f}, format_checker=fc)
+            for x in cases:
+                assert (len(validate(root, x)) == 0) == v3.is_valid(x), \
+                    (f, x)
+
+    def test_datetime_trailing_newline_documented_divergence(self):
+        # jsonschema's date-time checker is "$"-anchored (rfc3339_validator
+        # RFC3339_REGEX), so "...Z\n" passes it — a library quirk, not
+        # RFC 3339. This engine anchors \A..\z and rejects it (stricter,
+        # spec-faithful); pinned here so the divergence stays deliberate.
+        jsonschema = pytest.importorskip("jsonschema")
+        fc = jsonschema.FormatChecker()
+        v3 = jsonschema.Draft202012Validator(
+            {"type": "string", "format": "date-time"}, format_checker=fc)
+        root = parse_spec({"type": "string", "format": "date-time"},
+                          extensions=True)
+        assert v3.is_valid("2024-01-01T00:00:00Z\n")          # their quirk
+        assert [v.code for v in validate(root, "2024-01-01T00:00:00Z\n")] \
+            == ["InvalidFormat"]
+
+    def test_ipv4_ipv6_fuzz_vs_ipaddress(self):
+        # the regexes claim exact ipaddress-module parity — fuzz it
+        import ipaddress
+        import random
+        from json_schema_rs_spark.functions.formats import python_valid
+        rng = random.Random(4242)
+        alphabet = "0123456789abcdefABCDEF.:% "
+        pool = []
+        for _ in range(3000):
+            pool.append("".join(rng.choice(alphabet)
+                                for _ in range(rng.randrange(1, 24))))
+        # plus mutations of valid addresses
+        seeds = ["1:2:3:4:5:6:7:8", "::ffff:1.2.3.4", "fe80::1",
+                 "255.255.255.255", "10.0.0.1"]
+        for s in seeds:
+            for _ in range(200):
+                t = list(s)
+                t[rng.randrange(len(t))] = rng.choice(alphabet)
+                pool.append("".join(t))
+        for x in pool:
+            for f, cls in (("ipv4", ipaddress.IPv4Address),
+                           ("ipv6", ipaddress.IPv6Address)):
+                try:
+                    addr = cls(x)
+                    # IPv6Address accepts "%zone" since 3.9; jsonschema's
+                    # checker (and this engine) treats a zone as invalid
+                    want = not getattr(addr, "scope_id", None)
+                except ValueError:
+                    want = False
+                assert python_valid(f, x) == want, (f, x)
+
+    def test_cross_engine_bytes(self, spark):
+        spec = {"type": "object", "properties": {
+            "d": {"type": "string", "format": "date"},
+            "ip": {"type": "string", "format": "ipv4"},
+            "em": {"type": "string", "format": "email"}}}
+        rows = [Row(id=1, d="2024-02-29", ip="10.0.0.1", em="a@b"),
+                Row(id=2, d="2023-02-29", ip="256.0.0.1", em="nope"),
+                Row(id=3, d=None, ip="01.2.3.4", em=None),
+                Row(id=4, d="2024-1-1", ip=None, em="@")]
+        got = cross_check(spark, spec, rows, "id int, d string, ip string, em string")
+        assert [(r[0], r[1], r[2]) for r in got] == [
+            (2, "/d", "InvalidFormat"), (2, "/em", "InvalidFormat"),
+            (2, "/ip", "InvalidFormat"),
+            (3, "/ip", "InvalidFormat"), (4, "/d", "InvalidFormat")]
+        assert 'string "2023-02-29" is not a valid "date"' in got[0][3]
+
+    def test_off_by_default_and_unknown_formats_inert(self, spark):
+        # format is a CORE keyword: strict accepts it, and without
+        # extensions every non-uuid format stays an annotation
+        spec = {"type": "object", "properties": {
+            "d": {"type": "string", "format": "date"}}}
+        df = spark.createDataFrame([Row(id=1, d="junk")], "id int, d string")
+        s = ValidationEngine(spec, key_cols=("id",)).validate(df).summary()
+        assert s["violation_count"] == 0
+        n = parse_spec({"type": "string", "format": "date"}, strict=True)
+        assert n.format == "date" and n.ext_format is None
+        # unknown/unsupported formats stay annotations even with
+        # extensions on (time is deliberately excluded — jsonschema's
+        # checker diverges from RFC 3339)
+        for f in ("time", "hostname", "uri", "duration", "nonsense"):
+            root = parse_spec({"type": "string", "format": f},
+                              extensions=True)
+            assert root.ext_format is None
+            assert validate(root, "anything") == []
