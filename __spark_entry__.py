@@ -310,6 +310,42 @@ FROM lineitem WHERE l_tax > 0.07
 """
 
 
+def _q_v_unevaluated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # unevaluatedProperties (E16) over the transcript shape: tool turns
+    # evaluate tool+ts through `then`; on every other turn a present
+    # tool/ts is an unevaluated property. Evaluated-ness compiles to
+    # boolean columns (the if-validity is CSE-memoized) — zero shuffle.
+    spec = {
+        "type": "object",
+        "if": {"properties": {"role": {"const": "tool"}},
+               "required": ["role"]},
+        "then": {"properties": {"tool": {"type": "string"},
+                                "ts": {}}},
+        "properties": {"conv_id": {"type": "string"},
+                       "turn_idx": {"type": "integer"},
+                       "role": {"type": "string"},
+                       "text": {"type": "string"}},
+        "unevaluatedProperties": False,
+    }
+    tx = _transcripts_with_tools(_t(spark, sf_dir, "events"))
+    return ValidationEngine(spec, key_cols=("conv_id", "turn_idx"),
+                            extensions=True).validate(tx).violations
+
+
+def _sql_v_unevaluated() -> str:
+    return f"""
+WITH tx AS ({_ORACLE_TX_TOOLS})
+SELECT conv_id, turn_idx, '/tool' AS instance_path,
+       'DisallowedUnevaluatedProperty' AS code,
+       '/tool: unevaluated property "tool" not allowed' AS message
+FROM tx WHERE tool IS NOT NULL AND (role IS NULL OR role <> 'tool')
+UNION ALL
+SELECT conv_id, turn_idx, '/ts', 'DisallowedUnevaluatedProperty',
+       '/ts: unevaluated property "ts" not allowed'
+FROM tx WHERE ts IS NOT NULL AND (role IS NULL OR role <> 'tool')
+"""
+
+
 def _q_v_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assertive `format` extension (E15): date / ipv4 / email over
     # deterministically-derived string columns; the formats are single
@@ -2513,6 +2549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_ext_numeric": _q_v_ext_numeric,
         "v_ext_anchors": _q_v_ext_anchors,
         "v_formats": _q_v_formats,
+        "v_unevaluated": _q_v_unevaluated,
         "v_conditional": _q_v_conditional,
         "v_ext_object": _q_v_ext_object,
         "v_content_json": _q_v_content_json,
@@ -2622,6 +2659,7 @@ def oracle_sql() -> dict[str, str]:
         "v_ext_numeric": _SQL_V_EXT_NUMERIC,
         "v_ext_anchors": _SQL_V_EXT_ANCHORS,
         "v_formats": _SQL_V_FORMATS,
+        "v_unevaluated": _sql_v_unevaluated(),
         "v_conditional": _sql_v_conditional(),
         "v_ext_object": _sql_v_ext_object(),
         "v_content_json": _SQL_V_CONTENT_JSON,

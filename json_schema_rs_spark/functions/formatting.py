@@ -125,6 +125,16 @@ def msg_disallowed_additional_property(location: str, prop: str) -> str:
     return f'{location}: additional property "{prop}" not allowed'
 
 
+def msg_disallowed_unevaluated_property(location: str, prop: str) -> str:
+    """Extension (E16), styled after the additionalProperties message."""
+    return f'{location}: unevaluated property "{prop}" not allowed'
+
+
+def msg_disallowed_unevaluated_item(location: str) -> str:
+    """Extension (E16); per-element path, like the `items` checks."""
+    return f"{location}: unevaluated item not allowed"
+
+
 def msg_not_in_enum(location: str, invalid_value: str, allowed: list[str]) -> str:
     return f"{location}: value {invalid_value} not in enum (allowed: {', '.join(allowed)})"
 

@@ -672,7 +672,74 @@ def _compile_object(
         for k in extra:
             kcol, kdtype = fields[k]
             checks.extend(_compile_property(ctx, ap, k, kcol, kdtype, path, path_str, gate))
+    # extension: unevaluatedProperties (E16) — additionalProperties that
+    # sees through the in-place applicators. Evaluated-ness is STRUCTURAL
+    # (a failed branch still evaluates its matched names — the jsonschema
+    # package's observable behavior, pinned by differential tests); the
+    # only dynamic inputs are the if-condition validity and
+    # dependentSchemas trigger presence, both already CSE-memoized.
+    # Parse guarantees no $ref/combinators/additionalProperties siblings.
+    up = node.unevaluated_properties
+    if up is not None and up != ALLOW:
+        for k in sorted(fields):
+            ev = _evaluated_col(ctx, node, k, tgt, fields)
+            if ev is None:
+                continue  # statically evaluated — check can never fire
+            kcol, kdtype = fields[k]
+            uneval = kcol.isNotNull() & ~F.coalesce(ev, F.lit(False))
+            if up == FORBID:
+                kpath_str = (path_str + "/" + escape_segment(k)) \
+                    if path_str is not None else None
+                kpath = F.concat(path, F.lit("/" + escape_segment(k)))
+                checks.append(ScalarCheck(
+                    cond=gate & uneval, path=kpath,
+                    code="DisallowedUnevaluatedProperty",
+                    message=_msg(_loc_col(kpath, kpath_str), [F.lit(
+                        f'unevaluated property "{k}" not allowed')]),
+                ))
+            else:
+                checks.extend(_compile_property(
+                    ctx, up, k, kcol, kdtype, path, path_str,
+                    gate & uneval))
     return checks
+
+
+def _evaluated_col(ctx: CompileContext, node: SchemaNode, k: str,
+                   tgt: Target, fields: dict) -> Optional[Column]:
+    """Whether declared field ``k`` is evaluated by ``node``'s in-place
+    application (E16). ``None`` = statically evaluated (properties /
+    patternProperties match, or additionalProperties present). Otherwise
+    a boolean Column over the dynamic sources: the applied if/then/else
+    branch and triggered dependentSchemas, recursing structurally into
+    their sub-schemas. Combinator branches do not contribute — they are
+    evaluation-exclusive in this engine's ladder, and parse rejects them
+    on the unevaluated*-carrying node itself."""
+    if k in node.properties or k in _pattern_matched_subs(node, fields):
+        return None
+    if node.additional_properties is not None:
+        return None
+
+    def branch(sub: Optional[SchemaNode]) -> Column:
+        if sub is None:
+            return F.lit(False)
+        r = _evaluated_col(ctx, sub, k, tgt, fields)
+        return F.lit(True) if r is None else r
+
+    pieces: list[Column] = []
+    if node.if_schema is not None:
+        cond = F.coalesce(_validity(ctx, node.if_schema, tgt), F.lit(False))
+        pieces.append(F.when(cond, branch(node.then_schema))
+                      .otherwise(branch(node.else_schema)))
+    if node.dependent_schemas is not None:
+        for trigger, sub in sorted(node.dependent_schemas.items()):
+            if trigger in fields:
+                pieces.append(fields[trigger][0].isNotNull() & branch(sub))
+    if not pieces:
+        return F.lit(False)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out | p
+    return out
 
 
 def _compile_required_properties(
@@ -979,6 +1046,47 @@ def _compile_array(
         per_elem_arrays = F.transform(arr, per_element)
         item_viols = F.when(gate, F.flatten(per_elem_arrays)).otherwise(_empty_violations())
         checks.append(ArrayCheck(arr=item_viols))
+    # extension: unevaluatedItems (E16) — inert when `items` is present
+    # (every element evaluated); otherwise applies to elements past the
+    # prefixItems width that don't match `contains` (contains-matched
+    # elements ARE evaluated in 2020-12, pinned vs jsonschema). Parse
+    # guarantees no $ref/combinators/if/dependentSchemas siblings, so the
+    # prefix width is static.
+    ui = node.unevaluated_items
+    if ui is not None and ui != ALLOW and node.items is None:
+        elem_dtype = tgt.dtype.elementType  # type: ignore[union-attr]
+
+        def contains_match(x: Column) -> Column:
+            if node.contains is None:
+                return F.lit(False)
+            et = _make_target(x, elem_dtype, null_is_absent=False)
+            trial = compile_node(ctx, node.contains, et, F.lit(""), "",
+                                 F.lit(True))
+            return F.coalesce(bool_and([c.ok() for c in trial]),
+                              F.lit(False))
+
+        def per_uneval(x: Column, i: Column) -> Column:
+            epath = F.concat(path, F.lit("/"), i.cast("string"))
+            if ui == FORBID:
+                out = F.array(_viol_struct(
+                    epath, "DisallowedUnevaluatedItem",
+                    _msg(_loc_col(epath, None),
+                         [F.lit("unevaluated item not allowed")])))
+            else:
+                et = _make_target(x, elem_dtype, null_is_absent=False)
+                echecks = compile_node(ctx, ui, et, epath, None, F.lit(True))
+                arrays = [c.to_array() for c in echecks]
+                if not arrays:
+                    return _empty_violations()
+                out = F.concat(*arrays) if len(arrays) > 1 else arrays[0]
+            evaluated = contains_match(x)
+            if n_prefix:
+                evaluated = evaluated | (i < F.lit(n_prefix))
+            return F.when(~evaluated, out).otherwise(_empty_violations())
+
+        uneval_arrays = F.transform(arr, per_uneval)
+        checks.append(ArrayCheck(arr=F.when(
+            gate, F.flatten(uneval_arrays)).otherwise(_empty_violations())))
     return checks
 
 

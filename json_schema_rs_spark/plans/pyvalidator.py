@@ -248,6 +248,26 @@ def _check_object(root: SchemaNode, schema: SchemaNode, obj: dict,
                   errors: list[Violation]) -> None:
     """type:"object" body (validator/mod.rs:174-229)."""
     _check_required_and_properties(root, schema, obj, path, stack, errors)
+    # extension: unevaluatedProperties (E16). Structural annotation flow
+    # (see the compiler twin); parse guarantees additionalProperties and
+    # the exclusive combinators are absent on this node.
+    up = schema.unevaluated_properties
+    if up is not None and up != ALLOW:
+        evaluated = _evaluated_keys(root, schema, obj)
+        pending_up = []
+        for k in sorted(obj):
+            if k in evaluated:
+                continue
+            p = path.push(k)
+            if up == FORBID:
+                errors.append(Violation(
+                    p.as_str(), "DisallowedUnevaluatedProperty",
+                    fmt.msg_disallowed_unevaluated_property(
+                        p.display_root_or_path(), k)))
+            else:
+                pending_up.append((up, obj[k], p))
+        for item in reversed(pending_up):
+            stack.append(item)
     ap = schema.additional_properties
     if ap is None or ap == ALLOW:
         return  # nothing constrains extras — skip the per-key regex scan
@@ -341,6 +361,32 @@ def _check_required_and_properties(root: SchemaNode, schema: SchemaNode,
                       if trigger in obj]
         for item in reversed(pending_ds):
             stack.append(item)
+
+
+def _evaluated_keys(root: SchemaNode, schema: SchemaNode, obj: dict) -> set:
+    """Keys of ``obj`` evaluated by ``schema``'s in-place application
+    (E16): properties, patternProperties matches, everything when
+    additionalProperties is present, plus the applied if/then/else branch
+    and triggered dependentSchemas, recursed structurally. Evaluated-ness
+    is STRUCTURAL — a failed branch still evaluates its matched names —
+    matching the jsonschema package's observable behavior."""
+    s = {k for k in obj if k in schema.properties}
+    if schema.pattern_properties is not None:
+        for pat in schema.pattern_properties:
+            rx = ecma_regex.compile_python(pat)
+            s.update(k for k in obj if rx.search(k) is not None)
+    if schema.additional_properties is not None:
+        s.update(obj)
+    if schema.if_schema is not None:
+        ok = len(validate_with_root(root, schema.if_schema, obj)) == 0
+        branch = schema.then_schema if ok else schema.else_schema
+        if branch is not None:
+            s |= _evaluated_keys(root, branch, obj)
+    if schema.dependent_schemas is not None:
+        for trigger, sub in sorted(schema.dependent_schemas.items()):
+            if trigger in obj:
+                s |= _evaluated_keys(root, sub, obj)
+    return s
 
 
 _B64_RX = re.compile(r"[A-Za-z0-9+/]*={0,2}")
@@ -511,3 +557,23 @@ def _check_array(root: SchemaNode, schema: SchemaNode, arr: list,
     if schema.items is not None:
         for i in range(n - 1, k - 1, -1):
             stack.append((schema.items, arr[i], path.push(str(i))))
+    # extension: unevaluatedItems (E16) — inert when `items` is present;
+    # otherwise elements past the prefix that don't match `contains`
+    # (contains-matched elements are evaluated, draft 2020-12)
+    ui = schema.unevaluated_items
+    if ui is not None and ui != ALLOW and schema.items is None:
+        pending_ui = []
+        for i in range(k, n):
+            if schema.contains is not None and \
+                    len(validate_with_root(root, schema.contains, arr[i])) == 0:
+                continue
+            p = path.push(str(i))
+            if ui == FORBID:
+                errors.append(Violation(
+                    p.as_str(), "DisallowedUnevaluatedItem",
+                    fmt.msg_disallowed_unevaluated_item(
+                        p.display_root_or_path())))
+            else:
+                pending_ui.append((ui, arr[i], p))
+        for item in reversed(pending_ui):
+            stack.append(item)

@@ -54,6 +54,7 @@ EXTENSION_KEYWORDS = {
     "patternProperties", "propertyNames", "dependentSchemas",
     "contentEncoding", "contentMediaType", "contentSchema",
     "$anchor", "$dynamicAnchor", "$dynamicRef",
+    "unevaluatedProperties", "unevaluatedItems",
 }
 
 # draft 2020-12 §8.2.2 anchor-name shape
@@ -158,6 +159,9 @@ class SchemaNode:
     # assertive `format` (E15, extensions only); core `format` keeps the
     # reference's annotation-except-uuid behavior
     ext_format: Optional[str] = None
+    # ALLOW | FORBID | SchemaNode; None = absent (like additionalProperties)
+    unevaluated_properties: Optional[Union[str, "SchemaNode"]] = None
+    unevaluated_items: Optional[Union[str, "SchemaNode"]] = None
     # root-only: anchor name -> node, collected by parse_spec when
     # extensions are on (presence also flags extension mode to refs.py).
     # repr/compare excluded: the map may contain the root itself (a root
@@ -184,6 +188,9 @@ class SchemaNode:
                 out.append(s)
         if isinstance(self.additional_properties, SchemaNode):
             out.append(self.additional_properties)
+        for u in (self.unevaluated_properties, self.unevaluated_items):
+            if isinstance(u, SchemaNode):
+                out.append(u)
         return out
 
     @property
@@ -474,6 +481,38 @@ def _parse_extensions(n: SchemaNode, doc: dict, *, strict: bool) -> None:
     # Unknown formats stay annotations in BOTH modes (documented).
     if "format" in doc and doc["format"] in formats.EXT_FORMATS:
         n.ext_format = doc["format"]
+    # unevaluatedProperties / unevaluatedItems (E16): this engine's
+    # keyword ladder evaluates $ref/allOf/anyOf/oneOf EXCLUSIVELY
+    # (validator/mod.rs precedence — siblings never run), so annotation
+    # flow through them does not exist; combining unevaluated* with them
+    # is a LOUD parse error, never a silent divergence. Likewise
+    # unevaluatedProperties+additionalProperties (the jsonschema oracle
+    # itself is inconsistent there: a failed additionalProperties child
+    # is "unevaluated" but a failed properties child is not) and
+    # unevaluatedItems+if/dependentSchemas (dynamic prefix widths).
+    def _uneval(kw: str) -> Union[str, SchemaNode]:
+        v = doc[kw]
+        if v is True:
+            return ALLOW
+        if v is False:
+            return FORBID
+        _expect(isinstance(v, dict),
+                f"{kw} must be a boolean or an object schema")
+        return parse_node(v, strict=strict, extensions=True)
+
+    _EXCLUSIVE = ("$ref", "$dynamicRef", "allOf", "anyOf", "oneOf")
+    if "unevaluatedProperties" in doc:
+        for kw in _EXCLUSIVE + ("additionalProperties",):
+            _expect(kw not in doc,
+                    f"unevaluatedProperties cannot be combined with {kw}"
+                    " on the same schema node")
+        n.unevaluated_properties = _uneval("unevaluatedProperties")
+    if "unevaluatedItems" in doc:
+        for kw in _EXCLUSIVE + ("if", "dependentSchemas"):
+            _expect(kw not in doc,
+                    f"unevaluatedItems cannot be combined with {kw}"
+                    " on the same schema node")
+        n.unevaluated_items = _uneval("unevaluatedItems")
 
 
 def parse_spec(spec: Union[str, bytes, dict], *, strict: bool = False,

@@ -680,3 +680,134 @@ class TestFormats:
                               extensions=True)
             assert root.ext_format is None
             assert validate(root, "anything") == []
+
+class TestUnevaluated:
+    """unevaluatedProperties / unevaluatedItems (E16) over the supported
+    shapes (no $ref/combinator siblings — loud parse errors instead of
+    silent divergence from the exclusive-keyword ladder)."""
+
+    def test_jsonschema_verdicts_properties(self):
+        jsonschema = pytest.importorskip("jsonschema")
+        spec = {"type": "object",
+                "if": {"properties": {"t": {"const": "x"}}, "required": ["t"]},
+                "then": {"properties": {"u": {"type": "integer"}}},
+                "else": {"properties": {"w": {"type": "integer"}}},
+                "dependentSchemas": {"d": {"properties": {"e": {}}}},
+                "properties": {"t": {"type": "string"}},
+                "unevaluatedProperties": False}
+        root = parse_spec(spec, extensions=True)
+        v3 = jsonschema.Draft202012Validator(spec)
+        for inst in ({"t": "x", "u": 1}, {"t": "x", "w": 1},
+                     {"t": "y", "w": 1}, {"t": "y", "u": 1}, {"u": 1},
+                     {"t": "x", "u": "bad"}, {"d": 1, "e": 2}, {"e": 2},
+                     {"t": "x", "u": 1, "d": 0, "e": 0}, {},
+                     {"t": "x", "u": 1, "z": 9}):
+            assert (len(validate(root, inst)) == 0) == v3.is_valid(inst), inst
+
+    def test_jsonschema_verdicts_items(self):
+        jsonschema = pytest.importorskip("jsonschema")
+        for spec in (
+            {"type": "array", "prefixItems": [{"type": "integer"}],
+             "unevaluatedItems": False},
+            {"type": "array", "contains": {"type": "integer"},
+             "unevaluatedItems": False},
+            {"type": "array", "items": {"type": "integer"},
+             "unevaluatedItems": False},
+            {"type": "array", "prefixItems": [{}],
+             "unevaluatedItems": {"type": "integer"}},
+        ):
+            root = parse_spec(spec, extensions=True)
+            v3 = jsonschema.Draft202012Validator(spec)
+            for inst in ([], [1], [1, 2], [1, "a"], ["a"], ["a", "b"],
+                         [1, 2, "c"], ["x", 1], [1.5], [True]):
+                assert (len(validate(root, inst)) == 0) == v3.is_valid(inst), \
+                    (spec, inst)
+
+    def test_cross_engine_properties(self, spark):
+        # transcript shape: `then` evaluates tool only for tool turns;
+        # ts is never evaluated -> always flagged when present
+        spec = {"type": "object",
+                "if": {"properties": {"role": {"const": "tool"}},
+                       "required": ["role"]},
+                "then": {"properties": {"tool": {"type": "string"}}},
+                "properties": {"role": {"type": "string"},
+                               "id": {"type": "integer"}},
+                "unevaluatedProperties": False}
+        rows = [Row(id=1, role="tool", tool="search", ts=None),
+                Row(id=2, role="user", tool="search", ts=None),
+                Row(id=3, role="tool", tool=None, ts=7),
+                Row(id=4, role=None, tool=None, ts=None)]
+        got = cross_check(spark, spec, rows,
+                          "id int, role string, tool string, ts long")
+        assert [(r[0], r[1], r[2]) for r in got] == [
+            (2, "/tool", "DisallowedUnevaluatedProperty"),
+            (3, "/ts", "DisallowedUnevaluatedProperty")]
+        assert 'unevaluated property "tool" not allowed' in got[0][3]
+
+    def test_cross_engine_properties_schema_form(self, spark):
+        # schema-form unevaluatedProperties: unevaluated keys must satisfy
+        # the sub-schema instead of being forbidden
+        spec = {"type": "object",
+                "properties": {"a": {"type": "string"},
+                               "id": {"type": "integer"}},
+                "unevaluatedProperties": {"type": "integer"}}
+        rows = [Row(id=1, a="x", b=3), Row(id=2, a="x", b=None),
+                Row(id=3, a=None, b=4)]
+        schema = "id int, a string, b long"
+        got = cross_check(spark, spec, rows, schema)
+        assert got == []  # b is integer everywhere it's present
+        spec2 = {"type": "object",
+                 "properties": {"a": {"type": "string"},
+                                "id": {"type": "integer"}},
+                 "unevaluatedProperties": {"type": "string"}}
+        got2 = cross_check(spark, spec2, rows, schema)
+        assert [(r[0], r[1], r[2]) for r in got2] == [
+            (1, "/b", "ExpectedString"), (3, "/b", "ExpectedString")]
+
+    def test_cross_engine_items(self, spark):
+        spec = {"type": "object", "properties": {
+            "id": {"type": "integer"},
+            "xs": {"type": "array",
+                   "prefixItems": [{"type": "integer"}],
+                   "contains": {"const": 0},
+                   "unevaluatedItems": False}}}
+        rows = [Row(id=1, xs=[5]),          # prefix only
+                Row(id=2, xs=[5, 0]),       # second matches contains
+                Row(id=3, xs=[5, 0, 9]),    # 9 unevaluated
+                Row(id=4, xs=None), Row(id=5, xs=[])]
+        got = cross_check(spark, spec, rows, "id int, xs array<long>")
+        # contains defaults minContains to 1: rows 1 ([5]) and 5 ([]) have
+        # zero matches -> TooFewContains; row 3's 9 is unevaluated
+        assert [(r[0], r[1], r[2]) for r in got] == [
+            (1, "/xs", "TooFewContains"),
+            (3, "/xs/2", "DisallowedUnevaluatedItem"),
+            (5, "/xs", "TooFewContains")]
+
+    def test_parse_guards(self):
+        for bad, kw in ((
+                {"allOf": [{}], "unevaluatedProperties": False}, "allOf"), (
+                {"$ref": "#", "unevaluatedProperties": False}, r"\$ref"), (
+                {"additionalProperties": True,
+                 "unevaluatedProperties": False}, "additionalProperties"), (
+                {"anyOf": [{}], "unevaluatedItems": False}, "anyOf"), (
+                {"if": {}, "unevaluatedItems": False}, "if"), (
+                {"dependentSchemas": {},
+                 "unevaluatedItems": False}, "dependentSchemas")):
+            with pytest.raises(SpecParseError, match=kw):
+                parse_spec(bad, extensions=True)
+        # true-form is inert, items-present makes unevaluatedItems inert
+        root = parse_spec({"type": "array", "items": {},
+                           "unevaluatedItems": False}, extensions=True)
+        assert validate(root, ["anything", 1]) == []
+        root2 = parse_spec({"unevaluatedProperties": True}, extensions=True)
+        assert validate(root2, {"x": 1}) == []
+
+    def test_off_by_default(self, spark):
+        spec = {"type": "object", "properties": {"a": {"type": "string"}},
+                "unevaluatedProperties": False}
+        df = spark.createDataFrame([Row(id=1, a="x", b=1)],
+                                   "id int, a string, b long")
+        s = ValidationEngine(spec, key_cols=("id",)).validate(df).summary()
+        assert s["violation_count"] == 0
+        with pytest.raises(SpecParseError, match="unevaluatedProperties"):
+            parse_spec(spec, strict=True)
