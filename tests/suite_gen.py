@@ -821,6 +821,223 @@ def gen_bounds_grid():
     return out
 
 
+def _xg(desc, schema, tests, columns=None):
+    g = _group(desc, schema, tests, columns)
+    g["extensions"] = True
+    return g
+
+
+def gen_ext_numeric():
+    """Extension numeric keywords, verdicts from first-principles
+    predicates: multipleOf = quotient-is-integer ((v/m) % 1.0 == 0, the
+    jsonschema-package rule); exclusive bounds = strict comparisons."""
+    out = []
+    for m in (0.1, 0.5, 3, 0.01):
+        probes = [90.0, 0.3, 1.0, 0.25, 3.3, -6.0, 0.0, 7.0, 10.02, -0.1]
+        out.append(_xg(
+            f"ext multipleOf {m}",
+            {"type": "object",
+             "properties": {"v": {"type": "number", "multipleOf": m}}},
+            [_t(f"v={v}", {"v": v}, (v / m) % 1.0 == 0) for v in probes],
+            {"v": "double"}))
+    for mn, mx in [(0, 10), (-5, 5), (7, 8)]:
+        probes = sorted({mn - 1, mn, mn + 1, (mn + mx) // 2, mx - 1, mx,
+                         mx + 1})
+        out.append(_xg(
+            f"ext exclusive bounds ({mn},{mx})",
+            {"type": "object",
+             "properties": {"v": {"type": "integer",
+                                  "exclusiveMinimum": mn,
+                                  "exclusiveMaximum": mx}}},
+            [_t(f"v={v}", {"v": v}, mn < v < mx) for v in probes],
+            {"v": "bigint"}))
+    return out
+
+
+def gen_ext_conditional():
+    """if/then/else + dependentRequired grid: rule computed independently
+    per instance."""
+    schema = {"type": "object",
+              "if": {"properties": {"r": {"const": "t"}}, "required": ["r"]},
+              "then": {"required": ["u"]},
+              "else": {"properties": {"u": {"enum": ["ok"]}}},
+              "dependentRequired": {"u": ["w"]},
+              "properties": {"r": {"type": "string"}}}
+
+    def rule(inst):
+        if inst.get("r") == "t":
+            branch_ok = "u" in inst
+        else:
+            branch_ok = ("u" not in inst) or inst["u"] == "ok"
+        dep_ok = ("u" not in inst) or ("w" in inst)
+        return branch_ok and dep_ok
+
+    insts = [{"r": "t", "u": "x", "w": "y"}, {"r": "t"},
+             {"r": "t", "u": "x"}, {"r": "s", "u": "ok", "w": "y"},
+             {"r": "s", "u": "no", "w": "y"}, {"r": "s"}, {},
+             {"u": "ok", "w": "y"}, {"u": "ok"}, {"w": "y"}]
+    return [_xg("ext if/then/else + dependentRequired", schema,
+                [_t(str(i), inst, rule(inst))
+                 for i, inst in enumerate(insts)],
+                {"r": "string", "u": "string", "w": "string"})]
+
+
+def gen_ext_object():
+    """patternProperties / propertyNames / min-maxProperties."""
+    out = []
+    schema = {"type": "object",
+              "patternProperties": {"^s": {"type": "string",
+                                           "minLength": 2}},
+              "properties": {"n": {"type": "integer"}}}
+
+    def rule(inst):
+        return all(isinstance(v, str) and len(v) >= 2
+                   for k, v in inst.items() if k.startswith("s"))
+
+    insts = [{"s1": "ab", "n": 1}, {"s1": "a"}, {"s1": "ab", "s2": "c"},
+             {"n": 2}, {}, {"s1": "abc", "s2": "de", "n": 3}]
+    out.append(_xg("ext patternProperties minLength", schema,
+                   [_t(str(i), inst, rule(inst))
+                    for i, inst in enumerate(insts)],
+                   {"s1": "string", "s2": "string", "n": "bigint"}))
+    # sub-schema needs type:"string": constraints are type-scoped in
+    # this ladder (a typeless maxLength is inert, reference semantics).
+    # maxLength 4 so the harness's _cid key column passes the name check.
+    schema2 = {"type": "object",
+               "propertyNames": {"type": "string", "maxLength": 4},
+               "properties": {"abc": {}, "abcde": {}}}
+    insts2 = [{"abc": 1}, {"abcde": 1}, {"abc": 1, "abcde": 2}, {}]
+    out.append(_xg("ext propertyNames maxLength", schema2,
+                   [_t(str(i), inst,
+                       all(len(k) <= 4 for k in inst))
+                    for i, inst in enumerate(insts2)],
+                   {"abc": "bigint", "abcde": "bigint"}))
+    return out
+
+
+def gen_ext_arrays():
+    """contains/minContains/maxContains + prefixItems + unevaluatedItems,
+    rules computed per instance."""
+    out = []
+    for min_c, max_c in [(1, 2), (0, 1), (2, None)]:
+        schema = {"type": "object", "properties": {
+            "xs": {"type": "array", "contains": {"type": "integer",
+                                                 "minimum": 5},
+                   **({"minContains": min_c} if min_c != 1 else {}),
+                   **({"maxContains": max_c} if max_c is not None else {})}}}
+
+        def rule(xs, mn=min_c, mx=max_c):
+            cnt = sum(1 for x in xs if isinstance(x, int) and x >= 5)
+            return cnt >= mn and (mx is None or cnt <= mx)
+
+        arrays = [[], [1], [5], [5, 6], [5, 6, 7], [1, 9], [4, 4, 4]]
+        out.append(_xg(
+            f"ext contains [{min_c},{max_c}]", schema,
+            [_t(str(xs), {"xs": xs}, rule(xs)) for xs in arrays],
+            {"xs": "array<bigint>"}))
+    schema_p = {"type": "object", "properties": {
+        "xs": {"type": "array",
+               "prefixItems": [{"type": "integer", "minimum": 0}],
+               "unevaluatedItems": {"type": "integer", "maximum": 9}}}}
+
+    def rule_p(xs):
+        ok = True
+        if len(xs) >= 1:
+            ok &= xs[0] >= 0
+        ok &= all(x <= 9 for x in xs[1:])
+        return ok
+
+    arrays = [[], [0], [-1], [0, 9], [0, 10], [-1, 10], [3, 1, 2, 11]]
+    out.append(_xg("ext prefixItems + unevaluatedItems schema", schema_p,
+                   [_t(str(xs), {"xs": xs}, rule_p(xs)) for xs in arrays],
+                   {"xs": "array<bigint>"}))
+    return out
+
+
+def gen_ext_formats():
+    """Assertive formats: the expected verdict comes from an independent
+    implementation (ipaddress / datetime / '@' rule), not the engine."""
+    import datetime
+    import ipaddress
+    out = []
+
+    def date_ok(s):
+        try:
+            y, m, d = s.split("-")
+            if len(y) != 4 or len(m) != 2 or len(d) != 2:
+                return False
+            datetime.date(int(y), int(m), int(d))
+            return True
+        except ValueError:
+            return False
+
+    dates = ["2024-02-29", "2023-02-29", "2024-1-1", "0000-01-01",
+             "2024-12-31", "2024-04-31", "1999-06-15", "junk"]
+    out.append(_xg("ext format date",
+                   {"type": "object", "properties": {
+                       "s": {"type": "string", "format": "date"}}},
+                   [_t(s, {"s": s}, date_ok(s)) for s in dates],
+                   {"s": "string"}))
+
+    def ip_ok(cls, s):
+        try:
+            return not getattr(cls(s), "scope_id", None)
+        except ValueError:
+            return False
+
+    ips4 = ["1.2.3.4", "01.2.3.4", "256.1.1.1", "0.0.0.0",
+            "255.255.255.255", "1.2.3", "junk"]
+    out.append(_xg("ext format ipv4",
+                   {"type": "object", "properties": {
+                       "s": {"type": "string", "format": "ipv4"}}},
+                   [_t(s, {"s": s}, ip_ok(ipaddress.IPv4Address, s))
+                    for s in ips4], {"s": "string"}))
+    ips6 = ["::1", "::", "1:2:3:4:5:6:7:8", "::ffff:1.2.3.4",
+            "fe80::1%eth0", "1::2::3", "12345::", "junk"]
+    out.append(_xg("ext format ipv6",
+                   {"type": "object", "properties": {
+                       "s": {"type": "string", "format": "ipv6"}}},
+                   [_t(s, {"s": s}, ip_ok(ipaddress.IPv6Address, s))
+                    for s in ips6], {"s": "string"}))
+    emails = ["a@b", "nope", "", "@", "x y@z"]
+    out.append(_xg("ext format email",
+                   {"type": "object", "properties": {
+                       "s": {"type": "string", "format": "email"}}},
+                   [_t(s, {"s": s}, "@" in s) for s in emails],
+                   {"s": "string"}))
+    return out
+
+
+def gen_ext_anchors_unevaluated():
+    """$anchor/$dynamicRef resolution + unevaluatedProperties flow —
+    hand-computed verdicts (shapes too structural for a one-line rule)."""
+    out = []
+    schema = {"type": "object",
+              "$defs": {"pos": {"$anchor": "pos", "type": "integer",
+                                "minimum": 1}},
+              "properties": {"a": {"$ref": "#pos"},
+                             "b": {"$dynamicRef": "#pos"}}}
+    cases = [({"a": 1, "b": 2}, True), ({"a": 0}, False),
+             ({"b": 0}, False), ({}, True), ({"a": 5, "b": 0}, False)]
+    out.append(_xg("ext anchors", schema,
+                   [_t(str(i), inst, v) for i, (inst, v) in enumerate(cases)],
+                   {"a": "bigint", "b": "bigint"}))
+    schema_u = {"type": "object",
+                "if": {"properties": {"r": {"const": "t"}},
+                       "required": ["r"]},
+                "then": {"properties": {"u": {}}},
+                "properties": {"r": {"type": "string"}},
+                "unevaluatedProperties": False}
+    cases_u = [({"r": "t", "u": 1}, True), ({"r": "s", "u": 1}, False),
+               ({"u": 1}, False), ({"r": "t"}, True), ({}, True)]
+    out.append(_xg("ext unevaluatedProperties via then", schema_u,
+                   [_t(str(i), inst, v)
+                    for i, (inst, v) in enumerate(cases_u)],
+                   {"r": "string", "u": "bigint"}))
+    return out
+
+
+
 def generate() -> list[dict]:
     groups = []
     for gen in (gen_type_matrix, gen_length, gen_bounds, gen_enum_const,
@@ -829,7 +1046,10 @@ def generate() -> list[dict]:
                 gen_patterns,
                 gen_unicode_lengths, gen_ref_chains, gen_pattern_annexb,
                 gen_numeric_boundaries, gen_enum_nasty, gen_combinator_nasty,
-                gen_deep_nesting, gen_uuid_nasty, gen_bounds_grid):
+                gen_deep_nesting, gen_uuid_nasty, gen_bounds_grid,
+                gen_ext_numeric, gen_ext_conditional, gen_ext_object,
+                gen_ext_arrays, gen_ext_formats,
+                gen_ext_anchors_unevaluated):
         groups.extend(gen())
     return groups
 

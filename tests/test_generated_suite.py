@@ -61,7 +61,8 @@ def _params():
 
 @pytest.mark.parametrize("group,test", _params())
 def test_interpreter_verdict(group, test):
-    root = parse_spec(group["schema"])
+    root = parse_spec(group["schema"],
+                      extensions=group.get("extensions", False))
     violations = validate(root, test["data"])
     if test["valid"]:
         assert violations == [], [v.message for v in violations]
@@ -86,13 +87,16 @@ def test_compiler_matches_interpreter(spark, group):
     # the harness key column is not part of the logical instance: declare
     # it so additionalProperties semantics see only the case's own keys
     schema = dict(group["schema"])
-    if schema.get("additionalProperties") is not None:
+    if schema.get("additionalProperties") is not None \
+            or schema.get("unevaluatedProperties") is not None:
         schema["properties"] = {**schema.get("properties", {}), "_cid": {}}
-    eng = ValidationEngine(schema, key_cols=("_cid",))
+    eng = ValidationEngine(schema, key_cols=("_cid",),
+                           extensions=group.get("extensions", False))
     got: dict[int, set] = {i: set() for i in range(len(group["tests"]))}
     for r in eng.validate(df).violations.collect():
         got[r._cid].add((r.instance_path, r.code, r.message))
-    root = parse_spec(group["schema"])
+    root = parse_spec(group["schema"],
+                      extensions=group.get("extensions", False))
     for i, t in enumerate(group["tests"]):
         exp = {(v.path, v.code, v.message)
                for v in validate(root, t["data"])}
