@@ -315,3 +315,147 @@ def test_java_and_python_regex_translations_agree(spark):
     bad = [(metas[rid][0], metas[rid][1], got[rid], metas[rid][2])
            for rid in got if got[rid] != metas[rid][2]]
     assert not bad, f"{len(bad)} dialect disagreements; first 5: {bad[:5]}"
+
+
+# -- extension-keyword fuzz (extensions=True in BOTH engines) ----------------
+
+_EXT_STR_POOL = _STR_POOL + [
+    "2024-02-29", "2023-02-29", "2024-13-01", "2024-01-01T00:00:00Z",
+    "2024-01-01T23:59:60Z", "1.2.3.4", "01.2.3.4", "256.1.1.1", "::1",
+    "1::2::3", "a@b", "/a/~0b", "/a~", "2024-01-01", "10.0.0.999"]
+
+
+def _rand_ext_string_schema(rng):
+    s = {"type": "string"}
+    r = rng.random()
+    if r < 0.4:
+        s["format"] = rng.choice(["date", "date-time", "ipv4", "ipv6",
+                                  "email", "json-pointer"])
+    elif r < 0.6:
+        s["not"] = {"type": "string",
+                    "minLength": rng.randrange(1, 4)}
+    if rng.random() < 0.3:
+        s["minLength"] = rng.randrange(0, 3)
+    return s
+
+
+def _rand_ext_num_schema(rng):
+    s = {"type": "number"}
+    if rng.random() < 0.5:
+        s["exclusiveMinimum"] = round(rng.uniform(-5, 2), 2)
+    if rng.random() < 0.5:
+        s["exclusiveMaximum"] = round(rng.uniform(0, 8), 2)
+    if rng.random() < 0.6:
+        s["multipleOf"] = rng.choice([0.1, 0.25, 0.5, 1, 2.5, 3])
+    return s
+
+
+def _rand_ext_arr_schema(rng):
+    s = {"type": "array"}
+    if rng.random() < 0.6:
+        s["contains"] = {"type": "integer",
+                         "minimum": rng.randrange(0, 8)}
+        if rng.random() < 0.5:
+            s["minContains"] = rng.randrange(0, 3)
+        if rng.random() < 0.5:
+            s["maxContains"] = rng.randrange(1, 4)
+    if rng.random() < 0.5:
+        s["prefixItems"] = [{"type": "integer",
+                             "maximum": rng.randrange(2, 9)}]
+    r = rng.random()
+    if r < 0.35:
+        s["unevaluatedItems"] = rng.choice(
+            [False, {"type": "integer", "maximum": 40}])
+    elif r < 0.6:
+        s["items"] = {"type": "integer", "minimum": 0}
+    return s
+
+
+def _rand_ext_spec(rng):
+    props = {"s": _rand_ext_string_schema(rng), "i": _rand_int_schema(rng),
+             "x": _rand_ext_num_schema(rng), "a": _rand_ext_arr_schema(rng)}
+    spec = {"type": "object", "properties": props}
+    r = rng.random()
+    if r < 0.3:
+        # unevaluatedProperties with a conditionally-evaluated key: `a`
+        # leaves `properties` and is only evaluated through `then`
+        spec["properties"] = {k: v for k, v in props.items() if k != "a"}
+        spec["properties"]["_cid"] = {}
+        spec["if"] = {"properties": {"s": {"type": "string",
+                                           "minLength": 1}},
+                      "required": ["s"]}
+        spec["then"] = {"properties": {"a": {}}}
+        spec["unevaluatedProperties"] = rng.choice(
+            [False, {"type": "array"}])
+    elif r < 0.6:
+        spec["if"] = {"properties": {"i": {"type": "integer",
+                                           "minimum": 0}},
+                      "required": ["i"]}
+        spec["then"] = {"required": ["x"]}
+        if rng.random() < 0.5:
+            spec["else"] = {"properties": {"x": {"type": "number",
+                                                 "maximum": 3}}}
+    if rng.random() < 0.3:
+        spec["dependentRequired"] = {"i": ["x"]}
+    if rng.random() < 0.3:
+        spec["dependentSchemas"] = {"a": {"properties": {
+            "i": {"type": "integer", "minimum": 0}}}}
+    if rng.random() < 0.25:
+        spec["patternProperties"] = {"^s": {"type": "string",
+                                            "maxLength": 15}}
+    return spec
+
+
+def _rand_ext_row(rng):
+    def s():
+        return rng.choice(_EXT_STR_POOL + [None])
+    def i():
+        return rng.choice([None, 0, 1, -1, 3, 7, 12, -11, 50])
+    def x():
+        return rng.choice([None, 0.0, -0.5, 1.25, 3.75, 7.5, -5.25,
+                           100.0, 90.0, 0.3])
+    def a():
+        if rng.random() < 0.2:
+            return None
+        n = rng.randrange(0, 5)
+        return [rng.choice([0, 1, 2, 7, 41, 51, -3]) for _ in range(n)]
+    return (s(), i(), x(), a())
+
+
+N_EXT_SPECS = 10
+
+
+def _ext_cases():
+    rng = random.Random(20260818)
+    return [(_rand_ext_spec(rng),
+             [_rand_ext_row(rng) for _ in range(N_ROWS)])
+            for _ in range(N_EXT_SPECS)]
+
+
+@pytest.mark.parametrize("case_idx", range(N_EXT_SPECS))
+def test_compiler_interpreter_agree_on_random_ext_specs(spark, case_idx):
+    """Same oracle-is-agreement contract over the EXTENSION keyword
+    surface: formats, multipleOf (quotient), exclusive bounds, contains/
+    prefixItems/unevaluatedItems, if/then/else, dependentRequired/
+    Schemas, patternProperties, unevaluatedProperties."""
+    spec, rows = _ext_cases()[case_idx]
+    df = spark.createDataFrame(
+        [tuple([cid] + list(r)) for cid, r in enumerate(rows)], DDL)
+    eng = ValidationEngine(spec, key_cols=("_cid",), extensions=True)
+    got = {cid: set() for cid in range(len(rows))}
+    for r in eng.validate(df).violations.collect():
+        got[r._cid].add((r.instance_path, r.code, r.message))
+    root = parse_spec(spec, extensions=True)
+    names = ("s", "i", "x", "a")
+    mismatches = []
+    for cid, row in enumerate(rows):
+        data = {n: v for n, v in zip(names, row) if v is not None}
+        exp = {(v.path, v.code, v.message) for v in validate(root, data)}
+        # the harness key column is not part of the logical instance:
+        # drop compiler rows about _cid (declared {} when uP is present)
+        got_cid = {t for t in got[cid] if not t[0].startswith("/_cid")}
+        if got_cid != exp:
+            mismatches.append((cid, data, sorted(got_cid), sorted(exp)))
+    assert not mismatches, (
+        f"ext spec #{case_idx} {spec}: {len(mismatches)} disagreeing rows; "
+        f"first: {mismatches[0]}")
