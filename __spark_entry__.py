@@ -2262,6 +2262,40 @@ WHERE d.doc_id % 97 <> 0
 """
 
 
+def _q_x_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fuzzy (near-duplicate) decontamination: the exact-overlap entry
+    # above catches verbatim leakage; this one catches paraphrased /
+    # lightly-edited eval contamination via MinHash-LSH banding across
+    # the two tables (corpus never shuffles; benchmark band rows
+    # broadcast) with exact-Jaccard verification. 64 perms / 32 bands:
+    # per-pair miss at J>=0.8 ≈ 6.5e-15, so the exact SQL oracle holds
+    # for any data refresh.
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    return decontam.fuzzy_contamination_pairs(
+        train, bench, threshold=0.8, n=3, bands=32)
+
+
+_SQL_X_FUZZY_DECONTAM = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+                             for i in range(1, len(ws) - 1)]) AS s
+       FROM w),
+ex_t AS (SELECT doc_id, unnest(s) AS sg FROM sh WHERE doc_id % 7 <> 0),
+ex_b AS (SELECT doc_id, unnest(s) AS sg FROM sh WHERE doc_id % 7 = 0),
+p AS (SELECT t.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS inter
+      FROM ex_t t JOIN ex_b b USING (sg) GROUP BY 1, 2),
+sz AS (SELECT doc_id, len(s) AS n FROM sh)
+SELECT p.doc_id, p.bench_id,
+       inter::DOUBLE / (st.n + sb.n - inter) AS jaccard
+FROM p JOIN sz st ON p.doc_id = st.doc_id
+       JOIN sz sb ON p.bench_id = sb.doc_id
+WHERE inter::DOUBLE / (st.n + sb.n - inter) >= 0.8
+"""
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling / train-eval split (operators/sampling.py) —
 # key-coherent, retry-safe, shuffle-free hash-bucket selection. The
@@ -2619,6 +2653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dup_ngrams": _q_x_dup_ngrams,
         "x_lm_quality": _q_x_lm_quality,
         "x_decontaminate": _q_x_decontaminate,
+        "x_fuzzy_decontam": _q_x_fuzzy_decontam,
         "x_quality": _q_x_quality,
         "x_language_id": _q_x_langid,
         "x_fingerprint": _q_x_fingerprint,
@@ -2719,6 +2754,7 @@ def oracle_sql() -> dict[str, str]:
         "x_dup_ngrams": _SQL_X_DUP_NGRAMS,
         "x_lm_quality": _SQL_X_LM_QUALITY,
         "x_decontaminate": _SQL_X_DECONTAM,
+        "x_fuzzy_decontam": _SQL_X_FUZZY_DECONTAM,
         "x_quality": _SQL_X_QUALITY,
         "x_language_id": _SQL_X_LANGID,
         "x_fingerprint": _SQL_X_FINGERPRINT,

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.exprs import explode_rows
-from .dedup import _spread, shingle_hashes
+from .dedup import _MERSENNE31, _spread, minhash_signature, shingle_hashes
 
 
 def benchmark_shingles(benchmark: DataFrame, text_col: str = "text", *,
@@ -74,6 +74,130 @@ def contamination_hits(df: DataFrame, benchmark: DataFrame, *,
     return (probes.join(F.broadcast(bench), "sh")
             .groupBy(id_col)
             .agg(F.count("*").alias("n_hit_shingles")))
+
+
+def _band_rows(sig: DataFrame, id_alias: str, *, num_perm: int,
+               bands: int, out_id: str) -> DataFrame:
+    """(id, band, bkey) rows from a minhash-signature table — the SAME
+    band hashing as :func:`~.dedup.minhash_lsh_pairs` (``F.hash`` over
+    the signature slice), so band keys computed independently on two
+    tables collide exactly when the slices are equal. Sentinel
+    (shingle-less) signatures are excluded: they would collide in every
+    band across the two tables and emit candidate pairs whose Jaccard is
+    NULL anyway."""
+    r = num_perm // bands
+    sig = sig.filter(F.element_at("minhash", 1) != F.lit(_MERSENNE31))
+    return explode_rows(
+        sig, [F.col(id_alias).alias(out_id)],
+        F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.hash(F.slice("minhash", i * r + 1, r)).alias("bkey"))
+            for i in range(bands)
+        ]), "b",
+    ).select(out_id, "b.band", "b.bkey")
+
+
+def fuzzy_contamination_pairs(
+    df: DataFrame,
+    benchmark: DataFrame,
+    *,
+    threshold: float = 0.8,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 32,
+    seed: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id: str = "bench_id",
+) -> DataFrame:
+    """NEAR-duplicate contamination: ``(id_col, bench_id, jaccard)`` for
+    every (training doc, benchmark doc) pair whose n-gram Jaccard
+    similarity is ``>= threshold``.
+
+    :func:`contamination_hits` catches verbatim leakage (exact shingle
+    membership); this is the fuzzy complement for *paraphrased* or
+    lightly-edited eval contamination (the Lee et al. "Deduplicating
+    Training Data" / GPT-3 App. C concern that exact matching misses
+    reformatted copies). Same verify-after-LSH contract as
+    :func:`~.dedup.minhash_lsh_pairs`: candidates from MinHash band
+    collisions (recall = the LSH curve, at 64/32 bands the per-pair miss
+    at J>=0.8 is ~6.5e-15), precision exact via hash-set Jaccard.
+
+    Scale shape (100 TB corpus, bounded benchmark):
+    - Corpus signature is the ZERO-shuffle NumPy kernel; band rows are
+      row-local. The corpus never shuffles.
+    - Benchmark band rows (eval suites: small) are **broadcast**; the
+      candidate join is a broadcast hash join on (band, bkey).
+    - Verification joins only candidate ids back to the corpus shingle
+      sets (broadcast semi-join on the contamination-bounded candidate
+      id set) and the benchmark shingle sets (broadcast) — skinny
+      everywhere, with the standard length prefilter before the exact
+      intersection.
+    """
+    assert num_perm % bands == 0
+    df = _spread(df, id_col)
+    csig = minhash_signature(df, text_col, n=n, num_perm=num_perm,
+                             seed=seed, id_col=id_col)
+    bsig = minhash_signature(benchmark, text_col, n=n, num_perm=num_perm,
+                             seed=seed, id_col=id_col)
+    cband = _band_rows(csig.select(id_col, "minhash"), id_col,
+                       num_perm=num_perm, bands=bands, out_id="_cid")
+    bband = _band_rows(bsig.select(id_col, "minhash"), id_col,
+                       num_perm=num_perm, bands=bands, out_id="_bid")
+    cand = (cband.join(F.broadcast(bband), ["band", "bkey"])
+            .select("_cid", "_bid").distinct())
+    # verify on shingle-HASH sets (longs, not n-gram strings) — identical
+    # Jaccard up to 64-bit collisions, several times cheaper to intersect
+    csh = shingle_hashes(df, text_col, n=n, seed=seed).select(
+        F.col(id_col).alias("_cid"), F.col("shingle_hashes").alias("_sha"))
+    bsh = shingle_hashes(benchmark, text_col, n=n, seed=seed).select(
+        F.col(id_col).alias("_bid"), F.col("shingle_hashes").alias("_shb"))
+    size_ok = (F.greatest(F.size("_sha"), F.size("_shb")) * F.lit(threshold)
+               <= F.least(F.size("_sha"), F.size("_shb")))
+    # candidates (contamination-bounded, skinny) broadcast INTO the
+    # corpus-shingle scan — the corpus side stays shuffle-free; the
+    # benchmark shingle sets broadcast likewise
+    return (csh.join(F.broadcast(cand), "_cid").join(F.broadcast(bsh), "_bid")
+            .filter(size_ok)
+            .withColumn("_inter", F.size(F.array_intersect("_sha", "_shb")))
+            .select(F.col("_cid").alias(id_col),
+                    F.col("_bid").alias(bench_id),
+                    F.try_divide(
+                        F.col("_inter").cast("double"),
+                        F.size("_sha") + F.size("_shb") - F.col("_inter"),
+                    ).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def fuzzy_decontaminate(df: DataFrame, benchmark: DataFrame, *,
+                        threshold: float = 0.8, n: int = 3,
+                        num_perm: int = 64, bands: int = 32, seed: int = 7,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        mode: str = "mark") -> DataFrame:
+    """Mark or drop training docs that are near-duplicates (n-gram
+    Jaccard ``>= threshold``) of any benchmark doc.
+
+    ``mode="mark"`` returns ``df`` plus ``n_bench_matches`` (0 for clean
+    docs), ``max_jaccard`` (NULL for clean docs) and ``contaminated``;
+    ``mode="drop"`` returns only the clean rows of ``df`` unchanged.
+    The per-doc rollup aggregates only contaminated pairs (skinny), and
+    the join-back is broadcast — zero corpus shuffle, same shape as
+    :func:`decontaminate`."""
+    pairs = fuzzy_contamination_pairs(
+        df, benchmark, threshold=threshold, n=n, num_perm=num_perm,
+        bands=bands, seed=seed, id_col=id_col, text_col=text_col)
+    hits = (pairs.groupBy(id_col)
+            .agg(F.count("*").alias("n_bench_matches"),
+                 F.max("jaccard").alias("max_jaccard")))
+    if mode == "drop":
+        return df.join(F.broadcast(hits.select(id_col)), id_col, "left_anti")
+    if mode != "mark":
+        raise ValueError(f"mode must be 'mark' or 'drop', got {mode!r}")
+    return (df.join(F.broadcast(hits), id_col, "left")
+            .withColumn("n_bench_matches",
+                        F.coalesce(F.col("n_bench_matches"),
+                                   F.lit(0).cast("bigint")))
+            .withColumn("contaminated", F.col("n_bench_matches") > 0))
 
 
 def decontaminate(df: DataFrame, benchmark: DataFrame, *, n: int = 3,

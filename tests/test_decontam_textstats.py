@@ -9,7 +9,8 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from json_schema_rs_spark.operators.decontam import (
-    benchmark_shingles, contamination_hits, decontaminate)
+    benchmark_shingles, contamination_hits, decontaminate,
+    fuzzy_contamination_pairs, fuzzy_decontaminate)
 from json_schema_rs_spark.operators.textstats import (
     top_ngram_fraction, top_tokens)
 
@@ -77,6 +78,83 @@ class TestDecontaminate:
 
     def test_probe_join_is_broadcast(self, corpus, bench_set):
         plan = decontaminate(corpus, bench_set, n=3)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+
+
+_BENCH_14 = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi")                       # 14 words -> 12 shingles
+
+
+@pytest.fixture(scope="module")
+def fuzzy_tables(spark):
+    # doc 1: last word edited -> 11 of 12 shingles shared,
+    #        J = 11 / (12+12-11) = 11/13 ~ 0.846 >= 0.8  (near-copy)
+    # doc 2: shares exactly ONE shingle ("alpha beta gamma") -> exact
+    #        decontam flags it, fuzzy must NOT (J = 1/20 = 0.05)
+    # doc 3: shingle-less (sentinel signature) -> excluded from banding
+    bench = spark.createDataFrame([Row(doc_id=100, text=_BENCH_14)])
+    train = spark.createDataFrame([
+        Row(doc_id=1, text=_BENCH_14.rsplit(" ", 1)[0] + " omicron"),
+        Row(doc_id=2, text="alpha beta gamma completely different words "
+                           "follow here in this sentence"),
+        Row(doc_id=3, text="tiny"),
+    ])
+    return train, bench
+
+
+class TestFuzzyDecontaminate:
+    def test_near_copy_flagged_common_phrase_not(self, fuzzy_tables):
+        train, bench = fuzzy_tables
+        pairs = fuzzy_contamination_pairs(train, bench).collect()
+        assert [(r["doc_id"], r["bench_id"]) for r in pairs] == [(1, 100)]
+        assert pairs[0]["jaccard"] == pytest.approx(11 / 13)
+
+    def test_exact_catches_phrase_fuzzy_does_not(self, fuzzy_tables):
+        # the precision contrast that motivates the operator pair:
+        # doc 2 shares one common shingle -> exact flags, fuzzy doesn't
+        train, bench = fuzzy_tables
+        exact = {r["doc_id"]: r["contaminated"] for r in
+                 decontaminate(train, bench).collect()}
+        fuzzy = {r["doc_id"]: r["contaminated"] for r in
+                 fuzzy_decontaminate(train, bench).collect()}
+        assert exact == {1: True, 2: True, 3: False}
+        assert fuzzy == {1: True, 2: False, 3: False}
+
+    def test_mark_columns_and_clean_defaults(self, fuzzy_tables):
+        train, bench = fuzzy_tables
+        out = {r["doc_id"]: r for r in
+               fuzzy_decontaminate(train, bench).collect()}
+        assert out[1]["n_bench_matches"] == 1
+        assert out[1]["max_jaccard"] == pytest.approx(11 / 13)
+        assert out[2]["n_bench_matches"] == 0
+        assert out[2]["max_jaccard"] is None
+        assert set(out[1].asDict()) == {"doc_id", "text", "n_bench_matches",
+                                        "max_jaccard", "contaminated"}
+
+    def test_drop_mode(self, fuzzy_tables):
+        train, bench = fuzzy_tables
+        kept = fuzzy_decontaminate(train, bench, mode="drop")
+        assert kept.columns == train.columns
+        assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+
+    def test_bad_mode_raises(self, fuzzy_tables):
+        train, bench = fuzzy_tables
+        with pytest.raises(ValueError, match="mark.*drop|drop.*mark"):
+            fuzzy_decontaminate(train, bench, mode="purge")
+
+    def test_threshold_gates_the_near_copy(self, fuzzy_tables):
+        train, bench = fuzzy_tables
+        assert fuzzy_contamination_pairs(train, bench,
+                                         threshold=0.9).count() == 0
+
+    def test_no_sort_merge_join_no_cartesian(self, fuzzy_tables):
+        # bench side broadcast everywhere; candidate + verify joins are
+        # broadcast hash joins, corpus never sort-merge-shuffles
+        train, bench = fuzzy_tables
+        plan = fuzzy_decontaminate(train, bench)._jdf \
             .queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
