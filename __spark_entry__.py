@@ -2199,6 +2199,42 @@ FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
 
+def _q_x_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ExactSubstr-style duplicated-span REMOVAL (the acting complement of
+    # x_dup_ngrams' diagnostic): every token covered by a 10-token window
+    # occurring >= 2 times anywhere in the corpus is deleted and the
+    # remainder re-joined. The oracle re-derives window positions,
+    # duplicated windows, covered positions, and the exact rewritten
+    # bytes over gram STRINGS (hashes on the Spark side — identical up
+    # to 64-bit collisions).
+    return textstats.remove_duplicated_spans(
+        _t(spark, sf_dir, "documents"), k=10, min_count=2)
+
+
+_SQL_X_DEDUP_SPANS = """
+WITH w AS (SELECT doc_id, string_split(coalesce(text,''), ' ') AS ws
+           FROM documents),
+p0 AS (SELECT doc_id,
+              [{'p': i, 'g': array_to_string(ws[i:i+9], ' ')}
+               for i in range(1, len(ws) - 8)] AS pgs
+       FROM w),
+p AS (SELECT doc_id, unnest(pgs, recursive := true) FROM p0),
+dup AS (SELECT g FROM p GROUP BY g HAVING count(*) >= 2),
+cov AS (SELECT doc_id,
+               list_distinct(flatten(list(range(p, p + 10)))) AS cv
+        FROM p JOIN dup USING (g) GROUP BY doc_id)
+SELECT w.doc_id,
+       coalesce(array_to_string(
+           [ws[i] for i in range(1, len(ws) + 1)
+            if NOT list_contains(coalesce(cv, []), i)], ' '), '')
+         AS clean_text,
+       len(ws) AS n_tokens,
+       coalesce(len(cv), 0) AS n_removed,
+       round(coalesce(len(cv), 0) * 1.0 / len(ws), 6) AS removed_frac
+FROM w LEFT JOIN cov USING (doc_id)
+"""
+
+
 def _q_x_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CCNet-style unigram-LM quality score: add-one-smoothed average
     # token log-prob under the corpus's own top-512 vocabulary. Per-token
@@ -2651,6 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_top_tokens": _q_x_top_tokens,
         "x_rep_ngram": _q_x_rep_ngram,
         "x_dup_ngrams": _q_x_dup_ngrams,
+        "x_dedup_spans": _q_x_dedup_spans,
         "x_lm_quality": _q_x_lm_quality,
         "x_decontaminate": _q_x_decontaminate,
         "x_fuzzy_decontam": _q_x_fuzzy_decontam,
@@ -2752,6 +2789,7 @@ def oracle_sql() -> dict[str, str]:
         "x_top_tokens": _SQL_X_TOP_TOKENS,
         "x_rep_ngram": _SQL_X_REP_NGRAM,
         "x_dup_ngrams": _SQL_X_DUP_NGRAMS,
+        "x_dedup_spans": _SQL_X_DEDUP_SPANS,
         "x_lm_quality": _SQL_X_LM_QUALITY,
         "x_decontaminate": _SQL_X_DECONTAM,
         "x_fuzzy_decontam": _SQL_X_FUZZY_DECONTAM,

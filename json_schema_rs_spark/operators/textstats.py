@@ -466,6 +466,75 @@ def duplicated_ngram_coverage(df: DataFrame, text_col: str = "text",
                            "dup_ngram_frac", round_digits)
 
 
+def remove_duplicated_spans(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", *, k: int = 10,
+                            min_count: int = 2, seed: int = 7,
+                            round_digits: int = 6) -> DataFrame:
+    """ExactSubstr-style duplicated-span REMOVAL (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better" §4.1),
+    re-expressed over fixed ``k``-token windows: every token covered by
+    at least one ``k``-gram whose total occurrence count across the
+    corpus is ``>= min_count`` (within-doc repeats included, per the
+    paper's any-second-occurrence rule) is deleted, and the remainder is
+    re-joined with single spaces. Where :func:`duplicated_ngram_coverage`
+    *measures* cross-doc duplication, this operator *acts* on it.
+
+    Returns ``(id_col, clean_text, n_tokens, n_removed, removed_frac)``.
+    Docs shorter than ``k`` tokens have no windows and pass through
+    unchanged; a fully-duplicated doc becomes the empty string.
+
+    Scale shape (the paper's suffix array is a full corpus sort; this is
+    strictly cheaper): one gram explode at scan parallelism emitting
+    SKINNY ``(id, pos, hash64)`` rows (corpus text stays in place), a
+    gram-keyed occurrence count with map-side combine, a gram-keyed
+    equi-join of the positions against the duplicated-gram set (both
+    sides already hash-partitioned by gram), a per-doc
+    ``collect_set(pos)`` rollup (only docs containing duplicated grams —
+    skinny ints), and ONE doc-keyed join of that rollup back onto the
+    corpus — the single stage where text shuffles, and only if AQE does
+    not broadcast the (duplication-bounded) rollup. The rewrite itself
+    is row-local whole-stage codegen: covered positions =
+    ``distinct(flatten(sequence(s, s+k-1)))`` over the start set, kept
+    tokens filtered by position."""
+    from ..functions.exprs import explode_rows
+    from .dedup import _spread
+
+    tmp = "__span_words"
+    pos_arr = F.expr(
+        f"if(size({tmp}) >= {k},"
+        f" transform(sequence(1, size({tmp}) - {k - 1}),"
+        f" i -> struct(i AS p,"
+        f" xxhash64(concat_ws(' ', slice({tmp}, i, {k})), {seed}) AS g)),"
+        f" array())")
+    base = _spread(df.select(id_col, text_col), id_col).withColumn(
+        tmp, F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
+    pos = explode_rows(base, [id_col], pos_arr, "__pg").select(
+        id_col, F.col("__pg.p").alias("__p"), F.col("__pg.g").alias("__g"))
+    dup = (pos.groupBy("__g").agg(F.count("*").alias("__n"))
+           .filter(F.col("__n") >= min_count).select("__g"))
+    starts = (pos.join(dup, "__g")
+              .groupBy(id_col)
+              .agg(F.sort_array(F.collect_set("__p")).alias("__starts")))
+    joined = base.join(starts, id_col, "left").withColumn(
+        "__cov",
+        F.expr(f"array_distinct(flatten(transform("
+               f"coalesce(__starts, array()),"
+               f" s -> sequence(s, s + {k - 1}))))"))
+    kept = F.expr(
+        f"filter(transform({tmp}, (w, i) -> struct(w AS w, i + 1 AS p)),"
+        f" t -> NOT array_contains(__cov, t.p))")
+    return joined.withColumn("__kept", kept).select(
+        id_col,
+        F.array_join(F.expr("transform(__kept, t -> t.w)"), " ")
+         .alias("clean_text"),
+        F.size(tmp).cast("bigint").alias("n_tokens"),
+        F.size("__cov").cast("bigint").alias("n_removed"),
+        F.round(
+            F.size("__cov").cast("double") / F.size(tmp), round_digits,
+        ).alias("removed_frac"),
+    )
+
+
 def unigram_lm_table(df: DataFrame, text_col: str = "text", *,
                      id_col: str | None = None,
                      vocab_size: int = 4096) -> tuple[list[tuple], int, int]:

@@ -11,7 +11,8 @@ import pytest
 from pyspark.sql import Row
 
 from json_schema_rs_spark.operators.textstats import (
-    duplicated_ngram_coverage, lm_quality, unigram_lm_table)
+    duplicated_ngram_coverage, lm_quality, remove_duplicated_spans,
+    unigram_lm_table)
 
 
 @pytest.fixture(scope="module")
@@ -80,6 +81,74 @@ class TestDuplicatedNgramCoverage:
         for line in plan.splitlines():
             if "Exchange" in line:
                 assert "text" not in line
+
+
+_SPAN10 = "one two three four five six seven eight nine ten"
+
+
+class TestRemoveDuplicatedSpans:
+    def _run(self, spark, rows, **kw):
+        df = spark.createDataFrame([Row(doc_id=i, text=t)
+                                    for i, t in enumerate(rows)])
+        return {r["doc_id"]: r for r in
+                remove_duplicated_spans(df, k=10, **kw).collect()}
+
+    def test_cross_doc_span_removed_from_both(self, spark):
+        out = self._run(spark, [
+            "aa bb cc " + _SPAN10 + " dd ee",
+            _SPAN10 + " xx yy zz ww vv uu",
+            "clean words that are never repeated anywhere else at all",
+        ])
+        assert out[0]["clean_text"] == "aa bb cc dd ee"
+        assert out[0]["n_removed"] == 10 and out[0]["n_tokens"] == 15
+        assert out[1]["clean_text"] == "xx yy zz ww vv uu"
+        # the clean doc and its stats pass through untouched
+        assert out[2]["n_removed"] == 0
+        assert out[2]["clean_text"].startswith("clean words")
+        assert out[2]["removed_frac"] == 0.0
+
+    def test_within_doc_repeat_counts_as_duplicated(self, spark):
+        # Lee et al.'s rule is any-second-occurrence, including within
+        # one document: both copies (and the bridging windows) go
+        out = self._run(spark, [_SPAN10 + " bridge " + _SPAN10])
+        assert out[0]["clean_text"] == "bridge"
+        assert out[0]["n_removed"] == 20 and out[0]["n_tokens"] == 21
+
+    def test_overlapping_windows_merge_coverage(self, spark):
+        # 11 shared tokens -> two overlapping duplicated windows whose
+        # union covers all 11 positions exactly once
+        span11 = _SPAN10 + " eleven"
+        out = self._run(spark, [span11 + " tail words here",
+                                "head tokens " + span11])
+        assert out[0]["clean_text"] == "tail words here"
+        assert out[0]["n_removed"] == 11
+        assert out[1]["clean_text"] == "head tokens"
+
+    def test_fully_duplicated_doc_becomes_empty(self, spark):
+        out = self._run(spark, [_SPAN10, _SPAN10])
+        for i in (0, 1):
+            assert out[i]["clean_text"] == ""
+            assert out[i]["removed_frac"] == 1.0
+
+    def test_short_and_empty_docs_pass_through(self, spark):
+        out = self._run(spark, ["under ten tokens here", "", None])
+        assert out[0]["clean_text"] == "under ten tokens here"
+        assert out[0]["n_removed"] == 0
+        assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 0
+        # NULL text coalesces to "" (one empty word, no windows)
+        assert out[2]["clean_text"] == "" and out[2]["n_removed"] == 0
+
+    def test_min_count_three_spares_a_pair(self, spark):
+        out = self._run(spark, [_SPAN10, _SPAN10], min_count=3)
+        assert out[0]["n_removed"] == 0
+        out3 = self._run(spark, [_SPAN10, _SPAN10, _SPAN10], min_count=3)
+        assert all(out3[i]["clean_text"] == "" for i in range(3))
+
+    def test_no_cartesian_in_plan(self, spark):
+        df = spark.createDataFrame([Row(doc_id=0, text=_SPAN10)])
+        plan = remove_duplicated_spans(df, k=10)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
 
 
 class TestLmQuality:
