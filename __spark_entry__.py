@@ -1198,6 +1198,38 @@ SELECT round(max(abs(fa - fb)), 9) AS ks FROM e
 """
 
 
+def _q_s_cvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cramér-von Mises: the L2 companion of the KS entry above — same
+    # joint-ECDF frame, integrates EVERY gap instead of the worst one
+    ev = _t(spark, sf_dir, "events")
+    out = stats.cvm_two_sample(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1), "value")
+    return out.select(F.round("cvm", 9).alias("cvm"), "n_a", "n_b")
+
+
+_SQL_S_CVM = """
+WITH a AS (SELECT value::DOUBLE AS v FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL),
+b AS (SELECT value::DOUBLE AS v FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL),
+na AS (SELECT count(*)::DOUBLE AS n FROM a), nb AS (SELECT count(*)::DOUBLE AS n FROM b),
+ga AS (SELECT v, count(*) AS ca FROM a GROUP BY v),
+gb AS (SELECT v, count(*) AS cb FROM b GROUP BY v),
+m AS (SELECT coalesce(ga.v, gb.v) AS v, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+      FROM ga FULL OUTER JOIN gb ON ga.v = gb.v),
+e AS (SELECT ca + cb AS cw,
+             sum(ca) OVER (ORDER BY v) / (SELECT n FROM na) AS fa,
+             sum(cb) OVER (ORDER BY v) / (SELECT n FROM nb) AS fb
+      FROM m)
+SELECT round(sum(cw * (fa - fb) * (fa - fb))
+             * (SELECT n FROM na) * (SELECT n FROM nb)
+             / (((SELECT n FROM na) + (SELECT n FROM nb))
+                * ((SELECT n FROM na) + (SELECT n FROM nb))), 9) AS cvm,
+       CAST((SELECT n FROM na) AS BIGINT) AS n_a,
+       CAST((SELECT n FROM nb) AS BIGINT) AS n_b
+FROM e
+"""
+
+
 def _q_s_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     out = stats.psi(
@@ -2662,6 +2694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_profile_drift": _q_s_profile_drift,
         "s_chi2_drift": _q_s_chi2,
         "s_ks_drift": _q_s_ks,
+        "s_cvm_drift": _q_s_cvm,
         "s_ks_sketch": _q_s_ks_sketch,
         "s_psi_drift": _q_s_psi,
         "s_js_drift": _q_s_js,
@@ -2770,6 +2803,7 @@ def oracle_sql() -> dict[str, str]:
         "s_profile_drift": _SQL_S_PROFILE_DRIFT,
         "s_chi2_drift": _SQL_S_CHI2,
         "s_ks_drift": _SQL_S_KS,
+        "s_cvm_drift": _SQL_S_CVM,
         "s_psi_drift": _SQL_S_PSI,
         "s_js_drift": _SQL_S_JS,
         "s_w1_drift": _SQL_S_W1,

@@ -181,6 +181,23 @@ def chi2_two_sample(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
     )
 
 
+def _joint_value_counts(df_a: DataFrame, df_b: DataFrame,
+                        column: str) -> DataFrame:
+    """``(v, ca, cb)`` per pooled distinct value — the shared frame under
+    the exact ECDF statistics (:func:`ks_exact`, :func:`cvm_two_sample`):
+    two per-value count aggregates (map-side combined) full-outer-joined
+    on the value."""
+    a = df_a.select(F.col(column).cast("double").alias("v")).dropna()
+    b = df_b.select(F.col(column).cast("double").alias("v")).dropna()
+    ga = a.groupBy("v").agg(F.count(F.lit(1)).alias("ca"))
+    gb = b.groupBy("v").agg(F.count(F.lit(1)).alias("cb"))
+    return ga.join(gb, "v", "full_outer").select(
+        "v",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+
+
 def ks_exact(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov statistic via joint ECDFs.
 
@@ -189,15 +206,7 @@ def ks_exact(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
     ~millions of distinct values. For 100 TB use :func:`ks_sketch`.
     Returns one row ``(ks double)``.
     """
-    a = df_a.select(F.col(column).cast("double").alias("v")).dropna()
-    b = df_b.select(F.col(column).cast("double").alias("v")).dropna()
-    ga = a.groupBy("v").agg(F.count(F.lit(1)).alias("ca"))
-    gb = b.groupBy("v").agg(F.count(F.lit(1)).alias("cb"))
-    merged = ga.join(gb, "v", "full_outer").select(
-        "v",
-        F.coalesce("ca", F.lit(0)).alias("ca"),
-        F.coalesce("cb", F.lit(0)).alias("cb"),
-    )
+    merged = _joint_value_counts(df_a, df_b, column)
     from pyspark.sql import Window
     # sample sizes are the grand totals of the per-value counts, so they
     # ride the (already single-partition) distinct-value frame — the
@@ -211,6 +220,44 @@ def ks_exact(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
         .alias("fb"),
     )
     return ecdf.agg(F.max(F.abs(F.col("fa") - F.col("fb"))).alias("ks"))
+
+
+def cvm_two_sample(df_a: DataFrame, df_b: DataFrame,
+                   column: str) -> DataFrame:
+    """Exact two-sample Cramér-von Mises criterion — the L² companion of
+    :func:`ks_exact`'s L∞ over the SAME one-pass joint-ECDF frame (KS
+    reacts to the worst single gap; CvM integrates every gap, catching
+    broad small shifts KS under-weights). Grouped-ties ECDF-integral
+    form, right-continuous ECDFs evaluated at the pooled points:
+
+        T = n·m/(n+m)² · Σ_v (ca+cb) · (Fa(v) − Fb(v))²
+
+    summed over pooled *distinct* values. Returns one row
+    ``(cvm double, n_a bigint, n_b bigint)``. Same scale contract as
+    :func:`ks_exact`: the window runs unpartitioned over distinct values
+    only — fine to ~millions of distincts; sketch at 100 TB.
+    """
+    merged = _joint_value_counts(df_a, df_b, column)
+    from pyspark.sql import Window
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = _totals_window()
+    ecdf = merged.select(
+        (F.col("ca") + F.col("cb")).alias("cw"),
+        F.sum("ca").over(wall).alias("ta"),
+        F.sum("cb").over(wall).alias("tb"),
+        (F.sum("ca").over(w) / F.sum("ca").over(wall).cast("double"))
+        .alias("fa"),
+        (F.sum("cb").over(w) / F.sum("cb").over(wall).cast("double"))
+        .alias("fb"),
+    )
+    d2 = (F.col("fa") - F.col("fb")) * (F.col("fa") - F.col("fb"))
+    n, m = F.max("ta").cast("double"), F.max("tb").cast("double")
+    return ecdf.agg(
+        (F.sum(F.col("cw") * d2) * n * m / ((n + m) * (n + m)))
+        .alias("cvm"),
+        F.max("ta").alias("n_a"),
+        F.max("tb").alias("n_b"),
+    )
 
 
 _DIGEST_SCHEMA = T.StructType([

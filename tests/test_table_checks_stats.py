@@ -172,6 +172,37 @@ class TestDrift:
         assert abs(approx - exact) < 0.03
         assert approx > 0.25  # the shift is detected
 
+    def test_cvm_matches_manual_with_ties(self, spark):
+        rng = random.Random(3)
+        # round to force ties — the grouped-ECDF form must handle them
+        a = [round(rng.gauss(0, 1), 1) for _ in range(400)]
+        b = [round(rng.gauss(0.3, 1.2), 1) for _ in range(300)]
+        da = spark.createDataFrame([(x,) for x in a], "v double")
+        db = spark.createDataFrame([(x,) for x in b], "v double")
+        r = S.cvm_two_sample(da, db, "v").collect()[0]
+        sa, sb = np.sort(a), np.sort(b)
+        pooled = sorted(set(a) | set(b))
+        t = sum((a.count(v) + b.count(v))
+                * (np.searchsorted(sa, v, side="right") / len(a)
+                   - np.searchsorted(sb, v, side="right") / len(b)) ** 2
+                for v in pooled) * len(a) * len(b) / (len(a) + len(b)) ** 2
+        assert abs(r.cvm - t) < 1e-9
+        assert r.n_a == 400 and r.n_b == 300
+
+    def test_cvm_broad_shift_vs_ks(self, spark):
+        # a uniform mean-shift moves EVERY quantile a little: CvM (L2,
+        # integrates all gaps) must clearly separate it from the
+        # identical-distribution case
+        rng = random.Random(4)
+        a = [rng.gauss(0, 1) for _ in range(2000)]
+        b = [x + 0.25 for x in a]
+        da = spark.createDataFrame([(x,) for x in a], "v double")
+        db = spark.createDataFrame([(x,) for x in b], "v double")
+        shifted = S.cvm_two_sample(da, db, "v").collect()[0].cvm
+        same = S.cvm_two_sample(da, da, "v").collect()[0].cvm
+        assert shifted > 10 * max(same, 1e-12)
+        assert same < 1e-9  # identical samples -> identical ECDFs
+
     def test_ks_same_distribution_near_zero(self, spark):
         df = spark.range(5000).select(
             (F.rand(seed=7)).alias("v"))
