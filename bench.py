@@ -78,6 +78,9 @@ HEADLINE = [
     "x_boilerplate",
     "x_url_domains",
     "v_profile_spec",
+    "x_fuzzy_decontam",
+    "x_dedup_spans",
+    "s_cvm_drift",
 ]
 
 

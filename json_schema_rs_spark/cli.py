@@ -124,6 +124,29 @@ def cmd_infer(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_diff(args: argparse.Namespace) -> int:
+    """Spec evolution classifier: does the change from --old to --new
+    require revalidating already-validated data? Exit code mirrors the
+    ledger impact: 0 = no revalidation needed (identical/widening),
+    1 = revalidation required (narrowing/unknown)."""
+    from .plans.diff import revalidation_plan, spec_diff
+
+    with open(args.old) as f:
+        old = json.load(f)
+    with open(args.new) as f:
+        new = json.load(f)
+    verdict, entries = spec_diff(old, new, extensions=args.extensions)
+    out = {
+        "verdict": verdict,
+        "revalidation": revalidation_plan(verdict),
+        "changes": [{"path": e.path, "keyword": e.keyword, "old": e.old,
+                     "new": e.new, "direction": e.direction}
+                    for e in entries],
+    }
+    print(json.dumps(out, indent=2))
+    return 0 if verdict in ("identical", "widening") else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="json_schema_rs_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -172,6 +195,16 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--out", default=None)
     i.add_argument("--master", default=None)
     i.set_defaults(fn=cmd_infer)
+
+    d = sub.add_parser("diff",
+                       help="classify a spec change as identical/widening/"
+                            "narrowing/unknown and report the ledger "
+                            "revalidation consequence")
+    d.add_argument("--old", required=True, help="old spec JSON file")
+    d.add_argument("--new", required=True, help="new spec JSON file")
+    d.add_argument("--extensions", action="store_true",
+                   help="parse draft-2020-12 extension keywords")
+    d.set_defaults(fn=cmd_diff)
 
     args = p.parse_args(argv)
     return args.fn(args)

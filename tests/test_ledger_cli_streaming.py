@@ -234,6 +234,26 @@ class TestCli:
         manifest = json.loads(capsys.readouterr().out)
         assert manifest["checks"]
 
+    def test_cli_diff_exit_codes_mirror_reval_need(self, tmp_path, capsys):
+        # widening -> 0 (ledger verdicts stay sound); narrowing -> 1
+        from json_schema_rs_spark.cli import main
+        old_f = tmp_path / "old.json"
+        new_f = tmp_path / "new.json"
+        old_f.write_text(json.dumps(
+            {"type": "object",
+             "properties": {"i": {"type": "integer", "maximum": 10}}}))
+        new_f.write_text(json.dumps(
+            {"type": "object",
+             "properties": {"i": {"type": "integer", "maximum": 20}}}))
+        assert main(["diff", "--old", str(old_f), "--new", str(new_f)]) == 0
+        rep = json.loads(capsys.readouterr().out)
+        assert rep["verdict"] == "widening"
+        assert rep["changes"][0]["keyword"] == "maximum"
+        assert main(["diff", "--old", str(new_f), "--new", str(old_f)]) == 1
+        rep = json.loads(capsys.readouterr().out)
+        assert rep["verdict"] == "narrowing"
+        assert "revalidate" in rep["revalidation"]
+
 
 class TestStreaming:
     def test_stream_matches_batch(self, spark, tdf, tmp_path):
