@@ -421,3 +421,97 @@ def run_checkpointed_validation(
         "remaining_buckets": [b for b in pending if b not in processed],
         **totals,
     }
+
+
+def revalidate_incremental(
+    spark: SparkSession,
+    old_output_path: str,
+    old_run_id: str,
+    old_spec: dict,
+    new_spec: dict,
+    *,
+    key_cols: Sequence[str] = ("conv_id", "turn_idx"),
+    extensions: bool = False,
+) -> dict:
+    """Spec-change revalidation that scans only the rows the change can
+    affect, driven by :func:`~..plans.diff.spec_diff`'s sound verdict
+    over a previous :func:`run_checkpointed_validation` run with
+    ``route_rows=True`` (whose ``routed/`` output holds every original
+    row partitioned by its old verdict).
+
+    - ``identical`` — nothing rescanned; old verdicts stand.
+    - ``widening`` — old-valid rows stay valid BY PROOF, so only the
+      quarantine (``valid=false``) partitions are revalidated to reclaim
+      rows the relaxed spec now admits.
+    - ``narrowing`` — new-valid implies old-valid, so previously-FAILED
+      rows stay failed by proof and only the clean (``valid=true``)
+      partitions are revalidated.
+    - ``unknown`` — no proof either way: the full routed set rescans.
+
+    At 10^12-turn scale this is the difference between re-reading a
+    violation set (typically <<1% of the corpus) and re-reading 100 TB.
+    Partition pruning does the slicing: ``valid`` is a parquet partition
+    column of the routed output, so the skipped side is never opened.
+
+    Returns a summary dict; ``newly_valid`` / ``newly_invalid`` count
+    verdict flips relative to the old run. The correctness contract —
+    incremental result == full revalidation under the new spec — is
+    asserted against a from-scratch run in
+    ``tests/test_ledger_cli_streaming.py``.
+    """
+    from ..operators.runner import ValidationEngine
+    from ..plans.diff import revalidation_plan, spec_diff
+
+    verdict, _ = spec_diff(old_spec, new_spec, extensions=extensions)
+    routed_path = f"{old_output_path}/routed/run_id={old_run_id}"
+    routed = spark.read.parquet(routed_path)
+    data_cols = [c for c in routed.columns
+                 if c not in ("bucket", "valid", "violations")]
+    total = {r["valid"]: r["n"] for r in
+             routed.groupBy("valid").agg(F.count(F.lit(1)).alias("n"))
+                   .collect()}
+    n_old_valid = int(total.get("true", total.get(True, 0)) or 0)
+    n_old_invalid = int(total.get("false", total.get(False, 0)) or 0)
+
+    out = {
+        "verdict": verdict,
+        "revalidation": revalidation_plan(verdict),
+        "rows_total": n_old_valid + n_old_invalid,
+        "rows_rescanned": 0,
+        "newly_valid": 0,
+        "newly_invalid": 0,
+        "valid_rows": n_old_valid,
+    }
+    if verdict == "identical":
+        return out
+
+    # parquet partition-value inference reads `valid` back as the
+    # STRING 'true'/'false' (documented on route_rows)
+    if verdict == "widening":
+        target, flips_to = routed.filter(F.col("valid") == "false"), "valid"
+    elif verdict == "narrowing":
+        target, flips_to = routed.filter(F.col("valid") == "true"), "invalid"
+    else:
+        target, flips_to = routed, None
+
+    engine = ValidationEngine(new_spec, key_cols=key_cols,
+                              extensions=extensions)
+    flagged = engine.validate(target.select(*data_cols)).flagged
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("valid").cast("long")).alias("nv")).collect()[0]
+    n_scanned, n_valid_now = int(agg["n"] or 0), int(agg["nv"] or 0)
+    out["rows_rescanned"] = n_scanned
+    if verdict == "widening":
+        out["newly_valid"] = n_valid_now        # reclaimed quarantine rows
+        out["valid_rows"] = n_old_valid + n_valid_now
+    elif verdict == "narrowing":
+        out["newly_invalid"] = n_scanned - n_valid_now
+        out["valid_rows"] = n_valid_now
+    else:
+        out["newly_valid"] = 0 if n_valid_now <= n_old_valid else \
+            n_valid_now - n_old_valid
+        out["newly_invalid"] = 0 if n_valid_now >= n_old_valid else \
+            n_old_valid - n_valid_now
+        out["valid_rows"] = n_valid_now
+    return out

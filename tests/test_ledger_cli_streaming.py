@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from json_schema_rs_spark import ValidationEngine
 from json_schema_rs_spark.sources.ledger import (
     ValidationLedger,
+    revalidate_incremental,
     run_checkpointed_validation,
 )
 from json_schema_rs_spark.sources.synth import synth_transcripts_pandas
@@ -87,6 +88,75 @@ class TestLedgerResume:
             s["rows"], s["valid_rows"], s["violation_count"])
         fps = [r.spec_fingerprint for r in ledger.collect()]
         assert len(set(fps)) == 1 and len(fps[0]) == 16
+
+
+WIDER_SPEC = {
+    # drops the role enum and the text length cap: every old-valid row
+    # stays valid by construction; quarantine rows may be reclaimed
+    "type": "object",
+    "required": ["conv_id", "turn_idx", "role", "text"],
+    "properties": {
+        "role": {"type": "string"},
+        "text": {"type": "string", "minLength": 1},
+    },
+}
+
+NARROWER_SPEC = {
+    # tightens the role enum: previously-failed rows stay failed
+    "type": "object",
+    "required": ["conv_id", "turn_idx", "role", "text"],
+    "properties": {
+        "role": {"type": "string", "enum": ["system", "user", "assistant"]},
+        "text": {"type": "string", "minLength": 1, "maxLength": 4000},
+    },
+}
+
+
+class TestIncrementalRevalidation:
+    @pytest.fixture(scope="class")
+    def routed_run(self, spark, tdf, tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("reval") / "run")
+        run_checkpointed_validation(
+            spark, tdf, SPEC, out, run_id="base", n_buckets=4,
+            route_rows=True)
+        return out
+
+    def _full_valid_count(self, spec, tdf):
+        rep = ValidationEngine(spec).validate(tdf)
+        return rep.summary()["valid_rows"]
+
+    def test_identical_rescans_nothing(self, spark, tdf, routed_run):
+        s = revalidate_incremental(spark, routed_run, "base", SPEC, SPEC)
+        assert s["verdict"] == "identical"
+        assert s["rows_rescanned"] == 0
+        assert s["valid_rows"] == self._full_valid_count(SPEC, tdf)
+
+    def test_widening_rescans_only_quarantine(self, spark, tdf, routed_run):
+        s = revalidate_incremental(spark, routed_run, "base", SPEC,
+                                   WIDER_SPEC)
+        assert s["verdict"] == "widening"
+        old_invalid = tdf.count() - self._full_valid_count(SPEC, tdf)
+        assert s["rows_rescanned"] == old_invalid      # quarantine only
+        assert s["rows_rescanned"] < s["rows_total"]
+        # incremental result == full revalidation under the new spec
+        assert s["valid_rows"] == self._full_valid_count(WIDER_SPEC, tdf)
+        assert s["newly_valid"] > 0                    # rows reclaimed
+
+    def test_narrowing_rescans_only_clean(self, spark, tdf, routed_run):
+        s = revalidate_incremental(spark, routed_run, "base", SPEC,
+                                   NARROWER_SPEC)
+        assert s["verdict"] == "narrowing"
+        assert s["rows_rescanned"] == self._full_valid_count(SPEC, tdf)
+        assert s["valid_rows"] == self._full_valid_count(NARROWER_SPEC, tdf)
+        assert s["newly_invalid"] > 0                  # tool role rows fall
+
+    def test_unknown_rescans_everything(self, spark, tdf, routed_run):
+        mixed = json.loads(json.dumps(WIDER_SPEC))
+        mixed["properties"]["role"]["enum"] = ["user"]   # narrow + widen
+        s = revalidate_incremental(spark, routed_run, "base", SPEC, mixed)
+        assert s["verdict"] == "unknown"
+        assert s["rows_rescanned"] == s["rows_total"] == tdf.count()
+        assert s["valid_rows"] == self._full_valid_count(mixed, tdf)
 
 
 class TestCli:
