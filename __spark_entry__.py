@@ -1157,6 +1157,84 @@ FROM e
 """
 
 
+def _q_s_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # vocabulary drift: chi² over the baseline's top-50 token histogram
+    # with an <other> bucket (dof fixed by the baseline vocabulary)
+    docs = _t(spark, sf_dir, "documents")
+    out = textstats.vocab_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1), k=50)
+    return out.select(F.round("chi2", 6).alias("chi2"),
+                      "dof", "n_a", "n_b")
+
+
+_SQL_S_VOCAB_DRIFT = """
+WITH ta AS (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS t
+            FROM documents WHERE doc_id % 2 = 0),
+tb AS (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS t
+       FROM documents WHERE doc_id % 2 = 1),
+vocab AS (SELECT t FROM (SELECT t, count(*) AS c FROM ta GROUP BY t
+                         ORDER BY c DESC, t LIMIT 50)),
+a AS (SELECT CASE WHEN t IN (SELECT t FROM vocab) THEN t
+                  ELSE '<other>' END AS category, count(*) AS na
+      FROM ta GROUP BY 1),
+b AS (SELECT CASE WHEN t IN (SELECT t FROM vocab) THEN t
+                  ELSE '<other>' END AS category, count(*) AS nb
+      FROM tb GROUP BY 1),
+j AS (SELECT coalesce(a.category, b.category) AS category,
+             coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+      FROM a FULL OUTER JOIN b ON a.category = b.category),
+t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM j),
+e AS (SELECT j.*, t.ta, t.tb,
+             t.ta * (na + nb)::DOUBLE / (t.ta + t.tb) AS ea,
+             t.tb * (na + nb)::DOUBLE / (t.ta + t.tb) AS eb
+      FROM j, t)
+SELECT round(sum(CASE WHEN ea > 0 THEN (na - ea) * (na - ea) / ea ELSE 0 END
+           + CASE WHEN eb > 0 THEN (nb - eb) * (nb - eb) / eb ELSE 0 END), 6) AS chi2,
+       CAST(count(*) - 1 AS BIGINT) AS dof,
+       CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b
+FROM e
+"""
+
+
+def _q_s_emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding drift: cosine of the two snapshots' MEAN vectors + mean
+    # L2-norm ratio — one codegen'd aggregate per side, 2 x dims doubles
+    # to the driver (the first-moment monitor for the embedding column)
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1), "embedding")
+
+
+_SQL_S_EMB_DRIFT = """
+WITH a AS (SELECT embedding AS e FROM embeddings
+           WHERE vec_id % 2 = 0 AND embedding IS NOT NULL
+             AND len(embedding) > 0),
+b AS (SELECT embedding AS e FROM embeddings
+      WHERE vec_id % 2 = 1 AND embedding IS NOT NULL
+        AND len(embedding) > 0),
+ma AS (SELECT i, avg(CAST(v AS DOUBLE)) AS m
+       FROM (SELECT unnest(e) AS v,
+                    unnest(range(1, len(e) + 1)) AS i FROM a) GROUP BY i),
+mb AS (SELECT i, avg(CAST(v AS DOUBLE)) AS m
+       FROM (SELECT unnest(e) AS v,
+                    unnest(range(1, len(e) + 1)) AS i FROM b) GROUP BY i),
+cosd AS (SELECT sum(ma.m * mb.m)
+                / sqrt(sum(ma.m * ma.m) * sum(mb.m * mb.m)) AS c
+         FROM ma JOIN mb USING (i)),
+norms AS (SELECT
+    (SELECT avg(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                               for x in e]))) FROM b)
+    / (SELECT avg(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                 for x in e]))) FROM a) AS r)
+SELECT round((SELECT c FROM cosd), 6) AS cos_means,
+       round((SELECT r FROM norms), 6) AS norm_ratio,
+       (SELECT count(*) FROM a) AS n_a,
+       (SELECT count(*) FROM b) AS n_b
+"""
+
+
 def _q_s_ks_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 100 TB drift path: per-partition t-digests merged on the driver
     # (approximate -> rows-only driver check; accuracy asserted in tests)
@@ -2695,6 +2773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_chi2_drift": _q_s_chi2,
         "s_ks_drift": _q_s_ks,
         "s_cvm_drift": _q_s_cvm,
+        "s_vocab_drift": _q_s_vocab_drift,
+        "s_emb_drift": _q_s_emb_drift,
         "s_ks_sketch": _q_s_ks_sketch,
         "s_psi_drift": _q_s_psi,
         "s_js_drift": _q_s_js,
@@ -2804,6 +2884,8 @@ def oracle_sql() -> dict[str, str]:
         "s_chi2_drift": _SQL_S_CHI2,
         "s_ks_drift": _SQL_S_KS,
         "s_cvm_drift": _SQL_S_CVM,
+        "s_vocab_drift": _SQL_S_VOCAB_DRIFT,
+        "s_emb_drift": _SQL_S_EMB_DRIFT,
         "s_psi_drift": _SQL_S_PSI,
         "s_js_drift": _SQL_S_JS,
         "s_w1_drift": _SQL_S_W1,

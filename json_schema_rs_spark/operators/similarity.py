@@ -1030,3 +1030,59 @@ def quantized_topk(
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)
                   .select("query_id", "neighbor_id", "rank", "cos_sim"))
+
+
+def embedding_drift(df_a: DataFrame, df_b: DataFrame,
+                    vec_col: str = "embedding", *,
+                    round_digits: int = 6) -> DataFrame:
+    """Embedding-space drift between two snapshots: cosine similarity of
+    the two MEAN vectors plus the mean-L2-norm ratio — the cheap
+    first-moment monitor for an embedding column (a cos_means dropping
+    below ~0.99 or a norm_ratio drifting off 1.0 flags an encoder change
+    or a population shift long before any ANN-quality regression).
+    Returns one row ``(cos_means, norm_ratio, n_a, n_b)``.
+
+    Scale shape: ONE codegen'd aggregate per side (``dims`` `avg`s of
+    `element_at` plus a row-local ordered-fold norm — map-side combined,
+    k×dims partial rows, no shuffle of vectors); 2×dims doubles reach
+    the driver, where the cosine is an ordered fold (bit-stable).
+    NULL/empty vectors are excluded on both sides."""
+    import math
+
+    def moments(df: DataFrame):
+        df = df.filter(F.col(vec_col).isNotNull()
+                       & (F.size(F.col(vec_col)) > 0))
+        dims_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if dims_row is None:
+            return None, 0.0, 0
+        dims = dims_row["d"]
+        norm = F.sqrt(F.aggregate(
+            F.col(vec_col), F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double")))
+        row = df.agg(
+            *[F.avg(F.element_at(F.col(vec_col), i + 1).cast("double"))
+              .alias(f"m{i}") for i in range(dims)],
+            F.avg(norm).alias("mnorm"),
+            F.count(F.lit(1)).alias("n")).collect()[0]
+        return ([row[f"m{i}"] for i in range(dims)],
+                float(row["mnorm"]), int(row["n"]))
+
+    ma, na_norm, n_a = moments(df_a)
+    mb, nb_norm, n_b = moments(df_b)
+    spark = df_a.sparkSession
+    if ma is None or mb is None or len(ma) != len(mb):
+        return spark.createDataFrame(
+            [(None, None, n_a, n_b)],
+            "cos_means double, norm_ratio double, n_a bigint, n_b bigint")
+    dot = la = lb = 0.0
+    for x, y in zip(ma, mb):        # ordered fold — bit-stable
+        dot += x * y
+        la += x * x
+        lb += y * y
+    cos = (dot / math.sqrt(la * lb)) if la > 0 and lb > 0 else None
+    ratio = (nb_norm / na_norm) if na_norm > 0 else None
+    r = round_digits
+    return spark.createDataFrame(
+        [(None if cos is None else round(cos, r),
+          None if ratio is None else round(ratio, r), n_a, n_b)],
+        "cos_means double, norm_ratio double, n_a bigint, n_b bigint")

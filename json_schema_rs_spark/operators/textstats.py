@@ -466,6 +466,46 @@ def duplicated_ngram_coverage(df: DataFrame, text_col: str = "text",
                            "dup_ngram_frac", round_digits)
 
 
+def vocab_drift(df_a: DataFrame, df_b: DataFrame, text_col: str = "text",
+                *, k: int = 100, other: str = "<other>") -> DataFrame:
+    """Vocabulary drift between two corpus snapshots: Pearson chi² over
+    per-token counts restricted to the BASELINE's top-``k`` vocabulary,
+    with every out-of-vocabulary token folded into one ``other`` bucket
+    (so new words register as drift instead of being dropped, and the
+    category set — hence ``dof = k`` — is fixed by the baseline alone,
+    the CCNet convention for monitoring a feed against a reference
+    snapshot). Returns :func:`~.stats.chi2_two_sample`'s one-row
+    ``(chi2, dof, n_a, n_b)``.
+
+    Scale shape: the baseline vocabulary is ONE corpus token aggregate
+    (vocabulary-sized shuffle, map-side combined) + a TakeOrdered head
+    by the (count desc, token asc) total order — unique, so any engine
+    re-derives it; k tokens come to the driver and categorize both
+    sides as a codegen'd literal-array `isin` (no join); the chi² then
+    aggregates (k+1)-category counts per side."""
+    from ..functions.exprs import explode_rows
+    from .stats import chi2_two_sample
+
+    def toks(df: DataFrame) -> DataFrame:
+        return explode_rows(
+            df.select(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+                      .alias("__w")),
+            [], F.col("__w"), "__t")
+
+    head = (toks(df_a).groupBy("__t").agg(F.count("*").alias("__c"))
+            .orderBy(F.desc("__c"), F.asc("__t")).limit(k).collect())
+    vocab = [r["__t"] for r in head]
+    lit = F.array(*[F.lit(t) for t in vocab])
+
+    def cat(df: DataFrame) -> DataFrame:
+        t = toks(df)
+        return t.select(
+            F.when(F.array_contains(lit, F.col("__t")), F.col("__t"))
+             .otherwise(F.lit(other)).alias("token_cat"))
+
+    return chi2_two_sample(cat(df_a), cat(df_b), "token_cat")
+
+
 def remove_duplicated_spans(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", *, k: int = 10,
                             min_count: int = 2, seed: int = 7,

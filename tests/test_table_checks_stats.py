@@ -212,6 +212,89 @@ class TestDrift:
         assert approx < 0.08
 
 
+class TestVocabDrift:
+    def _df(self, spark, texts):
+        from pyspark.sql import Row
+        return spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+
+    def test_identical_corpora_zero_chi2(self, spark):
+        from json_schema_rs_spark.operators.textstats import vocab_drift
+        texts = ["alpha beta gamma", "beta beta delta"] * 5
+        r = vocab_drift(self._df(spark, texts), self._df(spark, texts),
+                        k=3).collect()[0]
+        assert r.chi2 == pytest.approx(0.0, abs=1e-12)
+        assert r.n_a == r.n_b == 30
+
+    def test_shifted_vocabulary_registers(self, spark):
+        from json_schema_rs_spark.operators.textstats import vocab_drift
+        a = ["alpha beta gamma delta"] * 10
+        b = ["epsilon zeta eta theta"] * 10   # fully out-of-vocabulary
+        r = vocab_drift(self._df(spark, a), self._df(spark, b),
+                        k=4).collect()[0]
+        # every b token folds into <other>: maximal divergence on a
+        # 5-category table with equal totals -> chi2 = n_a + n_b
+        assert r.chi2 == pytest.approx(80.0)
+        assert r.dof == 4                      # 4 vocab cats + other - 1
+
+    def test_oov_folds_into_other_not_new_category(self, spark):
+        from json_schema_rs_spark.operators.textstats import vocab_drift
+        a = ["x y", "x y"]
+        b = ["x q", "x r"]                     # q, r both OOV
+        r = vocab_drift(self._df(spark, a), self._df(spark, b),
+                        k=2).collect()[0]
+        assert r.dof == 2                      # {x, y, <other>} - 1
+
+
+class TestEmbeddingDrift:
+    def _df(self, spark, vecs):
+        from pyspark.sql import Row
+        return spark.createDataFrame(
+            [Row(vec_id=i, embedding=v) for i, v in enumerate(vecs)],
+            "vec_id bigint, embedding array<double>")
+
+    def test_identical_snapshots(self, spark):
+        from json_schema_rs_spark.operators.similarity import embedding_drift
+        vs = [[1.0, 0.0, 2.0], [0.0, 3.0, 1.0], [2.0, 1.0, 0.0]]
+        r = embedding_drift(self._df(spark, vs),
+                            self._df(spark, vs)).collect()[0]
+        assert r.cos_means == pytest.approx(1.0)
+        assert r.norm_ratio == pytest.approx(1.0)
+        assert r.n_a == r.n_b == 3
+
+    def test_scaling_moves_ratio_not_cosine(self, spark):
+        from json_schema_rs_spark.operators.similarity import embedding_drift
+        vs = [[1.0, 2.0], [3.0, 1.0]]
+        scaled = [[2 * x for x in v] for v in vs]
+        r = embedding_drift(self._df(spark, vs),
+                            self._df(spark, scaled)).collect()[0]
+        assert r.cos_means == pytest.approx(1.0)
+        assert r.norm_ratio == pytest.approx(2.0)
+
+    def test_rotation_moves_cosine(self, spark):
+        from json_schema_rs_spark.operators.similarity import embedding_drift
+        a = [[1.0, 0.0]] * 4
+        b = [[0.0, 1.0]] * 4                  # orthogonal mean
+        r = embedding_drift(self._df(spark, a),
+                            self._df(spark, b)).collect()[0]
+        assert r.cos_means == pytest.approx(0.0, abs=1e-9)
+        assert r.norm_ratio == pytest.approx(1.0)
+
+    def test_null_and_empty_vectors_excluded(self, spark):
+        from json_schema_rs_spark.operators.similarity import embedding_drift
+        a = self._df(spark, [[1.0, 0.0], None, []])
+        b = self._df(spark, [[1.0, 0.0]])
+        r = embedding_drift(a, b).collect()[0]
+        assert r.n_a == 1 and r.cos_means == pytest.approx(1.0)
+
+    def test_empty_side_yields_nulls(self, spark):
+        from json_schema_rs_spark.operators.similarity import embedding_drift
+        a = self._df(spark, [[1.0, 0.0]])
+        b = self._df(spark, [])
+        r = embedding_drift(a, b).collect()[0]
+        assert r.cos_means is None and r.n_b == 0
+
+
 class TestTDigest:
     def test_quantiles_accuracy(self):
         rng = np.random.default_rng(0)
