@@ -181,6 +181,49 @@ WHERE event_type IS NOT NULL
 """
 
 
+def _q_v_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the reference's file-instance entry point as a distributed JSONL
+    # scan (sources/jsonl.py): events are serialized to JSON lines with
+    # a deterministic corruption (event_id % 37 -> '{oops'), read back
+    # through the two-tier source, and validated. Fast-path enum
+    # violations keep their typed key; corrupt lines surface as
+    # InvalidJson rows with a NULL key (they have none). The oracle
+    # reproduces both sets from the events table alone — the JSON
+    # round-trip must be value-exact.
+    import os
+    from json_schema_rs_spark.sources.jsonl import validate_jsonl
+    ev = _t(spark, sf_dir, "events")
+    path = f"/tmp/jsonl_entry_{os.path.basename(os.path.normpath(sf_dir))}"
+    line = F.when(F.col("event_id") % 37 == 0, F.lit("{oops")) \
+        .otherwise(F.to_json(F.struct("event_id", "event_type")))
+    ev.select(line.alias("value")).write.mode("overwrite").text(path)
+    spec = {"type": "object", "required": ["event_id"],
+            "properties": {"event_type": {
+                "type": "string",
+                "enum": ["click", "view", "signup", "purchase"]}}}
+    report, line_v = validate_jsonl(
+        spark, path, spec, "event_id bigint, event_type string",
+        key_cols=("event_id",))
+    return report.violations.unionByName(
+        line_v.select(F.lit(None).cast("bigint").alias("event_id"),
+                      "instance_path", "code", "message"))
+
+
+_SQL_V_JSONL_SOURCE = """
+SELECT event_id, '/event_type' AS instance_path, 'NotInEnum' AS code,
+  '/event_type: value "' || event_type ||
+  '" not in enum (allowed: "click", "view", "signup", "purchase")' AS message
+FROM events
+WHERE event_id % 37 <> 0 AND event_type IS NOT NULL
+  AND event_type NOT IN ('click','view','signup','purchase')
+UNION ALL
+SELECT NULL AS event_id, '' AS instance_path, 'InvalidJson' AS code,
+  'invalid JSON line: Expecting property name enclosed in double '
+  || 'quotes: line 1 column 2 (char 1)' AS message
+FROM events WHERE event_id % 37 = 0
+"""
+
+
 def _q_v_const(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = {"type": "object", "properties": {"lang": {"const": "en"}}}
     return ValidationEngine(spec, key_cols=("doc_id",)) \
@@ -2746,6 +2789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_array_items": _q_v_array_items,
         "v_ref_allof": _q_v_ref_allof,
         "v_enum_stream": _q_v_enum_stream,
+        "v_jsonl_source": _q_v_jsonl_source,
         # error-variant coverage (every reference error code fires)
         "v_expected_types": _q_v_expected_types,
         "v_array_errors": _q_v_array_errors,
@@ -2861,6 +2905,7 @@ def oracle_sql() -> dict[str, str]:
         "v_array_items": _SQL_V_ARRAY_ITEMS,
         "v_ref_allof": _SQL_V_REF_ALLOF,
         "v_enum_stream": _SQL_V_ENUM,
+        "v_jsonl_source": _SQL_V_JSONL_SOURCE,
         "v_expected_types": _SQL_V_EXPECTED_TYPES,
         "v_array_errors": _SQL_V_ARRAY_ERRORS,
         "v_additional_forbid": _SQL_V_ADDITIONAL_FORBID,
