@@ -46,24 +46,21 @@ from ..plans.spec import SchemaNode, parse_spec
 CORRUPT_COL = "_corrupt_record"
 
 
-def read_jsonl(spark: SparkSession, path: str, schema: Union[str, T.StructType],
-               ) -> tuple[DataFrame, DataFrame]:
-    """One text scan of ``path`` split into ``(typed_rows, fallback_lines)``.
-
-    ``typed_rows`` carries the declared schema's columns for every line
-    `from_json` fully mapped; ``fallback_lines`` is the skinny
-    ``(line string)`` remainder (malformed / unmappable), empty lines
-    dropped on both sides.
-    """
+def _parse_schema(schema: Union[str, T.StructType]) -> T.StructType:
     st = (T.StructType.fromDDL(schema) if isinstance(schema, str)
           else T.StructType(list(schema.fields)))
     if CORRUPT_COL in [f.name for f in st.fields]:
         raise ValueError(f"schema may not declare {CORRUPT_COL!r}")
+    return st
+
+
+def _split_lines(lines: DataFrame,
+                 st: T.StructType) -> tuple[DataFrame, DataFrame]:
+    """Split a ``(value string)`` line feed (batch OR streaming) into
+    ``(typed_rows, fallback_lines)`` with one `from_json` expression."""
     st_c = T.StructType(list(st.fields)
                         + [T.StructField(CORRUPT_COL, T.StringType())])
-    lines = (spark.read.text(path)
-             .filter(F.length(F.trim(F.col("value"))) > 0))
-    parsed = lines.select(
+    parsed = lines.filter(F.length(F.trim(F.col("value"))) > 0).select(
         F.col("value").alias("__line"),
         F.from_json(
             F.col("value"), st_c,
@@ -75,6 +72,18 @@ def read_jsonl(spark: SparkSession, path: str, schema: Union[str, T.StructType],
     bad = parsed.filter(F.col(f"__j.{CORRUPT_COL}").isNotNull()) \
                 .select(F.col("__line").alias("line"))
     return ok, bad
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: Union[str, T.StructType],
+               ) -> tuple[DataFrame, DataFrame]:
+    """One text scan of ``path`` split into ``(typed_rows, fallback_lines)``.
+
+    ``typed_rows`` carries the declared schema's columns for every line
+    `from_json` fully mapped; ``fallback_lines`` is the skinny
+    ``(line string)`` remainder (malformed / unmappable), empty lines
+    dropped on both sides.
+    """
+    return _split_lines(spark.read.text(path), _parse_schema(schema))
 
 
 def _fallback_violations(bad: DataFrame, root: SchemaNode) -> DataFrame:
@@ -140,3 +149,36 @@ def validate_jsonl(
     ok, bad = read_jsonl(spark, path, schema)
     engine = ValidationEngine(root, key_cols=key_cols)
     return engine.validate(ok), _fallback_violations(bad, root)
+
+
+def jsonl_violation_streams(
+    spark: SparkSession,
+    path: str,
+    spec: Union[str, bytes, dict, SchemaNode],
+    schema: Union[str, T.StructType],
+    *,
+    key_cols: Sequence[str] = ("conv_id", "turn_idx"),
+    strict: bool = False,
+    extensions: bool = False,
+    max_files_per_trigger: Optional[int] = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The same two-tier split over an UNBOUNDED JSONL directory — the
+    reference's stdin entry point (`cli/mod.rs:59-83`) as a Structured
+    Streaming source. Returns two streaming DataFrames the caller sinks:
+    typed per-key violations from the JVM fast path, and the slow-path
+    ``(line, instance_path, code, message)`` rows. Both branches are
+    stateless row-local transforms (the split is one `from_json`
+    expression, the fallback an Arrow-batched map), so they attach to
+    micro-batches unchanged — byte-equal to the batch operator on the
+    same files, asserted in tests."""
+    from ..operators.runner import ValidationEngine
+    from ..streaming.validate_stream import violations_stream
+
+    root = spec if isinstance(spec, SchemaNode) else parse_spec(
+        spec, strict=strict, extensions=extensions)
+    reader = spark.readStream
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ok, bad = _split_lines(reader.text(path), _parse_schema(schema))
+    engine = ValidationEngine(root, key_cols=key_cols)
+    return violations_stream(engine, ok), _fallback_violations(bad, root)

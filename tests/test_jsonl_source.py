@@ -107,6 +107,31 @@ class TestValidateJsonl:
         assert report.summary()["rows"] == 0
         assert lv.count() == 0
 
+    def test_stream_matches_batch(self, spark, jsonl_dir, result):
+        # the unbounded variant must produce byte-identical rows to the
+        # batch operator over the same files, across micro-batches
+        from json_schema_rs_spark.sources.jsonl import (
+            jsonl_violation_streams)
+        report, batch_lines = result
+        vs, ls = jsonl_violation_streams(
+            spark, jsonl_dir, SPEC, DDL, max_files_per_trigger=1)
+        qs = []
+        try:
+            qs.append(vs.writeStream.outputMode("append").format("memory")
+                      .queryName("jl_v").start())
+            qs.append(ls.writeStream.outputMode("append").format("memory")
+                      .queryName("jl_l").start())
+            for q in qs:
+                q.processAllAvailable()
+        finally:
+            for q in qs:
+                q.stop()
+        sv = {tuple(r) for r in spark.sql("SELECT * FROM jl_v").collect()}
+        bv = {tuple(r) for r in report.violations.collect()}
+        assert sv == bv
+        sl = {tuple(r) for r in spark.sql("SELECT * FROM jl_l").collect()}
+        assert sl == batch_lines
+
     def test_fast_path_plan_is_vectorized(self, spark, jsonl_dir):
         # the typed branch must stay in the JVM: no Python evaluation
         report, _ = validate_jsonl(spark, jsonl_dir, SPEC, DDL)
