@@ -172,7 +172,11 @@ def _ap_dir(old, new) -> str:
     o = ALLOW if old is None else old
     n = ALLOW if new is None else new
     if isinstance(o, SchemaNode) or isinstance(n, SchemaNode):
-        return EQUAL if o is n else UNKNOWN
+        # structurally identical schema values are no change; any other
+        # schema-valued transition is incomparable keyword-wise
+        same = (isinstance(o, SchemaNode) and isinstance(n, SchemaNode)
+                and _node_json(o) == _node_json(n))
+        return EQUAL if same else UNKNOWN
     if o == n:
         return EQUAL
     return NARROWER if n == FORBID else WIDER

@@ -106,6 +106,14 @@ class TestVerdicts:
 
 
 class TestPropertyApInterplay:
+    def test_identical_schema_valued_ap_is_identical(self):
+        spec = _mut(additionalProperties={"type": "integer"})
+        assert spec_diff(spec, spec)[0] == "identical"
+        # any schema-valued transition is keyword-incomparable
+        assert spec_diff(
+            spec, _mut(additionalProperties={"type": "string"}),
+        )[0] == "unknown"
+
     def test_property_removed_under_forbid_narrows(self):
         old = _mut(additionalProperties=False)
         new = _mut(additionalProperties=False,
