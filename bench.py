@@ -81,6 +81,9 @@ HEADLINE = [
     "x_fuzzy_decontam",
     "x_dedup_spans",
     "s_cvm_drift",
+    "s_vocab_drift",
+    "s_emb_drift",
+    "v_jsonl_source",
 ]
 
 

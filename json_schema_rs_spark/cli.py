@@ -147,6 +147,31 @@ def cmd_diff(args: argparse.Namespace) -> int:
     return 0 if verdict in ("identical", "widening") else 1
 
 
+def cmd_revalidate(args: argparse.Namespace) -> int:
+    """Spec-change revalidation over a previous --route-rows run: scans
+    only the routed partitions the spec_diff verdict cannot prove
+    unchanged. Exit code mirrors cmd_validate: 1 when the NEW spec
+    leaves any invalid rows, 0 on a fully-clean corpus."""
+    from .sources.ledger import revalidate_incremental
+
+    spark = build_session("json_schema_rs_spark.revalidate", args.master)
+    with open(args.old_spec) as f:
+        old_spec = json.load(f)
+    with open(args.new_spec) as f:
+        new_spec = json.load(f)
+    summary = revalidate_incremental(
+        spark, args.output, args.run_id, old_spec, new_spec,
+        key_cols=tuple(args.keys.split(",")),
+        extensions=args.extensions)
+    print(json.dumps(summary))
+    invalid = summary["rows_total"] - summary["valid_rows"]
+    if invalid > 0:
+        print(f"validation failed with {invalid} invalid row(s) under "
+              f"the new spec", file=sys.stderr)
+        return 1
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="json_schema_rs_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -205,6 +230,22 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--extensions", action="store_true",
                    help="parse draft-2020-12 extension keywords")
     d.set_defaults(fn=cmd_diff)
+
+    r = sub.add_parser("revalidate",
+                       help="incremental revalidation of a previous "
+                            "--route-rows run after a spec change (scans "
+                            "only the partitions the diff verdict cannot "
+                            "prove unchanged)")
+    r.add_argument("--output", required=True,
+                   help="output dir of the previous validate run")
+    r.add_argument("--run-id", required=True,
+                   help="run_id of the previous validate run")
+    r.add_argument("--old-spec", required=True)
+    r.add_argument("--new-spec", required=True)
+    r.add_argument("--keys", default="conv_id,turn_idx")
+    r.add_argument("--extensions", action="store_true")
+    r.add_argument("--master", default=None)
+    r.set_defaults(fn=cmd_revalidate)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -150,6 +150,23 @@ class TestIncrementalRevalidation:
         assert s["valid_rows"] == self._full_valid_count(NARROWER_SPEC, tdf)
         assert s["newly_invalid"] > 0                  # tool role rows fall
 
+    def test_cli_revalidate_prints_summary_and_exit_code(
+            self, spark, tdf, routed_run, tmp_path, capsys):
+        from json_schema_rs_spark.cli import main
+        old_f, new_f = tmp_path / "old.json", tmp_path / "new.json"
+        old_f.write_text(json.dumps(SPEC))
+        new_f.write_text(json.dumps(WIDER_SPEC))
+        rc = main(["revalidate", "--output", routed_run, "--run-id",
+                   "base", "--old-spec", str(old_f),
+                   "--new-spec", str(new_f)])
+        out = json.loads(capsys.readouterr().out.splitlines()[-1])
+        assert out["verdict"] == "widening"
+        assert out["rows_rescanned"] < out["rows_total"]
+        invalid = out["rows_total"] - out["valid_rows"]
+        assert invalid == tdf.count() - self._full_valid_count(
+            WIDER_SPEC, tdf)
+        assert rc == (1 if invalid > 0 else 0)
+
     def test_unknown_rescans_everything(self, spark, tdf, routed_run):
         mixed = json.loads(json.dumps(WIDER_SPEC))
         mixed["properties"]["role"]["enum"] = ["user"]   # narrow + widen
