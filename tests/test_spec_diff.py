@@ -167,6 +167,20 @@ class TestCombinators:
         assert verdict == "unknown"
 
 
+    def test_def_change_under_nested_not_is_unknown(self):
+        # the inverting context sits two levels down (anyOf -> not):
+        # the whole-spec scan must still catch it
+        def spec(minlen):
+            return {"type": "object",
+                    "properties": {"s": {"anyOf": [
+                        {"not": {"$ref": "#/$defs/d"}},
+                        {"type": "integer"}]}},
+                    "$defs": {"d": {"type": "string",
+                                    "minLength": minlen}}}
+        verdict, _ = spec_diff(spec(5), spec(9), extensions=True)
+        assert verdict == "unknown"
+
+
 class TestExtensions:
     def test_multiple_of_coarser_narrows(self):
         old = {"type": "integer", "multipleOf": 2}
