@@ -2248,6 +2248,38 @@ FROM b
 """
 
 
+def _q_x_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the curation recipe "score -> gate -> sample" as one composition:
+    # quality-gate at 0.6 (on the ROUNDED score, so both engines compare
+    # identical 6dp values), then the key-coherent deterministic 50%
+    # sample. Zero shuffle end to end: score is row-local codegen, the
+    # gate a filter, the sample an md5-cut filter.
+    qs = textstats.quality_score(_t(spark, sf_dir, "documents"))
+    kept = sampling.deterministic_sample(
+        qs.filter(F.col("quality") >= 0.6), "doc_id", 0.5, salt="qsamp")
+    return kept.select("doc_id", "quality")
+
+
+_SQL_X_QUALITY_SAMPLE = f"""
+WITH b AS (SELECT doc_id, length(text)::DOUBLE AS nc,
+  len(string_split(text, ' '))::DOUBLE AS nw,
+  len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE AS np,
+  len(list_filter(string_split(text, ' '),
+      w -> list_contains(['the','a','of','and','to','in','is','it','that','for'], w)))::DOUBLE AS ns
+FROM documents),
+q AS (SELECT doc_id,
+  round(0.4 * least(nc / 500.0, 1.0) + 0.3 * least(ns / nw * 5, 1.0)
+      + 0.2 * least(((nc - (nw - 1)) / nw) / 8, 1.0)
+      + 0.1 * (1.0 - least(coalesce(np / nullif(nc, 0), 0.0) * 10, 1.0)), 6)
+    AS quality
+FROM b)
+SELECT doc_id, quality FROM q
+WHERE quality >= 0.6
+  AND substr(md5(concat(CAST(doc_id AS VARCHAR), '#qsamp')), 1, 8)
+      < '{sampling._threshold(0.5)}'
+"""
+
+
 def _q_x_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.language_id(_t(spark, sf_dir, "documents"))
 
@@ -2852,6 +2884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_language_id": _q_x_langid,
         "x_fingerprint": _q_x_fingerprint,
         # deterministic sampling / splits
+        "x_quality_sample": _q_x_quality_sample,
         "x_doc_sample": _q_x_sample,
         "x_split_counts": _q_x_split,
         "x_strat_sample": _q_x_strat,
@@ -2957,6 +2990,7 @@ def oracle_sql() -> dict[str, str]:
         "x_quality": _SQL_X_QUALITY,
         "x_language_id": _SQL_X_LANGID,
         "x_fingerprint": _SQL_X_FINGERPRINT,
+        "x_quality_sample": _SQL_X_QUALITY_SAMPLE,
         "x_doc_sample": _SQL_X_SAMPLE,
         "x_split_counts": _SQL_X_SPLIT,
         "x_strat_sample": _SQL_X_STRAT,
