@@ -535,7 +535,11 @@ def remove_duplicated_spans(df: DataFrame, text_col: str = "text",
     not broadcast the (duplication-bounded) rollup. The rewrite itself
     is row-local whole-stage codegen: covered positions =
     ``distinct(flatten(sequence(s, s+k-1)))`` over the start set, kept
-    tokens filtered by position."""
+    tokens filtered by position — O(tokens x covered) per row worst
+    case (array_contains is a linear probe), which is fine at normal
+    document sizes (<= a few thousand tokens) and bounded corpus-wide
+    by chunking pathological documents upstream
+    (:func:`~.packing.chunk_windows`)."""
     from ..functions.exprs import explode_rows
     from .dedup import _spread
 
