@@ -38,6 +38,25 @@ Verdict parity with ``jsonschema.FormatChecker`` is pinned by
 - ``email``: presence of ``@`` — exactly jsonschema's checker.
 - ``json-pointer``: RFC 6901 (``~`` only as ``~0``/``~1``).
 
+- ``relative-json-pointer``: draft ABNF — a non-negative integer with
+  no leading zero, then ``#`` or a JSON pointer. ASCII digits ONLY
+  (the ABNF is ``%x30-39``); jsonschema's checker uses ``str.isdigit``
+  and so also accepts Unicode digit strings like ``"١٢"`` — we follow
+  the spec, and the differential test pins agreement on ASCII inputs
+  with the Unicode divergence documented.
+- ``regex``: draft 2020-12 says the value "SHOULD be a valid regular
+  expression according to the ECMA-262 dialect" — asserted with this
+  engine's own from-scratch ECMA(+Annex B) auditor
+  (:mod:`.ecma_regex`), the SAME contract the ``pattern`` keyword
+  compiles under, so a spec cannot contain a pattern the format check
+  would bless and the compiler reject. jsonschema's checker merely
+  ``re.compile``s (Python dialect: accepts ``(?i)``/``(?P<n>…)``,
+  rejects some Annex B forms) — agreement holds on the common subset
+  and every divergence is dialect-classified in the tests. Spark side
+  is an Arrow-batched pandas UDF (per-VALUE regex audit is not
+  expressible as a JVM expression); format:"regex" columns are
+  metadata-sized in practice.
+
 ``time`` is deliberately NOT asserted: jsonschema's checker diverges
 from RFC 3339 (rejects ``23:59:59Z``, accepts offset-less ``10:00:00``),
 so there is no stable contract to match. ``hostname``/``uri``/
@@ -83,10 +102,14 @@ REGEX = {
     # no ambiguity between the nested stars: the outer iteration must
     # consume a "/", the inner class can't — linear, no backtracking trap
     "json-pointer": r"\A(/([^/~]|~[01])*)*\z",
+    # non-negative integer (no leading zero, ASCII digits per the ABNF),
+    # then terminal "#" or a (possibly empty) json-pointer
+    "relative-json-pointer":
+        r"\A(0|[1-9][0-9]*)(#|(/([^/~]|~[01])*)*)\z",
 }
 
 # formats asserted under extensions=True ("uuid" stays a core keyword)
-EXT_FORMATS = frozenset(REGEX) | {"email"}
+EXT_FORMATS = frozenset(REGEX) | {"email", "regex"}
 
 # Python's strict end-of-string anchor is \Z (it has no \z before 3.14);
 # Java's \z is the same semantics (\Z in Java allows a final newline —
@@ -111,6 +134,9 @@ def python_valid(fmt: str, s: str) -> bool:
     """Python-side validity — the pyvalidator (JSON mode) twin."""
     if fmt == "email":
         return "@" in s
+    if fmt == "regex":
+        from .ecma_regex import translate
+        return translate(s).valid
     if _PY_RX[fmt].match(s) is None:
         return False
     if fmt in ("date", "date-time"):
@@ -138,6 +164,22 @@ def spark_valid(fmt: str, s: "Column") -> "Column":
     from pyspark.sql import functions as F
     if fmt == "email":
         return F.instr(s, "@") > 0
+    if fmt == "regex":
+        # per-VALUE ECMA audit — inexpressible as a JVM expression;
+        # Arrow-batched, same dialect contract as the pattern keyword
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _ecma_ok_fn(col):
+            from .ecma_regex import translate
+            return col.map(
+                lambda x: None if x is None else translate(x).valid)
+
+        # annotations set as OBJECTS: this module's postponed-annotations
+        # mode would stringify inline hints, which pyspark's pandas_udf
+        # signature inference cannot resolve
+        _ecma_ok_fn.__annotations__ = {"col": pd.Series, "return": pd.Series}
+        return pandas_udf(_ecma_ok_fn, "boolean")(s)
     shaped = s.rlike(REGEX[fmt])
     if fmt in ("date", "date-time"):
         return F.when(shaped, _spark_date_ok(s)).otherwise(F.lit(False))

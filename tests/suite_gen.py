@@ -1005,6 +1005,33 @@ def gen_ext_formats():
                        "s": {"type": "string", "format": "email"}}},
                    [_t(s, {"s": s}, "@" in s) for s in emails],
                    {"s": "string"}))
+
+    # relative-json-pointer: expected verdict from the draft ABNF applied
+    # by hand (independent of the engine's regex)
+    rel = [("0", True), ("12", True), ("0#", True), ("1/a/b", True),
+           ("1/a~0b", True), ("", False), ("#", False), ("/a", False),
+           ("01", False), ("1#/x", False), ("-1", False), ("2/a~", False),
+           ("10/~1", True), ("007", False)]
+    out.append(_xg("ext format relative-json-pointer",
+                   {"type": "object", "properties": {
+                       "s": {"type": "string",
+                             "format": "relative-json-pointer"}}},
+                   [_t(s, {"s": s}, ok) for s, ok in rel],
+                   {"s": "string"}))
+
+    # regex: ECMA-262 dialect verdicts fixed by hand (the engine's own
+    # auditor is under test here, so the expectations must not come from
+    # it; dialect notes: inline flags and (?P< are Python-only syntax,
+    # (?<name> is the ECMA named group, \\q is an Annex B identity escape)
+    rx = [("abc", True), ("[0-9]+", True), ("a{2,3}", True),
+          ("(a)\\1", True), ("(?<n>x)", True), ("\\q", True),
+          ("(", False), ("[", False), ("a{3,2}", False), ("*a", False),
+          ("\\", False), ("(?i)x", False), ("(?P<n>x)", False)]
+    out.append(_xg("ext format regex (ECMA-262 dialect)",
+                   {"type": "object", "properties": {
+                       "s": {"type": "string", "format": "regex"}}},
+                   [_t(s, {"s": s}, ok) for s, ok in rx],
+                   {"s": "string"}))
     return out
 
 

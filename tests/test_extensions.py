@@ -586,6 +586,13 @@ class TestFormats:
         "json-pointer": ["", "/a/b", "/a~0b", "/a~2b", "a/b", "/", "/a~",
                          "/~1", "//", "/a/", "~", "/é", "/a~01"],
         "email": ["a@b", "a b@c", "@", "no-at", "", "x@y@z", "@@"],
+        # ASCII inputs only: jsonschema's checker uses str.isdigit and
+        # would also accept Unicode digit strings (divergence pinned in
+        # test_rel_pointer_unicode_digit_documented_divergence)
+        "relative-json-pointer": [
+            "0", "1", "12", "0#", "12#", "1/a/b", "0/", "1/a~0b", "",
+            "#", "/a", "01", "00#", "1#", "1#/x", "-1", "1 ", "5/a~2",
+            "10/~1", "0//", "3#extra", "2/a~", "007"],
     }
 
     def test_jsonschema_verdicts(self):
@@ -599,6 +606,64 @@ class TestFormats:
             for x in cases:
                 assert (len(validate(root, x)) == 0) == v3.is_valid(x), \
                     (f, x)
+
+    def test_rel_pointer_unicode_digit_documented_divergence(self):
+        # the ABNF is %x30-39; jsonschema's str.isdigit loop also
+        # accepts Unicode digits — we follow the spec
+        jsonschema = pytest.importorskip("jsonschema")
+        fc = jsonschema.FormatChecker()
+        v3 = jsonschema.Draft202012Validator(
+            {"type": "string", "format": "relative-json-pointer"},
+            format_checker=fc)
+        root = parse_spec(
+            {"type": "string", "format": "relative-json-pointer"},
+            extensions=True)
+        assert v3.is_valid("١٢")                       # their quirk
+        assert [v.code for v in validate(root, "١٢")] == ["InvalidFormat"]
+
+    REGEX_AGREE = ["abc", "a|b", "[0-9]+", "^x$", "a{2,3}", "(a)(b)\\2",
+                   "(", "[", "a{3,2}", ")", "*a", "\\", "(?<=a)b",
+                   "a{,3}", "x**", "(?:x)+", "[^a-z]", "a??"]
+    # (pattern, python_re_valid, ecma_valid) — dialect divergences, each
+    # explained: inline flags / (?P< are Python-only syntax; (?<name> is
+    # the ECMA named group (a Python error); \p \q [a-\w] are Annex B
+    # identity-escape / class forms Python rejects
+    REGEX_DIVERGE = [("(?i)x", True, False), ("(?P<n>x)", True, False),
+                     ("(?<n>x)", False, True), ("\\p{L}", False, True),
+                     ("\\q", False, True), ("[a-\\w]", False, True)]
+
+    def test_regex_format_vs_python_re_classified(self):
+        # format:"regex" asserts the ECMA-262 dialect (the same auditor
+        # the pattern keyword compiles under); jsonschema's checker is
+        # re.compile (Python dialect). Agreement on the common subset,
+        # every divergence dialect-classified.
+        import re as _re
+        jsonschema = pytest.importorskip("jsonschema")
+        fc = jsonschema.FormatChecker()
+        v3 = jsonschema.Draft202012Validator(
+            {"type": "string", "format": "regex"}, format_checker=fc)
+        root = parse_spec({"type": "string", "format": "regex"},
+                          extensions=True)
+        for x in self.REGEX_AGREE:
+            ours = len(validate(root, x)) == 0
+            assert ours == v3.is_valid(x), x
+        for x, py_ok, ecma_ok in self.REGEX_DIVERGE:
+            try:
+                _re.compile(x)
+                py = True
+            except _re.error:
+                py = False
+            assert py == py_ok == v3.is_valid(x), x
+            assert (len(validate(root, x)) == 0) == ecma_ok, x
+
+    def test_regex_format_consistent_with_pattern_keyword(self):
+        # a spec can never carry a pattern that format:"regex" blesses
+        # and the compiler rejects: both run the same ECMA audit
+        from json_schema_rs_spark.functions.ecma_regex import translate
+        root = parse_spec({"type": "string", "format": "regex"},
+                          extensions=True)
+        for x in self.REGEX_AGREE + [d[0] for d in self.REGEX_DIVERGE]:
+            assert (len(validate(root, x)) == 0) == translate(x).valid, x
 
     def test_datetime_trailing_newline_documented_divergence(self):
         # jsonschema's date-time checker is "$"-anchored (rfc3339_validator
@@ -661,6 +726,23 @@ class TestFormats:
             (2, "/ip", "InvalidFormat"),
             (3, "/ip", "InvalidFormat"), (4, "/d", "InvalidFormat")]
         assert 'string "2023-02-29" is not a valid "date"' in got[0][3]
+
+    def test_cross_engine_bytes_regex_and_rel_pointer(self, spark):
+        # the regex format's Arrow-UDF Spark path and the rel-pointer
+        # regex path must match the interpreter byte-for-byte
+        spec = {"type": "object", "properties": {
+            "rx": {"type": "string", "format": "regex"},
+            "rp": {"type": "string", "format": "relative-json-pointer"}}}
+        rows = [Row(id=1, rx="[0-9]+", rp="0#"),
+                Row(id=2, rx="(", rp="01"),
+                Row(id=3, rx="(?i)x", rp="1/a~2"),
+                Row(id=4, rx=None, rp=None),
+                Row(id=5, rx="(?<n>x)", rp="12/a/b")]
+        got = cross_check(spark, spec, rows, "id int, rx string, rp string")
+        assert [(r[0], r[1], r[2]) for r in got] == [
+            (2, "/rp", "InvalidFormat"), (2, "/rx", "InvalidFormat"),
+            (3, "/rp", "InvalidFormat"), (3, "/rx", "InvalidFormat")]
+        assert 'string "(" is not a valid "regex"' in got[1][3]
 
     def test_off_by_default_and_unknown_formats_inert(self, spark):
         # format is a CORE keyword: strict accepts it, and without
