@@ -1621,6 +1621,48 @@ FROM viol GROUP BY code, instance_path
 """
 
 
+def _q_t_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # table-level expectations (aggregate constraints with pass/fail
+    # verdict rows — the bounds keywords lifted to the table grain):
+    # one profile pass, verdicts assembled from the single wide
+    # aggregate row. Bounds chosen so the report carries BOTH verdicts
+    # (min_distinct 6 and max_mean 40 fail on this data).
+    from json_schema_rs_spark.operators.expectations import (
+        table_expectations)
+    spec = {"min_rows": 1000, "max_rows": 10**12,
+            "columns": {
+                "event_type": {"max_null_frac": 0.001, "min_distinct": 6},
+                "value": {"min_value": 0, "max_value": 1e6,
+                          "min_mean": 1, "max_mean": 40}}}
+    rep = table_expectations(_t(spark, sf_dir, "events"), spec)
+    # message column excluded: its number rendering is an operator-UX
+    # contract, not a cross-engine one
+    return rep.select("scope", "rule", "observed", "bound", "ok")
+
+
+_SQL_T_EXPECTATIONS = """
+WITH s AS (SELECT count(*)::DOUBLE AS n,
+                  count(event_type) AS et_nn,
+                  count(DISTINCT event_type)::DOUBLE AS et_d,
+                  min(value)::DOUBLE AS v_min,
+                  max(value)::DOUBLE AS v_max,
+                  round(avg(value::DOUBLE), 6) AS v_mean
+           FROM events)
+SELECT 'table' AS scope, 'min_rows' AS rule, n AS observed,
+       1000.0 AS bound, n >= 1000 AS ok FROM s
+UNION ALL SELECT 'table', 'max_rows', n, 1e12, n <= 1e12 FROM s
+UNION ALL SELECT 'event_type', 'max_null_frac',
+       round((n - et_nn) / n, 6), 0.001,
+       round((n - et_nn) / n, 6) <= 0.001 FROM s
+UNION ALL SELECT 'event_type', 'min_distinct', et_d, 6.0, et_d >= 6 FROM s
+UNION ALL SELECT 'value', 'min_value', v_min, 0.0, v_min >= 0 FROM s
+UNION ALL SELECT 'value', 'max_value', v_max, 1000000.0,
+       v_max <= 1000000 FROM s
+UNION ALL SELECT 'value', 'min_mean', v_mean, 1.0, v_mean >= 1 FROM s
+UNION ALL SELECT 'value', 'max_mean', v_mean, 40.0, v_mean <= 40 FROM s
+"""
+
+
 def _q_t_conv_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-conversation pass/fail verdict rollup over the FULL flagship
     # violation set (row checks + uniqueness + gap-free + monotonic-ts):
@@ -2841,6 +2883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_conv_bounds": _q_t_conv_bounds,
         "t_conv_profile": _q_t_conv_profile,
         "t_conv_verdicts": _q_t_conv_verdicts,
+        "t_expectations": _q_t_expectations,
         "v_violation_stats": _q_v_violation_stats,
         "t_transcript_diff": _q_t_transcript_diff,
         # stats + drift
@@ -2955,6 +2998,7 @@ def oracle_sql() -> dict[str, str]:
         "t_conv_bounds": _SQL_T_CONV_BOUNDS,
         "t_conv_profile": _SQL_T_CONV_PROFILE,
         "t_conv_verdicts": _SQL_T_CONV_VERDICTS,
+        "t_expectations": _SQL_T_EXPECTATIONS,
         "v_violation_stats": _SQL_V_VIOLATION_STATS,
         "t_transcript_diff": _SQL_T_TRANSCRIPT_DIFF,
         "s_profile": _SQL_S_PROFILE,

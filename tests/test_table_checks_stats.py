@@ -212,6 +212,67 @@ class TestDrift:
         assert approx < 0.08
 
 
+class TestTableExpectations:
+    def _df(self, spark):
+        from pyspark.sql import Row
+        return spark.createDataFrame(
+            [Row(role="user", v=1.0), Row(role="assistant", v=3.0),
+             Row(role="user", v=None), Row(role=None, v=8.0)],
+            "role string, v double")
+
+    def test_verdict_rows_and_gate(self, spark):
+        from json_schema_rs_spark.operators.expectations import (
+            expectations_pass, table_expectations)
+        rep = table_expectations(self._df(spark), {
+            "min_rows": 2, "max_rows": 3,          # max_rows fails (4 rows)
+            "columns": {
+                "role": {"max_null_frac": 0.25, "min_distinct": 3},
+                "v": {"min_value": 0, "max_value": 5,  # max_value fails (8)
+                      "min_mean": 1, "max_mean": 10}}})
+        rows = {(r["scope"], r["rule"]): r for r in rep.collect()}
+        assert rows[("table", "min_rows")].ok
+        assert not rows[("table", "max_rows")].ok
+        assert rows[("role", "max_null_frac")].observed == 0.25
+        assert rows[("role", "max_null_frac")].ok
+        assert not rows[("role", "min_distinct")].ok     # 2 distinct < 3
+        assert not rows[("v", "max_value")].ok
+        assert rows[("v", "min_mean")].observed == 4.0   # (1+3+8)/3
+        assert not expectations_pass(rep)
+        assert "OUTSIDE" in rows[("table", "max_rows")].message
+
+    def test_all_green_gate(self, spark):
+        from json_schema_rs_spark.operators.expectations import (
+            expectations_pass, table_expectations)
+        rep = table_expectations(self._df(spark),
+                                 {"min_rows": 1, "columns": {}})
+        assert expectations_pass(rep)
+
+    def test_all_null_numeric_bounds_vacuous(self, spark):
+        from pyspark.sql import Row
+        from json_schema_rs_spark.operators.expectations import (
+            table_expectations)
+        df = spark.createDataFrame([Row(v=None), Row(v=None)],
+                                   "v double")
+        rep = table_expectations(
+            df, {"columns": {"v": {"min_value": 0, "min_mean": 1,
+                                   "max_null_frac": 0.5}}})
+        rows = {r["rule"]: r for r in rep.collect()}
+        assert set(rows) == {"max_null_frac"}   # value/mean rows vacuous
+        assert not rows["max_null_frac"].ok     # 1.0 > 0.5
+
+    @pytest.mark.parametrize("spec,msg", [
+        ({"min_rowz": 1}, "unknown table"),
+        ({"columns": {"absent": {"min_distinct": 1}}}, "absent column"),
+        ({"columns": {"role": {"min_mean": 1}}}, "numeric column"),
+        ({"columns": {"role": {"min_distinkt": 1}}}, "unknown expectation"),
+    ])
+    def test_strict_spec_errors(self, spark, spec, msg):
+        from json_schema_rs_spark.operators.expectations import (
+            table_expectations)
+        with pytest.raises(ValueError, match=msg):
+            table_expectations(self._df(spark), spec)
+
+
 class TestVocabDrift:
     def _df(self, spark, texts):
         from pyspark.sql import Row
