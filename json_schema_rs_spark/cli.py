@@ -172,6 +172,29 @@ def cmd_revalidate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_expect(args: argparse.Namespace) -> int:
+    """Table-level expectations gate: evaluate aggregate constraints
+    against a table; print the verdict rows; exit 1 if any fail."""
+    from .operators.expectations import expectations_pass, table_expectations
+
+    spark = build_session("json_schema_rs_spark.expect", args.master)
+    with open(args.spec) as f:
+        spec = json.load(f)
+    rep = table_expectations(
+        spark.read.parquet(args.input), spec,
+        exact_distinct=not args.approx_distinct)
+    rows = [r.asDict() for r in rep.collect()]
+    print(json.dumps(rows))
+    if not expectations_pass(rep):
+        failed = [r for r in rows if not r["ok"]]
+        for r in failed:
+            print(r["message"], file=sys.stderr)
+        print(f"expectations failed: {len(failed)} of {len(rows)}",
+              file=sys.stderr)
+        return 1
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="json_schema_rs_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -246,6 +269,18 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--extensions", action="store_true")
     r.add_argument("--master", default=None)
     r.set_defaults(fn=cmd_revalidate)
+
+    e = sub.add_parser("expect",
+                       help="table-level expectations gate (aggregate "
+                            "constraints; exit 1 if any fail)")
+    e.add_argument("--spec", required=True,
+                   help="expectations spec JSON file")
+    e.add_argument("--input", required=True, help="parquet table path")
+    e.add_argument("--approx-distinct", action="store_true",
+                   help="HyperLogLog distinct counts (the 100 TB path) "
+                        "instead of exact")
+    e.add_argument("--master", default=None)
+    e.set_defaults(fn=cmd_expect)
 
     args = p.parse_args(argv)
     return args.fn(args)

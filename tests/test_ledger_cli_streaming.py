@@ -342,6 +342,27 @@ class TestCli:
         assert "revalidate" in rep["revalidation"]
 
 
+class TestCliExpect:
+    def test_expect_exit_codes(self, spark, tdf, tmp_path, capsys):
+        from json_schema_rs_spark.cli import main
+        inp = str(tmp_path / "expect_in")
+        tdf.write.parquet(inp)
+        ok_spec = tmp_path / "ok.json"
+        ok_spec.write_text(json.dumps(
+            {"min_rows": 1,
+             "columns": {"role": {"min_distinct": 2}}}))
+        assert main(["expect", "--spec", str(ok_spec),
+                     "--input", inp]) == 0
+        rows = json.loads(capsys.readouterr().out)
+        assert all(r["ok"] for r in rows) and len(rows) == 2
+        bad_spec = tmp_path / "bad.json"
+        bad_spec.write_text(json.dumps({"max_rows": 1}))
+        assert main(["expect", "--spec", str(bad_spec),
+                     "--input", inp]) == 1
+        cap = capsys.readouterr()
+        assert "expectations failed: 1 of 1" in cap.err
+
+
 class TestStreaming:
     def test_stream_matches_batch(self, spark, tdf, tmp_path):
         inp = str(tmp_path / "stream_in")
