@@ -29,6 +29,8 @@ the expectations inherit the profile's oracle-proven semantics.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
@@ -51,7 +53,11 @@ _SCHEMA = T.StructType([
 
 def _fmt(x: float) -> str:
     """Deterministic number rendering for messages: integral doubles
-    print as ints (the observed values are mostly counts)."""
+    print as ints (the observed values are mostly counts). NaN/Infinity
+    (Spark aggregates propagate them) render as repr — they must reach
+    the verdict row as a failing observation, not crash the gate."""
+    if not math.isfinite(x):
+        return repr(x)
     if x == int(x) and abs(x) < 1e15:
         return str(int(x))
     return repr(x)
@@ -95,11 +101,17 @@ def table_expectations(df: DataFrame, spec: dict, *,
                 f"{sorted(non_num)} require a numeric column; "
                 f"{c!r} is {dtypes[c]}")
 
-    prof = {r["column"]: r.asDict() for r in profile(
-        df, list(cols_spec) or None, exact_distinct=exact_distinct,
-        quantiles=()).collect()}
-    n_rows = (next(iter(prof.values()))["count"] if prof
-              else df.count())
+    # table-only specs (no column constraints) need just a row count —
+    # never the all-columns profile (whose exact-distinct variant adds a
+    # second full scan per column of a possibly-wide table)
+    if cols_spec:
+        prof = {r["column"]: r.asDict() for r in profile(
+            df, list(cols_spec), exact_distinct=exact_distinct,
+            quantiles=()).collect()}
+        n_rows = next(iter(prof.values()))["count"]
+    else:
+        prof = {}
+        n_rows = df.count()
 
     rows: list[dict] = []
     if "min_rows" in spec:

@@ -81,9 +81,14 @@ def _jrepr(v: Any) -> Optional[str]:
 
 
 class _Diff:
-    def __init__(self, defs_opaque: bool = False) -> None:
+    def __init__(self, defs_opaque: bool = False,
+                 old_root: Optional[SchemaNode] = None,
+                 new_root: Optional[SchemaNode] = None) -> None:
         self.entries: list[DiffEntry] = []
         self.direction = EQUAL
+        # parsed roots, for single-value interpreter probes (const)
+        self.old_root = old_root
+        self.new_root = new_root
         # True when either spec contains a polarity-inverting /
         # non-monotone context anywhere (not, if/then/else, oneOf,
         # $dynamicRef, unevaluated*): def-body edits then degrade to
@@ -156,7 +161,8 @@ def _type_dir(old: Optional[str], new: Optional[str]) -> str:
 
 def _presence_dir(old: Any, new: Any) -> str:
     """Keyword whose presence constrains but whose values are
-    incomparable (pattern, format, const-value change...)."""
+    incomparable (pattern, format...). NOT for const: these keywords
+    never carry a legal null value, so None doubles as absent."""
     if old == new:
         return EQUAL
     if old is None or old is _ABSENT:
@@ -164,6 +170,61 @@ def _presence_dir(old: Any, new: Any) -> str:
     if new is None or new is _ABSENT:
         return WIDER
     return UNKNOWN
+
+
+def _has_dispatch_keywords(n: SchemaNode) -> bool:
+    """True when the node carries any keyword evaluated in the
+    type-dispatch step — exactly the checks that anyOf / oneOf /
+    non-empty allOf on the SAME node skip (combinators are handled
+    exclusively, validator/mod.rs:109-171), and that a present const
+    short-circuits past. const / enum / not / if-then-else run BEFORE
+    combinator dispatch and stay live, so they don't count."""
+    return any((
+        n.type is not None, bool(n.properties),
+        n.additional_properties is not None, n.required is not None,
+        n.pattern is not None, n.format is not None,
+        n.ext_format is not None, n.items is not None,
+        n.prefix_items is not None, n.contains is not None,
+        n.min_contains is not None, n.max_contains is not None,
+        n.unique_items is not None, n.min_items is not None,
+        n.max_items is not None, n.min_length is not None,
+        n.max_length is not None, n.minimum is not None,
+        n.maximum is not None, n.exclusive_minimum is not None,
+        n.exclusive_maximum is not None, n.multiple_of is not None,
+        n.min_properties is not None, n.max_properties is not None,
+        n.dependent_required is not None,
+        bool(n.dependent_schemas), bool(n.pattern_properties),
+        n.property_names is not None, n.content_encoding is not None,
+        n.content_media_type is not None, n.content_schema is not None,
+        n.unevaluated_properties is not None,
+        n.unevaluated_items is not None,
+    ))
+
+
+def _const_dir(d: "_Diff", old_node: SchemaNode,
+               new_node: SchemaNode) -> str:
+    """const uses the _ABSENT sentinel: ``const: null`` is a real
+    constraint (only JSON null passes), distinct from const-absent.
+    A PRESENT const short-circuits every other check on the node
+    (match -> valid, mismatch -> invalid; validator/mod.rs const step),
+    so the node's valid set is exactly ``{const}``. Introduction is
+    therefore narrowing iff the const value was valid under the OLD
+    node, and removal is widening iff it is valid under the NEW node —
+    decided by running the interpreter twin on the single value."""
+    old, new = old_node.const, new_node.const
+    o_absent, n_absent = old is _ABSENT, new is _ABSENT
+    if o_absent and n_absent:
+        return EQUAL
+    from .pyvalidator import validate_with_root
+    if o_absent:                  # introduced: new-valid == {const}
+        ok = not validate_with_root(d.old_root, old_node, new)
+        return NARROWER if ok else UNKNOWN
+    if n_absent:                  # removed: old-valid == {const}
+        ok = not validate_with_root(d.new_root, new_node, old)
+        return WIDER if ok else UNKNOWN
+    # both present: valid sets are {old} and {new} — compare by JSON
+    # repr so 1 / 1.0 / true don't conflate under Python's True == 1
+    return EQUAL if _jrepr(old) == _jrepr(new) else UNKNOWN
 
 
 def _ap_dir(old, new) -> str:
@@ -258,10 +319,13 @@ def _diff_node(d: _Diff, path: str, old: SchemaNode,
            _set_dir(old.enum, new.enum, bigger_is_wider=True))
     d.note(p, "required", old.required, new.required,
            _set_dir(old.required, new.required, bigger_is_wider=False))
+    # display: "null" marks a present const:null; None marks absence
     d.note(p, "const",
-           None if old.const is _ABSENT else old.const,
-           None if new.const is _ABSENT else new.const,
-           _presence_dir(old.const, new.const))
+           None if old.const is _ABSENT
+           else ("null" if old.const is None else old.const),
+           None if new.const is _ABSENT
+           else ("null" if new.const is None else new.const),
+           _const_dir(d, old, new))
     d.note(p, "pattern", old.pattern, new.pattern,
            _presence_dir(old.pattern, new.pattern))
     fmt_dir = _presence_dir(old.format, new.format)
@@ -280,16 +344,28 @@ def _diff_node(d: _Diff, path: str, old: SchemaNode,
         ("minLength", old.min_length, new.min_length, True),
         ("minItems", old.min_items, new.min_items, True),
         ("minProperties", old.min_properties, new.min_properties, True),
-        ("minContains", old.min_contains, new.min_contains, True),
         ("maximum", old.maximum, new.maximum, False),
         ("exclusiveMaximum", old.exclusive_maximum,
          new.exclusive_maximum, False),
         ("maxLength", old.max_length, new.max_length, False),
         ("maxItems", old.max_items, new.max_items, False),
         ("maxProperties", old.max_properties, new.max_properties, False),
-        ("maxContains", old.max_contains, new.max_contains, False),
     ):
         d.note(p, kw, ov, nv, _num_bound(ov, nv, lower=lower))
+
+    # min/maxContains are effective only when `contains` is present, and
+    # absent minContains defaults to 1 (pyvalidator.py:542) — NOT -inf:
+    # absent↔0 transitions really change behavior. Inert (no contains in
+    # either spec) -> no note; a contains mismatch itself already
+    # degrades the verdict via the fingerprint comparison below.
+    if old.contains is not None or new.contains is not None:
+        omc = 1 if old.min_contains is None else old.min_contains
+        nmc = 1 if new.min_contains is None else new.min_contains
+        d.note(p, "minContains", old.min_contains, new.min_contains,
+               _num_bound(omc, nmc, lower=True))
+        d.note(p, "maxContains", old.max_contains, new.max_contains,
+               _num_bound(old.max_contains, new.max_contains,
+                          lower=False))
 
     d.note(p, "multipleOf", old.multiple_of, new.multiple_of,
            _multiple_of_dir(old.multiple_of, new.multiple_of))
@@ -306,17 +382,53 @@ def _diff_node(d: _Diff, path: str, old: SchemaNode,
                  else new.additional_properties),
            _ap_dir(old.additional_properties, new.additional_properties))
 
-    d.note(p, "allOf", None, None,
-           _list_dir(old.all_of, new.all_of, more_is_narrower=True))
-    d.note(p, "anyOf", None, None,
-           _list_dir(old.any_of, new.any_of, more_is_narrower=False))
+    # Combinators are handled EXCLUSIVELY by the engine (validator/
+    # mod.rs:109-171): when present, sibling type-dispatch keywords are
+    # skipped. An absent<->present transition therefore both toggles the
+    # combinator AND re-arms/disables the siblings — only a node bare of
+    # dispatch keywords on BOTH sides carries a provable direction.
+    dispatch_kw = (_has_dispatch_keywords(old)
+                   or _has_dispatch_keywords(new))
+    # allOf: empty list behaves exactly like absent (len>0 gate in the
+    # engine), so presence is "non-empty list"
+    o_all = old.all_of if old.all_of else None
+    n_all = new.all_of if new.all_of else None
+    if (o_all is None) != (n_all is None):
+        if dispatch_kw:
+            d.note(p, "allOf", None, None, UNKNOWN)
+        else:
+            d.note(p, "allOf", None, None,
+                   NARROWER if o_all is None else WIDER)
+    else:
+        d.note(p, "allOf", None, None,
+               _list_dir(o_all, n_all, more_is_narrower=True))
+    # anyOf: absent = UNCONSTRAINED; the empty list is unsatisfiable
+    # (NoSubschemaMatched on every instance), so None vs [] is a real
+    # transition, not equality
+    if (old.any_of is None) != (new.any_of is None):
+        if dispatch_kw:
+            d.note(p, "anyOf", None, None, UNKNOWN)
+        else:
+            d.note(p, "anyOf", None, None,
+                   NARROWER if old.any_of is None else WIDER)
+    else:
+        d.note(p, "anyOf", None, None,
+               _list_dir(old.any_of, new.any_of, more_is_narrower=False))
     # oneOf is NON-monotone (adding an alternative can invalidate values
-    # that previously matched exactly one): any change -> UNKNOWN
-    if _node_json_list(old.one_of) != _node_json_list(new.one_of):
+    # that previously matched exactly one): any change -> UNKNOWN.
+    # None vs [] differ too (absent = unconstrained, [] = unsatisfiable).
+    if ((old.one_of is None) != (new.one_of is None)
+            or _node_json_list(old.one_of) != _node_json_list(new.one_of)):
         d.note(p, "oneOf", None, None, UNKNOWN)
     # direction-less structural keywords: any change -> UNKNOWN
     for kw, ov, nv in (
         ("$ref", old.ref, new.ref),
+        # named-reference keywords re-route which subschema applies:
+        # adding/moving an anchor or $dynamicRef can flip validity in
+        # either direction while every other keyword stays identical
+        ("$anchor", old.anchor, new.anchor),
+        ("$dynamicAnchor", old.dynamic_anchor, new.dynamic_anchor),
+        ("$dynamicRef", old.dynamic_ref, new.dynamic_ref),
         ("not", _node_json(old.not_schema), _node_json(new.not_schema)),
         ("if/then/else",
          (_node_json(old.if_schema), _node_json(old.then_schema),
@@ -383,14 +495,24 @@ def _diff_node(d: _Diff, path: str, old: SchemaNode,
             else:
                 d.note(cp, "<property>", "<schema>", None, WIDER)
 
-    # items: recurse when both present; presence itself constrains
+    # items: recurse when both present; presence itself constrains —
+    # EXCEPT under unevaluatedItems, where adding items marks every
+    # element evaluated (making unevaluatedItems inert — a WIDENING
+    # despite the added constraint) and removing it re-arms the
+    # unevaluated check; the interaction is not keyword-local -> UNKNOWN
     if old.items is not None and new.items is not None:
         _diff_node(d, f"{p}/items", old.items, new.items)
     elif old.items is not None or new.items is not None:
-        d.note(f"{p}/items", "items",
-               None if old.items is None else "<schema>",
-               None if new.items is None else "<schema>",
-               NARROWER if old.items is None else WIDER)
+        if (old.unevaluated_items is not None
+                or new.unevaluated_items is not None):
+            d.note(f"{p}/items", "items",
+                   None if old.items is None else "<schema>",
+                   None if new.items is None else "<schema>", UNKNOWN)
+        else:
+            d.note(f"{p}/items", "items",
+                   None if old.items is None else "<schema>",
+                   None if new.items is None else "<schema>",
+                   NARROWER if old.items is None else WIDER)
 
     # $defs / definitions: a def body edit under a stable $ref name must
     # be seen, so same-named defs recurse — BUT only when no
@@ -449,7 +571,8 @@ def spec_diff(old_spec: dict, new_spec: dict, *,
     """
     old = parse_spec(old_spec, strict=strict, extensions=extensions)
     new = parse_spec(new_spec, strict=strict, extensions=extensions)
-    d = _Diff(defs_opaque=_has_nonmonotone(old) or _has_nonmonotone(new))
+    d = _Diff(defs_opaque=_has_nonmonotone(old) or _has_nonmonotone(new),
+              old_root=old, new_root=new)
     _diff_node(d, "", old, new)
     return _VERDICT[d.direction], d.entries
 

@@ -535,10 +535,15 @@ def _check_array(root: SchemaNode, schema: SchemaNode, arr: list,
             errors.append(Violation(path.as_str(), "DuplicateArrayItems",
                                     fmt.msg_duplicate_array_items(loc, dup)))
     # extensions: contains / minContains / maxContains (draft 2020-12;
-    # effective only when `contains` is present, minContains defaults 1)
+    # effective only when `contains` is present, minContains defaults 1).
+    # Per-element match results are kept for unevaluatedItems below so an
+    # expensive contains subschema runs once per element, not twice.
+    contains_match = None  # list[bool] per element when contains present
     if schema.contains is not None:
-        cnt = sum(1 for e in arr
-                  if len(validate_with_root(root, schema.contains, e)) == 0)
+        contains_match = [
+            len(validate_with_root(root, schema.contains, e)) == 0
+            for e in arr]
+        cnt = sum(contains_match)
         min_c = schema.min_contains if schema.min_contains is not None else 1
         if cnt < min_c:
             errors.append(Violation(path.as_str(), "TooFewContains",
@@ -564,8 +569,7 @@ def _check_array(root: SchemaNode, schema: SchemaNode, arr: list,
     if ui is not None and ui != ALLOW and schema.items is None:
         pending_ui = []
         for i in range(k, n):
-            if schema.contains is not None and \
-                    len(validate_with_root(root, schema.contains, arr[i])) == 0:
+            if contains_match is not None and contains_match[i]:
                 continue
             p = path.push(str(i))
             if ui == FORBID:

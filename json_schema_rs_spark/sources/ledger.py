@@ -487,15 +487,34 @@ def revalidate_incremental(
 
     # parquet partition-value inference reads `valid` back as the
     # STRING 'true'/'false' (documented on route_rows)
-    if verdict == "widening":
-        target, flips_to = routed.filter(F.col("valid") == "false"), "valid"
-    elif verdict == "narrowing":
-        target, flips_to = routed.filter(F.col("valid") == "true"), "invalid"
-    else:
-        target, flips_to = routed, None
-
     engine = ValidationEngine(new_spec, key_cols=key_cols,
                               extensions=extensions)
+    if verdict == "unknown":
+        # full rescan: thread the OLD per-row verdict through the engine
+        # (validate preserves input columns) so newly_valid/newly_invalid
+        # count true per-row verdict FLIPS in the same single aggregate —
+        # a net valid-count delta would report 0/0 when 100 rows flip
+        # each way
+        inp = routed.select(
+            *data_cols, (F.col("valid") == "true").alias("_old_valid"))
+        flagged = engine.validate(inp).flagged
+        agg = flagged.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("valid").cast("long")).alias("nv"),
+            F.sum((F.col("valid") & ~F.col("_old_valid"))
+                  .cast("long")).alias("fv"),
+            F.sum((~F.col("valid") & F.col("_old_valid"))
+                  .cast("long")).alias("fi")).collect()[0]
+        out["rows_rescanned"] = int(agg["n"] or 0)
+        out["newly_valid"] = int(agg["fv"] or 0)
+        out["newly_invalid"] = int(agg["fi"] or 0)
+        out["valid_rows"] = int(agg["nv"] or 0)
+        return out
+
+    if verdict == "widening":
+        target = routed.filter(F.col("valid") == "false")
+    else:                                        # narrowing
+        target = routed.filter(F.col("valid") == "true")
     flagged = engine.validate(target.select(*data_cols)).flagged
     agg = flagged.agg(
         F.count(F.lit(1)).alias("n"),
@@ -505,13 +524,7 @@ def revalidate_incremental(
     if verdict == "widening":
         out["newly_valid"] = n_valid_now        # reclaimed quarantine rows
         out["valid_rows"] = n_old_valid + n_valid_now
-    elif verdict == "narrowing":
-        out["newly_invalid"] = n_scanned - n_valid_now
-        out["valid_rows"] = n_valid_now
     else:
-        out["newly_valid"] = 0 if n_valid_now <= n_old_valid else \
-            n_valid_now - n_old_valid
-        out["newly_invalid"] = 0 if n_valid_now >= n_old_valid else \
-            n_old_valid - n_valid_now
+        out["newly_invalid"] = n_scanned - n_valid_now
         out["valid_rows"] = n_valid_now
     return out

@@ -174,6 +174,23 @@ class TestIncrementalRevalidation:
         assert s["verdict"] == "unknown"
         assert s["rows_rescanned"] == s["rows_total"] == tdf.count()
         assert s["valid_rows"] == self._full_valid_count(mixed, tdf)
+        # newly_valid / newly_invalid are PER-ROW verdict flips, not the
+        # net valid-count delta: verify against an explicit per-row join
+        # of the two engines' flagged outputs
+        old_f = ValidationEngine(SPEC).validate(tdf).flagged \
+            .select("conv_id", "turn_idx", F.col("valid").alias("ov"))
+        new_f = ValidationEngine(mixed).validate(tdf).flagged \
+            .select("conv_id", "turn_idx", F.col("valid").alias("nv"))
+        j = old_f.join(new_f, ["conv_id", "turn_idx"])
+        flips = j.agg(
+            F.sum((F.col("nv") & ~F.col("ov")).cast("long")).alias("fv"),
+            F.sum((~F.col("nv") & F.col("ov")).cast("long")).alias("fi"),
+        ).collect()[0]
+        assert s["newly_valid"] == int(flips["fv"] or 0)
+        assert s["newly_invalid"] == int(flips["fi"] or 0)
+        # this mixed spec flips rows in BOTH directions; the old net
+        # computation would have reported one side as zero
+        assert s["newly_valid"] > 0 and s["newly_invalid"] > 0
 
 
 class TestCli:

@@ -234,7 +234,7 @@ def _mutate(rng, spec):
     import copy
     s = copy.deepcopy(spec)
     for _ in range(rng.randrange(1, 3)):
-        which = rng.randrange(8)
+        which = rng.randrange(10)
         si, ii = s["properties"].get("s", {}), s["properties"].get("i", {})
         if which == 0 and "minimum" in ii:
             ii["minimum"] += rng.choice([-3, -1, 1, 3])
@@ -274,6 +274,26 @@ def _mutate(rng, spec):
             else:
                 s["properties"]["x"] = {"type": "integer",
                                         "minimum": rng.randrange(0, 5)}
+        elif which == 8:
+            # anyOf absent<->present (the round-3 inversion bug class)
+            if "anyOf" in si:
+                si.pop("anyOf")
+            else:
+                si.pop("enum", None)
+                si["anyOf"] = rng.choice([
+                    [{"minLength": 1}],
+                    [{"enum": ["a", "ab"]}, {"minLength": 4}],
+                ])
+        elif which == 9:
+            # const absent<->present, including const:null (sentinel bug)
+            if "const" in ii:
+                ii.pop("const")
+            else:
+                ii.pop("minimum", None)
+                ii.pop("maximum", None)
+                ii["const"] = rng.choice([None, 0, 4, 9])
+                if ii["const"] is None:
+                    ii.pop("type", None)
     return s
 
 
@@ -282,7 +302,7 @@ def _rand_instance(rng):
     if rng.random() < 0.85:
         inst["s"] = rng.choice(_STR_POOL)
     if rng.random() < 0.85:
-        inst["i"] = rng.choice([-7, -1, 0, 1, 4, 9, 30, 70])
+        inst["i"] = rng.choice([-7, -1, 0, 1, 4, 9, 30, 70, None])
     if rng.random() < 0.3:
         inst["x"] = rng.choice([-1, 0, 2, 8])
     return inst
@@ -316,3 +336,143 @@ def test_verdict_soundness_against_interpreter():
             checked += 1
     # the test must actually exercise both directions
     assert checked > 1000 and widen_hits > 50 and narrow_hits > 50
+
+
+# --------------------------------------------------------------------------
+# Extensions-mode soundness: the keyword families whose absent<->present
+# transitions the round-3 review found misclassified (minContains default,
+# items-under-unevaluatedItems, anchor/$dynamicRef re-routing)
+# --------------------------------------------------------------------------
+
+def _rand_ext_spec(rng):
+    a = {"type": "array"}
+    if rng.random() < 0.7:
+        a["contains"] = {"type": "integer"}
+        if rng.random() < 0.5:
+            a["minContains"] = rng.randrange(0, 3)
+        if rng.random() < 0.3:
+            a["maxContains"] = rng.randrange(2, 5)
+    if rng.random() < 0.4:
+        a["unevaluatedItems"] = rng.choice(
+            [False, {"type": "string", "maxLength": 2}])
+    elif rng.random() < 0.4:
+        a["items"] = {"type": "integer", "minimum": -5}
+    return {"type": "object", "properties": {"a": a}}
+
+
+def _mutate_ext(rng, spec):
+    import copy
+    s = copy.deepcopy(spec)
+    a = s["properties"]["a"]
+    for _ in range(rng.randrange(1, 3)):
+        which = rng.randrange(4)
+        if which == 0:
+            # minContains absent<->present (absent defaults to 1)
+            if "minContains" in a:
+                a.pop("minContains")
+            else:
+                a["minContains"] = rng.randrange(0, 3)
+        elif which == 1:
+            # items absent<->present (inerts unevaluatedItems)
+            if "items" in a:
+                a.pop("items")
+            else:
+                a["items"] = {"type": "integer", "minimum": -5}
+        elif which == 2:
+            if "unevaluatedItems" in a:
+                a.pop("unevaluatedItems")
+            else:
+                a["unevaluatedItems"] = rng.choice(
+                    [False, {"type": "string", "maxLength": 2}])
+        elif which == 3:
+            if "contains" in a:
+                if rng.random() < 0.4:
+                    a.pop("contains")
+                    a.pop("minContains", None)
+                    a.pop("maxContains", None)
+                else:
+                    a["maxContains"] = rng.randrange(2, 5)
+            else:
+                a["contains"] = {"type": "integer"}
+    return s
+
+
+_EXT_ARRS = [[], [1], [1, 2], ["x"], [1, "x"], ["ab", "cdef"],
+             [1, 2, 3, 4], ["x", 7, "y"], [-9], [0, "z", 0]]
+
+
+def test_ext_verdict_soundness_against_interpreter():
+    rng = random.Random(20260819)
+    checked = directional = 0
+    for trial in range(150):
+        old_spec = _rand_ext_spec(rng)
+        new_spec = _mutate_ext(rng, old_spec)
+        verdict, _ = spec_diff(old_spec, new_spec, extensions=True)
+        if verdict == "unknown":
+            continue
+        if verdict != "identical":
+            directional += 1
+        old = parse_spec(old_spec, extensions=True)
+        new = parse_spec(new_spec, extensions=True)
+        for arr in _EXT_ARRS:
+            inst = {"a": arr}
+            ok_old = not validate(old, inst)
+            ok_new = not validate(new, inst)
+            if verdict in ("identical", "widening") and ok_old:
+                assert ok_new, (f"widening violated: {old_spec} -> "
+                                f"{new_spec} on {inst}")
+            if verdict in ("identical", "narrowing") and ok_new:
+                assert ok_old, (f"narrowing violated: {old_spec} -> "
+                                f"{new_spec} on {inst}")
+            checked += 1
+    assert checked > 300 and directional > 10
+
+
+def test_anchor_and_dynamic_ref_changes_not_identical():
+    base = {"properties": {"x": {"$ref": "#t"}},
+            "$defs": {"a": {"type": "string", "$anchor": "t"},
+                      "b": {"type": "integer"}}}
+    moved = {"properties": {"x": {"$ref": "#t"}},
+             "$defs": {"a": {"type": "string"},
+                       "b": {"type": "integer", "$anchor": "t"}}}
+    assert spec_diff(base, moved, extensions=True)[0] == "unknown"
+
+    plain = {"type": "object", "properties": {"k": {}},
+             "$defs": {"t": {"type": "integer", "$dynamicAnchor": "d"}}}
+    with_dyn = {"type": "object", "properties": {"k": {}},
+                "$dynamicRef": "#d",
+                "$defs": {"t": {"type": "integer", "$dynamicAnchor": "d"}}}
+    assert spec_diff(plain, with_dyn, extensions=True)[0] == "unknown"
+
+
+def test_const_null_vs_absent():
+    old = {"type": "object", "properties": {"x": {"const": None}}}
+    new = {"type": "object", "properties": {"x": {}}}
+    # removing const:null RELAXES (any x now passes where only null did)
+    assert spec_diff(old, new)[0] == "widening"
+    assert spec_diff(new, old)[0] == "narrowing"
+
+
+def test_min_contains_default_is_one():
+    base = {"type": "array", "contains": {"type": "integer"}}
+    zero = {"type": "array", "contains": {"type": "integer"},
+            "minContains": 0}
+    # absent minContains means 1; 0 admits arrays with no match -> wider
+    assert spec_diff(base, zero, extensions=True)[0] == "widening"
+    assert spec_diff(zero, base, extensions=True)[0] == "narrowing"
+
+
+def test_items_added_under_unevaluated_items_is_unknown():
+    old = {"type": "array", "unevaluatedItems": False}
+    new = {"type": "array", "unevaluatedItems": False, "items": {}}
+    # adding items makes unevaluatedItems inert: a WIDENING in disguise
+    assert spec_diff(old, new, extensions=True)[0] == "unknown"
+    assert spec_diff(new, old, extensions=True)[0] == "unknown"
+
+
+def test_anyof_absent_to_present_narrows():
+    old = {"type": "object", "properties": {"x": {}}}
+    new = {"type": "object",
+           "properties": {"x": {"anyOf": [{"type": "string"}]}}}
+    assert spec_diff(old, new)[0] == "narrowing"
+    assert spec_diff(new, old)[0] == "widening"

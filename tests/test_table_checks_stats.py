@@ -272,6 +272,32 @@ class TestTableExpectations:
         with pytest.raises(ValueError, match=msg):
             table_expectations(self._df(spark), spec)
 
+    def test_nan_observed_fails_instead_of_crashing(self, spark):
+        # Spark mean/max propagate NaN; the verdict row must FAIL the
+        # bound (NaN compares False) and render 'nan' in the message —
+        # not abort the whole gate with int(nan)
+        from pyspark.sql import Row
+        from json_schema_rs_spark.operators.expectations import (
+            expectations_pass, table_expectations)
+        df = spark.createDataFrame(
+            [Row(v=1.0), Row(v=float("nan")), Row(v=2.0)], "v double")
+        rep = table_expectations(
+            df, {"columns": {"v": {"min_mean": 0, "max_value": 10}}})
+        rows = {r["rule"]: r for r in rep.collect()}
+        assert not rows["min_mean"].ok and "nan" in rows["min_mean"].message
+        assert not rows["max_value"].ok
+        assert not expectations_pass(rep)
+
+    def test_table_only_spec_skips_profile(self, spark, monkeypatch):
+        # min_rows/max_rows alone need ONE count scan — never the
+        # all-columns profile (+ its exact-distinct second scan)
+        from json_schema_rs_spark.operators import expectations as E
+        monkeypatch.setattr(E, "profile", lambda *a, **k: (_ for _ in ())
+                            .throw(AssertionError("profile must not run")))
+        rep = E.table_expectations(self._df(spark), {"min_rows": 2})
+        rows = rep.collect()
+        assert len(rows) == 1 and rows[0].ok
+
 
 class TestVocabDrift:
     def _df(self, spark, texts):
