@@ -2834,6 +2834,145 @@ FROM f
 """
 
 
+def _q_e_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (temporal.py):
+    30-min inactivity gap per user, (ts, event_id) tie order; one row
+    per session with count/start/end/duration. One Exchange on user_id;
+    the stats aggregate reuses the window's hash partitioning."""
+    from json_schema_rs_spark.operators.temporal import session_stats
+    return session_stats(
+        _t(spark, sf_dir, "events").select("user_id", "event_id", "ts"),
+        key_col="user_id", ts_col="ts", gap_seconds=1800,
+        order_cols=("event_id",))
+
+
+_SQL_E_SESSIONIZE = """
+WITH marks AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_seq
+  FROM marks)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       COUNT(*) AS n_events, MIN(ts) AS started_at, MAX(ts) AS ended_at,
+       (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS duration_sec
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
+def _q_e_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (temporal.py): every click event picks up the most
+    recent PRIOR error event of the same user (its ts + value), the
+    "state at event time" lookup a transcript pipeline uses for spec
+    versions / model configs. Union + one Exchange + carried last() —
+    no per-row subqueries, no broadcast, no cartesian. (ts, user_id)
+    pairs are unique in the generator, so the match is deterministic."""
+    from json_schema_rs_spark.operators.temporal import asof_join
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("user_id", "event_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error") \
+        .select("user_id", "ts", "value")
+    return asof_join(clicks, errors, on="user_id",
+                     right_cols=("value",)) \
+        .select("event_id", "user_id", "ts", "asof_ts",
+                F.col("asof_value").cast("double").alias("asof_value"))
+
+
+_SQL_E_ASOF_JOIN = """
+WITH clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+errs AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'error')
+SELECT c.event_id, c.user_id, c.ts,
+       e.ts AS asof_ts, e.value AS asof_value
+FROM clicks c ASOF LEFT JOIN errs e
+  ON c.user_id = e.user_id AND c.ts >= e.ts
+"""
+
+
+_MSV_V1 = {"type": "object", "required": ["role"], "properties": {
+    "role": {"type": "string",
+             "enum": ["system", "user", "assistant", "tool"]}}}
+_MSV_V2 = {"type": "object", "required": ["role", "text"], "properties": {
+    "role": {"type": "string", "enum": ["user", "assistant"]},
+    "text": {"type": "string", "minLength": 9}}}
+
+
+def _q_v_multi_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-registry routing (runner.multi_spec_validate): transcripts
+    carry a spec version (user_id % 3 -> v1 / v2 / v9-unregistered) and
+    each row validates against ITS version's compiled plan — v1 accepts
+    all four roles, v2 narrows the enum and adds a text length floor,
+    v9 rows flag UnknownSpecVersion. One Exchange (the transcript
+    window) via the single-scan "case" strategy; all specs compile once
+    on the driver."""
+    from json_schema_rs_spark.operators.runner import multi_spec_validate
+    tx = _transcripts_from_events(_t(spark, sf_dir, "events")) \
+        .withColumn(
+            "spec_id",
+            F.concat(F.lit("v"),
+                     (F.col("conv_id").cast("long") % 3 + 1)
+                     .cast("string")))
+    tx = tx.withColumn(
+        "spec_id",
+        F.when(F.col("spec_id") == "v3", F.lit("v9"))
+        .otherwise(F.col("spec_id")))
+    # "case" strategy: the transcript frame is window-derived (not
+    # version-partitioned files), so one scan evaluating both compiled
+    # specs beats union's scan-per-version — 1 Exchange instead of 3.
+    rep = multi_spec_validate(tx, {"v1": _MSV_V1, "v2": _MSV_V2},
+                              spec_col="spec_id", strategy="case")
+    return rep.violations
+
+
+_SQL_V_MULTI_SPEC = f"""
+WITH tx AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+         {_ROLE_MAP} AS role, props AS text,
+         CASE user_id % 3 WHEN 0 THEN 'v1' WHEN 1 THEN 'v2'
+              ELSE 'v9' END AS spec_id
+  FROM events)
+SELECT conv_id, turn_idx, spec_id, '/role' AS instance_path,
+       'NotInEnum' AS code,
+       '/role: value "' || role || '" not in enum (allowed: "system", "user", "assistant", "tool")' AS message
+FROM tx WHERE spec_id = 'v1'
+  AND role NOT IN ('system','user','assistant','tool')
+UNION ALL
+SELECT conv_id, turn_idx, spec_id, '/role', 'MissingRequired',
+       '/role: missing required property "role"'
+FROM tx WHERE spec_id = 'v1' AND role IS NULL
+UNION ALL
+SELECT conv_id, turn_idx, spec_id, '/role', 'NotInEnum',
+       '/role: value "' || role || '" not in enum (allowed: "user", "assistant")'
+FROM tx WHERE spec_id = 'v2' AND role NOT IN ('user','assistant')
+UNION ALL
+SELECT conv_id, turn_idx, spec_id, '/role', 'MissingRequired',
+       '/role: missing required property "role"'
+FROM tx WHERE spec_id = 'v2' AND role IS NULL
+UNION ALL
+SELECT conv_id, turn_idx, spec_id, '/text', 'TooShort',
+       '/text: string has ' || CAST(length(text) AS VARCHAR) ||
+       ' code points, minLength is 9'
+FROM tx WHERE spec_id = 'v2' AND length(text) < 9
+UNION ALL
+SELECT conv_id, turn_idx, spec_id, '/text', 'MissingRequired',
+       '/text: missing required property "text"'
+FROM tx WHERE spec_id = 'v2' AND text IS NULL
+UNION ALL
+SELECT conv_id, turn_idx, spec_id, '', 'UnknownSpecVersion',
+       'root: spec version "' || spec_id || '" is not registered'
+FROM tx WHERE spec_id = 'v9'
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (+ the
     training-data pipeline operators). Column names match oracle_sql."""
@@ -2943,6 +3082,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_boilerplate": _q_x_boilerplate,
         "x_url_domains": _q_x_url_domains,
         "d_conv_dedup": _q_d_conv_dedup,
+        # temporal operators + schema-registry routing
+        "e_sessionize": _q_e_sessionize,
+        "e_asof_join": _q_e_asof_join,
+        "v_multi_spec": _q_v_multi_spec,
         # multimodal plumbing
         "m_media_meta": _q_m_media,
         "m_frame_plan": _q_m_frames,
@@ -3050,6 +3193,9 @@ def oracle_sql() -> dict[str, str]:
         "x_boilerplate": _SQL_X_BOILERPLATE,
         "x_url_domains": _SQL_X_URL_DOMAINS,
         "d_conv_dedup": _SQL_D_CONV_DEDUP,
+        "e_sessionize": _SQL_E_SESSIONIZE,
+        "e_asof_join": _SQL_E_ASOF_JOIN,
+        "v_multi_spec": _SQL_V_MULTI_SPEC,
         "m_media_meta": _SQL_M_MEDIA,
         "m_frame_plan": _SQL_M_FRAMES,
     }

@@ -84,6 +84,9 @@ HEADLINE = [
     "s_vocab_drift",
     "s_emb_drift",
     "v_jsonl_source",
+    "e_sessionize",
+    "e_asof_join",
+    "v_multi_spec",
 ]
 
 

@@ -1,0 +1,180 @@
+"""Temporal operators: gap sessionization and as-of join.
+
+Neither exists in the reference (a single-instance validator has no
+notion of event time), and Spark itself ships neither as a built-in —
+these are the two temporal primitives a transcript/event pipeline needs
+before cross-row validation makes sense: "which burst of activity is
+one conversation?" (sessionize) and "what was the most recent X when Y
+happened?" (as-of join, e.g. the active spec version / model config /
+error state at each turn's timestamp).
+
+Both are expressed as ONE shuffle on the entity key plus window
+functions — no joins, no driver collection:
+
+- :func:`sessionize` — lag + cumulative sum over (key, time) order; the
+  classic gap-based session assignment. Scale shape: one Exchange on
+  the key; per-key data must fit a task's sort spill budget, which
+  holds for per-user event streams (bounded) and is the same contract
+  the gap-free/monotonic transcript checks already make.
+- :func:`asof_join` — union the tagged right rows into the left stream,
+  sort each key partition once by (ts, side), and carry the last right
+  payload forward with ``last(ignorenulls=True)``. This is the
+  merge-join formulation of ASOF JOIN (the same plan a native
+  implementation runs after its range-partition step) with exactly one
+  Exchange for BOTH inputs — no per-row subqueries, no broadcast of the
+  right side, no cartesian.
+
+Skew: both operators partition by the entity key; a hot key serializes
+into one task's sort. That is inherent to the semantics (a session /
+as-of lookup is a per-key linear scan); the mitigations are the same as
+the transcript pipeline's documented ones (bounded per-key streams, AQE
+skew splitting for the shuffle read).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _micros(c: Column) -> Column:
+    """Microsecond epoch for gap/duration arithmetic. ``unix_micros``
+    rejects TIMESTAMP_NTZ (the parquet default); casting to the session
+    timestamp type first accepts both, and timezone interpretation
+    cancels in the differences these operators compute."""
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: float = 1800.0,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Assign a per-key session ordinal: a new session starts at the
+    first event and whenever the time since the previous event exceeds
+    ``gap_seconds``. Returns the input plus
+
+    - ``session_seq`` — 0-based session ordinal within the key;
+    - ``session_id`` — ``"<key>:<seq>"``, unique across keys.
+
+    ``order_cols`` break timestamp ties deterministically (recommended:
+    a unique event id). One shuffle on ``key_col``; everything after is
+    two window passes over the same sort order (Spark reuses the sort —
+    a single Sort + two Window nodes, no second Exchange).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, *order_cols)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    # unix_micros keeps sub-second gaps exact; NULL prev (first event)
+    # is a session start by definition
+    is_start = prev_ts.isNull() | (
+        (_micros(F.col(ts_col)) - _micros(prev_ts))
+        > F.lit(int(gap_seconds * 1_000_000)))
+    out = df.withColumn(
+        "session_seq",
+        F.sum(is_start.cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+    return out.withColumn(
+        "session_id",
+        F.concat(F.col(key_col).cast("string"), F.lit(":"),
+                 F.col("session_seq").cast("string")))
+
+
+def session_stats(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: float = 1800.0,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """One row per session: ``(key, session_seq, n_events, started_at,
+    ended_at, duration_sec)``. The aggregation rides the SAME partition
+    key as :func:`sessionize`'s window, so Catalyst plans it without a
+    second Exchange (the sessionized stream is already hash-partitioned
+    by the key)."""
+    s = sessionize(df, key_col=key_col, ts_col=ts_col,
+                   gap_seconds=gap_seconds, order_cols=order_cols)
+    return (s.groupBy(key_col, "session_seq")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min(ts_col).alias("started_at"),
+                 F.max(ts_col).alias("ended_at"))
+            .withColumn(
+                "duration_sec",
+                (_micros(F.col("ended_at")) - _micros(F.col("started_at")))
+                / F.lit(1_000_000.0)))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: Optional[str] = None,
+    right_cols: Optional[Sequence[str]] = None,
+    tolerance_seconds: Optional[float] = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For every left row, attach the most recent right row of the same
+    ``on`` key with ``right.ts <= left.ts`` (ASOF LEFT JOIN semantics;
+    rows with no prior match keep NULLs). ``right_cols`` selects which
+    right payload columns to carry (default: all non-key, non-ts);
+    each arrives as ``<prefix><col>``, plus ``<prefix>ts`` with the
+    matched timestamp. ``tolerance_seconds`` discards matches older
+    than the window.
+
+    Plan: union tagged streams -> one Exchange on ``on`` -> one Sort by
+    (ts, side) -> ``last(payload, ignorenulls=True)`` carried forward ->
+    keep left rows. Right rows sort BEFORE left rows at equal
+    timestamps, so an exactly-simultaneous right row matches (the
+    ``<=`` in the contract). Ties between right rows at the same
+    timestamp resolve to the later one in the deterministic
+    (ts, right row order) sort; pass a unique id in ``right_cols`` and
+    pre-sort if tie order matters.
+    """
+    rts = right_ts or left_ts
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, rts)]
+    payload = F.struct(
+        F.col(rts).alias("ts"),
+        *[F.col(c).alias(c) for c in right_cols]).alias("_asof_payload")
+
+    lcols = left.columns
+    r_tagged = right.select(
+        F.col(on).alias(on),
+        F.col(rts).alias("_asof_ts"),
+        F.lit(0).alias("_asof_side"),
+        payload,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols if c != on])
+    l_tagged = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(1).alias("_asof_side"),
+        F.lit(None).cast(r_tagged.schema["_asof_payload"].dataType)
+        .alias("_asof_payload"),
+        *[F.col(c) for c in lcols if c != on])
+
+    w = (Window.partitionBy(on).orderBy("_asof_ts", "_asof_side")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried: Column = F.last("_asof_payload", ignorenulls=True).over(w)
+    joined = (r_tagged.unionByName(l_tagged)
+              .withColumn("_asof_m", carried)
+              .filter(F.col("_asof_side") == 1))
+    if tolerance_seconds is not None:
+        fresh = (_micros(F.col("_asof_ts"))
+                 - _micros(F.col("_asof_m.ts"))
+                 <= F.lit(int(tolerance_seconds * 1_000_000)))
+        joined = joined.withColumn(
+            "_asof_m", F.when(fresh, F.col("_asof_m")))
+    return joined.select(
+        F.col(on),
+        *[F.col(c) for c in lcols if c != on],
+        F.col("_asof_m.ts").alias(f"{prefix}ts"),
+        *[F.col(f"_asof_m.{c}").alias(f"{prefix}{c}")
+          for c in right_cols])

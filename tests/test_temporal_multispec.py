@@ -1,0 +1,226 @@
+"""Temporal operators (sessionize / as-of join) and multi-spec routing.
+
+Correctness is checked against hand-computed fixtures and a naive
+per-row reference implementation; physical plans are asserted to carry
+exactly the shuffles the module docstrings promise (one Exchange for
+the temporal ops, zero for multi-spec routing).
+"""
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from json_schema_rs_spark.operators.runner import (
+    ValidationEngine, multi_spec_validate)
+from json_schema_rs_spark.operators.temporal import (
+    asof_join, session_stats, sessionize)
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def _n_exchanges(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange hashpartitioning") \
+        + plan.count("Exchange rangepartitioning")
+
+
+class TestSessionize:
+    def _df(self, spark):
+        rows = [
+            # user 1: two sessions split by a 40-min gap
+            Row(user_id=1, event_id=0, ts=_ts(0)),
+            Row(user_id=1, event_id=1, ts=_ts(10)),
+            Row(user_id=1, event_id=2, ts=_ts(50)),
+            Row(user_id=1, event_id=3, ts=_ts(55)),
+            # user 2: one event = one session
+            Row(user_id=2, event_id=4, ts=_ts(5)),
+            # user 3: gap of exactly 30 min does NOT split (> not >=)
+            Row(user_id=3, event_id=5, ts=_ts(0)),
+            Row(user_id=3, event_id=6, ts=_ts(30)),
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_session_assignment(self, spark):
+        out = sessionize(self._df(spark), gap_seconds=1800,
+                         order_cols=("event_id",))
+        got = {r.event_id: (r.session_seq, r.session_id)
+               for r in out.collect()}
+        assert got[0] == (0, "1:0") and got[1] == (0, "1:0")
+        assert got[2] == (1, "1:1") and got[3] == (1, "1:1")
+        assert got[4] == (0, "2:0")
+        assert got[5] == (0, "3:0") and got[6] == (0, "3:0")
+
+    def test_subsecond_gap_precision(self, spark):
+        df = spark.createDataFrame([
+            Row(user_id=1, event_id=0, ts=_ts(0, 0)),
+            Row(user_id=1, event_id=1,
+                ts=dt.datetime(2024, 1, 1, 0, 0, 1, 500_000)),
+        ])
+        # 1.5 s gap with a 1.4 s threshold splits
+        out = sessionize(df, gap_seconds=1.4, order_cols=("event_id",))
+        assert {r.session_seq for r in out.collect()} == {0, 1}
+        # 1.6 s threshold keeps one session
+        out = sessionize(df, gap_seconds=1.6, order_cols=("event_id",))
+        assert {r.session_seq for r in out.collect()} == {0}
+
+    def test_stats(self, spark):
+        st = session_stats(self._df(spark), gap_seconds=1800,
+                           order_cols=("event_id",))
+        got = {(r.user_id, r.session_seq): (r.n_events, r.duration_sec)
+               for r in st.collect()}
+        assert got[(1, 0)] == (2, 600.0)
+        assert got[(1, 1)] == (2, 300.0)
+        assert got[(2, 0)] == (1, 0.0)
+        assert got[(3, 0)] == (2, 1800.0)
+
+    def test_single_exchange(self, spark):
+        out = sessionize(self._df(spark), order_cols=("event_id",))
+        assert _n_exchanges(out) == 1
+        # stats ride the same hash partitioning: still one Exchange
+        assert _n_exchanges(
+            session_stats(self._df(spark), order_cols=("event_id",))) == 1
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        left = spark.createDataFrame([
+            Row(user_id=1, event_id=0, ts=_ts(10)),
+            Row(user_id=1, event_id=1, ts=_ts(20)),
+            Row(user_id=1, event_id=2, ts=_ts(2)),   # before any right
+            Row(user_id=2, event_id=3, ts=_ts(15)),  # user with no right
+        ])
+        right = spark.createDataFrame([
+            Row(user_id=1, ts=_ts(5), mark="a"),
+            Row(user_id=1, ts=_ts(10), mark="b"),    # simultaneous w/ 0
+            Row(user_id=1, ts=_ts(18), mark="c"),
+        ])
+        return left, right
+
+    def test_most_recent_at_or_before(self, spark):
+        left, right = self._frames(spark)
+        out = asof_join(left, right, on="user_id")
+        got = {r.event_id: r.asof_mark for r in out.collect()}
+        assert got[0] == "b"      # ts == left ts matches (<= contract)
+        assert got[1] == "c"
+        assert got[2] is None     # nothing at or before
+        assert got[3] is None     # key never in right
+        assert out.count() == left.count()
+
+    def test_tolerance_discards_stale(self, spark):
+        left, right = self._frames(spark)
+        out = asof_join(left, right, on="user_id",
+                        tolerance_seconds=60.0)
+        got = {r.event_id: r.asof_mark for r in out.collect()}
+        assert got[0] == "b"      # 0 s old
+        assert got[1] is None     # 2 min old > 1 min tolerance
+        assert got[3] is None
+
+    def test_matches_naive_reference(self, spark):
+        rng = random.Random(7)
+        lrows = [Row(user_id=rng.randrange(5), event_id=i,
+                     ts=_ts(rng.randrange(59), rng.randrange(59)))
+                 for i in range(120)]
+        rrows = [Row(user_id=rng.randrange(5),
+                     ts=_ts(rng.randrange(59), rng.randrange(59)),
+                     mark=f"m{i}")
+                 for i in range(60)]
+        out = asof_join(spark.createDataFrame(lrows),
+                        spark.createDataFrame(rrows), on="user_id")
+        got = {r.event_id: r.asof_ts for r in out.collect()}
+        for lr in lrows:
+            cands = [rr.ts for rr in rrows
+                     if rr.user_id == lr.user_id and rr.ts <= lr.ts]
+            want = max(cands) if cands else None
+            assert got[lr.event_id] == want, lr
+
+    def test_single_exchange(self, spark):
+        left, right = self._frames(spark)
+        assert _n_exchanges(asof_join(left, right, on="user_id")) == 1
+
+
+SPEC_V1 = {"type": "object", "required": ["role"], "properties": {
+    "role": {"type": "string",
+             "enum": ["system", "user", "assistant", "tool"]}}}
+SPEC_V2 = {"type": "object", "required": ["role", "text"], "properties": {
+    "role": {"type": "string", "enum": ["user", "assistant"]},
+    "text": {"type": "string", "minLength": 2}}}
+
+
+class TestMultiSpec:
+    def _df(self, spark):
+        rows = [
+            Row(conv_id="a", turn_idx=0, spec_id="v1", role="user",
+                text="hi"),
+            Row(conv_id="a", turn_idx=1, spec_id="v1", role="robot",
+                text="x"),                       # v1: enum violation
+            Row(conv_id="b", turn_idx=0, spec_id="v2", role="tool",
+                text="y"),                       # v2: enum + minLength
+            Row(conv_id="b", turn_idx=1, spec_id="v2", role="user",
+                text="ok"),
+            Row(conv_id="c", turn_idx=0, spec_id="v9", role="user",
+                text="zz"),                      # unregistered version
+            Row(conv_id="c", turn_idx=1, spec_id=None, role="user",
+                text="zz"),                      # NULL version
+        ]
+        return spark.createDataFrame(rows)
+
+    @pytest.mark.parametrize("strategy", ["union", "case"])
+    def test_routing_and_unknown(self, spark, strategy):
+        rep = multi_spec_validate(
+            self._df(spark), {"v1": SPEC_V1, "v2": SPEC_V2},
+            strategy=strategy)
+        s = rep.summary()
+        assert s["rows"] == 6
+        assert s["valid_rows"] == 2               # a0 and b1
+        v = {(r.conv_id, r.turn_idx, r.code)
+             for r in rep.violations.collect()}
+        assert ("a", 1, "NotInEnum") in v
+        assert ("b", 0, "NotInEnum") in v and ("b", 0, "TooShort") in v
+        assert ("c", 0, "UnknownSpecVersion") in v
+        assert ("c", 1, "UnknownSpecVersion") in v
+        # the routed verdicts equal each engine's own verdict on its slice
+        for sid, spec in (("v1", SPEC_V1), ("v2", SPEC_V2)):
+            solo = ValidationEngine(spec).validate(
+                self._df(spark).filter(F.col("spec_id") == sid))
+            routed = rep.flagged.filter(F.col("spec_id") == sid)
+            assert sorted((r.conv_id, r.turn_idx, r.valid)
+                          for r in routed.collect()) == \
+                sorted((r.conv_id, r.turn_idx, r.valid)
+                       for r in solo.flagged.collect())
+
+    def test_strategies_agree(self, spark):
+        a = multi_spec_validate(self._df(spark),
+                                {"v1": SPEC_V1, "v2": SPEC_V2},
+                                strategy="union")
+        b = multi_spec_validate(self._df(spark),
+                                {"v1": SPEC_V1, "v2": SPEC_V2},
+                                strategy="case")
+        key = ["conv_id", "turn_idx", "instance_path", "code", "message"]
+        assert sorted(map(tuple, a.violations.select(*key).collect())) \
+            == sorted(map(tuple, b.violations.select(*key).collect()))
+
+    def test_null_message_renders_null_token(self, spark):
+        rep = multi_spec_validate(self._df(spark), {"v1": SPEC_V1})
+        msgs = [r.message for r in rep.violations
+                .filter(F.col("conv_id") == "c").collect()]
+        assert any('"null" is not registered' in m for m in msgs)
+        assert any('"v2" is not registered' not in m for m in msgs)
+
+    @pytest.mark.parametrize("strategy", ["union", "case"])
+    def test_shuffle_free(self, spark, strategy):
+        rep = multi_spec_validate(
+            self._df(spark), {"v1": SPEC_V1, "v2": SPEC_V2},
+            strategy=strategy)
+        assert _n_exchanges(rep.flagged) == 0
+
+    def test_empty_specs_rejected(self, spark):
+        with pytest.raises(ValueError, match="at least one spec"):
+            multi_spec_validate(self._df(spark), {})
+        with pytest.raises(ValueError, match="unknown strategy"):
+            multi_spec_validate(self._df(spark), {"v1": SPEC_V1},
+                                strategy="magic")
