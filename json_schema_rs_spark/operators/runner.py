@@ -150,8 +150,14 @@ def multi_spec_validate(
       scanned once per version — prefer ``"case"`` there.
     - ``"case"``: a single scan computing every version's violation
       array and a CASE on ``spec_col`` selecting the row's one. One
-      pass over the data; every row pays every spec's expression cost
-      (vectorized, but N× the codegen work).
+      pass over the data; every row pays every spec's expression cost.
+      Caveat: the combined projection concentrates every spec's
+      message-building expressions into ONE generated method, which
+      exceeds janino's 64 KB limit at 2+ non-trivial specs — Spark then
+      falls back to interpreted projection (correct, logged as an ERROR
+      by CodeGenerator, measured ~35% slower than union's per-branch
+      codegen at sf0.1). Prefer ``"union"`` unless re-scanning the
+      source dominates (e.g. an expensive non-reusable derivation).
 
     Rows with a NULL or unregistered ``spec_col`` are flagged with a
     single root ``UnknownSpecVersion`` violation rather than silently
