@@ -119,6 +119,7 @@ def asof_join(
     right_cols: Optional[Sequence[str]] = None,
     tolerance_seconds: Optional[float] = None,
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
     """For every left row, attach the most recent right row of the same
     ``on`` key with ``right.ts <= left.ts`` (ASOF LEFT JOIN semantics;
@@ -126,7 +127,10 @@ def asof_join(
     right payload columns to carry (default: all non-key, non-ts);
     each arrives as ``<prefix><col>``, plus ``<prefix>ts`` with the
     matched timestamp. ``tolerance_seconds`` discards matches older
-    than the window.
+    than the window. ``direction="forward"`` flips the contract to the
+    NEXT right row with ``right.ts >= left.ts`` (tolerance then bounds
+    how far ahead), matching pandas ``merge_asof`` directions; the plan
+    is identical — only the window frame reverses.
 
     Plan: union tagged streams -> one Exchange on ``on`` -> one Sort by
     (ts, side) -> ``last(payload, ignorenulls=True)`` carried forward ->
@@ -137,6 +141,8 @@ def asof_join(
     (ts, right row order) sort; pass a unique id in ``right_cols`` and
     pre-sort if tie order matters.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
     rts = right_ts or left_ts
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, rts)]
@@ -160,18 +166,24 @@ def asof_join(
         .alias("_asof_payload"),
         *[F.col(c) for c in lcols if c != on])
 
-    w = (Window.partitionBy(on).orderBy("_asof_ts", "_asof_side")
+    # forward is backward on reversed time: descending ts, right rows
+    # still sorting before left at equal timestamps (the >= contract)
+    order = (["_asof_ts", "_asof_side"] if direction == "backward"
+             else [F.desc("_asof_ts"), F.asc("_asof_side")])
+    w = (Window.partitionBy(on).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, 0))
     carried: Column = F.last("_asof_payload", ignorenulls=True).over(w)
     joined = (r_tagged.unionByName(l_tagged)
               .withColumn("_asof_m", carried)
               .filter(F.col("_asof_side") == 1))
     if tolerance_seconds is not None:
-        fresh = (_micros(F.col("_asof_ts"))
-                 - _micros(F.col("_asof_m.ts"))
-                 <= F.lit(int(tolerance_seconds * 1_000_000)))
+        age = (_micros(F.col("_asof_ts")) - _micros(F.col("_asof_m.ts"))
+               if direction == "backward"
+               else _micros(F.col("_asof_m.ts")) - _micros(F.col("_asof_ts")))
         joined = joined.withColumn(
-            "_asof_m", F.when(fresh, F.col("_asof_m")))
+            "_asof_m",
+            F.when(age <= F.lit(int(tolerance_seconds * 1_000_000)),
+                   F.col("_asof_m")))
     return joined.select(
         F.col(on),
         *[F.col(c) for c in lcols if c != on],

@@ -142,6 +142,47 @@ class TestAsofJoin:
         left, right = self._frames(spark)
         assert _n_exchanges(asof_join(left, right, on="user_id")) == 1
 
+    def test_forward_direction(self, spark):
+        left, right = self._frames(spark)
+        out = asof_join(left, right, on="user_id", direction="forward")
+        got = {r.event_id: r.asof_mark for r in out.collect()}
+        assert got[0] == "b"      # equal ts matches (>= contract)
+        assert got[1] is None     # nothing at or after 0:20
+        assert got[2] == "a"      # next right after 0:02 is 0:05
+        assert got[3] is None     # key never in right
+
+    def test_forward_tolerance(self, spark):
+        left, right = self._frames(spark)
+        out = asof_join(left, right, on="user_id", direction="forward",
+                        tolerance_seconds=60.0)
+        got = {r.event_id: r.asof_mark for r in out.collect()}
+        assert got[0] == "b"      # 0 s ahead
+        assert got[2] is None     # 3 min ahead > 1 min tolerance
+
+    def test_forward_matches_naive_reference(self, spark):
+        rng = random.Random(11)
+        lrows = [Row(user_id=rng.randrange(5), event_id=i,
+                     ts=_ts(rng.randrange(59), rng.randrange(59)))
+                 for i in range(120)]
+        rrows = [Row(user_id=rng.randrange(5),
+                     ts=_ts(rng.randrange(59), rng.randrange(59)),
+                     mark=f"m{i}")
+                 for i in range(60)]
+        out = asof_join(spark.createDataFrame(lrows),
+                        spark.createDataFrame(rrows), on="user_id",
+                        direction="forward")
+        got = {r.event_id: r.asof_ts for r in out.collect()}
+        for lr in lrows:
+            cands = [rr.ts for rr in rrows
+                     if rr.user_id == lr.user_id and rr.ts >= lr.ts]
+            want = min(cands) if cands else None
+            assert got[lr.event_id] == want, lr
+
+    def test_bad_direction_rejected(self, spark):
+        left, right = self._frames(spark)
+        with pytest.raises(ValueError, match="unknown direction"):
+            asof_join(left, right, on="user_id", direction="nearest")
+
 
 SPEC_V1 = {"type": "object", "required": ["role"], "properties": {
     "role": {"type": "string",
