@@ -52,7 +52,16 @@ def bind_once(col: Column, f) -> Column:
     multi-stage string computation otherwise grows combinatorially —
     a bounds-check message measured ~30k expression nodes, blowing past
     JIT limits and slowing the render path ~8x. A lambda variable is a
-    leaf reference, so each bound stage contributes its own nodes once."""
+    leaf reference, so each bound stage contributes its own nodes once.
+
+    Negative result (measured, keep the HOF): higher-order functions are
+    CodegenFallback, so any plan node whose expression embeds a
+    ``bind_once`` evaluates that node interpreted (e.g. the violation
+    Generate loses whole-stage codegen). Inlining ``f(col)`` instead
+    recovers codegen but duplicates every bound subtree for real —
+    measured SLOWER (v_ext_numeric sf0.1: 1.69 s HOF vs 3.13 s inlined
+    codegen), because interpreted CASE WHEN short-circuits while the
+    codegen'd Generate pays the duplicated subtrees on every row."""
     return F.get(F.transform(F.array(col), f), 0)
 
 
