@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from json_schema_rs_spark import ValidationEngine
+from json_schema_rs_spark.functions.exprs import arrow_local_df
 from json_schema_rs_spark.operators import (
     decontam, dedup, multimodal, packing, sampling, similarity, stats,
     textstats)
@@ -967,8 +968,8 @@ FROM orders GROUP BY o_custkey HAVING count(*) > 1
 
 def _q_t_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
-    vocab = spark.createDataFrame(
-        [("click",), ("view",), ("purchase",)], "event_type string")
+    vocab = arrow_local_df(
+        spark, [("click",), ("view",), ("purchase",)], "event_type string")
     return referential_violations(events, "event_type", vocab,
                                   keys=("event_id",))
 
@@ -989,8 +990,8 @@ def _q_t_referential_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast — value-identical to t_referential (same oracle), plan
     # asserted broadcast-free in tests/test_physical_plans.py
     events = _t(spark, sf_dir, "events")
-    vocab = spark.createDataFrame(
-        [("click",), ("view",), ("purchase",)], "event_type string")
+    vocab = arrow_local_df(
+        spark, [("click",), ("view",), ("purchase",)], "event_type string")
     return referential_violations(events, "event_type", vocab,
                                   keys=("event_id",), strategy="shuffle")
 
@@ -1284,7 +1285,7 @@ def _q_s_ks_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     ks = stats.ks_sketch(ev.filter(F.col("event_id") % 2 == 0),
                          ev.filter(F.col("event_id") % 2 == 1), "value")
-    return spark.createDataFrame([(float(ks),)], "ks double")
+    return arrow_local_df(spark, [(float(ks),)], "ks double")
 
 
 def _q_s_w1_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1293,7 +1294,7 @@ def _q_s_w1_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w1 = stats.w1_sketch(ev.filter(F.col("event_id") % 2 == 0),
                          ev.filter(F.col("event_id") % 2 == 1), "value")
-    return spark.createDataFrame([(float(w1),)], "w1 double")
+    return arrow_local_df(spark, [(float(w1),)], "w1 double")
 
 
 def _q_s_ks(spark: SparkSession, sf_dir: str) -> DataFrame:

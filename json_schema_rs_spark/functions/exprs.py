@@ -45,6 +45,37 @@ def json_quote(col: Column) -> Column:
     return F.concat(F.lit('"'), escaped, F.lit('"'))
 
 
+def arrow_local_df(spark, rows, schema):
+    """Small driver-local DataFrame via a pyarrow Table (LocalTableScan).
+
+    ``spark.createDataFrame(<python list>)`` routes through
+    ``applySchemaToPythonRDD``: the data becomes a pickled Python RDD
+    whose scan is a real distributed stage that launches Python workers
+    on the executors — measured ~4 s on first use (worker pool spin-up)
+    and a Python stage in EVERY downstream job thereafter. A pyarrow
+    Table converts driver-side into a ``LocalTableScan``: no Python
+    stage ever, and broadcasting it (vocabularies, centroids) ships
+    plain rows instead of scheduling Python on the cluster. Falls back
+    to the classic path for anything Arrow can't represent.
+
+    ``rows``: list of tuples (matched positionally to ``schema``) or
+    dicts. ``schema``: DDL string or StructType.
+    """
+    from pyspark.sql import types as T
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    try:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+        names = schema.fieldNames()
+        dicts = [r if isinstance(r, dict) else dict(zip(names, r))
+                 for r in rows]
+        return spark.createDataFrame(
+            pa.Table.from_pylist(dicts, schema=to_arrow_schema(schema)))
+    except Exception:
+        return spark.createDataFrame(list(rows), schema)
+
+
 def bind_once(col: Column, f) -> Column:
     """Evaluate ``f`` with ``col`` bound ONCE as a lambda variable
     (``get(transform(array(col), f), 0)``). Chained ``F.when`` Columns

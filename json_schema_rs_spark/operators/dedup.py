@@ -623,7 +623,8 @@ def _cc_driver(e: DataFrame) -> DataFrame:
         if r not in comp_min or n < comp_min[r]:
             comp_min[r] = n
     rows = [(n, comp_min[find(n)]) for n in parent]
-    return spark.createDataFrame(rows, "doc_id bigint, group_id bigint")
+    from ..functions.exprs import arrow_local_df
+    return arrow_local_df(spark, rows, "doc_id bigint, group_id bigint")
 
 
 def _cc_min_label(e: DataFrame, max_iter: int) -> tuple[DataFrame, int]:

@@ -34,6 +34,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from ..functions.exprs import arrow_local_df
+
 from .stats import is_numeric_dtype, profile
 
 _TABLE_KEYS = {"min_rows", "max_rows"}
@@ -155,7 +157,7 @@ def table_expectations(df: DataFrame, spec: dict, *,
             o = round(p["mean"], round_digits)
             b = float(cs["max_mean"])
             rows.append(_row(c, "max_mean", o, b, o <= b))
-    return df.sparkSession.createDataFrame(rows, _SCHEMA)
+    return arrow_local_df(df.sparkSession, rows, _SCHEMA)
 
 
 def expectations_pass(report: DataFrame) -> bool:

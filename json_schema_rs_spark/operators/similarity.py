@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.exprs import explode_rows
+from ..functions.exprs import arrow_local_df, explode_rows
 
 
 def _stack_f64(values) -> "np.ndarray":
@@ -264,8 +264,9 @@ def kmeans_centroids(
     df = df.filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
     dims_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if dims_row is None:
-        return df.sparkSession.createDataFrame(
-            [], f"centroid_id bigint, centroid array<double>")
+        return arrow_local_df(
+            df.sparkSession, [],
+            "centroid_id bigint, centroid array<double>")
     dims = dims_row["d"]
     current = (df.orderBy(id_col).limit(k)
                .select(F.col(id_col).cast("bigint").alias("cid"),
@@ -276,7 +277,8 @@ def kmeans_centroids(
                        F.transform(F.col(vec_col),
                                    lambda x: x.cast("double")).alias("_kv"))
     for _ in range(max(iters, 0)):
-        cen_df = df.sparkSession.createDataFrame(
+        cen_df = arrow_local_df(
+            df.sparkSession,
             [(cid, vec) for cid, vec in sorted(centroids.items())],
             "centroid_id bigint, centroid array<double>")
         assigned, bcasts = _assign_buckets_bcast(src_df, cen_df,
@@ -293,7 +295,8 @@ def kmeans_centroids(
             b.unpersist()
         for r in means:
             centroids[r["bucket_id"]] = [r[f"m{i}"] for i in range(dims)]
-    return df.sparkSession.createDataFrame(
+    return arrow_local_df(
+        df.sparkSession,
         [(cid, vec) for cid, vec in sorted(centroids.items())],
         "centroid_id bigint, centroid array<double>")
 
@@ -683,8 +686,8 @@ def srp_band_keys(
     src = df.select(F.col(id_col).cast("bigint").alias("_id"),
                     F.col(vec_col).alias("_v"))
     if dims == 0:
-        return src.sparkSession.createDataFrame(
-            [], "_id bigint, band int, bkey bigint")
+        return arrow_local_df(
+            src.sparkSession, [], "_id bigint, band int, bkey bigint")
     hmat = np.array(planes, dtype="float64").T        # dims x n_bits
 
     def keys(batches):
@@ -968,9 +971,9 @@ def quantized_topk(
     q_rows = [r for r in qq.collect()
               if r["qvec"] is not None and any(r["qvec"])]
     if not q_rows:
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id bigint, neighbor_id bigint, rank int, "
-                "cos_sim double")
+        return arrow_local_df(
+            corpus.sparkSession, [],
+            "query_id bigint, neighbor_id bigint, rank int, cos_sim double")
     q_ids = np.array([r[id_col] for r in q_rows], dtype="int64")
     q_mat = np.array([r["qvec"] for r in q_rows], dtype="int64")
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1).astype("float64"))
@@ -1071,8 +1074,8 @@ def embedding_drift(df_a: DataFrame, df_b: DataFrame,
     mb, nb_norm, n_b = moments(df_b)
     spark = df_a.sparkSession
     if ma is None or mb is None or len(ma) != len(mb):
-        return spark.createDataFrame(
-            [(None, None, n_a, n_b)],
+        return arrow_local_df(
+            spark, [(None, None, n_a, n_b)],
             "cos_means double, norm_ratio double, n_a bigint, n_b bigint")
     dot = la = lb = 0.0
     for x, y in zip(ma, mb):        # ordered fold — bit-stable
@@ -1082,7 +1085,8 @@ def embedding_drift(df_a: DataFrame, df_b: DataFrame,
     cos = (dot / math.sqrt(la * lb)) if la > 0 and lb > 0 else None
     ratio = (nb_norm / na_norm) if na_norm > 0 else None
     r = round_digits
-    return spark.createDataFrame(
+    return arrow_local_df(
+        spark,
         [(None if cos is None else round(cos, r),
           None if ratio is None else round(ratio, r), n_a, n_b)],
         "cos_means double, norm_ratio double, n_a bigint, n_b bigint")

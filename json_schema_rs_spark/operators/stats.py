@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.exprs import arrow_local_df
+
 from ..functions.tdigest import TDigest, ks_from_digests, w1_from_digests
 
 NUMERIC_DTYPES = ("tinyint", "smallint", "int", "bigint", "float",
@@ -124,7 +126,7 @@ def profile(
          T.StructField("max", T.StringType()),
          T.StructField("mean", T.DoubleType())]
         + [T.StructField(f"q{int(q * 100)}", T.DoubleType()) for q in quantiles])
-    return df.sparkSession.createDataFrame(out_rows, schema)
+    return arrow_local_df(df.sparkSession, out_rows, schema)
 
 
 def category_counts(df: DataFrame, column: str) -> DataFrame:
@@ -537,4 +539,4 @@ def profile_drift(
         T.StructField("mean_b", T.DoubleType()),
         T.StructField("mean_delta", T.DoubleType()),
     ])
-    return df_a.sparkSession.createDataFrame(out, schema)
+    return arrow_local_df(df_a.sparkSession, out, schema)

@@ -662,9 +662,9 @@ def lm_quality(df: DataFrame, text_col: str = "text",
     oov_micro = int(math.floor(
         math.log(1.0 / (n_total + v + 1)) * 1_000_000)) if n_total else 0
     spark = df.sparkSession
-    vocab = spark.createDataFrame(
-        [(t, m) for t, _, m in rows], "__t string, __m bigint")
-    from ..functions.exprs import explode_rows
+    from ..functions.exprs import arrow_local_df, explode_rows
+    vocab = arrow_local_df(
+        spark, [(t, m) for t, _, m in rows], "__t string, __m bigint")
     from .dedup import _spread
     toks = explode_rows(
         _spread(df, id_col).withColumn(

@@ -94,12 +94,14 @@ class ValidationLedger:
     def append(self, entries: Sequence[dict]) -> None:
         if not entries:
             return
-        df = self.spark.createDataFrame(
+        from ..functions.exprs import arrow_local_df
+        df = arrow_local_df(
+            self.spark,
             [(e["run_id"], e["bucket"], e["status"], e["rows"],
               e["valid_rows"], e["violation_count"], e["wall_time_sec"],
               e["spec_fingerprint"], e.get("finished_at"))
              for e in entries],
-            schema=LEDGER_SCHEMA,
+            LEDGER_SCHEMA,
         )
         if self.table is not None:
             if self._read() is None:
@@ -112,7 +114,8 @@ class ValidationLedger:
     def entries(self, run_id: Optional[str] = None) -> DataFrame:
         df = self._read()
         if df is None:
-            return self.spark.createDataFrame([], LEDGER_SCHEMA)
+            from ..functions.exprs import arrow_local_df
+            return arrow_local_df(self.spark, [], LEDGER_SCHEMA)
         return df.filter(F.col("run_id") == run_id) if run_id else df
 
 
@@ -193,7 +196,8 @@ class PlanLineage:
             row = (fp, run_id, len(manifest["checks"]),
                    json.dumps(spec, sort_keys=True, separators=(",", ":")),
                    json.dumps(manifest, sort_keys=True))
-            self.spark.createDataFrame([row], PLAN_SCHEMA) \
+            from ..functions.exprs import arrow_local_df
+            arrow_local_df(self.spark, [row], PLAN_SCHEMA) \
                 .coalesce(1).write.mode("append").parquet(self.path)
         return fp
 

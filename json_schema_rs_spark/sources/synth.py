@@ -155,4 +155,5 @@ def synth_distributed(
 def vocab_df(spark: SparkSession, name: str) -> DataFrame:
     values = ROLES if name == "roles" else TOOLS
     col = "role" if name == "roles" else "tool"
-    return spark.createDataFrame([(v,) for v in values], f"{col} string")
+    from ..functions.exprs import arrow_local_df
+    return arrow_local_df(spark, [(v,) for v in values], f"{col} string")
