@@ -216,9 +216,22 @@ def explode_rows(df, keep, arr: Column, alias: str):
 
     ``keep``: columns (names or Columns) carried alongside the exploded
     ``alias`` column.
+
+    The array is projected into a named column FIRST and the Generate
+    explodes that attribute. Catalyst keeps the Project as the Generate's
+    child (it never inlines a child Project into the generator), so the
+    array expression evaluates once inside a whole-stage-codegen'd
+    Project and the Generate itself codegens — with the expression
+    inline, GenerateExec drops out of codegen entirely and evaluates the
+    whole tree interpreted per row (measured 3.2x on the violation
+    explode: v_ext_numeric sf0.1 1.84 s -> 0.57 s).
     """
-    return (df.select(*keep, F.explode_outer(arr).alias(alias))
-              .filter(F.col(alias).isNotNull()))
+    tmp = f"__xr_{alias}"
+    projected = df.select(*keep, arr.alias(tmp))
+    keep_names = projected.columns[:-1]
+    return (projected
+            .select(*keep_names, F.explode_outer(F.col(tmp)).alias(alias))
+            .filter(F.col(alias).isNotNull()))
 
 
 def serde_json_bool(col: Column) -> Column:
