@@ -104,10 +104,25 @@ class ValidationEngine:
         """Run the compiled plan. ``keep_columns`` restricts the flagged
         output's payload columns (key columns are always kept)."""
         plan = self.plan_for(df)
+        keys = [k for k in self.key_cols if k in df.columns]
+        if plan.has_python_stage:
+            # The plan carries an Arrow pandas-UDF slow path (content
+            # keywords / rare ECMA-fallback pattern), whose cost is the
+            # Python map side running at SCAN parallelism. A small table
+            # in one parquet row group would serialize that stage on a
+            # single core — insert dedup._spread's local-parallelism
+            # guard (a no-op on production many-file tables; pure-codegen
+            # plans never take this branch, staying exchange-free).
+            if keys:
+                from .dedup import _spread
+                df = _spread(df, keys[0], *keys[1:])
+            else:
+                target = df.sparkSession.sparkContext.defaultParallelism
+                if df.rdd.getNumPartitions() < target:
+                    df = df.repartition(target)
         flagged = self.attach_violations(df).withColumn(
             "valid", F.size("violations") == 0
         )
-        keys = [k for k in self.key_cols if k in df.columns]
         # filter-then-render: select violating rows with the CHEAP check
         # conditions, then build message strings only for the survivors
         # (message subtrees would otherwise evaluate per scanned row)

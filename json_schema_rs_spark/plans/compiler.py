@@ -230,6 +230,11 @@ class CompileContext:
         # one evaluation per row per distinct validity.
         self.validity_memo: dict[tuple[str, str], Column] = {}
         self.shared_cols: list[tuple[str, Column]] = []
+        # True iff the plan contains an Arrow pandas-UDF slow path
+        # (content keywords / rare ECMA-fallback pattern). The runner uses
+        # it to insert the local-parallelism guard ONLY for such plans —
+        # a pure-codegen plan must stay exchange-free.
+        self.has_python_stage = False
 
 
 def _loc(path_str: str) -> str:
@@ -503,6 +508,7 @@ def _compile_type_scoped(
                 if ecma.java is not None:
                     matched = s.rlike(ecma.java)
                 else:
+                    ctx.has_python_stage = True
                     matched = _python_pattern_matcher(node.pattern)(s)
                 # the reference embeds the RAW value (Rust {} Display of
                 # the String, error.rs:366-371) — NOT serde-escaped
@@ -1122,6 +1128,7 @@ def _compile_content(
         ))
         cgate = cgate & ok
     if node.content_media_type is not None:
+        ctx.has_python_stage = True
         enc = node.content_encoding
         mt = node.content_media_type  # parse guarantees "application/json"
         if node.content_schema is None:
@@ -1207,6 +1214,9 @@ class CompiledPlan:
     # named combinator-validity columns (topological order); the checks'
     # expressions reference them by attribute — see CompileContext
     shared_cols: list[tuple[str, Column]] = dataclasses_field(default_factory=list)
+    # plan contains an Arrow pandas-UDF slow path (content keywords /
+    # ECMA-fallback pattern) — see CompileContext.has_python_stage
+    has_python_stage: bool = False
 
     def helper_names(self) -> list[str]:
         return [n for n, _ in self.shared_cols]
@@ -1269,7 +1279,8 @@ def compile_table_spec(root: SchemaNode, schema: T.StructType) -> CompiledPlan:
     checks = compile_node(ctx, root, tgt, F.lit(""), "", F.lit(True))
     referenced = _referenced_columns(root, schema)
     return CompiledPlan(checks=checks, referenced_columns=referenced,
-                        shared_cols=ctx.shared_cols)
+                        shared_cols=ctx.shared_cols,
+                        has_python_stage=ctx.has_python_stage)
 
 
 def _referenced_columns(root: SchemaNode, schema: T.StructType) -> list[str]:

@@ -43,6 +43,31 @@ def test_row_validation_no_exchange_and_codegen(spark, sf_dir):
     assert "*(1) Project" in plan
 
 
+def test_python_stage_plan_gets_parallelism_guard(spark, sf_dir):
+    # content keywords compile to an Arrow pandas-UDF slow path whose
+    # cost is the Python map side; a single-row-group table must NOT
+    # serialize it on one core. The runner inserts dedup._spread's
+    # repartition for exactly (and only) such plans.
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spec = {"type": "object", "properties": {
+        "props": {"type": "string",
+                  "contentMediaType": "application/json"}}}
+    eng = ValidationEngine(spec, key_cols=("event_id",), extensions=True)
+    assert eng.plan_for(df).has_python_stage
+    rep = eng.validate(df)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        assert "Exchange" in _plan(rep.flagged)
+        assert rep.flagged.rdd.getNumPartitions() >= target
+    # the pure-codegen twin stays flagged off (its exchange-free plan is
+    # asserted by test_row_validation_no_exchange_and_codegen)
+    plain = ValidationEngine(
+        {"type": "object",
+         "properties": {"props": {"type": "string", "minLength": 1}}},
+        key_cols=("event_id",))
+    assert not plain.plan_for(df).has_python_stage
+
+
 def test_referential_vocab_df_broadcasts(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     vocab = spark.createDataFrame(
