@@ -23,8 +23,8 @@ from pyspark.sql import functions as F
 from json_schema_rs_spark import ValidationEngine
 from json_schema_rs_spark.functions.exprs import arrow_local_df
 from json_schema_rs_spark.operators import (
-    decontam, dedup, multimodal, packing, sampling, similarity, stats,
-    textstats)
+    decontam, dedup, multimodal, packing, prep, sampling, similarity,
+    stats, textstats)
 from json_schema_rs_spark.operators.json_mode import validate_json_column
 from json_schema_rs_spark.operators.table_checks import (
     monotonic_ts_violations,
@@ -2560,6 +2560,64 @@ WHERE inter::DOUBLE / (st.n + sb.n - inter) >= 0.8
 """
 
 
+def _q_x_prep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the fused corpus-preparation pipeline: normalize (pure codegen) ->
+    # quality gate -> exact dedup (one 16-byte-digest shuffle) ->
+    # benchmark decontamination (broadcast shingle probe, zero corpus
+    # shuffle). One job, three stages, survivors only.
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    out = prep.prep_corpus(train, bench, min_quality=0.5)
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        "quality")
+
+
+_SQL_X_PREP_CORPUS = """
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(text,
+              '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g'),
+              '[ \\t]+', ' ', 'g')) AS t
+  FROM documents),
+b AS (SELECT doc_id, t, length(t)::DOUBLE AS nc,
+             len(string_split(t, ' '))::DOUBLE AS nw,
+             len(regexp_extract_all(t, '[.,!?;:]'))::DOUBLE AS np,
+             len(list_filter(string_split(t, ' '),
+                 w -> list_contains(['the','a','of','and','to','in','is','it','that','for'], w)))::DOUBLE AS ns
+      FROM norm),
+q AS (SELECT doc_id, t, length(t) AS n_chars,
+             len(string_split(t, ' ')) AS ws_tokens,
+             round(0.4 * least(nc / 500.0, 1.0)
+                 + 0.3 * least(ns / nw * 5, 1.0)
+                 + 0.2 * least(((nc - (nw - 1)) / nw) / 8, 1.0)
+                 + 0.1 * (1.0 - least(coalesce(np / nullif(nc, 0), 0.0) * 10,
+                                      1.0)), 6) AS quality
+      FROM b),
+gated AS (SELECT * FROM q
+          WHERE t IS NOT NULL AND quality >= 0.5 AND doc_id % 97 <> 0),
+keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(t)),
+ded AS (SELECT g.* FROM gated g JOIN keep USING (doc_id)),
+bench AS (SELECT DISTINCT unnest(list_distinct(
+              [concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+               for i in range(1, len(ws) - 1)])) AS sg
+          FROM (SELECT string_split(t, ' ') AS ws FROM norm
+                WHERE doc_id % 97 = 0)),
+probes AS (SELECT doc_id, unnest(list_distinct(
+               [concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+                for i in range(1, len(ws) - 1)])) AS sg
+           FROM (SELECT doc_id, string_split(t, ' ') AS ws FROM ded)),
+contaminated AS (SELECT DISTINCT probes.doc_id
+                 FROM probes JOIN bench USING (sg))
+SELECT doc_id, n_chars, ws_tokens, quality
+FROM ded
+WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling / train-eval split (operators/sampling.py) —
 # key-coherent, retry-safe, shuffle-free hash-bucket selection. The
@@ -3063,6 +3121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_lm_quality": _q_x_lm_quality,
         "x_decontaminate": _q_x_decontaminate,
         "x_fuzzy_decontam": _q_x_fuzzy_decontam,
+        "x_prep_corpus": _q_x_prep_corpus,
         "x_quality": _q_x_quality,
         "x_language_id": _q_x_langid,
         "x_fingerprint": _q_x_fingerprint,
@@ -3175,6 +3234,7 @@ def oracle_sql() -> dict[str, str]:
         "x_lm_quality": _SQL_X_LM_QUALITY,
         "x_decontaminate": _SQL_X_DECONTAM,
         "x_fuzzy_decontam": _SQL_X_FUZZY_DECONTAM,
+        "x_prep_corpus": _SQL_X_PREP_CORPUS,
         "x_quality": _SQL_X_QUALITY,
         "x_language_id": _SQL_X_LANGID,
         "x_fingerprint": _SQL_X_FINGERPRINT,

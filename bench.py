@@ -79,6 +79,7 @@ HEADLINE = [
     "x_url_domains",
     "v_profile_spec",
     "x_fuzzy_decontam",
+    "x_prep_corpus",
     "x_dedup_spans",
     "s_cvm_drift",
     "s_vocab_drift",

@@ -48,13 +48,12 @@ def token_stats(df: DataFrame, text_col: str = "text",
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", *,
-                  round_digits: int = 6) -> DataFrame:
-    """Heuristic document quality: length band, punctuation ratio,
-    stopword ratio, mean word length. ``score`` in [0, 1]; the formula is
-    a deterministic linear blend (replace with a trained scorer at will —
-    the plumbing is the point)."""
+def quality_exprs(text_col: str) -> dict:
+    """The quality-score expression family over ``text_col`` — shared by
+    :func:`quality_score` and the fused prep pipeline (one source of
+    truth so every consumer matches the same oracle formula). Keys:
+    ``mean_word_len``, ``punct_ratio``, ``stopword_ratio``, ``quality``
+    (all unrounded Columns, pure codegen)."""
     words = F.split(F.col(text_col), " ")
     n_chars = F.length(text_col).cast("double")
     n_words = F.size(words).cast("double")
@@ -72,12 +71,24 @@ def quality_score(df: DataFrame, text_col: str = "text",
              + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
              + F.lit(0.2) * F.least(mean_wl / 8, F.lit(1.0))
              + F.lit(0.1) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))))
+    return {"mean_word_len": mean_wl, "punct_ratio": punct_ratio,
+            "stopword_ratio": stop_ratio, "quality": score}
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", *,
+                  round_digits: int = 6) -> DataFrame:
+    """Heuristic document quality: length band, punctuation ratio,
+    stopword ratio, mean word length. ``score`` in [0, 1]; the formula is
+    a deterministic linear blend (replace with a trained scorer at will —
+    the plumbing is the point)."""
+    q = quality_exprs(text_col)
     return df.select(
         F.col(id_col),
-        F.round(mean_wl, round_digits).alias("mean_word_len"),
-        F.round(punct_ratio, round_digits).alias("punct_ratio"),
-        F.round(stop_ratio, round_digits).alias("stopword_ratio"),
-        F.round(score, round_digits).alias("quality"),
+        F.round(q["mean_word_len"], round_digits).alias("mean_word_len"),
+        F.round(q["punct_ratio"], round_digits).alias("punct_ratio"),
+        F.round(q["stopword_ratio"], round_digits).alias("stopword_ratio"),
+        F.round(q["quality"], round_digits).alias("quality"),
     )
 
 
