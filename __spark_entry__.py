@@ -2843,6 +2843,68 @@ FROM events GROUP BY 1
 """
 
 
+def _q_x_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # terminal pipeline step: deterministic global shuffle + shard
+    # assignment for training output — the (shard, pos) order is a
+    # reproducible pseudo-random permutation of the corpus, identical
+    # across engines and reruns (df.orderBy(rand()) is neither).
+    sharded = sampling.shard_corpus(
+        _t(spark, sf_dir, "documents"), "doc_id", 8, salt="r3")
+    return sharded.select("doc_id", "shard", "pos")
+
+
+_SQL_X_SHARD = """
+WITH h AS (SELECT doc_id,
+  ('0x' || substr(md5(concat(CAST(doc_id AS VARCHAR), '#r3')), 1, 15))::BIGINT
+    AS okey
+  FROM documents)
+SELECT doc_id, CAST(okey % 8 AS INT) AS shard,
+  CAST(row_number() OVER (PARTITION BY okey % 8 ORDER BY okey, doc_id) - 1
+       AS INT) AS pos
+FROM h
+"""
+
+
+def _q_d_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the full "dedup the corpus, keep the BEST copy" composition:
+    # LSH pairs -> transitive groups -> quality-argmax survivor per
+    # group (+ untouched singletons). The oracle recomputes the groups
+    # with the exact recursive CTE and picks survivors with a window.
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, n=3, threshold=0.8, bands=32)
+    groups = dedup.near_dup_groups(pairs)
+    scored = textstats.quality_score(docs).select("doc_id", "quality")
+    return dedup.canonical_docs(scored, groups)
+
+
+_SQL_D_CANONICAL = f"""
+WITH g AS ({_SQL_D_DUP_GROUPS}),
+qb AS (SELECT doc_id, length(text)::DOUBLE AS nc,
+  len(string_split(text, ' '))::DOUBLE AS nw,
+  len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE AS np,
+  len(list_filter(string_split(text, ' '),
+      w -> list_contains(['the','a','of','and','to','in','is','it','that','for'], w)))::DOUBLE AS ns
+FROM documents),
+q AS (SELECT doc_id,
+  round(0.4 * least(nc / 500.0, 1.0) + 0.3 * least(ns / nw * 5, 1.0)
+      + 0.2 * least(((nc - (nw - 1)) / nw) / 8, 1.0)
+      + 0.1 * (1.0 - least(coalesce(np / nullif(nc, 0), 0.0) * 10, 1.0)), 6)
+    AS quality
+FROM qb),
+best AS (SELECT doc_id, group_id, group_size, quality FROM (
+  SELECT q.doc_id, g.group_id,
+         count(*) OVER (PARTITION BY g.group_id) AS group_size,
+         q.quality,
+         row_number() OVER (PARTITION BY g.group_id
+                            ORDER BY q.quality DESC, q.doc_id) AS rn
+  FROM g JOIN q USING (doc_id)) WHERE rn = 1)
+SELECT * FROM best
+UNION ALL
+SELECT doc_id, doc_id AS group_id, 1::BIGINT AS group_size, quality
+FROM q WHERE doc_id NOT IN (SELECT doc_id FROM g)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (documents -> fake binary payloads)
 # ---------------------------------------------------------------------------
@@ -3102,6 +3164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_ngram_jaccard": _q_d_ngram,
         "d_minhash_lsh": _q_d_minhash,
         "d_dup_groups": _q_d_dup_groups,
+        "d_canonical_docs": _q_d_canonical,
         "d_simhash": _q_d_simhash,
         "d_simhash_pairs": _q_d_simhash_pairs,
         # similarity search
@@ -3130,6 +3193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_doc_sample": _q_x_sample,
         "x_split_counts": _q_x_split,
         "x_strat_sample": _q_x_strat,
+        "x_shard_corpus": _q_x_shard,
         "x_mix_sources": _q_x_mix,
         "x_mix_budget": _q_x_mix_budget,
         "x_pack_chunks": _q_x_pack,
@@ -3218,6 +3282,7 @@ def oracle_sql() -> dict[str, str]:
         "d_ngram_jaccard": _SQL_D_NGRAM,
         "d_minhash_lsh": _SQL_D_NGRAM,
         "d_dup_groups": _SQL_D_DUP_GROUPS,
+        "d_canonical_docs": _SQL_D_CANONICAL,
         "d_simhash": _SQL_D_SIMHASH,
         "d_simhash_pairs": _SQL_D_SIMHASH_PAIRS,
         "a_cosine_topk": _SQL_A_COSINE,
@@ -3242,6 +3307,7 @@ def oracle_sql() -> dict[str, str]:
         "x_doc_sample": _SQL_X_SAMPLE,
         "x_split_counts": _SQL_X_SPLIT,
         "x_strat_sample": _SQL_X_STRAT,
+        "x_shard_corpus": _SQL_X_SHARD,
         "x_mix_sources": _SQL_X_MIX,
         "x_mix_budget": _SQL_X_MIX_BUDGET,
         "x_pack_chunks": _SQL_X_PACK,

@@ -88,6 +88,8 @@ HEADLINE = [
     "e_sessionize",
     "e_asof_join",
     "v_multi_spec",
+    "x_shard_corpus",
+    "d_canonical_docs",
 ]
 
 

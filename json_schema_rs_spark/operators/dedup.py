@@ -585,6 +585,61 @@ def near_dup_groups(
     return labels
 
 
+def canonical_docs(
+    df: DataFrame,
+    groups: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Canonical-survivor selection — the step that turns dedup GROUPS
+    into a deduplicated CORPUS: for every group in ``groups`` (a
+    ``(id_col, group_id)`` table from :func:`near_dup_groups` or
+    :func:`exact_duplicate_groups`) keep the member with the highest
+    ``score_col`` (ties broken by smallest id, so the winner is total
+    and engine-reproducible); docs absent from ``groups`` are
+    singletons and survive as their own group. Output: one row per
+    surviving content unit — ``(id_col, group_id, group_size,
+    score_col)`` with ``group_id = id_col`` for singletons.
+
+    This replaces the min-id "survivor" convention with quality-aware
+    selection: at training scale you keep the BEST copy of duplicated
+    content (cleanest boilerplate-stripped crawl of a page), not the
+    one with the smallest ingest id. Reference anchor: `uniqueItems`
+    keeps the FIRST of equal items (`/root/reference/json_schema_rs/
+    src/validator/mod.rs:378-397`); this lifts "which duplicate
+    survives" to an explicit, scored policy.
+
+    Scale shape: ``groups`` is skinny (two bigints, only docs in some
+    candidate pair — orders smaller than the corpus after LSH). The
+    member-score join shuffles only ``(id, score)`` + group rows; the
+    per-group argmax is ONE hash aggregate with map-side partial combine
+    (max of a (score, -id) struct — no window, no per-group sort); the
+    singleton side is a left-anti join on the skinny group table, which
+    AQE turns into a broadcast anti join whenever groups fit. The
+    corpus text never shuffles."""
+    scored = df.select(F.col(id_col), F.col(score_col))
+    members = groups.select(F.col(id_col), "group_id").join(
+        scored, id_col)
+    # argmax as max-of-struct: (score, -id) orders by score then min id;
+    # one codegen'd aggregate instead of a window sort per group
+    best = (members
+            .groupBy("group_id")
+            .agg(F.max(F.struct(F.col(score_col).alias("_s"),
+                                (-F.col(id_col)).alias("_negid"))).alias("_m"),
+                 F.count(F.lit(1)).alias("group_size"))
+            .select((-F.col("_m._negid")).alias(id_col),
+                    F.col("group_id"),
+                    F.col("group_size"),
+                    F.col("_m._s").alias(score_col)))
+    singles = (scored.join(groups.select(id_col), id_col, "left_anti")
+                     .select(F.col(id_col),
+                             F.col(id_col).alias("group_id"),
+                             F.lit(1).cast("bigint").alias("group_size"),
+                             F.col(score_col)))
+    return best.unionByName(singles)
+
+
 def _cc_driver(e: DataFrame) -> DataFrame:
     """Exact connected components on the driver — union-find with path
     compression + union by size, then one min-per-component pass so

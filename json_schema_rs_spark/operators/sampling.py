@@ -33,11 +33,11 @@ NULL comparison would silently drop them).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["bucket_hex", "deterministic_sample", "mix_sources",
-           "stratified_sample", "train_eval_split"]
+           "shard_corpus", "stratified_sample", "train_eval_split"]
 
 _HEX_SPACE = 16 ** 8  # 8 hex chars = 32 bits of the md5
 
@@ -205,3 +205,56 @@ def train_eval_split(
         split_col,
         F.when(bucket_hex(key_col, salt) < F.lit(_threshold(eval_fraction)),
                F.lit("eval")).otherwise(F.lit("train")))
+
+
+def shard_corpus(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    *,
+    salt: str = "shard",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle + output sharding — the terminal
+    step of a training-corpus pipeline: assign every row a shard in
+    ``[0, n_shards)`` and a 0-based position within its shard, such
+    that the (shard, pos) order is a uniform pseudo-random permutation
+    of the corpus that any engine reproduces bit-for-bit. Training
+    jobs need this order to be (a) decorrelated from ingest order (no
+    curriculum accidents from crawl locality), (b) identical across
+    reruns (resumable epochs, reproducible loss curves) — which rules
+    out ``df.orderBy(rand())`` twice over: per-partition RNG draws
+    differ across retries, and a global sort on a random column is not
+    reproducible at all.
+
+    Mechanism: a 60-bit md5-derived order key (15 hex chars — the same
+    cross-engine construction as :func:`~.dedup.simhash`'s token hash);
+    ``shard = order_key mod n_shards``, ``pos`` = rank of the order key
+    within the shard (ties — md5 collisions on distinct keys are
+    physically implausible, duplicate keys are not — break on the key
+    itself, keeping the permutation total). DuckDB twin:
+    ``('0x' || substr(md5(key || '#' || salt), 1, 15))::BIGINT``.
+
+    Scale shape: ONE exchange, hash-partitioned on ``shard`` (that
+    exchange IS the global shuffle — the data lands exactly where the
+    shard writer needs it), then a per-shard sort feeding
+    ``row_number`` — each window partition holds ~corpus/n_shards rows,
+    so sizing ``n_shards`` to the cluster (e.g. 10k shards at 100 TB →
+    ~10 GB sorted per task, spill-safe) keeps every sort in-memory. A
+    writer that only needs shard files in order (not materialized
+    positions) can drop the window and write
+    ``repartition(n_shards, shard).sortWithinPartitions(order_key)``
+    directly — identical movement, zero window cost."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key_s = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    hx = F.substring(F.md5(F.concat(key_s, F.lit(f"#{salt}"))), 1, 15)
+    okey = F.conv(hx, 16, 10).cast("bigint")
+    with_shard = df.withColumn("_okey", okey).withColumn(
+        shard_col, (F.col("_okey") % n_shards).cast("int"))
+    w = (Window.partitionBy(shard_col)
+               .orderBy(F.col("_okey"), F.col(key_col)))
+    return (with_shard
+            .withColumn(pos_col, F.row_number().over(w) - F.lit(1))
+            .drop("_okey"))

@@ -136,3 +136,54 @@ def test_groups_from_lsh_pairs_sf0001(spark, sf_dir):
     got = {r["doc_id"]: r["group_id"]
            for r in near_dup_groups(pairs).collect()}
     assert got == _union_find(edges)
+
+
+# ---------------------------------------------------------------------------
+# canonical_docs (groups -> quality-argmax survivors)
+# ---------------------------------------------------------------------------
+
+def _scored_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, quality double")
+
+
+def test_canonical_picks_best_quality_per_group(spark):
+    from json_schema_rs_spark.operators.dedup import canonical_docs
+    scored = _scored_df(spark, [(1, 0.2), (2, 0.9), (3, 0.5), (9, 0.1)])
+    # groups: {1,2,3} -> group 1; 9 is a singleton (absent from groups)
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id bigint, group_id bigint")
+    out = {r["doc_id"]: (r["group_id"], r["group_size"], r["quality"])
+           for r in canonical_docs(scored, groups).collect()}
+    assert out == {2: (1, 3, 0.9),   # best quality in the group survives
+                   9: (9, 1, 0.1)}   # singleton survives as its own group
+
+
+def test_canonical_tie_breaks_on_min_id(spark):
+    from json_schema_rs_spark.operators.dedup import canonical_docs
+    scored = _scored_df(spark, [(5, 0.7), (3, 0.7), (8, 0.7)])
+    groups = spark.createDataFrame(
+        [(3, 3), (5, 3), (8, 3)], "doc_id bigint, group_id bigint")
+    out = canonical_docs(scored, groups).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 3
+
+
+def test_canonical_empty_groups_all_singletons(spark):
+    from json_schema_rs_spark.operators.dedup import canonical_docs
+    scored = _scored_df(spark, [(1, 0.2), (2, 0.9)])
+    groups = spark.createDataFrame([], "doc_id bigint, group_id bigint")
+    out = {r["doc_id"]: (r["group_id"], r["group_size"])
+           for r in canonical_docs(scored, groups).collect()}
+    assert out == {1: (1, 1), 2: (2, 1)}
+
+
+def test_canonical_no_window_one_agg(spark):
+    # scale shape: argmax is a hash aggregate (max of struct), never a
+    # per-group window sort
+    from json_schema_rs_spark.operators.dedup import canonical_docs
+    scored = _scored_df(spark, [(1, 0.2), (2, 0.9), (3, 0.5)])
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id bigint, group_id bigint")
+    plan = canonical_docs(scored, groups)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_max" in plan or "HashAggregate" in plan

@@ -272,3 +272,63 @@ def test_mix_sources_rejects_bad_configs(spark):
         mix_sources(df, "src", {"a": 0}, "k")
     with pytest.raises(ValueError, match="NULL values"):
         mix_sources(df, "src", {"a": 1}, "k", budget_col="toks")
+
+
+# ---------------------------------------------------------------------------
+# shard_corpus
+# ---------------------------------------------------------------------------
+
+def _okey(key, salt="shard"):
+    return int(hashlib.md5(f"{key}#{salt}".encode()).hexdigest()[:15], 16)
+
+
+def test_shard_corpus_matches_first_principles(spark):
+    from json_schema_rs_spark.operators.sampling import shard_corpus
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id bigint")
+    got = {r["doc_id"]: (r["shard"], r["pos"])
+           for r in shard_corpus(df, "doc_id", 8).collect()}
+    # recompute the permutation on the driver with hashlib
+    by_shard = {}
+    for i in range(200):
+        by_shard.setdefault(_okey(i) % 8, []).append(i)
+    want = {}
+    for sh, members in by_shard.items():
+        for pos, i in enumerate(sorted(members, key=lambda i: (_okey(i), i))):
+            want[i] = (sh, pos)
+    assert got == want
+
+
+def test_shard_corpus_is_a_permutation(spark):
+    from json_schema_rs_spark.operators.sampling import shard_corpus
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id bigint")
+    out = shard_corpus(df, "doc_id", 8).collect()
+    assert len(out) == 2000
+    per = {}
+    for r in out:
+        assert 0 <= r["shard"] < 8
+        per.setdefault(r["shard"], []).append(r["pos"])
+    # positions are 0..n-1 contiguous within every shard
+    for poss in per.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # md5 buckets are uniform: no shard is pathologically hot/cold
+    sizes = [len(v) for v in per.values()]
+    assert len(per) == 8 and min(sizes) > 150 and max(sizes) < 350
+
+
+def test_shard_corpus_single_shard_and_bad_n(spark):
+    from json_schema_rs_spark.operators.sampling import shard_corpus
+    df = spark.createDataFrame([(i,) for i in range(10)], "doc_id bigint")
+    out = shard_corpus(df, "doc_id", 1).collect()
+    assert sorted(r["pos"] for r in out) == list(range(10))
+    assert {r["shard"] for r in out} == {0}
+    with pytest.raises(ValueError, match="n_shards"):
+        shard_corpus(df, "doc_id", 0)
+
+
+def test_shard_corpus_one_exchange(spark):
+    from json_schema_rs_spark.operators.sampling import shard_corpus
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    plan = shard_corpus(df, "doc_id", 4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the shard hash-partitioning IS the global shuffle - exactly one
+    assert plan.count("Exchange") == 1
