@@ -1691,6 +1691,42 @@ FROM base LEFT JOIN c USING (conv_id)
 """
 
 
+def _q_t_turn_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stuck-agent detection: same role repeating the same text (other
+    # roles wedged between repeats don't reset the streak)
+    from json_schema_rs_spark.operators.table_checks import turn_loop_stats
+    tx = _transcripts_with_tools(_t(spark, sf_dir, "events"))
+    return turn_loop_stats(tx)
+
+
+_SQL_T_TURN_LOOPS = f"""
+WITH tx AS ({_ORACLE_TX_TOOLS}),
+s AS (SELECT conv_id, text, turn_idx,
+        row_number() OVER w AS rn,
+        CASE WHEN coalesce(role, '') = lag(coalesce(role, '')) OVER w
+              AND text IS NOT NULL AND text = lag(text) OVER w
+             THEN 1 ELSE 0 END AS dup
+      FROM tx
+      WINDOW w AS (PARTITION BY conv_id
+                   ORDER BY coalesce(role, ''), turn_idx)),
+r AS (SELECT conv_id, dup,
+        rn - max(CASE WHEN dup = 0 THEN rn END)
+               OVER (PARTITION BY conv_id ORDER BY rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           + 1 AS run
+      FROM s),
+a AS (SELECT conv_id, count(*) AS n_turns,
+             CAST(sum(dup) AS BIGINT) AS loop_turns,
+             CAST(max(run) AS INT) AS max_run,
+             round(sum(dup) * 1.0 / count(*), 6) AS loop_ratio
+      FROM r GROUP BY conv_id)
+SELECT conv_id, n_turns, loop_turns, max_run, loop_ratio,
+       CASE WHEN loop_ratio >= 0.3 OR max_run >= 3
+            THEN 'loop' ELSE 'ok' END AS verdict
+FROM a
+"""
+
+
 def _q_t_conv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_rs_spark.operators.table_checks import (
         conversation_profile,
@@ -3142,6 +3178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_tool_pairing": _q_t_tool_pairing,
         "t_conv_bounds": _q_t_conv_bounds,
         "t_conv_profile": _q_t_conv_profile,
+        "t_turn_loops": _q_t_turn_loops,
         "t_conv_verdicts": _q_t_conv_verdicts,
         "t_expectations": _q_t_expectations,
         "v_violation_stats": _q_v_violation_stats,
@@ -3264,6 +3301,7 @@ def oracle_sql() -> dict[str, str]:
         "t_tool_pairing": _SQL_T_TOOL_PAIRING,
         "t_conv_bounds": _SQL_T_CONV_BOUNDS,
         "t_conv_profile": _SQL_T_CONV_PROFILE,
+        "t_turn_loops": _SQL_T_TURN_LOOPS,
         "t_conv_verdicts": _SQL_T_CONV_VERDICTS,
         "t_expectations": _SQL_T_EXPECTATIONS,
         "v_violation_stats": _SQL_V_VIOLATION_STATS,

@@ -90,6 +90,7 @@ HEADLINE = [
     "v_multi_spec",
     "x_shard_corpus",
     "d_canonical_docs",
+    "t_turn_loops",
 ]
 
 

@@ -427,6 +427,71 @@ def conversation_profile(
     return df.groupBy(conv_col).agg(*aggs)
 
 
+def turn_loop_stats(
+    df: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    max_ratio: float = 0.3,
+    max_run: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Stuck-loop detection per conversation — the transcripts-native
+    quality check for the classic agent failure mode: the same role
+    emitting the same text over and over (an assistant retrying one
+    reply, a tool returning one error forever). A turn is a **loop
+    turn** when its text equals the SAME role's previous turn in
+    ``idx_col`` order (interleaved other-role turns don't reset the
+    comparison — loops usually have a user/tool turn wedged between
+    repeats). NULL text never loops; NULL roles compare as one role.
+
+    Output — one row per conversation, clean ones included:
+    ``(conv_col, n_turns, loop_turns, max_run, loop_ratio, verdict)``
+    with ``max_run`` = the longest streak of identical consecutive
+    same-role texts (1 = no repeat) and ``verdict`` = ``'loop'`` when
+    ``loop_ratio >= max_ratio`` or the streak reaches ``max_run``,
+    else ``'ok'``.
+
+    Scale shape: ONE exchange. The window partitions on ``conv_col``
+    and sorts by ``(role, idx)`` — adjacency in that order IS same-role
+    adjacency in turn order, so one ``lag`` sees the previous same-role
+    turn without per-role windows. Streak lengths come from the
+    running-max-of-last-change-row trick (``rn - max(rn where changed)
+    + 1``) in the SAME window partition, and the final per-conversation
+    aggregate reuses the window's hash partitioning, so Catalyst plans
+    no second exchange. Everything is codegen'd expression work over
+    skinny columns; hot 10^5-turn conversations sort in one task like
+    every other conv-grain check (skew evidence: tests/test_skew.py)."""
+    rkey = F.coalesce(F.col(role_col), F.lit(""))
+    w = Window.partitionBy(conv_col).orderBy(rkey, F.col(idx_col))
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    same_role = rkey == F.lag(rkey).over(w)
+    dup = (same_role & F.col(text_col).isNotNull()
+           & (F.col(text_col) == F.lag(text_col).over(w)))
+    rn = F.row_number().over(w)
+    staged = (df.select(conv_col, idx_col, role_col, text_col)
+                .withColumn("_dup", F.when(dup, 1).otherwise(0))
+                .withColumn("_rn", rn))
+    staged = staged.withColumn(
+        "_run",
+        F.col("_rn")
+        - F.max(F.when(F.col("_dup") == 0, F.col("_rn"))).over(wrun)
+        + F.lit(1))
+    ratio = F.round(F.sum("_dup") / F.count(F.lit(1)), round_digits)
+    return (staged.groupBy(conv_col)
+            .agg(F.count(F.lit(1)).alias("n_turns"),
+                 F.sum("_dup").alias("loop_turns"),
+                 F.max("_run").alias("max_run"),
+                 ratio.alias("loop_ratio"))
+            .withColumn(
+                "verdict",
+                F.when((F.col("loop_ratio") >= F.lit(max_ratio))
+                       | (F.col("max_run") >= F.lit(max_run)),
+                       F.lit("loop")).otherwise(F.lit("ok"))))
+
+
 def violation_verdicts(
     df: DataFrame,
     violations: DataFrame,

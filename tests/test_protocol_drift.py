@@ -326,3 +326,73 @@ class TestConversationProfile:
         plan = _plan(conversation_profile(df))
         assert plan.count("Exchange hashpartitioning") == 1
         assert "partial_count" in plan  # map-side combine, single pass
+
+
+# ---------------------------------------------------------------------------
+# turn_loop_stats (stuck-agent loop detection)
+# ---------------------------------------------------------------------------
+
+def _loops(spark, rows):
+    from json_schema_rs_spark.operators.table_checks import turn_loop_stats
+    df = spark.createDataFrame(
+        [(c, i, r, t, None, T0 + i * M) for (c, i, r, t) in rows], SCHEMA)
+    return {r["conv_id"]: r.asDict() for r in turn_loop_stats(df).collect()}
+
+
+def test_turn_loops_interleaved_repeats(spark):
+    # the assistant repeats itself with user turns wedged between —
+    # the interleaving must NOT reset the streak
+    got = _loops(spark, [
+        ("c1", 0, "user", "hi"),
+        ("c1", 1, "assistant", "let me retry"),
+        ("c1", 2, "user", "still broken"),
+        ("c1", 3, "assistant", "let me retry"),
+        ("c1", 4, "user", "still broken"),
+        ("c1", 5, "assistant", "let me retry"),
+    ])["c1"]
+    assert got["n_turns"] == 6
+    assert got["loop_turns"] == 3    # 2 assistant repeats + 1 user repeat
+    assert got["max_run"] == 3       # 'let me retry' x3
+    assert got["verdict"] == "loop"
+
+
+def test_turn_loops_clean_conversation(spark):
+    got = _loops(spark, [
+        ("c2", 0, "user", "a"),
+        ("c2", 1, "assistant", "b"),
+        ("c2", 2, "user", "c"),
+        ("c2", 3, "assistant", "d"),
+    ])["c2"]
+    assert (got["loop_turns"], got["max_run"], got["verdict"]) == (0, 1, "ok")
+
+
+def test_turn_loops_null_text_never_loops_null_roles_group(spark):
+    got = _loops(spark, [
+        ("c3", 0, "user", None),
+        ("c3", 1, "user", None),         # NULL text: not a loop
+        ("c3", 2, None, "x"),
+        ("c3", 3, None, "x"),            # NULL roles compare as one role
+    ])["c3"]
+    assert got["loop_turns"] == 1
+    assert got["max_run"] == 2
+    # ratio 0.25 < 0.3 and run 2 < 3 -> ok
+    assert got["verdict"] == "ok"
+
+
+def test_turn_loops_ratio_trigger(spark):
+    # short conversation, 1/2 turns repeated -> ratio 0.5 >= 0.3
+    got = _loops(spark, [
+        ("c4", 0, "assistant", "z"),
+        ("c4", 1, "assistant", "z"),
+    ])["c4"]
+    assert got["loop_ratio"] == 0.5 and got["verdict"] == "loop"
+
+
+def test_turn_loops_one_exchange(spark):
+    from json_schema_rs_spark.operators.table_checks import turn_loop_stats
+    df = spark.createDataFrame(
+        [("c", i, "user", "t", None, T0) for i in range(10)], SCHEMA)
+    plan = turn_loop_stats(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the window's conv_id partitioning is reused by the aggregate
+    assert plan.count("Exchange") == 1
