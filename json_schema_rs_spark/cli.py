@@ -195,6 +195,45 @@ def cmd_expect(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_prep(args: argparse.Namespace) -> int:
+    """Corpus preparation end-to-end: normalize -> quality gate ->
+    exact dedup -> benchmark decontamination, optionally sharded for
+    training output (deterministic hash shards, reproducible in-shard
+    order), written as parquet with a JSON summary on stdout."""
+    from .operators.prep import prep_corpus
+    from .operators.sampling import shard_corpus
+
+    spark = build_session("json_schema_rs_spark.prep", args.master)
+    docs = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.benchmark)
+    out = prep_corpus(
+        docs, bench, text_col=args.text_col, id_col=args.id_col,
+        min_quality=args.min_quality, n=args.ngram,
+        nfc=args.nfc, lowercase=args.lowercase)
+    writer = out
+    if args.shards:
+        sharded = shard_corpus(out, args.id_col, args.shards)
+        # one file per shard, rows in (shard, pos) order — the exchange
+        # the window already did IS the write layout
+        writer = (sharded.repartition(args.shards, "shard")
+                         .sortWithinPartitions("shard", "pos"))
+        writer.write.mode("overwrite").partitionBy("shard") \
+            .parquet(args.output)
+    else:
+        writer.write.mode("overwrite").parquet(args.output)
+    result = spark.read.parquet(args.output)
+    summary = {
+        "input_rows": docs.count(),          # parquet metadata count
+        "benchmark_rows": bench.count(),
+        "survivors": result.count(),
+        "shards": args.shards or 0,
+        "min_quality": args.min_quality,
+        "output": args.output,
+    }
+    print(json.dumps(summary))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="json_schema_rs_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -281,6 +320,30 @@ def main(argv: list[str] | None = None) -> int:
                         "instead of exact")
     e.add_argument("--master", default=None)
     e.set_defaults(fn=cmd_expect)
+
+    c = sub.add_parser("prep",
+                       help="corpus preparation pipeline: normalize -> "
+                            "quality gate -> exact dedup -> benchmark "
+                            "decontamination, optional sharded output")
+    c.add_argument("--input", required=True, help="corpus parquet path")
+    c.add_argument("--benchmark", required=True,
+                   help="benchmark/eval parquet path to decontaminate "
+                        "against")
+    c.add_argument("--output", required=True, help="survivors parquet dir")
+    c.add_argument("--text-col", default="text")
+    c.add_argument("--id-col", default="doc_id")
+    c.add_argument("--min-quality", type=float, default=0.5)
+    c.add_argument("--ngram", type=int, default=3,
+                   help="decontamination shingle size")
+    c.add_argument("--nfc", action="store_true",
+                   help="Unicode NFC normalization (adds the one Arrow "
+                        "pandas-UDF step)")
+    c.add_argument("--lowercase", action="store_true")
+    c.add_argument("--shards", type=int, default=0,
+                   help="write N deterministic hash shards "
+                        "(shard=*/ dirs, rows in reproducible order)")
+    c.add_argument("--master", default=None)
+    c.set_defaults(fn=cmd_prep)
 
     args = p.parse_args(argv)
     return args.fn(args)

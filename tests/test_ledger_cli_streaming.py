@@ -635,3 +635,60 @@ class TestRoutedIdempotence:
             run_checkpointed_validation(
                 spark, df, SPEC, str(tmp_path / "clash"), run_id="rc",
                 n_buckets=2, route_rows=True)
+
+
+class TestCliPrep:
+    def test_cli_prep_writes_survivors_and_summary(self, spark, tmp_path,
+                                                   capsys):
+        from json_schema_rs_spark.cli import main
+        # 7 content classes with disjoint token vocabularies: dedup
+        # keeps one doc per class, decontamination can only hit the
+        # benchmarked classes (no cross-class shingle overlap)
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"tok{i % 7}x{j}" for j in range(60)))
+             for i in range(40)],
+            "doc_id bigint, text string")
+        inp = str(tmp_path / "docs")
+        docs.write.parquet(inp)
+        # benchmark = 3 docs verbatim from the corpus -> their whole
+        # duplicate families must be decontaminated away
+        bench = str(tmp_path / "bench")
+        docs.filter("doc_id IN (0, 1, 2)").write.parquet(bench)
+        out = str(tmp_path / "prepped")
+        rc = main(["prep", "--input", inp, "--benchmark", bench,
+                   "--output", out, "--min-quality", "0.3"])
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip()
+                             .splitlines()[-1])
+        assert summary["input_rows"] == 40
+        got = spark.read.parquet(out)
+        assert got.count() == summary["survivors"]
+        # dedup: one survivor per distinct suffix class, minus the
+        # 3 decontaminated classes -> 7 - 3 = 4
+        assert summary["survivors"] == 4
+
+    def test_cli_prep_sharded_output(self, spark, tmp_path, capsys):
+        from json_schema_rs_spark.cli import main
+        docs = spark.createDataFrame(
+            [(i, f"unique document number {i} with plenty of the and of "
+                 "and to words in it " * 5) for i in range(30)],
+            "doc_id bigint, text string")
+        inp = str(tmp_path / "docs2")
+        docs.write.parquet(inp)
+        bench = str(tmp_path / "bench2")
+        docs.limit(0).write.parquet(bench)
+        out = str(tmp_path / "sharded")
+        rc = main(["prep", "--input", inp, "--benchmark", bench,
+                   "--output", out, "--min-quality", "0.1",
+                   "--shards", "4"])
+        assert rc == 0
+        import os as _os
+        dirs = sorted(d for d in _os.listdir(out) if d.startswith("shard="))
+        assert len(dirs) == 4
+        got = spark.read.parquet(out)
+        assert got.count() == 30
+        # in-shard positions are contiguous from 0
+        for r in (got.groupBy("shard")
+                     .agg(F.min("pos").alias("lo"), F.max("pos").alias("hi"),
+                          F.count("*").alias("n")).collect()):
+            assert r["lo"] == 0 and r["hi"] == r["n"] - 1
