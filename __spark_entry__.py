@@ -2309,6 +2309,38 @@ def _q_x_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_score(_t(spark, sf_dir, "documents"))
 
 
+def _q_x_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the per-source report card: volume, token mass, quality
+    # distribution, gate/short counts — one hash aggregate
+    return textstats.corpus_report(_t(spark, sf_dir, "documents"))
+
+
+_SQL_X_CORPUS_REPORT = """
+WITH b AS (SELECT source,
+  coalesce(length(text), 0) AS nc0,
+  len(string_split(coalesce(text, ''), ' ')) AS nw0,
+  length(text)::DOUBLE AS nc,
+  len(string_split(text, ' '))::DOUBLE AS nw,
+  len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE AS np,
+  len(list_filter(string_split(text, ' '),
+      w -> list_contains(['the','a','of','and','to','in','is','it','that','for'], w)))::DOUBLE AS ns
+FROM documents),
+q AS (SELECT source, nc0, nw0,
+  round(0.4 * least(nc / 500.0, 1.0) + 0.3 * least(ns / nw * 5, 1.0)
+      + 0.2 * least(((nc - (nw - 1)) / nw) / 8, 1.0)
+      + 0.1 * (1.0 - least(coalesce(np / nullif(nc, 0), 0.0) * 10, 1.0)), 6)
+    AS qq
+FROM b)
+SELECT source, count(*) AS n_docs,
+  CAST(sum(nc0) AS BIGINT) AS total_chars,
+  CAST(sum(nw0) AS BIGINT) AS total_tokens,
+  round(avg(qq), 6) AS avg_quality,
+  CAST(sum(CASE WHEN qq < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_gate,
+  CAST(sum(CASE WHEN nc0 < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+FROM q GROUP BY source
+"""
+
+
 _SQL_X_QUALITY = """
 WITH b AS (SELECT doc_id, length(text)::DOUBLE AS nc,
   len(string_split(text, ' '))::DOUBLE AS nw,
@@ -3223,6 +3255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_fuzzy_decontam": _q_x_fuzzy_decontam,
         "x_prep_corpus": _q_x_prep_corpus,
         "x_quality": _q_x_quality,
+        "x_corpus_report": _q_x_corpus_report,
         "x_language_id": _q_x_langid,
         "x_fingerprint": _q_x_fingerprint,
         # deterministic sampling / splits
@@ -3339,6 +3372,7 @@ def oracle_sql() -> dict[str, str]:
         "x_fuzzy_decontam": _SQL_X_FUZZY_DECONTAM,
         "x_prep_corpus": _SQL_X_PREP_CORPUS,
         "x_quality": _SQL_X_QUALITY,
+        "x_corpus_report": _SQL_X_CORPUS_REPORT,
         "x_language_id": _SQL_X_LANGID,
         "x_fingerprint": _SQL_X_FINGERPRINT,
         "x_quality_sample": _SQL_X_QUALITY_SAMPLE,

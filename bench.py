@@ -91,6 +91,7 @@ HEADLINE = [
     "x_shard_corpus",
     "d_canonical_docs",
     "t_turn_loops",
+    "x_corpus_report",
 ]
 
 

@@ -92,6 +92,48 @@ def quality_score(df: DataFrame, text_col: str = "text",
     )
 
 
+def corpus_report(
+    df: DataFrame,
+    group_cols: "Sequence[str]" = ("source",),
+    text_col: str = "text",
+    *,
+    quality_gate: float = 0.5,
+    short_chars: int = 100,
+    round_digits: int = 6,
+) -> DataFrame:
+    """The per-source corpus report card — the daily-driver summary a
+    curation pipeline prints per ingest source (or any grouping):
+    volume, token mass, quality distribution, and gate/short-doc counts
+    in ONE pass. Columns: ``group_cols..., n_docs, total_chars,
+    total_tokens, avg_quality, n_below_gate, n_short``.
+
+    Scale shape: every metric is a plain codegen'd aggregate over the
+    shared :func:`quality_exprs` projection — one hash aggregate with
+    map-side partial combine, one skinny exchange keyed on the group
+    columns (source cardinality is tiny, the combine collapses 10^11
+    rows to |sources| x |partitions| partials before the wire). Counts
+    are exact integers; the only float is ``avg_quality`` over per-row
+    6-digit-rounded scores, which both engines sum identically at this
+    magnitude."""
+    q = F.round(quality_exprs(text_col)["quality"], round_digits)
+    staged = df.select(
+        *[F.col(c) for c in group_cols],
+        F.coalesce(F.length(text_col), F.lit(0)).alias("_nc"),
+        F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
+         .alias("_nw"),
+        q.alias("_q"),
+    )
+    return (staged.groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("_nc").alias("total_chars"),
+                 F.sum("_nw").cast("bigint").alias("total_tokens"),
+                 F.round(F.avg("_q"), round_digits).alias("avg_quality"),
+                 F.sum(F.when(F.col("_q") < quality_gate, 1).otherwise(0))
+                  .alias("n_below_gate"),
+                 F.sum(F.when(F.col("_nc") < short_chars, 1).otherwise(0))
+                  .alias("n_short")))
+
+
 def language_id(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Charset + stopword-list language heuristic → ``(id, lang_pred)``.

@@ -258,3 +258,40 @@ class TestNormalizeText:
         assert "ArrowEvalPython" in plan_yes      # Arrow batches, not rows
         assert "BatchEvalPython" not in plan_yes
         assert "Exchange" not in plan_yes
+
+# ---------------------------------------------------------------------------
+# corpus_report
+# ---------------------------------------------------------------------------
+
+def test_corpus_report_counts_and_gates(spark):
+    from json_schema_rs_spark.operators.textstats import corpus_report
+    long_good = ("the fox and the dog went to the park and it is a good "
+                 "day for all of them to be out in the sun ") * 8
+    df = spark.createDataFrame(
+        [(1, long_good, "web"),
+         (2, "tiny", "web"),
+         (3, None, "web"),
+         (4, long_good, "books")],
+        "doc_id bigint, text string, source string")
+    got = {r["source"]: r.asDict()
+           for r in corpus_report(df, ("source",)).collect()}
+    web = got["web"]
+    assert web["n_docs"] == 3
+    assert web["total_chars"] == len(long_good) + 4  # NULL counts 0
+    assert web["n_short"] == 2                       # 'tiny' + NULL
+    assert web["n_below_gate"] == 1                  # 'tiny'; NULL q skipped
+    assert got["books"]["n_docs"] == 1
+    assert got["books"]["n_below_gate"] == 0
+    # avg over the one scored-high + one scored-low web doc
+    assert 0 < web["avg_quality"] < 1
+
+
+def test_corpus_report_one_exchange(spark):
+    from json_schema_rs_spark.operators.textstats import corpus_report
+    df = spark.createDataFrame(
+        [(i, "some text here", "s") for i in range(50)],
+        "doc_id bigint, text string, source string")
+    plan = corpus_report(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "partial" in plan.lower()  # map-side combine before the wire
