@@ -29,6 +29,17 @@ Ordering is deliberate: gate (cheapest, biggest reduction) -> dedup
 (shrinks the decontamination probe) -> decontaminate. Both sides of the
 decontamination shingle the NORMALIZED text, so byte-level noise can't
 hide eval overlap — the same reason dedup runs post-normalization.
+
+Scan-count trade-off (audited, kept as-is): with duplicate rate ``d``,
+this order reads gated text twice (dedup hash + semi-join payload) and
+the deduped ``(1-d)`` fraction once more for shingling — ~``2 + (1-d)``
+text passes. Swapping decontamination before dedup would drop one pass
+of the *deduped* set but shingle-explode the FULL gated set instead,
+probing duplicate content ``1/(1-d)`` times over; shingle explode is
+the most expensive per-row stage, so dedup-first wins whenever ``d`` is
+non-trivial (always true of web-scale corpora). At 100 TB the extra
+pass is a linear scan of already-columnar text; the avoided cost is a
+multiplicative blow-up of the widest exchange input.
 """
 
 from __future__ import annotations
