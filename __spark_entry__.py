@@ -1562,6 +1562,32 @@ FROM agg WHERE dur > 2500000
 """
 
 
+def _q_t_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # context-window fit: flag every turn past a cumulative whitespace-
+    # token budget (overhead 1 models the "{role}: " render header)
+    from json_schema_rs_spark.operators.table_checks import (
+        context_budget_violations,
+    )
+    tx = _transcripts_from_events(_t(spark, sf_dir, "events"))
+    return context_budget_violations(tx, 160, per_turn_overhead=1)
+
+
+_SQL_T_CONTEXT_BUDGET = f"""
+WITH tx AS ({_ORACLE_TX_TOOLS}),
+cum AS (
+  SELECT conv_id, turn_idx,
+         SUM(CASE WHEN text IS NULL THEN 0
+                  ELSE len(string_split(text, ' ')) END + 1)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx) AS cum_tokens
+  FROM tx)
+SELECT conv_id, turn_idx, '/text' AS instance_path,
+       'ContextBudgetExceeded' AS code,
+       '/text: cumulative ' || CAST(cum_tokens AS VARCHAR) ||
+       ' whitespace tokens exceeds context budget 160' AS message
+FROM cum WHERE cum_tokens > 160
+"""
+
+
 def _q_t_transcript_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the north rule's "per-turn text equality under stable (conv_id,
     # turn_idx) ordering" as a cross-snapshot check: snapshot a drops
@@ -3209,6 +3235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_role_protocol": _q_t_role_protocol,
         "t_tool_pairing": _q_t_tool_pairing,
         "t_conv_bounds": _q_t_conv_bounds,
+        "t_context_budget": _q_t_context_budget,
         "t_conv_profile": _q_t_conv_profile,
         "t_turn_loops": _q_t_turn_loops,
         "t_conv_verdicts": _q_t_conv_verdicts,
@@ -3333,6 +3360,7 @@ def oracle_sql() -> dict[str, str]:
         "t_role_protocol": _SQL_T_ROLE_PROTOCOL,
         "t_tool_pairing": _SQL_T_TOOL_PAIRING,
         "t_conv_bounds": _SQL_T_CONV_BOUNDS,
+        "t_context_budget": _SQL_T_CONTEXT_BUDGET,
         "t_conv_profile": _SQL_T_CONV_PROFILE,
         "t_turn_loops": _SQL_T_TURN_LOOPS,
         "t_conv_verdicts": _SQL_T_CONV_VERDICTS,

@@ -92,6 +92,7 @@ HEADLINE = [
     "d_canonical_docs",
     "t_turn_loops",
     "x_corpus_report",
+    "t_context_budget",
 ]
 
 

@@ -372,6 +372,56 @@ def conversation_bounds_violations(
     return out
 
 
+def context_budget_violations(
+    df: DataFrame,
+    budget: int,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    per_turn_overhead: int = 0,
+) -> DataFrame:
+    """Turns past a per-conversation cumulative token budget —
+    ``maxLength`` (validator/mod.rs:317-329) lifted from one string to the
+    running conversation: a transcript that no longer fits the model's
+    context window is invalid *from the first overflowing turn onward*,
+    and this check makes every such turn addressable. Token cost per turn
+    is the whitespace-token count of ``text_col`` (NULL = 0; the same
+    single-space split as :func:`.textstats.token_stats`) plus
+    ``per_turn_overhead`` (rendered-template header cost, e.g. the
+    ``"{role}: "`` prefix of :func:`.packing.render_conversations`).
+
+    Ties on ``idx_col`` share one inclusive cumulative value (RANGE
+    window frame — the ANSI default in both Spark and DuckDB), so the
+    output is deterministic even on tables that also fail uniqueness.
+
+    Scale shape: the token cost is computed in the scan projection, so
+    ONE exchange on ``conv_col`` moves only ``(conv_id, turn_idx,
+    bigint)`` — text never shuffles; the window sort is bounded by
+    turns/conversation. Same skinny-window shape as the fused pipeline's
+    branch 2."""
+    tokens = (F.when(F.col(text_col).isNull(), F.lit(0))
+              .otherwise(F.size(F.split(F.col(text_col), " ")))
+              + F.lit(per_turn_overhead)).cast("bigint")
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    cum = (df.select(F.col(conv_col), F.col(idx_col), tokens.alias("_tk"))
+             .select(conv_col, idx_col,
+                     F.sum("_tk").over(w).alias("_cum"))
+             .filter(F.col("_cum") > budget))
+    path = "/" + text_col
+    return cum.select(
+        F.col(conv_col),
+        F.col(idx_col),
+        F.lit(path).alias("instance_path"),
+        F.lit("ContextBudgetExceeded").alias("code"),
+        F.concat(
+            F.lit(f"{path}: cumulative "),
+            F.col("_cum").cast("string"),
+            F.lit(f" whitespace tokens exceeds context budget {budget}"),
+        ).alias("message"),
+    )
+
+
 def conversation_profile(
     df: DataFrame,
     *,

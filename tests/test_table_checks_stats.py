@@ -565,3 +565,56 @@ class TestTranscriptDiff:
         for part in plan.split("Exchange")[1:]:
             assert "text#" not in part.split("\n")[0]
         assert df.count() == 0
+
+
+class TestContextBudget:
+    SCHEMA = "conv_id string, turn_idx int, text string"
+
+    def test_flags_from_first_overflow(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            context_budget_violations)
+        rows = [
+            ("A", 0, "one two three"),    # 3 -> cum 3
+            ("A", 1, "four five"),        # 2 -> cum 5
+            ("A", 2, None),               # NULL text costs 0 -> cum 5
+            ("A", 3, "six seven eight"),  # 3 -> cum 8  (first overflow)
+            ("A", 4, "nine"),             # 1 -> cum 9
+            ("B", 0, "a b c d e f g"),    # 7 -> cum 7 (first turn overflows)
+            ("C", 0, "fits"),             # 1 -> never flagged
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        out = context_budget_violations(df, 6).collect()
+        assert all(r.code == "ContextBudgetExceeded" and
+                   r.instance_path == "/text" for r in out)
+        got = sorted((r.conv_id, r.turn_idx, r.message) for r in out)
+        assert got == [
+            ("A", 3, "/text: cumulative 8 whitespace tokens exceeds "
+                     "context budget 6"),
+            ("A", 4, "/text: cumulative 9 whitespace tokens exceeds "
+                     "context budget 6"),
+            ("B", 0, "/text: cumulative 7 whitespace tokens exceeds "
+                     "context budget 6"),
+        ]
+
+    def test_overhead_counts_per_turn(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            context_budget_violations)
+        # 3 turns x (1 token + 2 overhead) = cum 3, 6, 9
+        rows = [("A", i, "t") for i in range(3)]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        got = sorted(r.turn_idx for r in context_budget_violations(
+            df, 6, per_turn_overhead=2).collect())
+        assert got == [2]
+
+    def test_single_skinny_exchange(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            context_budget_violations)
+        df = spark.createDataFrame(
+            [("A", 0, "payload " * 50)], self.SCHEMA)
+        v = context_budget_violations(df, 10)
+        plan = v._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+        # the exchange carries (conv_id, turn_idx, bigint) - never text
+        for part in plan.split("Exchange")[1:]:
+            assert "text#" not in part.split("\n")[0]
+        assert v.count() == 1
