@@ -1588,6 +1588,41 @@ FROM cum WHERE cum_tokens > 160
 """
 
 
+def _q_s_violation_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # monitoring complement of violation_stats: per-day violation rate
+    # by code over the flagship row-local violation set
+    from json_schema_rs_spark.operators.table_checks import violation_trend
+    tx = _transcripts_with_tools(_t(spark, sf_dir, "events"))
+    viols = ValidationEngine(
+        FLAGSHIP_SPEC, key_cols=("conv_id", "turn_idx")).validate(tx).violations
+    return violation_trend(tx, viols, grain="day")
+
+
+_SQL_S_VIOLATION_TREND = f"""
+WITH tx AS ({_ORACLE_TX_TOOLS}),
+v AS (
+  SELECT conv_id, turn_idx, 'NotInEnum' AS code FROM tx
+  WHERE role NOT IN ('system','user','assistant','tool')
+  UNION ALL
+  SELECT conv_id, turn_idx, 'TooShort' FROM tx WHERE length(text) < 10
+  UNION ALL
+  SELECT conv_id, turn_idx, 'TooLong' FROM tx WHERE length(text) > 4000
+  UNION ALL
+  SELECT conv_id, turn_idx, 'MissingRequired' FROM tx WHERE text IS NULL
+  UNION ALL
+  SELECT conv_id, turn_idx, 'MissingRequired' FROM tx WHERE conv_id IS NULL),
+keys AS (SELECT conv_id, turn_idx,
+                CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket FROM tx),
+totals AS (SELECT bucket, count(*) AS n_turns FROM keys GROUP BY bucket),
+counts AS (SELECT k.bucket, v.code, count(*) AS n_violations
+           FROM v JOIN keys k USING (conv_id, turn_idx)
+           GROUP BY k.bucket, v.code)
+SELECT counts.bucket AS window_start, code, n_violations, n_turns,
+       round(n_violations / n_turns, 6) AS violation_rate
+FROM counts JOIN totals USING (bucket)
+"""
+
+
 def _q_t_transcript_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the north rule's "per-turn text equality under stable (conv_id,
     # turn_idx) ordering" as a cross-snapshot check: snapshot a drops
@@ -3236,6 +3271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_tool_pairing": _q_t_tool_pairing,
         "t_conv_bounds": _q_t_conv_bounds,
         "t_context_budget": _q_t_context_budget,
+        "s_violation_trend": _q_s_violation_trend,
         "t_conv_profile": _q_t_conv_profile,
         "t_turn_loops": _q_t_turn_loops,
         "t_conv_verdicts": _q_t_conv_verdicts,
@@ -3361,6 +3397,7 @@ def oracle_sql() -> dict[str, str]:
         "t_tool_pairing": _SQL_T_TOOL_PAIRING,
         "t_conv_bounds": _SQL_T_CONV_BOUNDS,
         "t_context_budget": _SQL_T_CONTEXT_BUDGET,
+        "s_violation_trend": _SQL_S_VIOLATION_TREND,
         "t_conv_profile": _SQL_T_CONV_PROFILE,
         "t_turn_loops": _SQL_T_TURN_LOOPS,
         "t_conv_verdicts": _SQL_T_CONV_VERDICTS,

@@ -93,6 +93,7 @@ HEADLINE = [
     "t_turn_loops",
     "x_corpus_report",
     "t_context_budget",
+    "s_violation_trend",
 ]
 
 

@@ -610,6 +610,52 @@ def violation_stats(
                  F.countDistinct(*keys).alias("n_keys")))
 
 
+def violation_trend(
+    df: DataFrame,
+    violations: DataFrame,
+    *,
+    grain: str = "day",
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Violation *rate over time* — the monitoring complement of
+    :func:`violation_stats`: per calendar bucket (``date_trunc(grain)``
+    of each turn's timestamp, exact cross-engine — no epoch-origin
+    ambiguity) and violation code, ``(window_start, code, n_violations,
+    n_turns, violation_rate)``. This is how a 10^12-turn pipeline sees
+    "TooLong started spiking on Tuesday's ingest" instead of one global
+    count. Buckets with zero violations are absent by construction (a
+    dashboard zero-fills); conversation-scoped violation rows
+    (``idx_col`` NULL) carry no timestamp and are excluded — this is the
+    turn-grain trend.
+
+    Scale shape: the corpus contributes one 3-column projection
+    ``(conv, idx, bucket)``; per-bucket totals are a hash aggregate with
+    bucket-cardinality keys (map-side combine absorbs the corpus). The
+    violations⋈keys equi-join re-attaches timestamps by key — one
+    corpus-skinny shuffle, the same cost class as the pipeline's window
+    branch; when the violations were produced from ``df`` in the same
+    job, carrying ``ts_col`` through the validation select removes that
+    join entirely (the fused pipeline does this for its own sinks). The
+    final counts⋈totals join is bucket-sized — broadcast under AQE."""
+    keys = df.select(F.col(conv_col), F.col(idx_col),
+                     F.date_trunc(grain, F.col(ts_col)).alias("_bucket"))
+    totals = keys.groupBy("_bucket").agg(
+        F.count(F.lit(1)).alias("n_turns"))
+    counts = (violations.join(keys, [conv_col, idx_col])
+              .groupBy("_bucket", "code")
+              .agg(F.count(F.lit(1)).alias("n_violations")))
+    return (counts.join(totals, "_bucket")
+            .select(F.col("_bucket").alias("window_start"),
+                    F.col("code"),
+                    F.col("n_violations"),
+                    F.col("n_turns"),
+                    F.round(F.col("n_violations") / F.col("n_turns"),
+                            round_digits).alias("violation_rate")))
+
+
 def transcript_diff(
     df_a: DataFrame,
     df_b: DataFrame,

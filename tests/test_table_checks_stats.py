@@ -618,3 +618,45 @@ class TestContextBudget:
         for part in plan.split("Exchange")[1:]:
             assert "text#" not in part.split("\n")[0]
         assert v.count() == 1
+
+
+class TestViolationTrend:
+    def test_rates_by_bucket_and_code(self, spark):
+        import datetime as dt
+        from json_schema_rs_spark.operators.table_checks import (
+            violation_trend)
+        d1 = dt.datetime(2026, 3, 1, 10, 0)
+        d2 = dt.datetime(2026, 3, 2, 9, 30)
+        tx = spark.createDataFrame(
+            [("A", 0, d1), ("A", 1, d1), ("B", 0, d1), ("B", 1, d2),
+             ("C", 0, d2)],
+            "conv_id string, turn_idx int, ts timestamp")
+        viols = spark.createDataFrame(
+            [("A", 0, "/text", "TooShort", "m"),
+             ("A", 1, "/text", "TooShort", "m"),
+             ("A", 1, "/role", "NotInEnum", "m"),
+             ("B", 1, "/text", "TooShort", "m"),
+             # conversation-scoped row: no turn -> excluded from the trend
+             ("B", None, "", "TooFewTurns", "m")],
+            "conv_id string, turn_idx int, instance_path string, "
+            "code string, message string")
+        got = {(r.window_start.day, r.code):
+               (r.n_violations, r.n_turns, r.violation_rate)
+               for r in violation_trend(tx, viols).collect()}
+        assert got == {
+            (1, "TooShort"): (2, 3, round(2 / 3, 6)),
+            (1, "NotInEnum"): (1, 3, round(1 / 3, 6)),
+            (2, "TooShort"): (1, 2, 0.5),
+        }
+
+    def test_zero_violation_run_is_empty(self, spark):
+        import datetime as dt
+        from json_schema_rs_spark.operators.table_checks import (
+            violation_trend)
+        tx = spark.createDataFrame(
+            [("A", 0, dt.datetime(2026, 3, 1))],
+            "conv_id string, turn_idx int, ts timestamp")
+        empty_v = spark.createDataFrame(
+            [], "conv_id string, turn_idx int, instance_path string, "
+                "code string, message string")
+        assert violation_trend(tx, empty_v).count() == 0
