@@ -13,7 +13,7 @@ whose schema parses must produce the exact expected verdict.
 
 Until the corpus is vendored this reports one pinned skip (same pattern
 as the Iceberg branch test) — the harness is live code, not a promise.
-The equivalent generated corpus (504 cases, tests/suite_gen.py) plus the
+The equivalent generated corpus (676 cases, tests/suite_gen.py) plus the
 differential fuzz layer stand in for coverage meanwhile.
 """
 
