@@ -619,6 +619,23 @@ class TestContextBudget:
             assert "text#" not in part.split("\n")[0]
         assert v.count() == 1
 
+    def test_duplicate_idx_ties_share_inclusive_cumsum(self, spark):
+        # RANGE frame (the ANSI default): both rows of a duplicated
+        # turn_idx see the same inclusive cumulative value, so output is
+        # deterministic even on tables that also fail uniqueness
+        from json_schema_rs_spark.operators.table_checks import (
+            context_budget_violations)
+        rows = [("A", 0, "a b"), ("A", 1, "c d"), ("A", 1, "e f")]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        out = context_budget_violations(df, 3).collect()
+        # cum at idx 1 = 2 + 2 + 2 = 6 for BOTH tied rows
+        assert sorted((r.turn_idx, r.message) for r in out) == [
+            (1, "/text: cumulative 6 whitespace tokens exceeds "
+                "context budget 3"),
+            (1, "/text: cumulative 6 whitespace tokens exceeds "
+                "context budget 3"),
+        ]
+
 
 class TestViolationTrend:
     def test_rates_by_bucket_and_code(self, spark):
