@@ -2908,6 +2908,59 @@ FROM r GROUP BY md5(text)
 """
 
 
+def _q_d_conv_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # conversation-grain NEAR-dup pairs: render_conversations |>
+    # minhash_lsh_pairs — the fuzzy complement of d_conv_dedup ("same
+    # conversation re-ingested with one edited turn"). Both engines salt
+    # the corpus with a deterministic near-identical variant of every
+    # conversation (turn 0's text gets ' v2' appended), so the pair set
+    # is non-trivial and never byte-identical; at 32 bands the LSH miss
+    # probability at J>=0.8 is ~6.5e-15, so the exact-Jaccard oracle
+    # reproduces the result (same argument as d_minhash_lsh).
+    from json_schema_rs_spark.operators.packing import render_conversations
+    tx = _transcripts_with_tools(_t(spark, sf_dir, "events"))
+    var = (tx.withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("~v")))
+             .withColumn("text",
+                         F.when(F.col("turn_idx") == 0,
+                                F.concat(F.col("text"), F.lit(" v2")))
+                         .otherwise(F.col("text"))))
+    corpus = render_conversations(tx.unionByName(var)) \
+        .withColumnRenamed("conv_id", "doc_id")
+    return dedup.minhash_lsh_pairs(corpus, n=3, threshold=0.8, bands=32)
+
+
+_SQL_D_CONV_FUZZY = f"""
+WITH tx AS ({_ORACLE_TX_TOOLS}),
+txv AS (
+  SELECT conv_id, turn_idx, role, text FROM tx
+  UNION ALL
+  SELECT conv_id || '~v', turn_idx, role,
+         CASE WHEN turn_idx = 0 THEN text || ' v2' ELSE text END
+  FROM tx),
+r AS (SELECT conv_id AS doc_id,
+             string_agg('<|' || coalesce(role, 'unknown') || '|>'
+                        || chr(10) || coalesce(text, ''), chr(10)
+                        ORDER BY coalesce(turn_idx, -2147483648),
+                                 coalesce(role, 'unknown'),
+                                 coalesce(text, '')) AS text
+      FROM txv GROUP BY doc_id),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM r),
+sh AS (SELECT doc_id,
+              list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+                             for i in range(1, len(ws) - 1)]) AS s
+       FROM w),
+ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+sz AS (SELECT doc_id, len(s) AS n FROM sh)
+SELECT doc_a, doc_b,
+       inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
+FROM p JOIN sz sa ON p.doc_a = sa.doc_id JOIN sz sb ON p.doc_b = sb.doc_id
+WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.8
+"""
+
+
 def _q_x_render_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # transcripts -> training-ready sequences: each conversation's turns
     # rendered in stable (turn_idx, role, text) order into one canonical
@@ -3339,6 +3392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_boilerplate": _q_x_boilerplate,
         "x_url_domains": _q_x_url_domains,
         "d_conv_dedup": _q_d_conv_dedup,
+        "d_conv_fuzzy": _q_d_conv_fuzzy,
         # temporal operators + schema-registry routing
         "e_sessionize": _q_e_sessionize,
         "e_asof_join": _q_e_asof_join,
@@ -3457,6 +3511,7 @@ def oracle_sql() -> dict[str, str]:
         "x_boilerplate": _SQL_X_BOILERPLATE,
         "x_url_domains": _SQL_X_URL_DOMAINS,
         "d_conv_dedup": _SQL_D_CONV_DEDUP,
+        "d_conv_fuzzy": _SQL_D_CONV_FUZZY,
         "e_sessionize": _SQL_E_SESSIONIZE,
         "e_asof_join": _SQL_E_ASOF_JOIN,
         "v_multi_spec": _SQL_V_MULTI_SPEC,

@@ -94,6 +94,7 @@ HEADLINE = [
     "x_corpus_report",
     "t_context_budget",
     "s_violation_trend",
+    "d_conv_fuzzy",
 ]
 
 
