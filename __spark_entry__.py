@@ -2913,37 +2913,46 @@ def _q_d_conv_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash_lsh_pairs — the fuzzy complement of d_conv_dedup ("same
     # conversation re-ingested with one edited turn"). Both engines salt
     # the corpus with a deterministic near-identical variant of every
-    # conversation (turn 0's text gets ' v2' appended), so the pair set
-    # is non-trivial and never byte-identical; at 32 bands the LSH miss
-    # probability at J>=0.8 is ~6.5e-15, so the exact-Jaccard oracle
-    # reproduces the result (same argument as d_minhash_lsh).
+    # conversation (the rendered sequence with ' v2' appended), so the
+    # pair set is non-trivial and never byte-identical; at 32 bands the
+    # LSH miss probability at J>=0.8 is ~6.5e-15, so the exact-Jaccard
+    # oracle reproduces the result (same argument as d_minhash_lsh).
     from json_schema_rs_spark.operators.packing import render_conversations
     tx = _transcripts_with_tools(_t(spark, sf_dir, "events"))
-    var = (tx.withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("~v")))
-             .withColumn("text",
-                         F.when(F.col("turn_idx") == 0,
-                                F.concat(F.col("text"), F.lit(" v2")))
-                         .otherwise(F.col("text"))))
-    corpus = render_conversations(tx.unionByName(var)) \
-        .withColumnRenamed("conv_id", "doc_id")
+    # salt AFTER rendering: the variant is a row-local edit of the
+    # already-rendered sequence, so the conversation window/shuffle runs
+    # once, not twice (the turn-level variant formulation re-rendered
+    # the whole corpus for a 3-shingle difference)
+    # row-local 2-way explode, not a union: a union's branches each
+    # re-run the render aggregate, an explode fans out the single pass
+    r = (render_conversations(tx)
+         .select(F.col("conv_id").alias("doc_id"), "text"))
+    corpus = r.select(F.explode(F.array(
+        F.struct(F.col("doc_id"), F.col("text")),
+        F.struct(F.concat(F.col("doc_id"), F.lit("~v")).alias("doc_id"),
+                 F.concat(F.col("text"), F.lit(" v2")).alias("text")),
+    )).alias("_s")).select("_s.doc_id", "_s.text")
+    # materialize the rendered corpus once: minhash_lsh_pairs scans its
+    # input on 3 branches (signature, buckets, exact verify) and would
+    # re-run the render aggregate per branch — at real scale the rendered
+    # corpus is written to Iceberg once and dedup reads THAT (same flow
+    # as d_dup_groups' per-round checkpoint; cost lands in compile_sec)
+    corpus = corpus.localCheckpoint(eager=True)
     return dedup.minhash_lsh_pairs(corpus, n=3, threshold=0.8, bands=32)
 
 
 _SQL_D_CONV_FUZZY = f"""
 WITH tx AS ({_ORACLE_TX_TOOLS}),
-txv AS (
-  SELECT conv_id, turn_idx, role, text FROM tx
-  UNION ALL
-  SELECT conv_id || '~v', turn_idx, role,
-         CASE WHEN turn_idx = 0 THEN text || ' v2' ELSE text END
-  FROM tx),
-r AS (SELECT conv_id AS doc_id,
-             string_agg('<|' || coalesce(role, 'unknown') || '|>'
-                        || chr(10) || coalesce(text, ''), chr(10)
-                        ORDER BY coalesce(turn_idx, -2147483648),
-                                 coalesce(role, 'unknown'),
-                                 coalesce(text, '')) AS text
-      FROM txv GROUP BY doc_id),
+r0 AS (SELECT conv_id AS doc_id,
+              string_agg('<|' || coalesce(role, 'unknown') || '|>'
+                         || chr(10) || coalesce(text, ''), chr(10)
+                         ORDER BY coalesce(turn_idx, -2147483648),
+                                  coalesce(role, 'unknown'),
+                                  coalesce(text, '')) AS text
+       FROM tx GROUP BY conv_id),
+r AS (SELECT doc_id, text FROM r0
+      UNION ALL
+      SELECT doc_id || '~v', text || ' v2' FROM r0),
 w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM r),
 sh AS (SELECT doc_id,
               list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
