@@ -2970,6 +2970,52 @@ WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.8
 """
 
 
+def _q_d_conv_fuzzy_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pairs -> transitive GROUPS at conversation grain (the full fuzzy
+    # conv-dedup story: render |> LSH pairs |> connected components with
+    # min-id survivor); the oracle closes the exact pair set with a
+    # recursive CTE, as d_dup_groups does at document grain
+    return dedup.near_dup_groups(_q_d_conv_fuzzy(spark, sf_dir))
+
+
+_SQL_D_CONV_FUZZY_GROUPS = f"""
+WITH RECURSIVE
+tx AS ({_ORACLE_TX_TOOLS}),
+r0 AS (SELECT conv_id AS doc_id,
+              string_agg('<|' || coalesce(role, 'unknown') || '|>'
+                         || chr(10) || coalesce(text, ''), chr(10)
+                         ORDER BY coalesce(turn_idx, -2147483648),
+                                  coalesce(role, 'unknown'),
+                                  coalesce(text, '')) AS text
+       FROM tx GROUP BY conv_id),
+r AS (SELECT doc_id, text FROM r0
+      UNION ALL
+      SELECT doc_id || '~v', text || ' v2' FROM r0),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM r),
+sh AS (SELECT doc_id,
+              list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+                             for i in range(1, len(ws) - 1)]) AS s
+       FROM w),
+ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+pr AS (SELECT doc_a, doc_b
+       FROM p JOIN sz sa ON p.doc_a = sa.doc_id
+              JOIN sz sb ON p.doc_b = sb.doc_id
+       WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.8),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pr
+      UNION SELECT doc_b, doc_a FROM pr),
+reach(n, m) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM e) t
+    UNION
+    SELECT r2.n, e.b FROM reach r2 JOIN e ON r2.m = e.a
+)
+SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n
+"""
+
+
 def _q_x_render_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # transcripts -> training-ready sequences: each conversation's turns
     # rendered in stable (turn_idx, role, text) order into one canonical
@@ -3402,6 +3448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_url_domains": _q_x_url_domains,
         "d_conv_dedup": _q_d_conv_dedup,
         "d_conv_fuzzy": _q_d_conv_fuzzy,
+        "d_conv_fuzzy_groups": _q_d_conv_fuzzy_groups,
         # temporal operators + schema-registry routing
         "e_sessionize": _q_e_sessionize,
         "e_asof_join": _q_e_asof_join,
@@ -3521,6 +3568,7 @@ def oracle_sql() -> dict[str, str]:
         "x_url_domains": _SQL_X_URL_DOMAINS,
         "d_conv_dedup": _SQL_D_CONV_DEDUP,
         "d_conv_fuzzy": _SQL_D_CONV_FUZZY,
+        "d_conv_fuzzy_groups": _SQL_D_CONV_FUZZY_GROUPS,
         "e_sessionize": _SQL_E_SESSIONIZE,
         "e_asof_join": _SQL_E_ASOF_JOIN,
         "v_multi_spec": _SQL_V_MULTI_SPEC,

@@ -95,6 +95,7 @@ HEADLINE = [
     "t_context_budget",
     "s_violation_trend",
     "d_conv_fuzzy",
+    "d_conv_fuzzy_groups",
 ]
 
 

@@ -522,9 +522,11 @@ def near_dup_groups(
     even when A~C itself is below threshold.
 
     Three interchangeable algorithms (identical output; the distributed
-    ones shuffle only ``(bigint, bigint)`` rows — at 10^11 docs the edge
-    table is a skinny fraction of the corpus, only docs occurring in a
-    candidate pair):
+    ones shuffle only skinny id-pair rows — bigint for numeric ids,
+    the id's own type for string ids (UUIDs), where "smallest" means
+    binary/lexicographic order — at 10^11 docs the edge table is a
+    skinny fraction of the corpus, only docs occurring in a candidate
+    pair):
 
     - ``method="auto"`` (default): materialize the edge set once
       (``localCheckpoint`` — both iterative methods do this anyway) and
@@ -557,8 +559,15 @@ def near_dup_groups(
     ``max_iter`` exhausted before convergence the partial result is
     still a valid over-segmentation (every label names a doc in the
     component); raise ``max_iter`` for pathological graphs."""
-    e = (pairs.select(F.col(a_col).cast("bigint").alias("src"),
-                      F.col(b_col).cast("bigint").alias("dst"))
+    # numeric ids normalize to bigint (8-byte shuffle keys); string ids
+    # (UUIDs, composite keys) pass through unchanged — every step below
+    # (joins, min/least label folds, union-find) is order-based, not
+    # arithmetic, so both id families share one implementation
+    from pyspark.sql.types import NumericType
+    a, b = F.col(a_col), F.col(b_col)
+    if isinstance(pairs.schema[a_col].dataType, NumericType):
+        a, b = a.cast("bigint"), b.cast("bigint")
+    e = (pairs.select(a.alias("src"), b.alias("dst"))
               .filter(F.col("src") != F.col("dst")))
     if method == "auto":
         e = e.localCheckpoint(eager=True)
@@ -679,7 +688,8 @@ def _cc_driver(e: DataFrame) -> DataFrame:
             comp_min[r] = n
     rows = [(n, comp_min[find(n)]) for n in parent]
     from ..functions.exprs import arrow_local_df
-    return arrow_local_df(spark, rows, "doc_id bigint, group_id bigint")
+    t = e.schema["src"].dataType.simpleString()
+    return arrow_local_df(spark, rows, f"doc_id {t}, group_id {t}")
 
 
 def _cc_min_label(e: DataFrame, max_iter: int) -> tuple[DataFrame, int]:

@@ -187,3 +187,20 @@ def test_canonical_no_window_one_agg(spark):
         .executedPlan().toString()
     assert "Window" not in plan
     assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_string_ids_supported_all_methods(spark):
+    # UUID-ish string doc ids: id type passes through, min label is
+    # lexicographic, all three algorithms agree
+    from json_schema_rs_spark.operators.dedup import near_dup_groups
+    pairs = spark.createDataFrame(
+        [("b", "a", 0.9), ("b", "c", 0.9), ("x", "y", 0.85)],
+        "doc_a string, doc_b string, jaccard double")
+    want = {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+    for m in ("driver", "star", "label"):
+        got = {(r.doc_id, r.group_id)
+               for r in near_dup_groups(pairs, method=m).collect()}
+        assert got == want, m
+        out = near_dup_groups(pairs, method=m)
+        assert dict(out.dtypes) == {"doc_id": "string",
+                                    "group_id": "string"}
