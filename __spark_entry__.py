@@ -2917,14 +2917,26 @@ def _q_d_conv_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair set is non-trivial and never byte-identical; at 32 bands the
     # LSH miss probability at J>=0.8 is ~6.5e-15, so the exact-Jaccard
     # oracle reproduces the result (same argument as d_minhash_lsh).
+    corpus = _conv_fuzzy_corpus(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(corpus, n=3, threshold=0.8, bands=32)
+
+
+def _conv_fuzzy_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant-salted rendered corpus shared by the d_conv_fuzzy* family.
+
+    Salt AFTER rendering: the variant is a row-local edit of the
+    already-rendered sequence, so the conversation window/shuffle runs
+    once, not twice (the turn-level variant formulation re-rendered the
+    whole corpus for a 3-shingle difference). Row-local 2-way explode,
+    not a union: a union's branches each re-run the render aggregate, an
+    explode fans out the single pass. Finally materialize once
+    (localCheckpoint): minhash_lsh_pairs scans its input on 3 branches
+    (signature, buckets, exact verify) and would re-run the render
+    aggregate per branch — at real scale the rendered corpus is written
+    to Iceberg once and dedup reads THAT (same flow as d_dup_groups'
+    per-round checkpoint; cost lands in compile_sec)."""
     from json_schema_rs_spark.operators.packing import render_conversations
     tx = _transcripts_with_tools(_t(spark, sf_dir, "events"))
-    # salt AFTER rendering: the variant is a row-local edit of the
-    # already-rendered sequence, so the conversation window/shuffle runs
-    # once, not twice (the turn-level variant formulation re-rendered
-    # the whole corpus for a 3-shingle difference)
-    # row-local 2-way explode, not a union: a union's branches each
-    # re-run the render aggregate, an explode fans out the single pass
     r = (render_conversations(tx)
          .select(F.col("conv_id").alias("doc_id"), "text"))
     corpus = r.select(F.explode(F.array(
@@ -2932,13 +2944,7 @@ def _q_d_conv_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.concat(F.col("doc_id"), F.lit("~v")).alias("doc_id"),
                  F.concat(F.col("text"), F.lit(" v2")).alias("text")),
     )).alias("_s")).select("_s.doc_id", "_s.text")
-    # materialize the rendered corpus once: minhash_lsh_pairs scans its
-    # input on 3 branches (signature, buckets, exact verify) and would
-    # re-run the render aggregate per branch — at real scale the rendered
-    # corpus is written to Iceberg once and dedup reads THAT (same flow
-    # as d_dup_groups' per-round checkpoint; cost lands in compile_sec)
-    corpus = corpus.localCheckpoint(eager=True)
-    return dedup.minhash_lsh_pairs(corpus, n=3, threshold=0.8, bands=32)
+    return corpus.localCheckpoint(eager=True)
 
 
 _SQL_D_CONV_FUZZY = f"""
@@ -2976,6 +2982,82 @@ def _q_d_conv_fuzzy_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min-id survivor); the oracle closes the exact pair set with a
     # recursive CTE, as d_dup_groups does at document grain
     return dedup.near_dup_groups(_q_d_conv_fuzzy(spark, sf_dir))
+
+
+def _q_d_conv_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the capstone of the conversation-dedup story: groups -> the BEST
+    # copy per group (quality argmax over the rendered sequence, min-id
+    # ties), singletons surviving as their own group — canonical_docs
+    # exercised with STRING ids (conv ids), which the (-score, id)
+    # struct-argmax supports natively
+    from json_schema_rs_spark.operators.textstats import quality_score
+    corpus = _conv_fuzzy_corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(corpus, n=3, threshold=0.8, bands=32)
+    groups = dedup.near_dup_groups(pairs)
+    scored = quality_score(corpus, text_col="text", id_col="doc_id") \
+        .select("doc_id", "quality")
+    return dedup.canonical_docs(scored, groups)
+
+
+_SQL_D_CONV_CANONICAL = f"""
+WITH RECURSIVE
+tx AS ({_ORACLE_TX_TOOLS}),
+r0 AS (SELECT conv_id AS doc_id,
+              string_agg('<|' || coalesce(role, 'unknown') || '|>'
+                         || chr(10) || coalesce(text, ''), chr(10)
+                         ORDER BY coalesce(turn_idx, -2147483648),
+                                  coalesce(role, 'unknown'),
+                                  coalesce(text, '')) AS text
+       FROM tx GROUP BY conv_id),
+r AS (SELECT doc_id, text FROM r0
+      UNION ALL
+      SELECT doc_id || '~v', text || ' v2' FROM r0),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM r),
+sh AS (SELECT doc_id,
+              list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+                             for i in range(1, len(ws) - 1)]) AS s
+       FROM w),
+ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+pr AS (SELECT doc_a, doc_b
+       FROM p JOIN sz sa ON p.doc_a = sa.doc_id
+              JOIN sz sb ON p.doc_b = sb.doc_id
+       WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.8),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pr
+      UNION SELECT doc_b, doc_a FROM pr),
+reach(n, m) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM e) t
+    UNION
+    SELECT r2.n, e.b FROM reach r2 JOIN e ON r2.m = e.a
+),
+g AS (SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n),
+qb AS (SELECT doc_id, length(text)::DOUBLE AS nc,
+  len(string_split(text, ' '))::DOUBLE AS nw,
+  len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE AS np,
+  len(list_filter(string_split(text, ' '),
+      x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x)))::DOUBLE AS ns
+FROM r),
+q AS (SELECT doc_id,
+  round(0.4 * least(nc / 500.0, 1.0) + 0.3 * least(ns / nw * 5, 1.0)
+      + 0.2 * least(((nc - (nw - 1)) / nw) / 8, 1.0)
+      + 0.1 * (1.0 - least(coalesce(np / nullif(nc, 0), 0.0) * 10, 1.0)), 6)
+    AS quality
+FROM qb),
+best AS (SELECT doc_id, group_id, group_size, quality FROM (
+  SELECT q.doc_id, g.group_id,
+         count(*) OVER (PARTITION BY g.group_id) AS group_size,
+         q.quality,
+         row_number() OVER (PARTITION BY g.group_id
+                            ORDER BY q.quality DESC, q.doc_id) AS rn
+  FROM g JOIN q USING (doc_id)) WHERE rn = 1)
+SELECT * FROM best
+UNION ALL
+SELECT doc_id, doc_id AS group_id, 1::BIGINT AS group_size, quality
+FROM q WHERE doc_id NOT IN (SELECT doc_id FROM g)
+"""
 
 
 _SQL_D_CONV_FUZZY_GROUPS = f"""
@@ -3449,6 +3531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_conv_dedup": _q_d_conv_dedup,
         "d_conv_fuzzy": _q_d_conv_fuzzy,
         "d_conv_fuzzy_groups": _q_d_conv_fuzzy_groups,
+        "d_conv_canonical": _q_d_conv_canonical,
         # temporal operators + schema-registry routing
         "e_sessionize": _q_e_sessionize,
         "e_asof_join": _q_e_asof_join,
@@ -3569,6 +3652,7 @@ def oracle_sql() -> dict[str, str]:
         "d_conv_dedup": _SQL_D_CONV_DEDUP,
         "d_conv_fuzzy": _SQL_D_CONV_FUZZY,
         "d_conv_fuzzy_groups": _SQL_D_CONV_FUZZY_GROUPS,
+        "d_conv_canonical": _SQL_D_CONV_CANONICAL,
         "e_sessionize": _SQL_E_SESSIONIZE,
         "e_asof_join": _SQL_E_ASOF_JOIN,
         "v_multi_spec": _SQL_V_MULTI_SPEC,

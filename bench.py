@@ -96,6 +96,7 @@ HEADLINE = [
     "s_violation_trend",
     "d_conv_fuzzy",
     "d_conv_fuzzy_groups",
+    "d_conv_canonical",
 ]
 
 

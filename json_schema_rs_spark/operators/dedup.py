@@ -619,25 +619,32 @@ def canonical_docs(
     src/validator/mod.rs:378-397`); this lifts "which duplicate
     survives" to an explicit, scored policy.
 
-    Scale shape: ``groups`` is skinny (two bigints, only docs in some
-    candidate pair — orders smaller than the corpus after LSH). The
-    member-score join shuffles only ``(id, score)`` + group rows; the
-    per-group argmax is ONE hash aggregate with map-side partial combine
-    (max of a (score, -id) struct — no window, no per-group sort); the
-    singleton side is a left-anti join on the skinny group table, which
-    AQE turns into a broadcast anti join whenever groups fit. The
-    corpus text never shuffles."""
+    Scale shape: ``groups`` is skinny (two ids — bigint or string, only
+    docs in some candidate pair — orders smaller than the corpus after
+    LSH). The member-score join shuffles only ``(id, score)`` + group
+    rows; the per-group argmax is ONE hash aggregate with map-side
+    partial combine (min of a (-score, id) struct — no window, no
+    per-group sort); the singleton side is a left-anti join on the
+    skinny group table, which AQE turns into a broadcast anti join
+    whenever groups fit. The corpus text never shuffles."""
     scored = df.select(F.col(id_col), F.col(score_col))
     members = groups.select(F.col(id_col), "group_id").join(
         scored, id_col)
-    # argmax as max-of-struct: (score, -id) orders by score then min id;
-    # one codegen'd aggregate instead of a window sort per group
+    # argmax as min-of-struct: (-score, id) orders by score DESC then id
+    # ASC — one codegen'd aggregate instead of a window sort per group.
+    # Negating the SCORE (always numeric) instead of the id keeps the
+    # trick id-type-agnostic (string/UUID ids order lexicographically);
+    # NULL scores coalesce to -inf so a scored copy always beats an
+    # unscored one (all-NULL group -> min id survives, score NULL)
+    neg = -F.coalesce(F.col(score_col).cast("double"),
+                      F.lit(float("-inf")))
     best = (members
             .groupBy("group_id")
-            .agg(F.max(F.struct(F.col(score_col).alias("_s"),
-                                (-F.col(id_col)).alias("_negid"))).alias("_m"),
+            .agg(F.min(F.struct(neg.alias("_ns"),
+                                F.col(id_col).alias("_id"),
+                                F.col(score_col).alias("_s"))).alias("_m"),
                  F.count(F.lit(1)).alias("group_size"))
-            .select((-F.col("_m._negid")).alias(id_col),
+            .select(F.col("_m._id").alias(id_col),
                     F.col("group_id"),
                     F.col("group_size"),
                     F.col("_m._s").alias(score_col)))

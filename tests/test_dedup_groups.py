@@ -186,7 +186,7 @@ def test_canonical_no_window_one_agg(spark):
     plan = canonical_docs(scored, groups)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Window" not in plan
-    assert "partial_max" in plan or "HashAggregate" in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
 
 
 def test_string_ids_supported_all_methods(spark):
@@ -204,3 +204,23 @@ def test_string_ids_supported_all_methods(spark):
         out = near_dup_groups(pairs, method=m)
         assert dict(out.dtypes) == {"doc_id": "string",
                                     "group_id": "string"}
+
+
+def test_canonical_string_ids_and_null_scores(spark):
+    # conv-grain usage: string ids order lexicographically for ties;
+    # a scored copy always beats a NULL-scored one; an all-NULL group
+    # falls back to min id with a NULL score
+    from json_schema_rs_spark.operators.dedup import canonical_docs
+    scored = spark.createDataFrame(
+        [("b", 0.4), ("a", None), ("c", 0.4),       # group g1
+         ("x", None), ("y", None)],                 # group g2: all NULL
+        "doc_id string, quality double")
+    groups = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")],
+        "doc_id string, group_id string")
+    out = {r["doc_id"]: (r["group_id"], r["group_size"], r["quality"])
+           for r in canonical_docs(scored, groups).collect()}
+    assert out == {"b": ("a", 3, 0.4),   # 0.4 tie -> min string id "b"
+                   "x": ("x", 2, None)}  # all-NULL -> min id, NULL score
+    dt = dict(canonical_docs(scored, groups).dtypes)
+    assert dt["doc_id"] == "string" and dt["group_id"] == "string"
