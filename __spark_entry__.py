@@ -3306,6 +3306,33 @@ FROM sess GROUP BY user_id, session_seq
 """
 
 
+def _q_e_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation inter-turn latency profile with 12h stale-gap
+    detection (temporal.turn_latency_stats): integer-microsecond sums and
+    max are bit-exact cross-engine; avg is one rounded IEEE division."""
+    from json_schema_rs_spark.operators.temporal import turn_latency_stats
+    tx = _transcripts_from_events(_t(spark, sf_dir, "events"))
+    return turn_latency_stats(tx, stale_seconds=43200)
+
+
+_SQL_E_TURN_LATENCY = f"""
+WITH tx AS ({_ORACLE_TX_TOOLS}),
+g AS (SELECT conv_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+                 PARTITION BY conv_id ORDER BY turn_idx)) AS gap_us
+      FROM tx)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(sum(CASE WHEN gap_us > 43200000000::BIGINT
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_stale,
+       round(sum(gap_us) / (count(*) * 1000000.0), 6) AS avg_gap_sec
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY conv_id
+"""
+
+
 def _q_e_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (temporal.py): every click event picks up the most
     recent PRIOR error event of the same user (its ts + value), the
@@ -3535,6 +3562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temporal operators + schema-registry routing
         "e_sessionize": _q_e_sessionize,
         "e_asof_join": _q_e_asof_join,
+        "e_turn_latency": _q_e_turn_latency,
         "v_multi_spec": _q_v_multi_spec,
         # multimodal plumbing
         "m_media_meta": _q_m_media,
@@ -3655,6 +3683,7 @@ def oracle_sql() -> dict[str, str]:
         "d_conv_canonical": _SQL_D_CONV_CANONICAL,
         "e_sessionize": _SQL_E_SESSIONIZE,
         "e_asof_join": _SQL_E_ASOF_JOIN,
+        "e_turn_latency": _SQL_E_TURN_LATENCY,
         "v_multi_spec": _SQL_V_MULTI_SPEC,
         "m_media_meta": _SQL_M_MEDIA,
         "m_frame_plan": _SQL_M_FRAMES,

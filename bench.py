@@ -97,6 +97,7 @@ HEADLINE = [
     "d_conv_fuzzy",
     "d_conv_fuzzy_groups",
     "d_conv_canonical",
+    "e_turn_latency",
 ]
 
 

@@ -109,6 +109,57 @@ def session_stats(
                 / F.lit(1_000_000.0)))
 
 
+def turn_latency_stats(
+    df: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = (),
+    stale_seconds: Optional[float] = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-conversation inter-turn latency profile — the ops complement
+    of :func:`~..operators.table_checks.monotonic_ts_violations`: instead
+    of flagging out-of-order timestamps, measure how long turns take.
+    One row per conversation with ≥2 turns: ``(conv_id, n_gaps,
+    sum_gap_us, max_gap_us, avg_gap_sec[, n_stale])`` where a gap is the
+    microsecond delta from the previous turn in ``idx_col`` order
+    (``order_cols`` break idx ties deterministically) and ``n_stale``
+    counts gaps above ``stale_seconds`` (agent-went-dark detection).
+    Single-turn conversations have no gaps and are absent by
+    construction; negative gaps (non-monotonic timestamps — the
+    violation operator's job) enter the sums as-is, keeping the profile
+    a pure measurement.
+
+    Exactness: sums/max are integer microseconds (bit-exact
+    cross-engine); ``avg_gap_sec`` is one IEEE division rounded to
+    ``round_digits``.
+
+    Scale shape: the gap is computed in a skinny ``(conv, ts)`` window
+    projection — ONE exchange on ``conv_col``; the per-conversation
+    aggregate rides the window's hash partitioning (no second Exchange,
+    same fusion as :func:`session_stats`); wide columns never move."""
+    w = Window.partitionBy(conv_col).orderBy(idx_col, *order_cols)
+    gap = _micros(F.col(ts_col)) - _micros(F.lag(F.col(ts_col)).over(w))
+    per = (df.select(F.col(conv_col), F.col(idx_col),
+                     *[F.col(c) for c in order_cols], F.col(ts_col))
+             .select(F.col(conv_col), gap.alias("_gap_us"))
+             .filter(F.col("_gap_us").isNotNull()))
+    aggs = [F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("_gap_us").alias("sum_gap_us"),
+            F.max("_gap_us").alias("max_gap_us")]
+    if stale_seconds is not None:
+        aggs.append(F.sum(
+            (F.col("_gap_us") > F.lit(int(stale_seconds * 1_000_000)))
+            .cast("long")).alias("n_stale"))
+    return (per.groupBy(conv_col).agg(*aggs)
+            .withColumn("avg_gap_sec",
+                        F.round(F.col("sum_gap_us")
+                                / (F.col("n_gaps") * F.lit(1_000_000.0)),
+                                round_digits)))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

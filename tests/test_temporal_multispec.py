@@ -265,3 +265,45 @@ class TestMultiSpec:
         with pytest.raises(ValueError, match="unknown strategy"):
             multi_spec_validate(self._df(spark), {"v1": SPEC_V1},
                                 strategy="magic")
+
+
+class TestTurnLatency:
+    def test_gaps_sums_and_stale(self, spark):
+        import datetime as dt
+        from json_schema_rs_spark.operators.temporal import (
+            turn_latency_stats)
+        t0 = dt.datetime(2026, 3, 1, 12, 0, 0)
+        s = dt.timedelta(seconds=1)
+        rows = [
+            ("A", 0, t0), ("A", 1, t0 + 2 * s),        # gap 2s
+            ("A", 2, t0 + 2 * s + dt.timedelta(microseconds=500_000)),
+            # gap 0.5s — sub-second exactness
+            ("A", 3, t0 + 100 * s),                    # gap 97.5s (stale)
+            ("B", 0, t0),                               # single turn
+            ("C", 0, t0 + 10 * s), ("C", 1, t0),        # NEGATIVE gap
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, ts timestamp")
+        out = {r.conv_id: r for r in turn_latency_stats(
+            df, stale_seconds=60).collect()}
+        assert "B" not in out                 # no gaps -> absent
+        a = out["A"]
+        assert (a.n_gaps, a.sum_gap_us, a.max_gap_us, a.n_stale) == \
+            (3, 100_000_000, 97_500_000, 1)
+        assert a.avg_gap_sec == round(100.0 / 3, 6)
+        c = out["C"]                          # negative gap measured as-is
+        assert (c.n_gaps, c.sum_gap_us, c.max_gap_us, c.n_stale) == \
+            (1, -10_000_000, -10_000_000, 0)
+
+    def test_single_exchange_fused_aggregate(self, spark):
+        import datetime as dt
+        from json_schema_rs_spark.operators.temporal import (
+            turn_latency_stats)
+        df = spark.createDataFrame(
+            [("A", 0, dt.datetime(2026, 3, 1)),
+             ("A", 1, dt.datetime(2026, 3, 2))],
+            "conv_id string, turn_idx int, ts timestamp")
+        v = turn_latency_stats(df)
+        plan = v._jdf.queryExecution().executedPlan().toString()
+        # the aggregate rides the window's conv_id hash partitioning
+        assert plan.count("Exchange") == 1
