@@ -3333,6 +3333,31 @@ GROUP BY conv_id
 """
 
 
+def _q_e_role_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide response latency by adjacent role pair
+    (temporal.role_pair_latency): |roles|^2-row dashboard output,
+    integer-microsecond sums bit-exact cross-engine."""
+    from json_schema_rs_spark.operators.temporal import role_pair_latency
+    tx = _transcripts_from_events(_t(spark, sf_dir, "events"))
+    return role_pair_latency(tx)
+
+
+_SQL_E_ROLE_LATENCY = f"""
+WITH tx AS ({_ORACLE_TX_TOOLS}),
+g AS (SELECT lag(role) OVER w AS prev_role, role,
+             epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+      FROM tx
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+SELECT prev_role, role,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       round(sum(gap_us) / (count(*) * 1000000.0), 6) AS avg_gap_sec
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY prev_role, role
+"""
+
+
 def _q_e_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (temporal.py): every click event picks up the most
     recent PRIOR error event of the same user (its ts + value), the
@@ -3563,6 +3588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_sessionize": _q_e_sessionize,
         "e_asof_join": _q_e_asof_join,
         "e_turn_latency": _q_e_turn_latency,
+        "e_role_latency": _q_e_role_latency,
         "v_multi_spec": _q_v_multi_spec,
         # multimodal plumbing
         "m_media_meta": _q_m_media,
@@ -3684,6 +3710,7 @@ def oracle_sql() -> dict[str, str]:
         "e_sessionize": _SQL_E_SESSIONIZE,
         "e_asof_join": _SQL_E_ASOF_JOIN,
         "e_turn_latency": _SQL_E_TURN_LATENCY,
+        "e_role_latency": _SQL_E_ROLE_LATENCY,
         "v_multi_spec": _SQL_V_MULTI_SPEC,
         "m_media_meta": _SQL_M_MEDIA,
         "m_frame_plan": _SQL_M_FRAMES,

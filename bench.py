@@ -98,6 +98,7 @@ HEADLINE = [
     "d_conv_fuzzy_groups",
     "d_conv_canonical",
     "e_turn_latency",
+    "e_role_latency",
 ]
 
 

@@ -160,6 +160,49 @@ def turn_latency_stats(
                                 round_digits)))
 
 
+def role_pair_latency(
+    df: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+    role_col: str = "role",
+    order_cols: Sequence[str] = (),
+    round_digits: int = 6,
+) -> DataFrame:
+    """Corpus-wide response latency by adjacent role pair — the question
+    behind :func:`turn_latency_stats` asked the way operators ask it:
+    "how fast does the assistant answer the user?". One row per observed
+    ``(prev_role, role)`` adjacency: ``(prev_role, role, n, sum_gap_us,
+    max_gap_us, avg_gap_sec)``; gaps are integer microseconds from the
+    previous turn in ``idx_col`` order, NULL roles reported as-is (the
+    role-vocabulary check owns their legality).
+
+    Scale shape: same skinny ``(conv, role, ts)`` window projection and
+    single ``conv_col`` exchange as the other per-conversation passes,
+    then ONE hash aggregate whose key cardinality is |roles|² — map-side
+    partial aggregation absorbs the corpus, and the result is
+    dashboard-sized at any input size."""
+    w = Window.partitionBy(conv_col).orderBy(idx_col, *order_cols)
+    gap = _micros(F.col(ts_col)) - _micros(F.lag(F.col(ts_col)).over(w))
+    prev_role = F.lag(F.col(role_col)).over(w)
+    per = (df.select(F.col(conv_col), F.col(idx_col),
+                     *[F.col(c) for c in order_cols],
+                     F.col(role_col), F.col(ts_col))
+             .select(prev_role.alias("prev_role"),
+                     F.col(role_col).alias("role"),
+                     gap.alias("_gap_us"))
+             .filter(F.col("_gap_us").isNotNull()))
+    return (per.groupBy("prev_role", "role")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("_gap_us").alias("sum_gap_us"),
+                 F.max("_gap_us").alias("max_gap_us"))
+            .withColumn("avg_gap_sec",
+                        F.round(F.col("sum_gap_us")
+                                / (F.col("n") * F.lit(1_000_000.0)),
+                                round_digits)))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

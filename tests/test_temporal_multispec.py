@@ -307,3 +307,45 @@ class TestTurnLatency:
         plan = v._jdf.queryExecution().executedPlan().toString()
         # the aggregate rides the window's conv_id hash partitioning
         assert plan.count("Exchange") == 1
+
+
+class TestRolePairLatency:
+    def test_pairs_and_null_roles(self, spark):
+        import datetime as dt
+        from json_schema_rs_spark.operators.temporal import (
+            role_pair_latency)
+        t0 = dt.datetime(2026, 3, 1, 12, 0, 0)
+        s = dt.timedelta(seconds=1)
+        rows = [
+            ("A", 0, "user", t0),
+            ("A", 1, "assistant", t0 + 2 * s),   # user->assistant 2s
+            ("A", 2, "user", t0 + 5 * s),        # assistant->user 3s
+            ("A", 3, "assistant", t0 + 9 * s),   # user->assistant 4s
+            ("B", 0, None, t0),
+            ("B", 1, "assistant", t0 + s),       # NULL->assistant 1s
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, ts timestamp")
+        out = {(r.prev_role, r.role): (r.n, r.sum_gap_us, r.max_gap_us,
+                                       r.avg_gap_sec)
+               for r in role_pair_latency(df).collect()}
+        assert out == {
+            ("user", "assistant"): (2, 6_000_000, 4_000_000, 3.0),
+            ("assistant", "user"): (1, 3_000_000, 3_000_000, 3.0),
+            (None, "assistant"): (1, 1_000_000, 1_000_000, 1.0),
+        }
+
+    def test_two_exchanges_window_then_tiny_agg(self, spark):
+        import datetime as dt
+        from json_schema_rs_spark.operators.temporal import (
+            role_pair_latency)
+        df = spark.createDataFrame(
+            [("A", 0, "u", dt.datetime(2026, 3, 1)),
+             ("A", 1, "a", dt.datetime(2026, 3, 2))],
+            "conv_id string, turn_idx int, role string, ts timestamp")
+        v = role_pair_latency(df)
+        plan = v._jdf.queryExecution().executedPlan().toString()
+        # conv window exchange + the |roles|^2-key aggregate exchange;
+        # the aggregate is map-side combined so only pair keys move
+        assert plan.count("Exchange") == 2
+        assert "partial" in plan.lower()
