@@ -1946,6 +1946,70 @@ def _q_a_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=10)
 
 
+def _q_v_vector_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-hygiene validation (similarity.vector_violations): both
+    engines salt the clean embeddings table with the same deterministic
+    defects (NaN / +inf / null-element at position 0, all-zero,
+    truncated-to-32, null vector — disjoint vec_id residue classes, one
+    fixed CASE order) so every check fires on real rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v, vid = F.col("embedding"), F.col("vec_id")
+    fl = lambda x: F.lit(x).cast("float")  # noqa: E731
+    salted = emb.select(vid, F.when(vid % 43 == 0,
+                                    F.lit(None).cast("array<float>"))
+                        .when(vid % 37 == 0, F.array_repeat(fl(0.0), 64))
+                        .when(vid % 41 == 0, F.slice(v, 1, 32))
+                        .when(vid % 29 == 0, F.concat(
+                            F.array(fl(float("nan"))), F.slice(v, 2, 63)))
+                        .when(vid % 31 == 0, F.concat(
+                            F.array(fl(float("inf"))), F.slice(v, 2, 63)))
+                        .when(vid % 47 == 0, F.concat(
+                            F.array(F.lit(None).cast("float")),
+                            F.slice(v, 2, 63)))
+                        .otherwise(v).alias("embedding"))
+    return similarity.vector_violations(salted, 64)
+
+
+_SQL_V_VECTOR_CHECK = """
+WITH s AS (SELECT vec_id,
+  CASE WHEN vec_id % 43 = 0 THEN NULL
+       WHEN vec_id % 37 = 0 THEN list_transform(embedding, x -> 0.0::FLOAT)
+       WHEN vec_id % 41 = 0 THEN embedding[1:32]
+       WHEN vec_id % 29 = 0 THEN list_concat(['nan'::FLOAT], embedding[2:64])
+       WHEN vec_id % 31 = 0 THEN list_concat(['infinity'::FLOAT], embedding[2:64])
+       WHEN vec_id % 47 = 0 THEN list_concat([NULL::FLOAT], embedding[2:64])
+       ELSE embedding END AS v
+  FROM embeddings)
+SELECT vec_id, '/embedding' AS instance_path, 'NullVector' AS code,
+       '/embedding: vector is null' AS message
+FROM s WHERE v IS NULL
+UNION ALL
+SELECT vec_id, '/embedding', 'WrongDimension',
+       '/embedding: expected 64 dimensions, got ' || CAST(len(v) AS VARCHAR)
+FROM s WHERE v IS NOT NULL AND len(v) != 64
+UNION ALL
+SELECT vec_id, '/embedding', 'NullElement',
+       '/embedding: vector contains null elements'
+FROM s WHERE v IS NOT NULL
+  AND len(list_filter(v, x -> x IS NULL)) > 0
+UNION ALL
+SELECT vec_id, '/embedding', 'ContainsNaN',
+       '/embedding: vector contains NaN'
+FROM s WHERE v IS NOT NULL AND isnan(list_aggregate(v, 'max'))
+UNION ALL
+SELECT vec_id, '/embedding', 'ContainsInfinity',
+       '/embedding: vector contains infinity'
+FROM s WHERE v IS NOT NULL
+  AND (list_aggregate(v, 'max') = 'infinity'::FLOAT
+       OR list_aggregate(v, 'min') = '-infinity'::FLOAT)
+UNION ALL
+SELECT vec_id, '/embedding', 'ZeroVector',
+       '/embedding: zero vector has undefined cosine'
+FROM s WHERE v IS NOT NULL AND len(v) > 0
+  AND list_aggregate(v, 'min') = 0 AND list_aggregate(v, 'max') = 0
+"""
+
+
 _SQL_A_COSINE = """
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
            FROM embeddings),
@@ -3543,6 +3607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_simhash_pairs": _q_d_simhash_pairs,
         # similarity search
         "a_cosine_topk": _q_a_cosine,
+        "v_vector_check": _q_v_vector_check,
         "a_quantized_topk": _q_a_quantized_topk,
         "a_cosine_dup_pairs": _q_a_cosine_dup,
         "a_cosine_dup_bucketed": _q_a_cosine_dup_bucketed,
@@ -3669,6 +3734,7 @@ def oracle_sql() -> dict[str, str]:
         "d_simhash": _SQL_D_SIMHASH,
         "d_simhash_pairs": _SQL_D_SIMHASH_PAIRS,
         "a_cosine_topk": _SQL_A_COSINE,
+        "v_vector_check": _SQL_V_VECTOR_CHECK,
         "a_quantized_topk": _SQL_A_QUANTIZED_TOPK,
         "a_cosine_dup_pairs": _SQL_A_COSINE_DUP,
         "a_cosine_dup_bucketed": _SQL_A_COSINE_DUP_BUCKETED,

@@ -99,6 +99,7 @@ HEADLINE = [
     "d_conv_canonical",
     "e_turn_latency",
     "e_role_latency",
+    "v_vector_check",
 ]
 
 

@@ -888,6 +888,66 @@ WHERE round(list_dot_product(ea.v, eb.v) /
 # is only the per-component rounding (recall-gated in tests).
 
 
+def vector_violations(
+    df: DataFrame,
+    dims: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Vector-hygiene validation — the engine's violation-row contract
+    extended to the embeddings modality, run BEFORE any ANN/dedup
+    consumer (a single NaN poisons every cosine it touches; a
+    wrong-dimension vector crashes the NumPy kernels). Collect-all rows
+    ``(id, instance_path, code, message)``: ``NullVector``,
+    ``WrongDimension`` (observed size in the message), ``NullElement``,
+    ``ContainsNaN``, ``ContainsInfinity``, ``ZeroVector`` (undefined
+    cosine).
+
+    Scale shape: every check is whole-stage codegen over the scan —
+    ``size`` / ``array_compact`` / ``array_min`` / ``array_max`` only,
+    no HOF lambdas, no Python, zero shuffle. NaN detection leans on
+    NaN-sorts-greatest (``array_max`` is NaN iff any element is —
+    matched by DuckDB's list max, oracle-checked); null elements are
+    skipped by min/max on BOTH engines, so a check never masks another.
+    """
+    from ..plans.compiler import VIOLATION_ARRAY_DDL
+
+    v, path = F.col(vec_col), "/" + vec_col
+    mx, mn, sz = F.array_max(v), F.array_min(v), F.size(v)
+
+    def viol(cond, code: str, message) -> F.Column:
+        return F.when(cond, F.array(F.struct(
+            F.lit(path).alias("instance_path"),
+            F.lit(code).alias("code"),
+            message.alias("message"),
+        ))).otherwise(F.array().cast(VIOLATION_ARRAY_DDL))
+
+    arr = F.concat(
+        viol(v.isNull(), "NullVector",
+             F.lit(f"{path}: vector is null")),
+        viol(v.isNotNull() & (sz != dims), "WrongDimension",
+             F.concat(F.lit(f"{path}: expected {dims} dimensions, got "),
+                      sz.cast("string"))),
+        viol(v.isNotNull() & (F.size(F.array_compact(v)) != sz),
+             "NullElement", F.lit(f"{path}: vector contains null "
+                                  f"elements")),
+        viol(v.isNotNull() & F.isnan(mx), "ContainsNaN",
+             F.lit(f"{path}: vector contains NaN")),
+        viol(v.isNotNull() & ((mx == F.lit(float("inf")))
+                              | (mn == F.lit(float("-inf")))),
+             "ContainsInfinity", F.lit(f"{path}: vector contains "
+                                       f"infinity")),
+        viol(v.isNotNull() & (sz > 0) & (mn == 0) & (mx == 0),
+             "ZeroVector", F.lit(f"{path}: zero vector has undefined "
+                                 f"cosine")),
+    )
+    base = df.select(F.col(id_col), arr.alias("_viol"))
+    return (explode_rows(base, [id_col], F.col("_viol"), "_v")
+            .select(F.col(id_col), "_v.instance_path", "_v.code",
+                    "_v.message"))
+
+
 def quantize_embeddings(
     df: DataFrame,
     *,

@@ -93,3 +93,51 @@ def test_quantized_topk_excludes_zero_vectors(spark):
 def test_quantized_topk_empty_query_set(spark, emb):
     out = similarity.quantized_topk(emb, emb.filter("vec_id < 0"), k=5)
     assert out.count() == 0
+
+
+class TestVectorViolations:
+    def test_every_check_fires_once(self, spark):
+        from json_schema_rs_spark.operators.similarity import (
+            vector_violations)
+        rows = [
+            (1, [1.0, 2.0, 3.0]),            # clean
+            (2, None),                        # NullVector
+            (3, [1.0, 2.0]),                  # WrongDimension
+            (4, [None, 2.0, 3.0]),            # NullElement
+            (5, [float("nan"), 2.0, 3.0]),    # ContainsNaN
+            (6, [float("inf"), 2.0, 3.0]),    # ContainsInfinity
+            (7, [float("-inf"), 2.0, 3.0]),   # ContainsInfinity (min side)
+            (8, [0.0, 0.0, 0.0]),             # ZeroVector
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>")
+        out = sorted((r.vec_id, r.code) for r in
+                     vector_violations(df, 3).collect())
+        assert out == [
+            (2, "NullVector"), (3, "WrongDimension"), (4, "NullElement"),
+            (5, "ContainsNaN"), (6, "ContainsInfinity"),
+            (7, "ContainsInfinity"), (8, "ZeroVector"),
+        ]
+        msgs = {r.vec_id: r.message for r in
+                vector_violations(df, 3).collect()}
+        assert msgs[3] == "/embedding: expected 3 dimensions, got 2"
+
+    def test_collect_all_multiple_codes_per_row(self, spark):
+        from json_schema_rs_spark.operators.similarity import (
+            vector_violations)
+        # wrong dim AND NaN: both rows emitted (collect-all contract)
+        df = spark.createDataFrame(
+            [(1, [float("nan"), 1.0])], "vec_id bigint, embedding array<float>")
+        codes = sorted(r.code for r in vector_violations(df, 3).collect())
+        assert codes == ["ContainsNaN", "WrongDimension"]
+
+    def test_zero_shuffle_no_python(self, spark):
+        from json_schema_rs_spark.operators.similarity import (
+            vector_violations)
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0])], "vec_id bigint, embedding array<float>")
+        plan = vector_violations(df, 2)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+        for bad in ("ArrowEvalPython", "BatchEvalPython", "cartesian"):
+            assert bad not in plan
