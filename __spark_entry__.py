@@ -1970,6 +1970,25 @@ def _q_v_vector_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.vector_violations(salted, 64)
 
 
+def _q_a_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization (similarity.normalize_embeddings): NumPy kernel,
+    rounding Spark-side; oracle re-derives unit vectors + norms with
+    DuckDB double arithmetic at the same fixed precision."""
+    return similarity.normalize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+_SQL_A_NORMALIZE = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+SELECT vec_id,
+       CASE WHEN nrm > 0
+            THEN list_transform(v, x -> round(x / nrm, 6)) END AS unit,
+       round(nrm, 6) AS norm
+FROM n
+"""
+
+
 _SQL_V_VECTOR_CHECK = """
 WITH s AS (SELECT vec_id,
   CASE WHEN vec_id % 43 = 0 THEN NULL
@@ -3608,6 +3627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "a_cosine_topk": _q_a_cosine,
         "v_vector_check": _q_v_vector_check,
+        "a_normalize": _q_a_normalize,
         "a_quantized_topk": _q_a_quantized_topk,
         "a_cosine_dup_pairs": _q_a_cosine_dup,
         "a_cosine_dup_bucketed": _q_a_cosine_dup_bucketed,
@@ -3735,6 +3755,7 @@ def oracle_sql() -> dict[str, str]:
         "d_simhash_pairs": _SQL_D_SIMHASH_PAIRS,
         "a_cosine_topk": _SQL_A_COSINE,
         "v_vector_check": _SQL_V_VECTOR_CHECK,
+        "a_normalize": _SQL_A_NORMALIZE,
         "a_quantized_topk": _SQL_A_QUANTIZED_TOPK,
         "a_cosine_dup_pairs": _SQL_A_COSINE_DUP,
         "a_cosine_dup_bucketed": _SQL_A_COSINE_DUP_BUCKETED,

@@ -100,6 +100,7 @@ HEADLINE = [
     "e_turn_latency",
     "e_role_latency",
     "v_vector_check",
+    "a_normalize",
 ]
 
 

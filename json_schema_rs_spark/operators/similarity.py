@@ -948,6 +948,69 @@ def vector_violations(
                     "_v.message"))
 
 
+def normalize_embeddings(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """L2-normalize every vector — the prep step that turns cosine into
+    a plain dot product downstream (and the companion of
+    :func:`vector_violations`, which catches the zero/NaN vectors this
+    cannot normalize). Output ``(id, unit array<double>, norm double)``;
+    zero-norm vectors get ``unit = NULL, norm = 0.0`` (undefined
+    direction stays undefined, never fabricated); NULL/empty vectors
+    pass through as ``(NULL, NULL)``.
+
+    Cross-engine: the squared norm accumulates in float64 (NumPy) and
+    the oracle re-derives it with DuckDB's double ``list_dot_product`` —
+    summation order may differ at the last ulp, so outputs are rounded
+    Spark-side to ``round_digits`` with the same ``F.round`` the cosine
+    family uses (the established convention: kernels emit unrounded,
+    rounding is a Spark expression).
+
+    Scale shape: embarrassingly parallel — one corpus scan, a NumPy
+    kernel per Arrow batch, zero shuffle (plan-asserted); the rounding
+    projection is row-local."""
+    import numpy as np
+
+    src = df.select(F.col(id_col).cast("bigint").alias(id_col),
+                    F.col(vec_col).alias("_v"))
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            vecs = pdf["_v"]
+            n = len(pdf)
+            ucol: list = [None] * n
+            ncol: list = [None] * n
+            lens = np.array([len(v) if v is not None else 0 for v in vecs],
+                            dtype="int64") if n else np.zeros(0, "int64")
+            for L in np.unique(lens[lens > 0]):
+                idx = np.nonzero(lens == L)[0]
+                mat = _stack_f64(vecs.iloc[idx])
+                nrm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    u = mat / nrm[:, None]
+                for vi, i in enumerate(idx):
+                    ncol[i] = float(nrm[vi])
+                    if nrm[vi] > 0.0:
+                        ucol[i] = u[vi].tolist()
+            yield pd.DataFrame({id_col: pdf[id_col], "unit": ucol,
+                                "norm": ncol})
+
+    out = src.mapInPandas(
+        run, schema=f"{id_col} bigint, unit array<double>, norm double")
+    if round_digits is not None:
+        out = out.select(
+            F.col(id_col),
+            F.transform("unit",
+                        lambda x: F.round(x, round_digits)).alias("unit"),
+            F.round("norm", round_digits).alias("norm"))
+    return out
+
+
 def quantize_embeddings(
     df: DataFrame,
     *,

@@ -141,3 +141,34 @@ class TestVectorViolations:
         assert "Exchange" not in plan
         for bad in ("ArrowEvalPython", "BatchEvalPython", "cartesian"):
             assert bad not in plan
+
+
+class TestNormalizeEmbeddings:
+    def test_unit_norms_and_edges(self, spark):
+        import math
+        from json_schema_rs_spark.operators.similarity import (
+            normalize_embeddings)
+        rows = [
+            (1, [3.0, 4.0]),        # norm 5, unit (0.6, 0.8)
+            (2, [0.0, 0.0]),        # zero: unit NULL, norm 0.0
+            (3, None),              # NULL passthrough
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>")
+        out = {r.vec_id: (r.unit, r.norm)
+               for r in normalize_embeddings(df).collect()}
+        assert out[1] == ([0.6, 0.8], 5.0)
+        assert out[2] == (None, 0.0)
+        assert out[3] == (None, None)
+        # unit vector has norm 1 (within rounding)
+        u = out[1][0]
+        assert abs(math.sqrt(sum(x * x for x in u)) - 1.0) < 1e-5
+
+    def test_zero_shuffle(self, spark):
+        from json_schema_rs_spark.operators.similarity import (
+            normalize_embeddings)
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0])], "vec_id bigint, embedding array<float>")
+        plan = normalize_embeddings(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
