@@ -2151,6 +2151,58 @@ WHERE round(list_dot_product(a.v, bb.v) /
 """
 
 
+def _q_a_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup end-to-end: IVF-bucketed pair generation -> transitive
+    # groups -> min-id canonical survivor. With deterministic centroids
+    # (16 lowest ids) every stage is totally ordered, so the full
+    # composition gets a value oracle: DuckDB re-derives the buckets,
+    # the within-bucket pairs, the components (recursive CTE), and the
+    # same survivors.
+    return similarity.semantic_dedup(_t(spark, sf_dir, "embeddings"),
+                                     threshold=0.42, n_centroids=16)
+
+
+_SQL_A_SEMANTIC_DEDUP = """
+WITH RECURSIVE
+e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+cen AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+sc AS (SELECT e.vec_id, cen.cid,
+              list_dot_product(e.v, cen.cv) /
+              (sqrt(list_dot_product(e.v, e.v)) *
+               sqrt(list_dot_product(cen.cv, cen.cv))) AS s
+       FROM e CROSS JOIN cen),
+asg AS (SELECT vec_id, cid AS bucket_id FROM (
+          SELECT sc.*, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cid) AS rn
+          FROM sc) WHERE rn = 1),
+b AS (SELECT e.vec_id, e.v, asg.bucket_id FROM e JOIN asg USING (vec_id)),
+pr AS (SELECT a.vec_id AS doc_a, bb.vec_id AS doc_b
+       FROM b a JOIN b bb ON a.bucket_id = bb.bucket_id
+                         AND a.vec_id < bb.vec_id
+       WHERE round(list_dot_product(a.v, bb.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) *
+                    sqrt(list_dot_product(bb.v, bb.v))), 6) >= 0.42),
+ed AS (SELECT doc_a AS a, doc_b AS b FROM pr
+       UNION SELECT doc_b, doc_a FROM pr),
+reach(n, m) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM ed) t
+    UNION
+    SELECT r.n, ed.b FROM reach r JOIN ed ON r.m = ed.a),
+g AS (SELECT n AS vec_id, min(m) AS group_id FROM reach GROUP BY n),
+best AS (SELECT vec_id, group_id, group_size FROM (
+    SELECT g.vec_id, g.group_id,
+           count(*) OVER (PARTITION BY g.group_id) AS group_size,
+           row_number() OVER (PARTITION BY g.group_id
+                              ORDER BY g.vec_id) AS rn
+    FROM g) WHERE rn = 1)
+SELECT vec_id, group_id, group_size FROM best
+UNION ALL
+SELECT vec_id, vec_id AS group_id, 1::BIGINT AS group_size
+FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM g)
+"""
+
+
 def _q_a_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 8),
@@ -3632,6 +3684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_cosine_dup_pairs": _q_a_cosine_dup,
         "a_cosine_dup_bucketed": _q_a_cosine_dup_bucketed,
         "a_srp_dup_pairs": _q_a_srp_dup_pairs,
+        "a_semantic_dedup": _q_a_semantic_dedup,
         "a_ivf_topk": _q_a_ivf,
         "a_ivf_topk_trained": _q_a_ivf_trained,
         # text analysis
@@ -3760,6 +3813,7 @@ def oracle_sql() -> dict[str, str]:
         "a_cosine_dup_pairs": _SQL_A_COSINE_DUP,
         "a_cosine_dup_bucketed": _SQL_A_COSINE_DUP_BUCKETED,
         "a_srp_dup_pairs": _SQL_A_SRP_DUP_PAIRS,
+        "a_semantic_dedup": _SQL_A_SEMANTIC_DEDUP,
         "a_ivf_topk": _SQL_A_IVF,
         "x_token_stats": _SQL_X_TOKENS,
         "x_top_tokens": _SQL_X_TOP_TOKENS,

@@ -1158,6 +1158,74 @@ def quantized_topk(
                   .select("query_id", "neighbor_id", "rank", "cos_sim"))
 
 
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str | None = None,
+    centroids: DataFrame | None = None,
+    round_digits: int | None = 6,
+    cc_method: str = "auto",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, find near-duplicate
+    pairs only WITHIN clusters, close them transitively, and keep one
+    canonical survivor per semantic group. Output: one row per
+    SURVIVING vector — ``(id_col, group_id, group_size[, score_col])``
+    with ``group_id = id_col`` and ``group_size = 1`` for vectors in no
+    near-dup pair.
+
+    This is the end-to-end composition of three already-verified
+    operators, in their scale shapes:
+
+    1. :func:`cosine_dup_pairs_bucketed` — IVF-bucketed candidate
+       generation (zero-shuffle centroid assignment, per-bucket NumPy
+       kernel; candidate cost Σ bucket², never |corpus|²). Pass
+       ``centroids=kmeans_centroids(...)`` for the trained production
+       path; the default (lowest-id seed vectors) keeps the whole
+       pipeline deterministic and SQL-oracle-able. Caveat of the
+       default: if near-duplicates sit AMONG the lowest-id seeds, each
+       is its own centroid and the group splits across buckets (missed
+       pairs) — trained centroids drift the redundant seeds apart and
+       shrink the split (tested in ``tests/test_semantic_dedup.py``).
+    2. :func:`~..operators.dedup.near_dup_groups` — connected
+       components over the skinny pair table (driver union-find below
+       the edge cap, large-star/small-star O(log n) rounds above it).
+    3. :func:`~..operators.dedup.canonical_docs` — survivor per group:
+       highest ``score_col`` (ties → smallest id), or smallest id when
+       ``score_col`` is None (the SemDeDup paper keeps one arbitrary
+       member; smallest-id makes that choice total and reproducible).
+
+    Reference anchor: `uniqueItems` dedupes EXACT values
+    (`/root/reference/json_schema_rs/src/validator/mod.rs:378-397`);
+    this is the embedding-space analog a training pipeline runs before
+    epoch sampling.
+
+    Scale shape: the corpus embedding column is scanned once (bucket
+    assignment) and shuffled once (groupBy bucket for the per-bucket
+    kernel); everything after operates on pair/group tables that are
+    orders smaller than the corpus. No all-pairs path exists."""
+    from .dedup import canonical_docs, near_dup_groups
+
+    pairs = cosine_dup_pairs_bucketed(
+        df, threshold=threshold, n_centroids=n_centroids,
+        id_col=id_col, vec_col=vec_col, round_digits=round_digits,
+        centroids=centroids)
+    groups = near_dup_groups(pairs, "doc_a", "doc_b", method=cc_method) \
+        .withColumnRenamed("doc_id", id_col)
+    if score_col is None:
+        scored = df.select(F.col(id_col),
+                           F.lit(None).cast("double").alias("_score"))
+        return (canonical_docs(scored, groups,
+                               id_col=id_col, score_col="_score")
+                .drop("_score"))
+    return canonical_docs(df.select(F.col(id_col), F.col(score_col)),
+                          groups, id_col=id_col, score_col=score_col)
+
+
 def embedding_drift(df_a: DataFrame, df_b: DataFrame,
                     vec_col: str = "embedding", *,
                     round_digits: int = 6) -> DataFrame:
