@@ -2966,6 +2966,61 @@ WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || '#mixb'), 1, 8) < thr.t
 """
 
 
+def _q_x_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # soft (duplication-weighted) dedup: each member of a near-dup
+    # group survives with probability 1/group_size, so the EXPECTED
+    # surviving copy count per group is exactly one while variant
+    # diversity is preserved. Groups come from the same LSH-pairs ->
+    # connected-components path as d_dup_groups; the oracle recomputes
+    # the groups with a recursive CTE and replays the identical
+    # md5-threshold draw, proving the surviving SET is cross-engine
+    # reproducible (the property retries/backfills rely on).
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, n=3, threshold=0.8, bands=32)
+    groups = dedup.near_dup_groups(pairs)
+    return sampling.dup_weighted_sample(docs, groups)
+
+
+_SQL_X_SOFT_DEDUP = """
+WITH RECURSIVE
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+                             for i in range(1, len(ws) - 1)]) AS s
+       FROM w),
+ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+pr AS (SELECT doc_a, doc_b
+       FROM p JOIN sz sa ON p.doc_a = sa.doc_id
+              JOIN sz sb ON p.doc_b = sb.doc_id
+       WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.8),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pr
+      UNION SELECT doc_b, doc_a FROM pr),
+reach(n, m) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM e) t
+    UNION
+    SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a
+),
+g AS (SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n),
+sizes AS (SELECT group_id, count(*) AS n_copies FROM g GROUP BY group_id),
+mem AS (SELECT g.doc_id, g.group_id, sizes.n_copies
+        FROM g JOIN sizes USING (group_id)),
+j AS (SELECT d.doc_id,
+             coalesce(mem.group_id, d.doc_id) AS group_id,
+             coalesce(mem.n_copies, 1)::BIGINT AS n_copies
+      FROM documents d LEFT JOIN mem USING (doc_id))
+SELECT doc_id, group_id, n_copies,
+       round(1.0 / n_copies, 6) AS keep_prob
+FROM j
+WHERE n_copies = 1
+   OR substr(md5(concat(CAST(doc_id AS VARCHAR), '#softdedup')), 1, 8)
+      < printf('%08x', 4294967296 // n_copies)
+"""
+
+
 def _q_x_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").withColumn(
         "toks", F.size(F.split(F.col("text"), " ")).cast("bigint"))
@@ -3709,6 +3764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_shard_corpus": _q_x_shard,
         "x_mix_sources": _q_x_mix,
         "x_mix_budget": _q_x_mix_budget,
+        "x_soft_dedup": _q_x_soft_dedup,
         "x_pack_chunks": _q_x_pack,
         "x_chunk_windows": _q_x_chunks,
         "x_render_conv": _q_x_render_conv,
@@ -3835,6 +3891,7 @@ def oracle_sql() -> dict[str, str]:
         "x_shard_corpus": _SQL_X_SHARD,
         "x_mix_sources": _SQL_X_MIX,
         "x_mix_budget": _SQL_X_MIX_BUDGET,
+        "x_soft_dedup": _SQL_X_SOFT_DEDUP,
         "x_pack_chunks": _SQL_X_PACK,
         "x_chunk_windows": _SQL_X_CHUNKS,
         "x_render_conv": _SQL_X_RENDER_CONV,

@@ -36,8 +36,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bucket_hex", "deterministic_sample", "mix_sources",
-           "shard_corpus", "stratified_sample", "train_eval_split"]
+__all__ = ["bucket_hex", "deterministic_sample", "dup_weighted_sample",
+           "mix_sources", "shard_corpus", "stratified_sample",
+           "train_eval_split"]
 
 _HEX_SPACE = 16 ** 8  # 8 hex chars = 32 bits of the md5
 
@@ -186,6 +187,66 @@ def mix_sources(
     # absent sources look up NULL -> NULL comparison -> dropped
     return df.where(bucket_hex(key_col, salt)
                     < F.element_at(thr_map, F.col(source_col)))
+
+
+def dup_weighted_sample(
+    df: DataFrame,
+    groups: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "softdedup",
+) -> DataFrame:
+    """Duplication-aware ("soft") dedup sampling: keep each member of a
+    duplicate group with probability ``1/group_size``, so duplicated
+    content's EXPECTED surviving copy count is exactly one — without
+    hard-committing to a single survivor. Hard dedup
+    (:func:`~.dedup.canonical_docs`) deterministically erases all
+    variation inside a group; soft dedup preserves variant diversity in
+    expectation (near-dup groups contain non-identical texts) while
+    still flattening the frequency skew that makes models memorize
+    boilerplate. Docs absent from ``groups`` are singletons, kept with
+    probability 1.
+
+    ``groups`` is a ``(id_col, group_id)`` table from
+    :func:`~.dedup.near_dup_groups` or exact-digest grouping. The keep
+    decision is the package's standard deterministic draw —
+    ``bucket_hex(id, salt) < floor(2^32 / group_size)`` in 8-char hex —
+    so it is reproducible across reruns/retries/engines (a DuckDB twin
+    reproduces the exact surviving set), and independent draws per doc
+    make the expected group survival exactly ``n * 1/n = 1``.
+
+    Output: surviving rows only — ``(id_col, group_id, n_copies,
+    keep_prob)`` with ``group_id = id_col``, ``n_copies = 1``,
+    ``keep_prob = 1.0`` for singletons.
+
+    Scale shape: ``groups`` is skinny (only docs in some candidate
+    pair); its size aggregate and the membership join shuffle id-grain
+    rows only, and AQE broadcasts the group side whenever it fits. The
+    corpus text never shuffles; the filter is a codegen'd projection
+    over the joined rows."""
+    sizes = groups.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_copies"))
+    mem = groups.join(sizes, "group_id").select(
+        F.col(id_col), F.col("group_id"), F.col("n_copies"))
+    joined = (df.select(F.col(id_col))
+                .join(mem, id_col, "left")
+                .select(F.col(id_col),
+                        F.coalesce(F.col("group_id"),
+                                   F.col(id_col)).alias("group_id"),
+                        F.coalesce(F.col("n_copies"),
+                                   F.lit(1).cast("bigint"))
+                         .alias("n_copies")))
+    # per-row threshold floor(2^32 / n) as fixed-width lowercase hex —
+    # n >= 2 keeps it within 8 chars; n == 1 is the keep-always branch
+    # (2^32 itself would be 9 chars and lpad would truncate it)
+    thr = F.lpad(F.lower(F.hex(F.floor(F.lit(float(_HEX_SPACE))
+                                       / F.col("n_copies"))
+                               .cast("bigint"))), 8, "0")
+    kept = joined.where((F.col("n_copies") == 1)
+                        | (bucket_hex(id_col, salt) < thr))
+    return kept.select(
+        F.col(id_col), F.col("group_id"), F.col("n_copies"),
+        F.round(F.lit(1.0) / F.col("n_copies"), 6).alias("keep_prob"))
 
 
 def train_eval_split(

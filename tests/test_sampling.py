@@ -332,3 +332,75 @@ def test_shard_corpus_one_exchange(spark):
         .executedPlan().toString()
     # the shard hash-partitioning IS the global shuffle - exactly one
     assert plan.count("Exchange") == 1
+
+
+# -- dup_weighted_sample (soft dedup) ---------------------------------------
+
+def _soft_keep(doc_id, n, salt="softdedup"):
+    if n == 1:
+        return True
+    return _bucket(doc_id, salt) < format((16 ** 8) // n, "08x")
+
+
+@pytest.fixture(scope="module")
+def soft_input(spark):
+    # 1 group of 4 (ids 0-3), 1 group of 2 (ids 10-11), singletons 20-29
+    from json_schema_rs_spark.functions.exprs import arrow_local_df
+    rows = ([(i,) for i in range(4)] + [(10,), (11,)]
+            + [(i,) for i in range(20, 30)])
+    df = arrow_local_df(spark, rows, "doc_id bigint")
+    groups = arrow_local_df(
+        spark,
+        [(i, 0) for i in range(4)] + [(10, 10), (11, 10)],
+        "doc_id bigint, group_id bigint")
+    return df, groups
+
+
+def test_soft_dedup_matches_hashlib(soft_input):
+    from json_schema_rs_spark.operators.sampling import dup_weighted_sample
+    df, groups = soft_input
+    got = {r["doc_id"]: (r["group_id"], r["n_copies"], r["keep_prob"])
+           for r in dup_weighted_sample(df, groups).collect()}
+    sizes = {**{i: (0, 4) for i in range(4)},
+             **{i: (10, 2) for i in (10, 11)}}
+    want = {i: sizes.get(i, (i, 1)) for (i,) in
+            [(i,) for i in list(range(4)) + [10, 11] + list(range(20, 30))]
+            if _soft_keep(i, sizes.get(i, (i, 1))[1])}
+    assert set(got) == set(want)
+    for i, (gid, n) in want.items():
+        assert got[i][0] == gid and got[i][1] == n
+        assert got[i][2] == pytest.approx(round(1.0 / n, 6))
+    # every singleton survives with prob 1
+    assert all(i in got for i in range(20, 30))
+
+
+def test_soft_dedup_expected_survival_is_one(spark):
+    # a 500-member duplicate group keeps ~1/n of its members: with
+    # n=500 the binomial mean is 1; assert the draw lands in [0, 8]
+    # (P(X>8) < 1e-6) and is deterministic across reruns
+    from json_schema_rs_spark.functions.exprs import arrow_local_df
+    from json_schema_rs_spark.operators.sampling import dup_weighted_sample
+    df = arrow_local_df(spark, [(i,) for i in range(500)], "doc_id bigint")
+    groups = arrow_local_df(spark, [(i, 0) for i in range(500)],
+                            "doc_id bigint, group_id bigint")
+    a = sorted(r["doc_id"] for r in dup_weighted_sample(df, groups).collect())
+    b = sorted(r["doc_id"] for r in dup_weighted_sample(df, groups).collect())
+    assert a == b
+    assert len(a) <= 8
+    for i in a:
+        assert _soft_keep(i, 500)
+
+
+def test_soft_dedup_shuffles_ids_only(spark):
+    # the corpus text column must not appear in any Exchange input —
+    # the join/filter runs over (id, group) skinny rows
+    from json_schema_rs_spark.functions.exprs import arrow_local_df
+    from json_schema_rs_spark.operators.sampling import dup_weighted_sample
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("body-"), F.col("id")).alias("text"))
+    groups = arrow_local_df(spark, [(i, i % 7) for i in range(50)],
+                            "doc_id bigint, group_id bigint")
+    out = dup_weighted_sample(df, groups)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "text" not in plan.split("Scan")[0]  # pruned before any op
