@@ -1035,6 +1035,75 @@ FROM o WHERE prev IS NOT NULL AND ts < prev
 """
 
 
+def _q_t_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # repair complement of t_unique_keys/t_gapfree_ordering: corrupt the
+    # transcript view deterministically (md5-bucketed per conversation:
+    # stretched indices, offset starts, one replayed turn-0 write with a
+    # +1s timestamp), then reindex_turns must dedupe the replay (earliest
+    # ts wins) and renumber every conversation densely 0..n-1. The oracle
+    # re-derives the corruption AND the repair, proving the surviving
+    # rows, survivor choice, and new indices are cross-engine exact.
+    from json_schema_rs_spark.operators.table_checks import reindex_turns
+    tx = _transcripts_from_events(_t(spark, sf_dir, "events")).drop("tool")
+    hx = F.md5(F.concat(F.col("conv_id"), F.lit("#reidx")))
+    c1, c2 = F.substring(hx, 1, 1), F.substring(hx, 2, 1)
+    base = tx.select(
+        "conv_id", F.col("turn_idx").alias("_o"), "role", "text", "ts",
+        c1.alias("_c1"), c2.alias("_c2"))
+    corr = base.withColumn(
+        "turn_idx",
+        F.when(F.col("_c1") < "5", F.col("_o") * 3)
+         .when(F.col("_c1") < "a", F.col("_o") + 7)
+         .otherwise(F.col("_o")).cast("int"))
+    dup = (corr.filter((F.col("_o") == 0) & (F.col("_c2") < "4"))
+               .withColumn("text", F.concat(F.lit("DUP:"), F.col("text")))
+               .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 SECOND")))
+    allrows = (corr.unionByName(dup)
+                   .select("conv_id", "turn_idx", "role", "text", "ts"))
+    out = reindex_turns(allrows, order_cols=("ts", "text"))
+    return out.select(
+        "conv_id", "turn_idx", "role", "text",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "orig_turn_idx")
+
+
+_SQL_T_REINDEX = f"""
+WITH tx AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS o,
+         {_ROLE_MAP} AS role, props AS text, ts,
+         substr(md5(CAST(user_id AS VARCHAR) || '#reidx'), 1, 1) AS c1,
+         substr(md5(CAST(user_id AS VARCHAR) || '#reidx'), 2, 1) AS c2
+  FROM events),
+corr AS (
+  SELECT conv_id,
+         CAST(CASE WHEN c1 < '5' THEN o * 3
+                   WHEN c1 < 'a' THEN o + 7
+                   ELSE o END AS INT) AS turn_idx,
+         role, text, ts, o, c2
+  FROM tx),
+uni AS (
+  SELECT conv_id, turn_idx, role, text, ts FROM corr
+  UNION ALL
+  SELECT conv_id, turn_idx, role, 'DUP:' || text,
+         ts + INTERVAL 1 SECOND
+  FROM corr WHERE o = 0 AND c2 < '4'),
+k AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY ts NULLS LAST, text NULLS LAST) AS rn
+    FROM uni) WHERE rn = 1)
+SELECT conv_id,
+       CAST(row_number() OVER (
+            PARTITION BY conv_id
+            ORDER BY turn_idx NULLS LAST, ts NULLS LAST, text NULLS LAST)
+            - 1 AS INT) AS turn_idx,
+       role, text, epoch_us(ts) AS ts_us, turn_idx AS orig_turn_idx
+FROM k
+"""
+
+
 # ---------------------------------------------------------------------------
 # Stats profile + drift (SURVEY.md §2.4 / north_star)
 # ---------------------------------------------------------------------------
@@ -3698,6 +3767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_referential_shuffle": _q_t_referential_shuffle,
         "t_gapfree_ordering": _q_t_gapfree,
         "t_monotonic_ts": _q_t_monotonic,
+        "t_reindex_turns": _q_t_reindex,
         # conversation-protocol checks
         "t_role_protocol": _q_t_role_protocol,
         "t_tool_pairing": _q_t_tool_pairing,
@@ -3834,6 +3904,7 @@ def oracle_sql() -> dict[str, str]:
         "t_referential_shuffle": _SQL_T_REFERENTIAL,
         "t_gapfree_ordering": _SQL_T_GAPFREE,
         "t_monotonic_ts": _SQL_T_MONOTONIC,
+        "t_reindex_turns": _SQL_T_REINDEX,
         "t_role_protocol": _SQL_T_ROLE_PROTOCOL,
         "t_tool_pairing": _SQL_T_TOOL_PAIRING,
         "t_conv_bounds": _SQL_T_CONV_BOUNDS,

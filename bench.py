@@ -102,6 +102,7 @@ HEADLINE = [
     "e_role_latency",
     "v_vector_check",
     "a_normalize",
+    "t_reindex_turns",
 ]
 
 

@@ -703,3 +703,67 @@ def transcript_diff(
          .alias("message"))
         .filter(F.col("code").isNotNull())
         .select(conv_col, idx_col, "instance_path", "code", "message"))
+
+
+def reindex_turns(
+    df: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    order_cols: Sequence[str] = ("ts",),
+    keep_duplicate_keys: bool = False,
+) -> DataFrame:
+    """Repair complement of :func:`uniqueness_violations` +
+    :func:`turn_gap_violations`: renumber each conversation's turns to the
+    dense ``0..n-1`` index the validators demand (the reference validates
+    array items at positions 0..n, validator/mod.rs:398-407 — a
+    conversation IS the array of its turns, and this operator restores
+    that invariant instead of only reporting its absence).
+
+    Rows sort within a conversation by ``(idx_col, *order_cols)``
+    ascending, NULLs LAST (pinned — Spark's default is NULLS FIRST,
+    DuckDB's is NULLS LAST; we pin the DuckDB convention so cross-engine
+    replays agree). The caller must pick ``order_cols`` that make that
+    sort total within a conversation, or survivor choice and output order
+    are tie-ambiguous.
+
+    Duplicate ``(conv, idx)`` keys (retries / replayed producers):
+
+    - ``keep_duplicate_keys=False`` (default): keep the FIRST row of each
+      key group in sort order (for ``order_cols=("ts",)``: the earliest
+      write wins — the retry semantics a transcript ledger wants), drop
+      the rest. NULL keys form one group like any other value.
+    - ``keep_duplicate_keys=True``: keep every row; duplicates become
+      consecutive distinct turns.
+
+    Output: the input columns with ``idx_col`` replaced by the dense
+    index (cast back to the input column's type) plus ``orig_<idx_col>``
+    holding the pre-repair value, so violation rows keyed on the old
+    index remain joinable.
+
+    Scale shape: ONE conversation-keyed exchange. Both window passes
+    (duplicate-leader tagging via ``lag``, then dense ``row_number``)
+    partition by ``conv_col`` with the same sort, so Catalyst reuses the
+    exchange AND the sort for the second Window (plan-asserted in tests).
+    Per-conversation state is bounded by turns/conversation — the same
+    bound every other transcript window in this module relies on."""
+    dtype = dict(df.dtypes)[idx_col]
+    orders = [F.col(idx_col).asc_nulls_last()] + [
+        F.col(c).asc_nulls_last() for c in order_cols]
+    w = Window.partitionBy(conv_col).orderBy(*orders)
+    tagged = df
+    if not keep_duplicate_keys:
+        # group leader: first row of the conversation, or first row whose
+        # key differs from its predecessor in (idx, order) sort order —
+        # eqNullSafe so duplicated NULL keys dedupe together too
+        tagged = (df.withColumn("_rn", F.row_number().over(w))
+                    .withColumn("_prev", F.lag(idx_col).over(w))
+                    .filter((F.col("_rn") == 1)
+                            | ~F.col("_prev").eqNullSafe(F.col(idx_col)))
+                    .drop("_rn", "_prev"))
+    new_idx = (F.row_number().over(w) - 1).cast(dtype)
+    return tagged.select(
+        *[new_idx.alias(idx_col) if c == idx_col else F.col(c)
+          for c in df.columns],
+        F.col(idx_col).alias(f"orig_{idx_col}"),
+    )

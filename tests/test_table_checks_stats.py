@@ -677,3 +677,47 @@ class TestViolationTrend:
             [], "conv_id string, turn_idx int, instance_path string, "
                 "code string, message string")
         assert violation_trend(tx, empty_v).count() == 0
+
+
+class TestReindexTurns:
+    """reindex_turns: dense-renumber repair (dedupe + gap-fill)."""
+
+    def _run(self, ddf, **kw):
+        from json_schema_rs_spark.operators.table_checks import reindex_turns
+        out = reindex_turns(ddf, order_cols=("ts", "text"), **kw)
+        return {(r.conv_id, r.turn_idx): (r.orig_turn_idx, r.text)
+                for r in out.collect()}, out
+
+    def test_drop_duplicates_and_fill_gaps(self, ddf):
+        got, out = self._run(ddf)
+        # clean conversation untouched
+        assert got[("A", 0)] == (0, "s")
+        assert got[("A", 1)] == (1, "u")
+        assert got[("A", 2)] == (2, "a")
+        # B: duplicate key 1 resolved by (ts, text) order — tie on ts,
+        # "dup" < "u" -> the narrator row survives; gap at 2 closed
+        assert got[("B", 0)] == (0, "s")
+        assert got[("B", 1)] == (1, "dup")
+        assert got[("B", 2)] == (3, "a")
+        assert ("B", 3) not in got
+        # C: offset start 1,2 -> 0,1
+        assert got[("C", 0)] == (1, "u")
+        assert got[("C", 1)] == (2, "t")
+        assert len(got) == 3 + 3 + 2
+        # dtype of the repaired index matches the input column
+        assert dict(out.dtypes)["turn_idx"] == "int"
+
+    def test_keep_duplicate_keys(self, ddf):
+        got, _ = self._run(ddf, keep_duplicate_keys=True)
+        assert len(got) == 9
+        # duplicates become consecutive distinct turns in sort order
+        assert got[("B", 1)] == (1, "dup")
+        assert got[("B", 2)] == (1, "u")
+        assert got[("B", 3)] == (3, "a")
+
+    def test_single_exchange(self, ddf):
+        from json_schema_rs_spark.operators.table_checks import reindex_turns
+        out = reindex_turns(ddf, order_cols=("ts", "text"))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # both window passes share the conv partitioning: ONE exchange
+        assert plan.count("Exchange") == 1
