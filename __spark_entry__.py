@@ -1104,6 +1104,41 @@ FROM k
 """
 
 
+def _q_t_hot_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # skew diagnosis entry: amplify a deterministic md5-bucketed subset
+    # of conversations 20x (the "hot conversation" shape the north rule
+    # names), then hot_key_stats must rank them, compute share/skew
+    # ratio, and flag is_hot — value-exact cross-engine.
+    from json_schema_rs_spark.operators.table_checks import hot_key_stats
+    tx = _transcripts_from_events(_t(spark, sf_dir, "events"))         .select("conv_id")
+    fan = F.when(
+        F.substring(F.md5(F.concat(F.col("conv_id"), F.lit("#hot"))),
+                    1, 1) == "0",
+        F.lit(20)).otherwise(F.lit(1))
+    amp = (tx.withColumn("_i", F.explode(F.sequence(F.lit(1), fan)))
+             .select("conv_id"))
+    return hot_key_stats(amp, ("conv_id",), top=25, hot_factor=5.0)
+
+
+_SQL_T_HOT_CONVS = """
+WITH tx AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id FROM events),
+amp AS (
+  SELECT conv_id FROM tx,
+       UNNEST(range(1, CASE WHEN substr(md5(conv_id || '#hot'), 1, 1) = '0'
+                            THEN 21 ELSE 2 END))),
+c AS (SELECT conv_id, count(*) AS n_rows FROM amp GROUP BY conv_id),
+t AS (SELECT sum(n_rows) AS total, count(*) AS n_keys FROM c)
+SELECT conv_id, n_rows,
+       round(n_rows / t.total, 6) AS frac,
+       round(n_rows / (t.total / t.n_keys), 6) AS skew_ratio,
+       n_rows > 5.0 * (t.total / t.n_keys) AS is_hot
+FROM c, t
+ORDER BY n_rows DESC, conv_id ASC
+LIMIT 25
+"""
+
+
 # ---------------------------------------------------------------------------
 # Stats profile + drift (SURVEY.md §2.4 / north_star)
 # ---------------------------------------------------------------------------
@@ -3768,6 +3803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_gapfree_ordering": _q_t_gapfree,
         "t_monotonic_ts": _q_t_monotonic,
         "t_reindex_turns": _q_t_reindex,
+        "t_hot_convs": _q_t_hot_convs,
         # conversation-protocol checks
         "t_role_protocol": _q_t_role_protocol,
         "t_tool_pairing": _q_t_tool_pairing,
@@ -3905,6 +3941,7 @@ def oracle_sql() -> dict[str, str]:
         "t_gapfree_ordering": _SQL_T_GAPFREE,
         "t_monotonic_ts": _SQL_T_MONOTONIC,
         "t_reindex_turns": _SQL_T_REINDEX,
+        "t_hot_convs": _SQL_T_HOT_CONVS,
         "t_role_protocol": _SQL_T_ROLE_PROTOCOL,
         "t_tool_pairing": _SQL_T_TOOL_PAIRING,
         "t_conv_bounds": _SQL_T_CONV_BOUNDS,

@@ -103,6 +103,7 @@ HEADLINE = [
     "v_vector_check",
     "a_normalize",
     "t_reindex_turns",
+    "t_hot_convs",
 ]
 
 

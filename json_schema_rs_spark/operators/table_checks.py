@@ -767,3 +767,48 @@ def reindex_turns(
           for c in df.columns],
         F.col(idx_col).alias(f"orig_{idx_col}"),
     )
+
+
+def hot_key_stats(
+    df: DataFrame,
+    keys: Sequence[str] = ("conv_id",),
+    *,
+    top: int = 20,
+    hot_factor: float = 10.0,
+) -> DataFrame:
+    """Skew diagnosis for the north rule's "skew handled explicitly":
+    the ``top`` heaviest key groups with their share of the table and
+    their skew ratio vs the mean group size, flagged ``is_hot`` when a
+    key exceeds ``hot_factor`` x the mean. This is the report that tells
+    an operator WHICH conversations need the salted-aggregation path
+    (:func:`uniqueness_violations` ``salt=``) or AQE skew-join handling
+    before a 10^12-turn run — the acting-on-skew decision made data-driven
+    instead of guessed.
+
+    Output: ``(keys..., n_rows, frac, skew_ratio, is_hot)`` — ``frac``
+    and ``skew_ratio`` rounded to 6 places so cross-engine replays agree;
+    total order ``(n_rows DESC, keys ASC)`` makes the top-N unique.
+
+    Scale shape: ONE hash aggregate on the key (map-side partial combine
+    absorbs the very skew being measured — a hot key's rows collapse to
+    per-partition partials before the exchange), then totals are ONE
+    scalar aggregate over the much smaller per-key count table, attached
+    via a broadcast single-row cross join (no single-partition window —
+    the count table can itself be huge at 10^10 conversations), and the
+    top-N is a TakeOrdered, not a global sort."""
+    keys = list(keys)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count(F.lit(1)).alias("_n_keys"))
+    mean = F.col("_total") / F.col("_n_keys")
+    enriched = (counts.crossJoin(F.broadcast(totals))
+                      .select(*keys, "n_rows",
+                              F.round(F.col("n_rows") / F.col("_total"), 6)
+                               .alias("frac"),
+                              F.round(F.col("n_rows") / mean, 6)
+                               .alias("skew_ratio"),
+                              (F.col("n_rows") > F.lit(hot_factor) * mean)
+                               .alias("is_hot")))
+    return enriched.orderBy(F.col("n_rows").desc(),
+                            *[F.col(k).asc() for k in keys]).limit(top)

@@ -721,3 +721,33 @@ class TestReindexTurns:
         plan = out._jdf.queryExecution().executedPlan().toString()
         # both window passes share the conv partitioning: ONE exchange
         assert plan.count("Exchange") == 1
+
+
+class TestHotKeyStats:
+    def test_ranks_and_flags(self, spark):
+        from json_schema_rs_spark.operators.table_checks import hot_key_stats
+        # conv H: 60 rows (hot), A/B/C: 10/10/20 -> mean 25, hot_factor 2
+        rows = ([("H",)] * 60 + [("A",)] * 10 + [("B",)] * 10 + [("C",)] * 20)
+        df = spark.createDataFrame(rows, "conv_id string")
+        got = hot_key_stats(df, ("conv_id",), top=3, hot_factor=2.0).collect()
+        assert [(r.conv_id, r.n_rows, r.is_hot) for r in got] == [
+            ("H", 60, True), ("C", 20, False), ("A", 10, False)]
+        assert got[0].frac == pytest.approx(0.6)
+        assert got[0].skew_ratio == pytest.approx(2.4)
+
+    def test_tie_break_is_total(self, spark):
+        from json_schema_rs_spark.operators.table_checks import hot_key_stats
+        rows = [("B",)] * 5 + [("A",)] * 5 + [("C",)] * 5
+        df = spark.createDataFrame(rows, "conv_id string")
+        got = [r.conv_id for r in
+               hot_key_stats(df, ("conv_id",), top=2).collect()]
+        assert got == ["A", "B"]
+
+    def test_plan_shape(self, spark):
+        from json_schema_rs_spark.operators.table_checks import hot_key_stats
+        df = spark.range(1000).select((F.col("id") % 7).alias("k"))
+        out = hot_key_stats(df, ("k",), top=5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # totals attach via broadcast; top-N is TakeOrdered, no global sort
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+        assert "TakeOrderedAndProject" in plan
