@@ -1935,6 +1935,37 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def _q_d_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # append-only ingestion: docs with doc_id % 3 == 0 were "already
+    # ingested" (their digests form the ledger); the rest arrive as the
+    # new batch and must dedupe against the ledger AND within the batch
+    # (min-id survivor), proving batch-then-merge == one-shot dedup.
+    docs = _t(spark, sf_dir, "documents")
+    seen = (docs.filter(F.col("doc_id") % 3 == 0)
+                .select(F.md5(F.col("text").cast("binary"))
+                         .alias("text_hash"))
+                .distinct())
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    return dedup.incremental_dedup(batch, seen)
+
+
+_SQL_D_INCREMENTAL = """
+WITH seen AS (
+  SELECT DISTINCT md5(text) AS text_hash
+  FROM documents WHERE doc_id % 3 = 0),
+batch AS (
+  SELECT * FROM documents WHERE doc_id % 3 <> 0),
+keep AS (
+  SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
+  FROM batch GROUP BY md5(text)),
+fresh AS (
+  SELECT k.* FROM keep k LEFT JOIN seen s USING (text_hash)
+  WHERE s.text_hash IS NULL)
+SELECT b.doc_id, b.text, b.lang, b.source, b.n_chars, f.text_hash
+FROM batch b JOIN fresh f USING (doc_id)
+"""
+
+
 _SQL_D_NGRAM = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 sh AS (SELECT doc_id,
@@ -3831,6 +3862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_w1_sketch": _q_s_w1_sketch,
         # dedup
         "d_exact_groups": _q_d_exact,
+        "d_incremental_dedup": _q_d_incremental,
         "d_ngram_jaccard": _q_d_ngram,
         "d_minhash_lsh": _q_d_minhash,
         "d_dup_groups": _q_d_dup_groups,
@@ -3964,6 +3996,7 @@ def oracle_sql() -> dict[str, str]:
         "s_js_drift": _SQL_S_JS,
         "s_w1_drift": _SQL_S_W1,
         "d_exact_groups": _SQL_D_EXACT,
+        "d_incremental_dedup": _SQL_D_INCREMENTAL,
         "d_ngram_jaccard": _SQL_D_NGRAM,
         "d_minhash_lsh": _SQL_D_NGRAM,
         "d_dup_groups": _SQL_D_DUP_GROUPS,

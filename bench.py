@@ -104,6 +104,8 @@ HEADLINE = [
     "a_normalize",
     "t_reindex_turns",
     "t_hot_convs",
+    "x_soft_dedup",
+    "d_incremental_dedup",
 ]
 
 

@@ -144,6 +144,49 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     return df.join(keep, id_col, "left_semi")
 
 
+def incremental_dedup(
+    df: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup for APPEND-ONLY ingestion: dedupe a new batch against
+    everything already ingested WITHOUT rescanning the corpus. ``seen``
+    is the digest ledger — a table whose first column (conventionally
+    ``text_hash``) holds the md5 digests of all previously kept
+    documents (persist :func:`exact_duplicate_groups`'s ``text_hash``
+    column after each batch and this operator consumes it next batch).
+
+    Semantics: a new row survives iff (a) its digest is NOT in ``seen``
+    and (b) it is the min-``id_col`` holder of its digest WITHIN the
+    batch (the same survivor rule as :func:`exact_dedup`). When ids are
+    batch-monotone (every later batch's ids exceed earlier batches' —
+    what an ingestion sequence number gives you), batch-then-merge is
+    EXACTLY one-shot dedup of the concatenation (tested); without
+    monotone ids the kept content set is still identical, only which
+    copy represents it can differ. Output: the surviving rows of ``df``
+    plus their ``text_hash``, ready to both ship AND append to the
+    ledger.
+
+    Scale shape: the batch aggregates once on its 16-byte digest
+    (map-side combined), then ONE anti-join of batch-distinct digests
+    against the ledger — both sides are skinny digest tables, and when
+    the batch-distinct side fits the broadcast threshold the ledger is
+    scanned without shuffling at all. The join-back moves BATCH rows
+    only (batch grain, never corpus/ledger grain); with a
+    broadcast-eligible survivor set even that is shuffle-free
+    (plan-asserted in tests). The ledger itself never carries text —
+    only digests."""
+    digest = F.md5(F.col(text_col).cast("binary"))
+    batch_keep = (df.select(F.col(id_col), digest.alias("text_hash"))
+                    .groupBy("text_hash")
+                    .agg(F.min(id_col).alias(id_col)))
+    seen_d = seen.select(F.col(seen.columns[0]).alias("text_hash"))
+    fresh = batch_keep.join(seen_d, "text_hash", "left_anti")
+    return (df.join(fresh, id_col, "inner")
+              .select(*df.columns, "text_hash"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -224,3 +224,56 @@ def test_canonical_string_ids_and_null_scores(spark):
                    "x": ("x", 2, None)}  # all-NULL -> min id, NULL score
     dt = dict(canonical_docs(scored, groups).dtypes)
     assert dt["doc_id"] == "string" and dt["group_id"] == "string"
+
+
+class TestIncrementalDedup:
+    """incremental_dedup: append-only exact dedup against a digest ledger."""
+
+    def test_batch_then_merge_equals_one_shot(self, spark):
+        from json_schema_rs_spark.operators.dedup import (
+            exact_dedup, incremental_dedup)
+        texts = ["aa", "bb", "aa", "cc", "bb", "dd", "aa", "ee"]
+        rows = [(i, t) for i, t in enumerate(texts)]
+        corpus = spark.createDataFrame(rows, "doc_id bigint, text string")
+        b1 = corpus.filter(F.col("doc_id") < 4)    # ids batch-monotone
+        b2 = corpus.filter(F.col("doc_id") >= 4)
+        empty = spark.createDataFrame([], "text_hash string")
+        s1 = incremental_dedup(b1, empty)
+        ledger = s1.select("text_hash")
+        s2 = incremental_dedup(b2, ledger)
+        got = sorted(r.doc_id for df in (s1, s2) for r in df.collect())
+        want = sorted(r.doc_id for r in exact_dedup(corpus).collect())
+        assert got == want == [0, 1, 3, 5, 7]
+
+    def test_within_batch_min_id_survivor(self, spark):
+        from json_schema_rs_spark.operators.dedup import incremental_dedup
+        batch = spark.createDataFrame(
+            [(9, "x"), (3, "x"), (5, "y")], "doc_id bigint, text string")
+        empty = spark.createDataFrame([], "text_hash string")
+        got = {r.doc_id for r in incremental_dedup(batch, empty).collect()}
+        assert got == {3, 5}
+
+    def test_output_carries_digest_and_all_columns(self, spark):
+        from json_schema_rs_spark.operators.dedup import incremental_dedup
+        batch = spark.createDataFrame(
+            [(1, "x", "en")], "doc_id bigint, text string, lang string")
+        empty = spark.createDataFrame([], "text_hash string")
+        row = incremental_dedup(batch, empty).collect()[0]
+        import hashlib
+        assert row.text_hash == hashlib.md5(b"x").hexdigest()
+        assert (row.doc_id, row.text, row.lang) == (1, "x", "en")
+
+    def test_text_never_shuffles(self, spark):
+        from json_schema_rs_spark.operators.dedup import incremental_dedup
+        batch = spark.range(200).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("body-"), (F.col("id") % 50)).alias("text"))
+        seen = spark.range(10).select(
+            F.md5(F.concat(F.lit("body-"), F.col("id")).cast("binary"))
+             .alias("text_hash"))
+        out = incremental_dedup(batch, seen)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # every Exchange input is digest/id-grain: text appears only in
+        # scan projections, never in an exchange's hashpartitioning keys
+        for frag in plan.split("Exchange")[1:]:
+            assert "text#" not in frag.split("\n")[0]
