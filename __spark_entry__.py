@@ -2286,6 +2286,46 @@ WHERE round(list_dot_product(a.v, bb.v) /
 """
 
 
+def _q_a_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus kNN graph (every vector's 5 in-bucket nearest neighbors):
+    # with deterministic centroids the assignment, candidate sets, raw
+    # similarities (ordered fold == DuckDB list_dot_product), and the
+    # (sim DESC, id ASC) ranking are all totally ordered, so the full
+    # graph gets a value oracle.
+    return similarity.knn_join(_t(spark, sf_dir, "embeddings"),
+                               k=5, n_centroids=16)
+
+
+_SQL_A_KNN_JOIN = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+cen AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+sc AS (SELECT e.vec_id, cen.cid,
+              list_dot_product(e.v, cen.cv) /
+              (sqrt(list_dot_product(e.v, e.v)) *
+               sqrt(list_dot_product(cen.cv, cen.cv))) AS s
+       FROM e CROSS JOIN cen),
+asg AS (SELECT vec_id, cid AS bucket_id FROM (
+          SELECT sc.*, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cid) AS rn
+          FROM sc) WHERE rn = 1),
+b AS (SELECT e.vec_id, e.v, asg.bucket_id FROM e JOIN asg USING (vec_id)),
+p AS (SELECT a.vec_id AS src, bb.vec_id AS nbr,
+             list_dot_product(a.v, bb.v) /
+             (sqrt(list_dot_product(a.v, a.v)) *
+              sqrt(list_dot_product(bb.v, bb.v))) AS s
+      FROM b a JOIN b bb ON a.bucket_id = bb.bucket_id
+                        AND a.vec_id <> bb.vec_id),
+r AS (SELECT src, nbr, s,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY s DESC, nbr) AS rank
+      FROM p WHERE isfinite(s))
+SELECT src AS vec_id, nbr AS nbr_id, round(s, 6) AS cos_sim,
+       CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
 def _q_a_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SemDeDup end-to-end: IVF-bucketed pair generation -> transitive
     # groups -> min-id canonical survivor. With deterministic centroids
@@ -3876,6 +3916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_quantized_topk": _q_a_quantized_topk,
         "a_cosine_dup_pairs": _q_a_cosine_dup,
         "a_cosine_dup_bucketed": _q_a_cosine_dup_bucketed,
+        "a_knn_join": _q_a_knn_join,
         "a_srp_dup_pairs": _q_a_srp_dup_pairs,
         "a_semantic_dedup": _q_a_semantic_dedup,
         "a_ivf_topk": _q_a_ivf,
@@ -4009,6 +4050,7 @@ def oracle_sql() -> dict[str, str]:
         "a_quantized_topk": _SQL_A_QUANTIZED_TOPK,
         "a_cosine_dup_pairs": _SQL_A_COSINE_DUP,
         "a_cosine_dup_bucketed": _SQL_A_COSINE_DUP_BUCKETED,
+        "a_knn_join": _SQL_A_KNN_JOIN,
         "a_srp_dup_pairs": _SQL_A_SRP_DUP_PAIRS,
         "a_semantic_dedup": _SQL_A_SEMANTIC_DEDUP,
         "a_ivf_topk": _SQL_A_IVF,

@@ -44,6 +44,7 @@ HEADLINE = [
     "a_cosine_dup_bucketed",
     "a_srp_dup_pairs",
     "a_semantic_dedup",
+    "a_knn_join",
     "a_quantized_topk",
     "a_ivf_topk",
     "d_dup_groups",
