@@ -3141,6 +3141,50 @@ WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || '#mixb'), 1, 8) < thr.t
 """
 
 
+def _q_x_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # temperature (alpha=0.5) mixture: skew the uniform synthetic
+    # sources deterministically (per-source doc_id modulus), derive
+    # sqrt-proportional integer weights, and mix — the smallest source
+    # is kept whole, larger sources thin toward their sqrt share. The
+    # oracle re-derives the skew, the weights (IEEE sqrt is correctly
+    # rounded, so floor(sqrt(n)*1e6) is bit-identical), the bottleneck,
+    # the HUGEINT thresholds, and the exact surviving row set.
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(
+        F.col("doc_id")
+        % (2 + F.substring("source", 4, 10).cast("int") % 4) == 0)
+    w = sampling.temperature_weights(base, "source", alpha=0.5)
+    return (sampling.mix_sources(base, "source", w, "doc_id", salt="mixt")
+            .select("doc_id", "source"))
+
+
+_SQL_X_MIX_TEMPERATURE = """
+WITH base AS (
+  SELECT doc_id, source FROM documents
+  WHERE doc_id % (2 + CAST(substr(source, 4) AS INT) % 4) = 0),
+counts AS (SELECT source, COUNT(*) AS n FROM base GROUP BY source),
+cw AS (SELECT source, CAST(n AS HUGEINT) AS n,
+              CAST(floor(sqrt(n) * 1000000) AS HUGEINT) AS wt
+       FROM counts),
+bott AS (
+  SELECT c1.source AS bsrc, c1.wt AS bwt, c1.n AS bn FROM cw c1
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cw c2
+    WHERE c2.n * c1.wt < c1.n * c2.wt
+       OR (c2.n * c1.wt = c1.n * c2.wt AND c2.source < c1.source))),
+thr AS (
+  SELECT source,
+         CASE WHEN wt * bn * 4294967296 // (bwt * n) >= 4294967296
+              THEN 'g'
+              ELSE printf('%08x', CAST(wt * bn * 4294967296
+                                       // (bwt * n) AS BIGINT)) END AS t
+  FROM cw CROSS JOIN bott)
+SELECT b.doc_id, b.source FROM base b
+JOIN thr ON b.source = thr.source
+WHERE substr(md5(CAST(b.doc_id AS VARCHAR) || '#mixt'), 1, 8) < thr.t
+"""
+
+
 def _q_x_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # soft (duplication-weighted) dedup: each member of a near-dup
     # group survives with probability 1/group_size, so the EXPECTED
@@ -3943,6 +3987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_shard_corpus": _q_x_shard,
         "x_mix_sources": _q_x_mix,
         "x_mix_budget": _q_x_mix_budget,
+        "x_mix_temperature": _q_x_mix_temperature,
         "x_soft_dedup": _q_x_soft_dedup,
         "x_pack_chunks": _q_x_pack,
         "x_chunk_windows": _q_x_chunks,
@@ -4074,6 +4119,7 @@ def oracle_sql() -> dict[str, str]:
         "x_shard_corpus": _SQL_X_SHARD,
         "x_mix_sources": _SQL_X_MIX,
         "x_mix_budget": _SQL_X_MIX_BUDGET,
+        "x_mix_temperature": _SQL_X_MIX_TEMPERATURE,
         "x_soft_dedup": _SQL_X_SOFT_DEDUP,
         "x_pack_chunks": _SQL_X_PACK,
         "x_chunk_windows": _SQL_X_CHUNKS,

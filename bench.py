@@ -67,6 +67,7 @@ HEADLINE = [
     "s_w1_drift",
     "x_doc_sample",
     "x_mix_sources",
+    "x_mix_temperature",
     "x_pack_chunks",
     "x_decontaminate",
     "x_top_tokens",

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["bucket_hex", "deterministic_sample", "dup_weighted_sample",
            "mix_sources", "shard_corpus", "stratified_sample",
-           "train_eval_split"]
+           "temperature_weights", "train_eval_split"]
 
 _HEX_SPACE = 16 ** 8  # 8 hex chars = 32 bits of the md5
 
@@ -319,3 +319,46 @@ def shard_corpus(
     return (with_shard
             .withColumn(pos_col, F.row_number().over(w) - F.lit(1))
             .drop("_okey"))
+
+
+def temperature_weights(
+    df: DataFrame,
+    source_col: str,
+    *,
+    alpha: float = 0.5,
+    scale: int = 10 ** 6,
+) -> "dict[str, int]":
+    """Temperature-based mixture weights for :func:`mix_sources`: target
+    share of source ``i`` proportional to ``n_i ** alpha`` — the
+    multilingual/corpus rebalancing recipe (alpha < 1 upweights
+    low-resource sources relative to raw proportion; alpha=1 is the
+    identity mix, alpha=0 equal shares). Returns the integer weight
+    dict ``mix_sources`` consumes: ``floor(n_i**alpha * scale)``
+    (min 1).
+
+    Under these weights the bottleneck source (min ``n_i / w_i`` =
+    ``n_i**(1-alpha)``/scale) is the SMALLEST source — it is kept whole
+    and every larger source thins toward its temperature share, which
+    is exactly what low-resource upweighting means under a
+    keep-the-most-data constraint.
+
+    Cross-engine exactness: at ``alpha=0.5`` the weight is
+    ``floor(sqrt(n)*scale)`` — IEEE-754 ``sqrt`` is correctly rounded
+    everywhere, so a SQL oracle reproduces the integers bit-exactly.
+    Other alphas go through ``pow``, whose rounding may differ between
+    libms by 1 ulp at the floor boundary; supported, but pin
+    ``alpha=0.5`` where an exact cross-engine replay matters.
+
+    Cost: one tiny count aggregate (one row per source to the driver) —
+    the same scan :func:`mix_sources` performs; at scale pass the same
+    cached input to both."""
+    import math
+
+    counts = {r[0]: r[1] for r in
+              df.groupBy(source_col).agg(
+                  F.count(F.lit(1)).alias("n")).collect()}
+    if alpha == 0.5:
+        raised = {s: math.sqrt(n) for s, n in counts.items()}
+    else:
+        raised = {s: math.pow(n, alpha) for s, n in counts.items()}
+    return {s: max(1, math.floor(v * scale)) for s, v in raised.items()}

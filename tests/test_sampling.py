@@ -404,3 +404,44 @@ def test_soft_dedup_shuffles_ids_only(spark):
     out = dup_weighted_sample(df, groups)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "text" not in plan.split("Scan")[0]  # pruned before any op
+
+
+# -- temperature_weights ------------------------------------------------------
+
+def test_temperature_weights_sqrt_exact(spark):
+    import math
+    from json_schema_rs_spark.operators.sampling import temperature_weights
+    rows = [("a",)] * 100 + [("b",)] * 25 + [("c",)] * 4
+    df = spark.createDataFrame(rows, "source string")
+    w = temperature_weights(df, "source", alpha=0.5)
+    assert w == {"a": math.floor(math.sqrt(100) * 10**6),
+                 "b": math.floor(math.sqrt(25) * 10**6),
+                 "c": math.floor(math.sqrt(4) * 10**6)}
+    # sqrt shares: 10:5:2
+    assert w["a"] * 2 == w["c"] * 10 and w["b"] * 2 == w["c"] * 5
+
+
+def test_temperature_mix_keeps_smallest_source_whole(spark):
+    from json_schema_rs_spark.operators.sampling import (
+        mix_sources, temperature_weights)
+    rows = [(i, "big" if i < 400 else "small") for i in range(420)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    w = temperature_weights(df, "source", alpha=0.5)
+    out = mix_sources(df, "source", w, "doc_id", salt="twt")
+    by_src = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+                 .collect()}
+    # the smallest source is the bottleneck: kept whole
+    assert by_src["small"] == 20
+    # the big source thins toward sqrt proportion (400 * (20/400)**0.5
+    # * ... exact expectation = n_b * w_big/w_small * ... ~ 89); allow
+    # the hash-draw's binomial spread
+    assert 60 <= by_src["big"] <= 120
+
+
+def test_temperature_alpha_one_is_proportional(spark):
+    from json_schema_rs_spark.operators.sampling import temperature_weights
+    rows = [("a",)] * 30 + [("b",)] * 10
+    df = spark.createDataFrame(rows, "source string")
+    w = temperature_weights(df, "source", alpha=1.0)
+    assert w["a"] == 3 * w["b"]
