@@ -1104,6 +1104,103 @@ FROM k
 """
 
 
+def _q_t_repair_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the repair story end-to-end: the corrupted transcript fires
+    # DuplicateKey + TurnGap violations; after reindex_turns BOTH are
+    # structurally impossible (dense 0..n-1 by construction). Output is
+    # the per-phase violation count by code — 'after' rows exist with
+    # n=0 so the oracle checks the repair's effect positively instead
+    # of comparing empty sets.
+    from json_schema_rs_spark.operators.table_checks import reindex_turns
+    tx = _transcripts_from_events(_t(spark, sf_dir, "events")).drop("tool")
+    hx = F.md5(F.concat(F.col("conv_id"), F.lit("#reidx")))
+    c1, c2 = F.substring(hx, 1, 1), F.substring(hx, 2, 1)
+    base = tx.select(
+        "conv_id", F.col("turn_idx").alias("_o"), "role", "text", "ts",
+        c1.alias("_c1"), c2.alias("_c2"))
+    corr = base.withColumn(
+        "turn_idx",
+        F.when(F.col("_c1") < "5", F.col("_o") * 3)
+         .when(F.col("_c1") < "a", F.col("_o") + 7)
+         .otherwise(F.col("_o")).cast("int"))
+    dup = (corr.filter((F.col("_o") == 0) & (F.col("_c2") < "4"))
+               .withColumn("text", F.concat(F.lit("DUP:"), F.col("text")))
+               .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 SECOND")))
+    dirty = (corr.unionByName(dup)
+                 .select("conv_id", "turn_idx", "role", "text", "ts"))
+    repaired = reindex_turns(dirty, order_cols=("ts", "text"))         .select("conv_id", "turn_idx")
+
+    def counts(df, phase):
+        v = (uniqueness_violations(df, ("conv_id", "turn_idx"))
+             .select("code")
+             .unionByName(turn_gap_violations(df).select("code")))
+        base_codes = arrow_local_df(
+            spark, [("DuplicateKey",), ("TurnGap",)], "code string")
+        return (base_codes.join(
+                    v.groupBy("code").agg(F.count(F.lit(1)).alias("n")),
+                    "code", "left")
+                .select(F.lit(phase).alias("phase"), "code",
+                        F.coalesce(F.col("n"), F.lit(0).cast("bigint"))
+                         .alias("n")))
+
+    return counts(dirty.select("conv_id", "turn_idx"), "before")         .unionByName(counts(repaired, "after"))
+
+
+_SQL_T_REPAIR_VALIDATE = f"""
+WITH tx AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS o,
+         {_ROLE_MAP} AS role, props AS text, ts,
+         substr(md5(CAST(user_id AS VARCHAR) || '#reidx'), 1, 1) AS c1,
+         substr(md5(CAST(user_id AS VARCHAR) || '#reidx'), 2, 1) AS c2
+  FROM events),
+corr AS (
+  SELECT conv_id,
+         CAST(CASE WHEN c1 < '5' THEN o * 3
+                   WHEN c1 < 'a' THEN o + 7
+                   ELSE o END AS INT) AS turn_idx,
+         text, ts, o, c2
+  FROM tx),
+dirty AS (
+  SELECT conv_id, turn_idx, text, ts FROM corr
+  UNION ALL
+  SELECT conv_id, turn_idx, 'DUP:' || text, ts + INTERVAL 1 SECOND
+  FROM corr WHERE o = 0 AND c2 < '4'),
+rep AS (
+  SELECT conv_id,
+         CAST(row_number() OVER (
+              PARTITION BY conv_id
+              ORDER BY turn_idx NULLS LAST, ts NULLS LAST, text NULLS LAST)
+              - 1 AS INT) AS turn_idx
+  FROM (SELECT * FROM (
+          SELECT *, row_number() OVER (
+              PARTITION BY conv_id, turn_idx
+              ORDER BY ts NULLS LAST, text NULLS LAST) AS rn
+          FROM dirty) WHERE rn = 1)),
+phases AS (
+  SELECT 'before' AS phase, conv_id, turn_idx FROM dirty
+  UNION ALL
+  SELECT 'after', conv_id, turn_idx FROM rep),
+dupv AS (
+  SELECT phase, 'DuplicateKey' AS code, count(*) AS n FROM (
+    SELECT phase, conv_id, turn_idx FROM phases
+    GROUP BY phase, conv_id, turn_idx HAVING count(*) > 1)
+  GROUP BY phase),
+gapv AS (
+  SELECT phase, 'TurnGap' AS code, count(*) AS n FROM (
+    SELECT phase, conv_id, turn_idx,
+           row_number() OVER (PARTITION BY phase, conv_id
+                              ORDER BY turn_idx) - 1 AS pos
+    FROM phases) WHERE turn_idx <> pos
+  GROUP BY phase)
+SELECT p.phase, c.code, COALESCE(v.n, 0) AS n
+FROM (SELECT DISTINCT 'before' AS phase UNION ALL SELECT 'after') p
+CROSS JOIN (SELECT 'DuplicateKey' AS code UNION ALL SELECT 'TurnGap') c
+LEFT JOIN (SELECT * FROM dupv UNION ALL SELECT * FROM gapv) v
+       ON v.phase = p.phase AND v.code = c.code
+"""
+
+
 def _q_t_hot_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skew diagnosis entry: amplify a deterministic md5-bucketed subset
     # of conversations 20x (the "hot conversation" shape the north rule
@@ -3918,6 +4015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_gapfree_ordering": _q_t_gapfree,
         "t_monotonic_ts": _q_t_monotonic,
         "t_reindex_turns": _q_t_reindex,
+        "t_repair_validate": _q_t_repair_validate,
         "t_hot_convs": _q_t_hot_convs,
         # conversation-protocol checks
         "t_role_protocol": _q_t_role_protocol,
@@ -4059,6 +4157,7 @@ def oracle_sql() -> dict[str, str]:
         "t_gapfree_ordering": _SQL_T_GAPFREE,
         "t_monotonic_ts": _SQL_T_MONOTONIC,
         "t_reindex_turns": _SQL_T_REINDEX,
+        "t_repair_validate": _SQL_T_REPAIR_VALIDATE,
         "t_hot_convs": _SQL_T_HOT_CONVS,
         "t_role_protocol": _SQL_T_ROLE_PROTOCOL,
         "t_tool_pairing": _SQL_T_TOOL_PAIRING,
