@@ -3630,6 +3630,41 @@ FROM r
 """
 
 
+def _q_x_sft_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # loss-mask export: where each turn's rendered bytes sit inside the
+    # render_conversations sequence, and whether the turn trains
+    # (assistant completions only). Offsets are value-exact vs the
+    # oracle's window cumsum, so the mask lines up with x_render_conv's
+    # rendered text byte-for-byte.
+    from json_schema_rs_spark.operators.packing import sft_spans
+    tx = _transcripts_with_tools(_t(spark, sf_dir, "events"))
+    return sft_spans(tx)
+
+
+_SQL_X_SFT_SPANS = f"""
+WITH tx AS ({_ORACLE_TX_TOOLS}),
+p AS (
+  SELECT conv_id, turn_idx, role,
+         coalesce(turn_idx, -2147483648) AS i,
+         coalesce(role, 'unknown') AS r,
+         coalesce(text, '') AS t,
+         length('<|' || coalesce(role, 'unknown') || '|>' || chr(10)
+                || coalesce(text, '')) AS plen
+  FROM tx)
+SELECT conv_id, turn_idx, role,
+       CAST(coalesce(sum(plen + 1) OVER (
+              PARTITION BY conv_id ORDER BY i, r, t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS char_start,
+       CAST(coalesce(sum(plen + 1) OVER (
+              PARTITION BY conv_id ORDER BY i, r, t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + plen
+            AS BIGINT) AS char_end,
+       r = 'assistant' AS train
+FROM p
+"""
+
+
 def _q_x_strat(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-balance the language mix: keep all de, half zh, a quarter en;
     # es/fr fall to the 10% default
@@ -4090,6 +4125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_pack_chunks": _q_x_pack,
         "x_chunk_windows": _q_x_chunks,
         "x_render_conv": _q_x_render_conv,
+        "x_sft_spans": _q_x_sft_spans,
         "x_normalize_text": _q_x_normalize,
         "v_profile_spec": _q_v_profile_spec,
         "v_clean_route": _q_v_clean_route,
@@ -4223,6 +4259,7 @@ def oracle_sql() -> dict[str, str]:
         "x_pack_chunks": _SQL_X_PACK,
         "x_chunk_windows": _SQL_X_CHUNKS,
         "x_render_conv": _SQL_X_RENDER_CONV,
+        "x_sft_spans": _SQL_X_SFT_SPANS,
         "x_normalize_text": _SQL_X_NORMALIZE,
         "v_profile_spec": _SQL_V_PROFILE_SPEC,
         "v_clean_route": _SQL_V_CLEAN_ROUTE,

@@ -26,7 +26,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pack_sequences", "chunk_windows", "render_conversations"]
+__all__ = ["pack_sequences", "chunk_windows", "render_conversations",
+           "sft_spans"]
+
+
+def _render_template(template: str, role: Column, text: Column) -> Column:
+    """Build the rendered-turn expression for ``template``, which may
+    reference ``{role}`` / ``{text}`` (each at most once). Callers pass
+    already-NULL-substituted role/text columns."""
+    import re
+    cols: list[Column] = []
+    for p in re.split(r"(\{role\}|\{text\})", template):
+        if p == "{role}":
+            cols.append(role)
+        elif p == "{text}":
+            cols.append(text)
+        elif p:
+            cols.append(F.lit(p))
+    return F.concat(*cols) if cols else F.lit("")
 
 
 def pack_sequences(
@@ -150,19 +167,8 @@ def render_conversations(
     row-local over the collected turn array, whose size is bounded by
     turns-per-conversation, not corpus size. No window, no per-row
     Python, no second shuffle."""
-    import re
-    parts = re.split(r"(\{role\}|\{text\})", turn_template)
-
     def render_turn(t: Column) -> Column:
-        cols = []
-        for p in parts:
-            if p == "{role}":
-                cols.append(t["r"])
-            elif p == "{text}":
-                cols.append(t["t"])
-            elif p:
-                cols.append(F.lit(p))
-        return F.concat(*cols) if cols else F.lit("")
+        return _render_template(turn_template, t["r"], t["t"])
 
     # substitute NULLs BEFORE the struct so the sort key is never NULL
     # (see docstring: engines disagree on NULL ordering defaults)
@@ -184,4 +190,57 @@ def render_conversations(
         F.size("_turns").cast("int").alias("n_turns"),
         rendered.alias("text"),
         F.size(F.split(rendered, r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+
+
+def sft_spans(
+    df: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    turn_template: str = "<|{role}|>\n{text}",
+    sep: str = "\n",
+    train_roles: tuple[str, ...] = ("assistant",),
+) -> DataFrame:
+    """Per-turn loss-mask spans over the canonical conversation rendering —
+    the SFT-export step after :func:`render_conversations`: a tokenizer
+    supervising only completion turns needs, for every turn, WHERE its
+    rendered bytes sit inside the full sequence and WHETHER they train.
+
+    Output: one row per input turn —
+    ``(conv_id, turn_idx, role, char_start, char_end, train)`` with
+    0-based ``[char_start, char_end)`` character offsets into the text
+    produced by :func:`render_conversations` with the SAME
+    ``turn_template``/``sep``, and ``train`` = role ∈ ``train_roles``
+    (NULL role never trains). Invariant (tested): ``full_text[char_start:
+    char_end]`` equals the turn's rendered piece, byte-for-byte.
+
+    Ordering / NULL handling mirrors :func:`render_conversations` exactly:
+    turns order by the fully NULL-substituted ``(turn_idx→INT_MIN,
+    role→'unknown', text→'')`` key, so offsets match the render even on
+    corpora with NULL or duplicate indices (ties have identical pieces,
+    hence identical offsets either way).
+
+    Scale shape: ONE hash exchange on ``conv_col`` (a window cumulative
+    sum of piece lengths — the same skinny conversation shuffle every
+    cross-row check rides); the render and length arithmetic are
+    row-local codegen. No join, no second shuffle, no Python. At 10^12
+    turns this costs exactly what gap-free ordering costs."""
+    sub_i = F.coalesce(F.col(idx_col), F.lit(-2147483648))
+    sub_r = F.coalesce(F.col(role_col), F.lit("unknown"))
+    sub_t = F.coalesce(F.col(text_col), F.lit(""))
+    piece_len = F.length(_render_template(turn_template, sub_r, sub_t))
+    w = (Window.partitionBy(conv_col).orderBy(sub_i, sub_r, sub_t)
+               .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum(piece_len + len(sep)).over(w),
+                       F.lit(0)).cast("bigint")
+    return df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(idx_col).alias("turn_idx"),
+        F.col(role_col).alias("role"),
+        start.alias("char_start"),
+        (start + piece_len).cast("bigint").alias("char_end"),
+        sub_r.isin(*train_roles).alias("train"),
     )

@@ -218,3 +218,74 @@ class TestRenderConversations:
             render_conversations)
         with pytest.raises(ValueError, match="positive"):
             render_conversations(self._df(spark), max_turns=0)
+
+
+class TestSftSpans:
+    ROWS = TestRenderConversations.ROWS
+
+    def _df(self, spark, rows=None):
+        return spark.createDataFrame(
+            rows or self.ROWS,
+            "conv_id string, turn_idx int, role string, text string")
+
+    def test_spans_index_into_rendered_text(self, spark):
+        # the core invariant: full_text[start:end] is exactly the turn's
+        # rendered piece, for every turn of every conversation
+        from json_schema_rs_spark.operators.packing import (
+            render_conversations, sft_spans)
+        df = self._df(spark)
+        full = {r["conv_id"]: r["text"]
+                for r in render_conversations(df).collect()}
+        spans = sft_spans(df).collect()
+        assert len(spans) == len(self.ROWS)
+        seen = set()
+        for r in spans:
+            role = r["role"] if r["role"] is not None else "unknown"
+            piece = full[r["conv_id"]][r["char_start"]:r["char_end"]]
+            assert piece.startswith(f"<|{role}|>\n")
+            seen.add((r["conv_id"], r["turn_idx"]))
+        assert len(seen) == len(self.ROWS)
+        # conv "a" turn 1 has NULL text -> piece is exactly the header
+        t1 = next(r for r in spans
+                  if r["conv_id"] == "a" and r["turn_idx"] == 1)
+        assert full["a"][t1["char_start"]:t1["char_end"]] \
+            == "<|assistant|>\n"
+
+    def test_train_mask_and_null_role(self, spark):
+        from json_schema_rs_spark.operators.packing import sft_spans
+        got = {(r["conv_id"], r["turn_idx"]): r["train"]
+               for r in sft_spans(self._df(spark)).collect()}
+        assert got[("a", 0)] is False          # user
+        assert got[("a", 1)] is True           # assistant
+        assert got[("a", 2)] is True
+        assert got[("b", 0)] is False          # NULL role never trains
+
+    def test_custom_template_sep_and_roles(self, spark):
+        from json_schema_rs_spark.operators.packing import (
+            render_conversations, sft_spans)
+        df = self._df(spark)
+        kw = dict(turn_template="{role}: {text}", sep=" | ")
+        full = {r["conv_id"]: r["text"]
+                for r in render_conversations(df, **kw).collect()}
+        spans = sft_spans(df, train_roles=("user",), **kw).collect()
+        for r in spans:
+            piece = full[r["conv_id"]][r["char_start"]:r["char_end"]]
+            role = r["role"] if r["role"] is not None else "unknown"
+            assert piece.startswith(f"{role}: ")
+            assert r["train"] == (r["role"] == "user")
+
+    def test_duplicate_idx_offsets_are_deterministic(self, spark):
+        # ties have identical pieces -> identical (start, end) pairs
+        rows = [("c", 0, "user", "x"), ("c", 0, "user", "x"),
+                ("c", 1, "user", "z")]
+        from json_schema_rs_spark.operators.packing import sft_spans
+        got = sorted((r["char_start"], r["char_end"])
+                     for r in sft_spans(self._df(spark, rows)).collect())
+        # piece "<|user|>\nx" = 10 chars, sep 1
+        assert got == [(0, 10), (11, 21), (22, 32)]
+
+    def test_single_exchange(self, spark):
+        from json_schema_rs_spark.operators.packing import sft_spans
+        plan = (sft_spans(self._df(spark))
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("Exchange") == 1
