@@ -1201,6 +1201,72 @@ LEFT JOIN (SELECT * FROM dupv UNION ALL SELECT * FROM gapv) v
 """
 
 
+def _q_t_tree_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # branching-transcript validation: give every conversation a parent
+    # pointer (a valid chain or binary tree for most, deterministic
+    # corruptions for md5-bucketed subsets) and emit the full tree
+    # violation rows — forward/self parents, orphan references, and
+    # root-cardinality breaks.
+    from json_schema_rs_spark.operators.table_checks import tree_violations
+    tx = _transcripts_from_events(_t(spark, sf_dir, "events"))
+    c1 = F.substring(F.md5(F.concat(F.col("conv_id"), F.lit("#tree"))), 1, 1)
+    i = F.col("turn_idx")
+    parent = (
+        F.when(i == 0,
+               F.when(c1 >= "b", F.lit(0)).otherwise(F.lit(None)))
+         .when(c1 < "3", F.floor((i - 1) / 2))          # valid binary tree
+         .when((c1 < "6") & (i == 2), i + 3)            # forward edge
+         .when((c1 < "9") & (i == 3), F.lit(-5))        # orphan (backward)
+         .when((c1 < "b") & (i == 2), F.lit(None))      # extra root
+         .otherwise(i - 1)                              # valid chain
+         .cast("int"))
+    pt = tx.select("conv_id", "turn_idx", parent.alias("parent_idx"))
+    return tree_violations(pt)
+
+
+_SQL_T_TREE_CHECK = f"""
+WITH tx AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+         substr(md5(CAST(user_id AS VARCHAR) || '#tree'), 1, 1) AS c1
+  FROM events),
+pt AS (
+  SELECT conv_id, turn_idx,
+         CAST(CASE WHEN turn_idx = 0 THEN
+                     CASE WHEN c1 >= 'b' THEN 0 ELSE NULL END
+                   WHEN c1 < '3' THEN CAST(floor((turn_idx - 1) / 2.0) AS INT)
+                   WHEN c1 < '6' AND turn_idx = 2 THEN turn_idx + 3
+                   WHEN c1 < '9' AND turn_idx = 3 THEN -5
+                   WHEN c1 < 'b' AND turn_idx = 2 THEN NULL
+                   ELSE turn_idx - 1 END AS INT) AS parent_idx
+  FROM tx),
+fwd AS (
+  SELECT conv_id, turn_idx, '/parent_idx' AS instance_path,
+         'ForwardParent' AS code,
+         '/parent_idx: parent ' || parent_idx
+           || ' does not precede turn ' || turn_idx AS message
+  FROM pt WHERE parent_idx IS NOT NULL AND parent_idx >= turn_idx),
+orp AS (
+  SELECT p.conv_id, p.turn_idx, '/parent_idx' AS instance_path,
+         'OrphanParent' AS code,
+         '/parent_idx: parent ' || p.parent_idx
+           || ' not found in conversation' AS message
+  FROM pt p LEFT JOIN (SELECT DISTINCT conv_id, turn_idx FROM pt) t
+    ON t.conv_id = p.conv_id AND t.turn_idx = p.parent_idx
+  WHERE p.parent_idx IS NOT NULL AND t.conv_id IS NULL),
+roots AS (
+  SELECT conv_id, CAST(NULL AS INT) AS turn_idx, '' AS instance_path,
+         CASE WHEN n = 0 THEN 'NoRoot' ELSE 'MultipleRoots' END AS code,
+         'root: conversation has ' || n
+           || ' root turns, expected exactly 1' AS message
+  FROM (SELECT conv_id,
+               sum(CASE WHEN parent_idx IS NULL THEN 1 ELSE 0 END) AS n
+        FROM pt GROUP BY conv_id)
+  WHERE n <> 1)
+SELECT * FROM fwd UNION ALL SELECT * FROM orp UNION ALL SELECT * FROM roots
+"""
+
+
 def _q_t_hot_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skew diagnosis entry: amplify a deterministic md5-bucketed subset
     # of conversations 20x (the "hot conversation" shape the north rule
@@ -4051,6 +4117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_monotonic_ts": _q_t_monotonic,
         "t_reindex_turns": _q_t_reindex,
         "t_repair_validate": _q_t_repair_validate,
+        "t_tree_check": _q_t_tree_check,
         "t_hot_convs": _q_t_hot_convs,
         # conversation-protocol checks
         "t_role_protocol": _q_t_role_protocol,
@@ -4194,6 +4261,7 @@ def oracle_sql() -> dict[str, str]:
         "t_monotonic_ts": _SQL_T_MONOTONIC,
         "t_reindex_turns": _SQL_T_REINDEX,
         "t_repair_validate": _SQL_T_REPAIR_VALIDATE,
+        "t_tree_check": _SQL_T_TREE_CHECK,
         "t_hot_convs": _SQL_T_HOT_CONVS,
         "t_role_protocol": _SQL_T_ROLE_PROTOCOL,
         "t_tool_pairing": _SQL_T_TOOL_PAIRING,

@@ -812,3 +812,75 @@ def hot_key_stats(
                                .alias("is_hot")))
     return enriched.orderBy(F.col("n_rows").desc(),
                             *[F.col(k).asc() for k in keys]).limit(top)
+
+
+def tree_violations(
+    df: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    parent_col: str = "parent_idx",
+) -> DataFrame:
+    """Tree-shape validation for BRANCHING transcripts — agent traces with
+    regenerations / tool sub-spans carry a parent pointer instead of a
+    linear order, and the reference's "array positions 0..n" invariant
+    (validator/mod.rs:398-407) generalizes to "the turns form one rooted
+    tree". Three checks, one violation row each:
+
+    - ``ForwardParent`` (turn-scoped): ``parent >= turn_idx``. Requiring
+      every parent to STRICTLY precede its child makes the edge relation
+      a forest by construction — no separate cycle detection is needed
+      (any cycle must contain a non-decreasing edge), so the check stays
+      row-local instead of iterative.
+    - ``OrphanParent`` (turn-scoped): the referenced parent index does
+      not exist as a turn of the same conversation.
+    - ``NoRoot`` / ``MultipleRoots`` (conversation-scoped, ``idx_col``
+      NULL): exactly one NULL-parent turn per conversation.
+
+    Scale shape: ForwardParent is zero-shuffle codegen; OrphanParent is
+    ONE self-join on ``(conv_col, idx)`` — both sides hash-partition on
+    the same composite key, so it co-partitions with (and AQE can reuse)
+    the conversation exchange; root cardinality is one hash aggregate
+    with map-side partials. Skew is bounded by turns-per-conversation on
+    every path."""
+    path = "/" + parent_col
+    base = df.select(conv_col, idx_col, parent_col)
+    p, i = F.col(parent_col), F.col(idx_col)
+    fwd = base.filter(p.isNotNull() & (p >= i)).select(
+        F.col(conv_col), i,
+        F.lit(path).alias("instance_path"),
+        F.lit("ForwardParent").alias("code"),
+        F.concat(F.lit(f"{path}: parent "), p.cast("string"),
+                 F.lit(" does not precede turn "),
+                 i.cast("string")).alias("message"),
+    )
+    turns = (base.select(F.col(conv_col).alias("_c"),
+                         F.col(idx_col).alias("_i"))
+                 .dropDuplicates())
+    orphan = (
+        base.filter(p.isNotNull())
+            .join(turns, (F.col(conv_col) == F.col("_c")) & (p == F.col("_i")),
+                  "left_anti")
+            .select(
+                F.col(conv_col), i,
+                F.lit(path).alias("instance_path"),
+                F.lit("OrphanParent").alias("code"),
+                F.concat(F.lit(f"{path}: parent "), p.cast("string"),
+                         F.lit(" not found in conversation")).alias("message"),
+            ))
+    roots = (
+        base.groupBy(conv_col)
+            .agg(F.sum(p.isNull().cast("int")).alias("_roots"))
+            .filter(F.col("_roots") != 1)
+            .select(
+                F.col(conv_col),
+                F.lit(None).cast("int").alias(idx_col),
+                F.lit("").alias("instance_path"),
+                F.when(F.col("_roots") == 0, F.lit("NoRoot"))
+                 .otherwise(F.lit("MultipleRoots")).alias("code"),
+                F.concat(F.lit("root: conversation has "),
+                         F.col("_roots").cast("string"),
+                         F.lit(" root turns, expected exactly 1")
+                         ).alias("message"),
+            ))
+    return fwd.unionByName(orphan).unionByName(roots)

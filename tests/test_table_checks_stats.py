@@ -751,3 +751,72 @@ class TestHotKeyStats:
         # totals attach via broadcast; top-N is TakeOrdered, no global sort
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
         assert "TakeOrderedAndProject" in plan
+
+
+class TestTreeViolations:
+    # conv "ok": valid binary tree (root 0; 1,2 -> 0; 3 -> 1)
+    # conv "fw": turn 2's parent is itself -> ForwardParent
+    # conv "or": turn 2 references absent backward parent -3 -> OrphanParent
+    # conv "mr": two NULL-parent turns -> MultipleRoots
+    # conv "nr": no NULL-parent turn; 0 -> 1 is also a forward edge
+    ROWS = [
+        ("ok", 0, None), ("ok", 1, 0), ("ok", 2, 0), ("ok", 3, 1),
+        ("fw", 0, None), ("fw", 1, 0), ("fw", 2, 2),
+        ("or", 0, None), ("or", 1, 0), ("or", 2, -3),
+        ("mr", 0, None), ("mr", 1, None), ("mr", 2, 1),
+        ("nr", 0, 1), ("nr", 1, 0),
+    ]
+
+    def _got(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            tree_violations)
+        df = spark.createDataFrame(
+            self.ROWS, "conv_id string, turn_idx int, parent_idx int")
+        key = lambda t: (t[0], t[1] is None, t[1] or 0, t[2])  # noqa: E731
+        return sorted(((r["conv_id"], r["turn_idx"], r["code"])
+                       for r in tree_violations(df).collect()), key=key)
+
+    def test_all_codes_fire_exactly_where_expected(self, spark):
+        got = self._got(spark)
+        assert got == sorted([
+            ("fw", 2, "ForwardParent"),
+            ("or", 2, "OrphanParent"),
+            ("mr", None, "MultipleRoots"),
+            ("nr", 0, "ForwardParent"),   # 0 -> 1 goes forward
+            ("nr", None, "NoRoot"),
+        ], key=lambda t: (t[0], t[1] is None, t[1] or 0, t[2]))
+
+    def test_valid_tree_is_silent(self, spark):
+        got = self._got(spark)
+        assert not [g for g in got if g[0] == "ok"]
+
+    def test_messages_and_paths(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            tree_violations)
+        df = spark.createDataFrame(
+            self.ROWS, "conv_id string, turn_idx int, parent_idx int")
+        rows = {(r["conv_id"], r["code"]): r
+                for r in tree_violations(df).collect()}
+        fw = rows[("fw", "ForwardParent")]
+        assert fw["instance_path"] == "/parent_idx"
+        assert fw["message"] == \
+            "/parent_idx: parent 2 does not precede turn 2"
+        orp = rows[("or", "OrphanParent")]
+        assert orp["message"] == \
+            "/parent_idx: parent -3 not found in conversation"
+        mr = rows[("mr", "MultipleRoots")]
+        assert mr["instance_path"] == ""
+        assert mr["message"] == \
+            "root: conversation has 2 root turns, expected exactly 1"
+        assert rows[("nr", "NoRoot")]["message"] == \
+            "root: conversation has 0 root turns, expected exactly 1"
+
+    def test_no_cartesian_in_orphan_join(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            tree_violations)
+        df = spark.createDataFrame(
+            self.ROWS, "conv_id string, turn_idx int, parent_idx int")
+        plan = (tree_violations(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Cartesian" not in plan
+        assert "BroadcastNestedLoop" not in plan
