@@ -2978,6 +2978,27 @@ ORDER BY n_occurrences DESC, token ASC LIMIT 50
 """
 
 
+def _q_x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact heavy hitters at sketch cost: per-partition Misra-Gries
+    # candidates (zero shuffle) -> broadcast-semi-join exact recount ->
+    # ceil(min_frac*N) threshold. The sketch bounds the COST (only
+    # candidate tokens shuffle, never the vocabulary); the exact
+    # threshold makes the RESULT sketch-independent, hence oracle-able.
+    return textstats.heavy_hitters(_t(spark, sf_dir, "documents"),
+                                   min_frac=0.002)
+
+
+_SQL_X_HEAVY_HITTERS = """
+WITH tk AS (SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents),
+n AS (SELECT count(*) AS total FROM tk)
+SELECT token, count(*) AS n_occurrences
+FROM tk GROUP BY token
+HAVING count(*) >= (SELECT ceil(CAST(0.002 AS DOUBLE) * total) FROM n)
+ORDER BY n_occurrences DESC, token ASC
+"""
+
+
 def _q_x_rep_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher-style repetition filter: fraction of the doc's bigrams taken
     # by its most frequent bigram; short docs report 0.0
@@ -4168,6 +4189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "x_token_stats": _q_x_tokens,
         "x_top_tokens": _q_x_top_tokens,
+        "x_heavy_hitters": _q_x_heavy_hitters,
         "x_rep_ngram": _q_x_rep_ngram,
         "x_dup_ngrams": _q_x_dup_ngrams,
         "x_dedup_spans": _q_x_dedup_spans,
@@ -4304,6 +4326,7 @@ def oracle_sql() -> dict[str, str]:
         "a_ivf_topk": _SQL_A_IVF,
         "x_token_stats": _SQL_X_TOKENS,
         "x_top_tokens": _SQL_X_TOP_TOKENS,
+        "x_heavy_hitters": _SQL_X_HEAVY_HITTERS,
         "x_rep_ngram": _SQL_X_REP_NGRAM,
         "x_dup_ngrams": _SQL_X_DUP_NGRAMS,
         "x_dedup_spans": _SQL_X_DEDUP_SPANS,

@@ -734,3 +734,81 @@ def lm_quality(df: DataFrame, text_col: str = "text",
         F.round(F.col("logp_micro") /
                 (F.col("n_tokens").cast("double") * F.lit(1_000_000.0)),
                 round_digits).alias("avg_logp"))
+
+
+def heavy_hitters(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", *, min_frac: float = 0.001,
+                  sketch_k: int | None = None) -> DataFrame:
+    """EXACT corpus heavy hitters at sketch cost: every token whose
+    occurrence count is ``>= ceil(min_frac * N)`` (N = total tokens),
+    with its exact count — ``(token, n_occurrences)``, (count desc,
+    token asc) total order.
+
+    :func:`top_tokens` shuffles the whole vocabulary to rank it; at
+    web scale the vocabulary IS corpus-sized (typos, hashes, URLs), so
+    this is the scale path: a two-pass candidates-then-recount plan
+    built on a mergeable Misra-Gries sketch (Agarwal et al.,
+    "Mergeable Summaries", PODS'12).
+
+    - Pass 1 (zero shuffle): one ``mapInPandas`` over the raw docs keeps
+      ``sketch_k`` (default ``ceil(2/min_frac)``) Misra-Gries counters
+      PER PARTITION — batch counts via ``collections.Counter`` merged by
+      the standard decrement-by-(k+1)-th-count rule. A token with global
+      count >= min_frac*N undercounts by < n_p/k on each partition
+      stream, so with k >= 1/min_frac it must survive in at least one
+      partition summary: the union of summaries is a guaranteed
+      candidate SUPERSET (<= k rows per partition out, not vocab-sized).
+    - Pass 2: exact recount restricted to candidates — token explode,
+      BROADCAST semi-join against the candidate set, hash aggregate with
+      map-side partial combine; only (candidate, partial-count) pairs
+      shuffle. The exact ``>= ceil(min_frac*N)`` filter then discards
+      the sketch's false positives, so the sketch never touches the
+      RESULT — only the cost. N itself is one codegen'd
+      ``sum(size(split))`` aggregate attached as a 1-row broadcast.
+
+    Candidate volume is bounded by ``sketch_k x input partitions``
+    (driver-free: it stays a DataFrame); size ``min_frac`` so that stays
+    broadcastable — at 1000 partitions and the default k it is ~2M
+    skinny strings for min_frac=1e-3. Analog of the reference's
+    corpus-stats ambitions (research/benchmark/README.md:3-16) at a
+    scale its single-node design cannot reach."""
+    import math
+
+    from ..functions.exprs import explode_rows
+    from .dedup import _spread
+    k = sketch_k if sketch_k is not None else int(math.ceil(2.0 / min_frac))
+
+    def mg_partition(batches):
+        import pandas as pd
+        from collections import Counter
+        running: Counter = Counter()
+        for pdf in batches:
+            batch = Counter()
+            for toks in pdf[text_col].fillna("").str.split(" "):
+                batch.update(toks)
+            running.update(batch)
+            if len(running) > k:
+                # decrement every counter by the (k+1)-th largest count;
+                # <= 0 drops out -- the mergeable-MG reduction step
+                kth = sorted(running.values(), reverse=True)[k]
+                running = Counter({t: c - kth for t, c in running.items()
+                                   if c - kth > 0})
+        yield pd.DataFrame({"token": list(running.keys())})
+
+    spread = _spread(df, id_col)
+    cand = spread.mapInPandas(mg_partition,
+                              schema="token string").dropDuplicates()
+    total = spread.agg(F.sum(F.size(F.split(
+        F.coalesce(F.col(text_col), F.lit("")), " "))).alias("_n"))
+    toks = explode_rows(
+        spread.withColumn("__hh_words",
+                          F.split(F.coalesce(F.col(text_col), F.lit("")),
+                                  " ")),
+        [], F.col("__hh_words"), "token")
+    counts = (toks.join(F.broadcast(cand), "token", "left_semi")
+                  .groupBy("token").agg(F.count("*").alias("n_occurrences")))
+    return (counts.join(F.broadcast(total))
+            .filter(F.col("n_occurrences") >=
+                    F.ceil(F.lit(float(min_frac)) * F.col("_n")))
+            .select("token", "n_occurrences")
+            .orderBy(F.desc("n_occurrences"), F.asc("token")))

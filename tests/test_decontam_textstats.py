@@ -295,3 +295,63 @@ def test_corpus_report_one_exchange(spark):
         .executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "partial" in plan.lower()  # map-side combine before the wire
+
+
+class TestHeavyHitters:
+    def _corpus(self, spark, n_docs=400):
+        # 'the' in every doc (3x), 'rare###' unique per doc -> huge tail
+        rows = [Row(doc_id=i, text=f"the the the mid{i % 10} rare{i}")
+                for i in range(n_docs)]
+        return spark.createDataFrame(rows).repartition(8, "doc_id")
+
+    def test_exact_counts_and_threshold(self, spark):
+        from json_schema_rs_spark.operators.textstats import heavy_hitters
+        df = self._corpus(spark)
+        # N = 400*5 = 2000; min_frac .02 -> threshold 40:
+        # 'the' (1200) and each mid% (40) qualify; rare* (1) never do
+        got = [(r["token"], r["n_occurrences"])
+               for r in heavy_hitters(df, min_frac=0.02).collect()]
+        want = [("the", 1200)] + [(f"mid{d}", 40) for d in range(10)]
+        assert got == sorted(want, key=lambda t: (-t[1], t[0]))
+
+    def test_matches_brute_force_on_fuzzy_corpus(self, spark):
+        from json_schema_rs_spark.operators.textstats import heavy_hitters
+        import hashlib
+        rows = []
+        for i in range(300):
+            h = hashlib.md5(f"hh{i}".encode()).hexdigest()
+            words = [f"w{int(h[j], 16) % (3 + j)}" for j in range(10)]
+            rows.append(Row(doc_id=i, text=" ".join(words)))
+        df = spark.createDataFrame(rows).repartition(16, "doc_id")
+        got = [(r["token"], r["n_occurrences"])
+               for r in heavy_hitters(df, min_frac=0.01).collect()]
+        toks = [t for r in rows for t in r.text.split(" ")]
+        import collections
+        import math
+        cnt = collections.Counter(toks)
+        thr = math.ceil(0.01 * len(toks))
+        want = sorted(((t, c) for t, c in cnt.items() if c >= thr),
+                      key=lambda t: (-t[1], t[0]))
+        assert got == want
+
+    def test_tiny_sketch_still_exact(self, spark):
+        # sketch_k far below the true HH count: candidates may miss only
+        # if the guarantee is broken -- with k=2/min_frac it never is;
+        # here force k=12 (> 1/0.1=10) and verify output stays exact
+        from json_schema_rs_spark.operators.textstats import heavy_hitters
+        df = self._corpus(spark, n_docs=100)
+        got = [(r["token"], r["n_occurrences"])
+               for r in heavy_hitters(df, min_frac=0.1,
+                                      sketch_k=12).collect()]
+        # N=500, threshold 50: only 'the' (300) qualifies
+        assert got == [("the", 300)]
+
+    def test_plan_shape(self, spark):
+        from json_schema_rs_spark.operators.textstats import heavy_hitters
+        df = self._corpus(spark)
+        plan = (heavy_hitters(df, min_frac=0.02)
+                ._jdf.queryExecution().executedPlan().toString())
+        # candidate + total attach via broadcast; no vocab sort-merge
+        assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
