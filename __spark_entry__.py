@@ -1267,6 +1267,81 @@ SELECT * FROM fwd UNION ALL SELECT * FROM orp UNION ALL SELECT * FROM roots
 """
 
 
+def _q_t_near_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fuzzy retry detection: synthesize per-turn text whose distinct-word
+    # overlap between same-role adjacent turns is bucket-controlled —
+    # (5 const + 1 varying) words J=5/7 fires, (2+2) J=1/3 silent,
+    # (2+1) J=0.5 fires exactly AT the threshold (boundary pinned),
+    # (1+3) J=1/7 silent — then emit NearDuplicateTurn violation rows.
+    from json_schema_rs_spark.operators.table_checks import (
+        near_retry_violations)
+    tx = _transcripts_from_events(_t(spark, sf_dir, "events"))
+    c1 = F.substring(F.md5(F.concat(F.col("conv_id"), F.lit("#retry"))),
+                     1, 1)
+    h = F.md5(F.concat(F.col("conv_id"), F.lit("|"),
+                       F.coalesce(F.col("role"), F.lit(""))))
+
+    def cw(j):
+        return F.substring(h, 2 * j + 1, 2)
+
+    def vw(j):
+        return F.concat(F.lit("v"), F.col("turn_idx").cast("string"),
+                        F.lit(f"_{j}"))
+
+    text = (F.when(c1 < "4", F.concat_ws(" ", cw(0), cw(1), cw(2), cw(3),
+                                         cw(4), vw(0)))
+             .when(c1 < "8", F.concat_ws(" ", cw(0), cw(1), vw(0), vw(1)))
+             .when(c1 < "c", F.concat_ws(" ", cw(0), cw(1), vw(0)))
+             .otherwise(F.concat_ws(" ", cw(0), vw(0), vw(1), vw(2))))
+    staged = tx.select("conv_id", "turn_idx", "role", text.alias("text"))
+    return near_retry_violations(staged)
+
+
+_SQL_T_NEAR_RETRY = f"""
+WITH tx AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+         {_ROLE_MAP} AS role
+  FROM events),
+b AS (
+  SELECT conv_id, turn_idx, coalesce(role, '') AS r,
+         substr(md5(conv_id || '#retry'), 1, 1) AS c1,
+         md5(conv_id || '|' || coalesce(role, '')) AS h
+  FROM tx),
+t AS (
+  SELECT conv_id, turn_idx, r,
+         CASE WHEN c1 < '4' THEN substr(h,1,2) || ' ' || substr(h,3,2)
+                || ' ' || substr(h,5,2) || ' ' || substr(h,7,2) || ' '
+                || substr(h,9,2) || ' v' || turn_idx || '_0'
+              WHEN c1 < '8' THEN substr(h,1,2) || ' ' || substr(h,3,2)
+                || ' v' || turn_idx || '_0 v' || turn_idx || '_1'
+              WHEN c1 < 'c' THEN substr(h,1,2) || ' ' || substr(h,3,2)
+                || ' v' || turn_idx || '_0'
+              ELSE substr(h,1,2) || ' v' || turn_idx || '_0 v'
+                || turn_idx || '_1 v' || turn_idx || '_2' END AS text
+  FROM b),
+lagd AS (
+  SELECT conv_id, turn_idx, r, text,
+         lag(text) OVER w AS pt, lag(turn_idx) OVER w AS pi,
+         lag(r) OVER w AS pr
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY r, turn_idx)),
+j AS (
+  SELECT conv_id, turn_idx, pi,
+         CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                 list_distinct(string_split(pt, ' '))))
+              AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(
+                 list_distinct(string_split(text, ' ')),
+                 list_distinct(string_split(pt, ' '))))) AS DOUBLE) AS jac
+  FROM lagd
+  WHERE r = pr AND pt IS NOT NULL AND text IS NOT NULL AND text <> pt)
+SELECT conv_id, turn_idx, pi AS prev_idx, '/text' AS instance_path,
+       'NearDuplicateTurn' AS code, round(jac, 6) AS jaccard,
+       '/text: near-duplicate of same-role turn ' || pi AS message
+FROM j WHERE jac >= 0.5
+"""
+
+
 def _q_t_hot_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skew diagnosis entry: amplify a deterministic md5-bucketed subset
     # of conversations 20x (the "hot conversation" shape the north rule
@@ -4139,6 +4214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_reindex_turns": _q_t_reindex,
         "t_repair_validate": _q_t_repair_validate,
         "t_tree_check": _q_t_tree_check,
+        "t_near_retry": _q_t_near_retry,
         "t_hot_convs": _q_t_hot_convs,
         # conversation-protocol checks
         "t_role_protocol": _q_t_role_protocol,
@@ -4284,6 +4360,7 @@ def oracle_sql() -> dict[str, str]:
         "t_reindex_turns": _SQL_T_REINDEX,
         "t_repair_validate": _SQL_T_REPAIR_VALIDATE,
         "t_tree_check": _SQL_T_TREE_CHECK,
+        "t_near_retry": _SQL_T_NEAR_RETRY,
         "t_hot_convs": _SQL_T_HOT_CONVS,
         "t_role_protocol": _SQL_T_ROLE_PROTOCOL,
         "t_tool_pairing": _SQL_T_TOOL_PAIRING,

@@ -884,3 +884,64 @@ def tree_violations(
                          ).alias("message"),
             ))
     return fwd.unionByName(orphan).unionByName(roots)
+
+
+def near_retry_violations(
+    df: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    min_jaccard: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Fuzzy retry detection — the near-duplicate sibling of
+    :func:`turn_loop_stats`. A regenerated reply is rarely byte-equal to
+    the attempt before it (a changed number, a reordered sentence), so
+    exact-streak detection misses the second-most-common agent loop
+    shape. A turn is flagged when the SAME role's previous turn in
+    ``idx_col`` order has distinct-word-set Jaccard ``>= min_jaccard``
+    with it but the text is NOT byte-identical (byte-identical repeats
+    are turn_loop_stats territory; emitting both codes for one turn
+    would double-count the same failure).
+
+    Output: one violation row per flagged turn —
+    ``(conv_col, idx_col, prev_idx, instance_path='/text',
+    code='NearDuplicateTurn', jaccard, message)``; ``jaccard`` is a
+    rounded DOUBLE column (kept out of the message string so the text
+    stays float-format-independent across engines).
+
+    Scale shape: same ONE exchange as turn_loop_stats — the window
+    partitions on ``conv_col`` and sorts by ``(role, idx)``, so one
+    ``lag`` sees the previous same-role turn; the Jaccard is codegen'd
+    ``array_intersect``/``array_union`` size arithmetic over the lagged
+    word set, zero joins. NULL text never fires; NULL roles compare as
+    one role; the threshold compares the raw double (rounding is
+    display-only)."""
+    rkey = F.coalesce(F.col(role_col), F.lit(""))
+    w = Window.partitionBy(conv_col).orderBy(rkey, F.col(idx_col))
+    words = F.array_distinct(F.split(F.col(text_col), " "))
+    staged = (df.select(conv_col, idx_col, role_col, text_col)
+                .withColumn("_w", words)
+                .withColumn("_pw", F.lag("_w").over(w))
+                .withColumn("_pi", F.lag(idx_col).over(w))
+                .withColumn("_pt", F.lag(text_col).over(w))
+                .withColumn("_sr", rkey == F.lag(rkey).over(w)))
+    jac = (F.size(F.array_intersect("_w", "_pw")).cast("double")
+           / F.size(F.array_union("_w", "_pw")).cast("double"))
+    fire = (F.col("_sr") & F.col(text_col).isNotNull()
+            & F.col("_pt").isNotNull()
+            & (F.col(text_col) != F.col("_pt"))
+            & (jac >= F.lit(float(min_jaccard))))
+    return (staged.filter(fire)
+            .select(
+                F.col(conv_col), F.col(idx_col),
+                F.col("_pi").alias("prev_idx"),
+                F.lit("/" + text_col).alias("instance_path"),
+                F.lit("NearDuplicateTurn").alias("code"),
+                F.round(jac, round_digits).alias("jaccard"),
+                F.concat(F.lit(f"/{text_col}: near-duplicate of same-role "
+                               "turn "),
+                         F.col("_pi").cast("string")).alias("message"),
+            ))

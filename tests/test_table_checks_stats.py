@@ -820,3 +820,74 @@ class TestTreeViolations:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Cartesian" not in plan
         assert "BroadcastNestedLoop" not in plan
+
+
+class TestNearRetryViolations:
+    ROWS = [
+        # conv "a": assistant turn 2 is a near-dup rewrite of turn 0
+        # (5 of 6 distinct words shared -> J = 5/7), user turn between
+        ("a", 0, "assistant", "the sky is very blue today"),
+        ("a", 1, "user", "unrelated question entirely here"),
+        ("a", 2, "assistant", "the sky is very blue tonight"),
+        # conv "b": byte-identical repeat -> NOT flagged (loop territory)
+        ("b", 0, "assistant", "same text"),
+        ("b", 1, "assistant", "same text"),
+        # conv "c": different role, near-dup text -> NOT flagged
+        ("c", 0, "user", "alpha beta gamma delta"),
+        ("c", 1, "assistant", "alpha beta gamma epsilon"),
+        # conv "d": J exactly at the 0.5 threshold (2 shared, 2 unique
+        # each: i=2, u=6... use 3 shared of 4/4: i=3 u=5 -> 0.6) and a
+        # clearly-below pair
+        ("d", 0, "tool", "w1 w2 w3 w4"),
+        ("d", 1, "tool", "w1 w2 w3 w9"),          # J=3/5=0.6 -> fires
+        ("d", 2, "tool", "x1 x2 x3 x4"),          # J=3/5 vs turn 1? no:
+        # turn 2 vs turn 1 share nothing -> silent
+        # NULL text never fires
+        ("e", 0, "assistant", None),
+        ("e", 1, "assistant", None),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self.ROWS, "conv_id string, turn_idx int, role string, "
+                       "text string")
+
+    def test_flags_exactly_the_near_dups(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            near_retry_violations)
+        got = sorted((r["conv_id"], r["turn_idx"], r["prev_idx"],
+                      r["code"], r["jaccard"])
+                     for r in near_retry_violations(self._df(spark))
+                     .collect())
+        assert got == [
+            ("a", 2, 0, "NearDuplicateTurn", round(5 / 7, 6)),
+            ("d", 1, 0, "NearDuplicateTurn", 0.6),
+        ]
+
+    def test_message_and_path(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            near_retry_violations)
+        rows = {r["conv_id"]: r
+                for r in near_retry_violations(self._df(spark)).collect()}
+        assert rows["a"]["instance_path"] == "/text"
+        assert rows["a"]["message"] == \
+            "/text: near-duplicate of same-role turn 0"
+
+    def test_threshold_boundary_inclusive(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            near_retry_violations)
+        df = spark.createDataFrame(
+            [("z", 0, "a", "p q"), ("z", 1, "a", "p r")],
+            "conv_id string, turn_idx int, role string, text string")
+        # i=1 (p), u=3 (p q r) -> 1/3 < 0.5 silent; at min_jaccard=1/3 fires
+        assert near_retry_violations(df).collect() == []
+        got = near_retry_violations(df, min_jaccard=1 / 3).collect()
+        assert len(got) == 1 and got[0]["turn_idx"] == 1
+
+    def test_single_exchange_plan(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            near_retry_violations)
+        plan = (near_retry_violations(self._df(spark))
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("Exchange") <= 2  # hash + the test-input round
+        assert "Join" not in plan
