@@ -3766,6 +3766,44 @@ SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n
 """
 
 
+def _q_x_truncate_ctx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # context-window truncation: keep each conversation's newest turns
+    # that fit a 60-token budget (overhead 2/turn), system turns pinned
+    # and charged first — the acting complement of t_context_budget.
+    from json_schema_rs_spark.operators.packing import truncate_to_budget
+    tx = (_transcripts_from_events(_t(spark, sf_dir, "events"))
+          .select("conv_id", "turn_idx", "role", "text"))
+    kept = truncate_to_budget(tx, 60, per_turn_overhead=2)
+    return kept.select("conv_id", "turn_idx", "role", "turn_tokens")
+
+
+_SQL_X_TRUNCATE_CTX = f"""
+WITH tx AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+         {_ROLE_MAP} AS role, props AS text
+  FROM events),
+st AS (
+  SELECT conv_id, turn_idx, role,
+         CAST(CASE WHEN text IS NULL THEN 0
+              ELSE len(string_split(text, ' ')) END + 2 AS BIGINT) AS tk,
+         coalesce(role, '') = 'system' AS pin
+  FROM tx),
+agg AS (
+  SELECT conv_id, turn_idx, role, tk, pin,
+         coalesce(sum(CASE WHEN pin THEN tk END)
+                  OVER (PARTITION BY conv_id), 0) AS pincost,
+         sum(CASE WHEN NOT pin THEN tk END)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS revcum
+  FROM st)
+SELECT conv_id, turn_idx, role, tk AS turn_tokens
+FROM agg
+WHERE pin OR revcum <= greatest(CAST(60 AS BIGINT) - pincost, 0)
+"""
+
+
 def _q_x_render_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # transcripts -> training-ready sequences: each conversation's turns
     # rendered in stable (turn_idx, role, text) order into one canonical
@@ -4290,6 +4328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_pack_chunks": _q_x_pack,
         "x_chunk_windows": _q_x_chunks,
         "x_render_conv": _q_x_render_conv,
+        "x_truncate_ctx": _q_x_truncate_ctx,
         "x_sft_spans": _q_x_sft_spans,
         "x_normalize_text": _q_x_normalize,
         "v_profile_spec": _q_v_profile_spec,
@@ -4427,6 +4466,7 @@ def oracle_sql() -> dict[str, str]:
         "x_pack_chunks": _SQL_X_PACK,
         "x_chunk_windows": _SQL_X_CHUNKS,
         "x_render_conv": _SQL_X_RENDER_CONV,
+        "x_truncate_ctx": _SQL_X_TRUNCATE_CTX,
         "x_sft_spans": _SQL_X_SFT_SPANS,
         "x_normalize_text": _SQL_X_NORMALIZE,
         "v_profile_spec": _SQL_V_PROFILE_SPEC,

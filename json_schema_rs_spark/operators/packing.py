@@ -244,3 +244,71 @@ def sft_spans(
         (start + piece_len).cast("bigint").alias("char_end"),
         sub_r.isin(*train_roles).alias("train"),
     )
+
+
+def truncate_to_budget(
+    df: DataFrame,
+    budget: int,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    per_turn_overhead: int = 0,
+    pin_roles: tuple[str, ...] = ("system",),
+) -> DataFrame:
+    """Context-window truncation — the ACTING complement of
+    :func:`.table_checks.context_budget_violations` (the same
+    relationship reindex_turns has to the gap-free check): instead of
+    flagging turns past the budget, keep the conversation SUFFIX that
+    fits. Chat history is truncated from the front (the newest turns are
+    the context that matters) while ``pin_roles`` turns (the system
+    prompt) always survive and their cost is charged against the budget
+    first.
+
+    Rules, per conversation:
+
+    - token cost per turn = whitespace-token count of ``text_col``
+      (NULL = 0; the exact formula of the budget CHECK, so check+repair
+      agree) + ``per_turn_overhead``;
+    - every ``pin_roles`` turn is kept; their summed cost reduces the
+      budget available to the rest;
+    - a non-pinned turn is kept iff the total cost of itself and every
+      LATER non-pinned turn fits the remaining budget — turns kept whole
+      or dropped, never split;
+    - ``idx_col`` ties share one cumulative value (RANGE frame, ANSI
+      default in both Spark and DuckDB) so the result is deterministic
+      even on tables that also fail uniqueness;
+    - if the pinned turns alone exceed the budget, only they survive
+      (remaining budget clamps at 0 and no non-pinned suffix fits).
+
+    Scale shape: token cost in the scan projection; ONE exchange on
+    ``conv_col`` carries the input once and both windows (the pinned-sum
+    and the reverse RANGE cumsum) ride the same hash partitioning — no
+    join, no second shuffle, no Python."""
+    tokens = (F.when(F.col(text_col).isNull(), F.lit(0))
+              .otherwise(F.size(F.split(F.col(text_col), " ")))
+              + F.lit(per_turn_overhead)).cast("bigint")
+    pinned = F.coalesce(F.col(role_col), F.lit("")).isin(list(pin_roles)) \
+        if pin_roles else F.lit(False)
+    wall = Window.partitionBy(conv_col)
+    wrev = (Window.partitionBy(conv_col)
+                  .orderBy(F.col(idx_col).desc())
+                  .rangeBetween(Window.unboundedPreceding,
+                                Window.currentRow))
+    staged = (df.withColumn("_tk", tokens)
+                .withColumn("_pin", pinned)
+                .withColumn("_pincost",
+                            F.coalesce(
+                                F.sum(F.when(F.col("_pin"), F.col("_tk"))
+                                      ).over(wall), F.lit(0)))
+                .withColumn("_revcum",
+                            F.sum(F.when(~F.col("_pin"), F.col("_tk"))
+                                  ).over(wrev)))
+    keep = (F.col("_pin")
+            | (F.col("_revcum") <= F.greatest(
+                F.lit(budget).cast("bigint") - F.col("_pincost"),
+                F.lit(0).cast("bigint"))))
+    return (staged.filter(keep)
+                  .withColumn("turn_tokens", F.col("_tk"))
+                  .drop("_tk", "_pin", "_pincost", "_revcum"))

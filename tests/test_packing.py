@@ -289,3 +289,72 @@ class TestSftSpans:
         plan = (sft_spans(self._df(spark))
                 ._jdf.queryExecution().executedPlan().toString())
         assert plan.count("Exchange") == 1
+
+
+class TestTruncateToBudget:
+    # conv "a": system(2tk) pinned + turns of 3/4/5 tokens; budget 11:
+    #   pinned cost 2 -> remaining 9 -> suffix 4+5=9 fits, +3 would be 12
+    # conv "b": no system; budget 11 -> suffix 5+4=9 fits, +3 = 12 drops 0
+    # conv "c": system alone (12tk) over budget -> only system survives
+    ROWS = [
+        ("a", 0, "system", "sys p"),
+        ("a", 1, "user", "one two three"),
+        ("a", 2, "assistant", "a b c d"),
+        ("a", 3, "user", "v w x y z"),
+        ("b", 0, "user", "one two three"),
+        ("b", 1, "assistant", "a b c d"),
+        ("b", 2, "user", "v w x y z"),
+        ("c", 0, "system", "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11 s12"),
+        ("c", 1, "user", "hello"),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self.ROWS,
+            "conv_id string, turn_idx int, role string, text string")
+
+    def _kept(self, spark, **kw):
+        from json_schema_rs_spark.operators.packing import truncate_to_budget
+        return sorted((r["conv_id"], r["turn_idx"])
+                      for r in truncate_to_budget(self._df(spark), 11,
+                                                  **kw).collect())
+
+    def test_suffix_fit_with_pinned_system(self, spark):
+        assert self._kept(spark) == [
+            ("a", 0), ("a", 2), ("a", 3),
+            ("b", 1), ("b", 2),
+            ("c", 0),
+        ]
+
+    def test_no_pin_roles_plain_suffix(self, spark):
+        got = self._kept(spark, pin_roles=())
+        # conv a: plain suffix 3+4+5: 5+4=9 fits, +3=12 no, sys(2)+... no
+        assert [t for t in got if t[0] == "a"] == [("a", 2), ("a", 3)]
+        # conv c: 12-token system no longer pinned and alone over budget
+        assert [t for t in got if t[0] == "c"] == [("c", 1)]
+
+    def test_agrees_with_budget_check_formula(self, spark):
+        # every surviving non-pinned suffix must NOT fire the check with
+        # the same budget/overhead once re-indexed densely
+        from json_schema_rs_spark.operators.packing import truncate_to_budget
+        from json_schema_rs_spark.operators.table_checks import (
+            context_budget_violations)
+        kept = truncate_to_budget(self._df(spark), 11,
+                                  pin_roles=()).cache()
+        v = context_budget_violations(kept, 11).collect()
+        assert v == []
+
+    def test_turn_tokens_column_and_overhead(self, spark):
+        from json_schema_rs_spark.operators.packing import truncate_to_budget
+        rows = {(r["conv_id"], r["turn_idx"]): r["turn_tokens"]
+                for r in truncate_to_budget(self._df(spark), 100,
+                                            per_turn_overhead=2).collect()}
+        assert rows[("a", 1)] == 5  # 3 words + 2 overhead
+        assert rows[("a", 0)] == 4
+
+    def test_single_exchange_no_join(self, spark):
+        from json_schema_rs_spark.operators.packing import truncate_to_budget
+        plan = (truncate_to_budget(self._df(spark), 11)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("Exchange") == 1
+        assert "Join" not in plan
