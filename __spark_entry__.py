@@ -2222,6 +2222,35 @@ WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.8
 """
 
 
+def _q_d_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cross-source contamination matrix: distinct 3-gram overlap between
+    # every source pair — counts exact; ratios rounded. Spark hashes
+    # shingles to xxhash64 longs, the oracle uses raw 3-gram strings;
+    # identical up to 64-bit collisions (|grams|^2/2^64, negligible).
+    from json_schema_rs_spark.operators.decontam import source_overlap
+    return source_overlap(_t(spark, sf_dir, "documents"))
+
+
+_SQL_D_SOURCE_OVERLAP = """
+WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT source,
+              [concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+               for i in range(1, len(ws) - 1)] AS s
+       FROM w),
+ex AS (SELECT DISTINCT source, unnest(s) AS g FROM sh),
+sz AS (SELECT source, count(*) AS n FROM ex GROUP BY source),
+p AS (SELECT a.source AS src_a, b.source AS src_b,
+             count(*) AS shared_ngrams
+      FROM ex a JOIN ex b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2)
+SELECT src_a, src_b, shared_ngrams, sa.n AS n_a, sb.n AS n_b,
+       round(shared_ngrams::DOUBLE / least(sa.n, sb.n), 6) AS containment,
+       round(shared_ngrams::DOUBLE / (sa.n + sb.n - shared_ngrams), 6)
+         AS jaccard
+FROM p JOIN sz sa ON p.src_a = sa.source JOIN sz sb ON p.src_b = sb.source
+"""
+
+
 def _q_d_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
                                      n=3, threshold=0.8)
@@ -4283,6 +4312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_exact_groups": _q_d_exact,
         "d_incremental_dedup": _q_d_incremental,
         "d_ngram_jaccard": _q_d_ngram,
+        "d_source_overlap": _q_d_source_overlap,
         "d_minhash_lsh": _q_d_minhash,
         "d_dup_groups": _q_d_dup_groups,
         "d_canonical_docs": _q_d_canonical,
@@ -4425,6 +4455,7 @@ def oracle_sql() -> dict[str, str]:
         "d_exact_groups": _SQL_D_EXACT,
         "d_incremental_dedup": _SQL_D_INCREMENTAL,
         "d_ngram_jaccard": _SQL_D_NGRAM,
+        "d_source_overlap": _SQL_D_SOURCE_OVERLAP,
         "d_minhash_lsh": _SQL_D_NGRAM,
         "d_dup_groups": _SQL_D_DUP_GROUPS,
         "d_canonical_docs": _SQL_D_CANONICAL,

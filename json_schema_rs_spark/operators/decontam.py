@@ -224,3 +224,52 @@ def decontaminate(df: DataFrame, benchmark: DataFrame, *, n: int = 3,
                         F.coalesce(F.col("n_hit_shingles"),
                                    F.lit(0).cast("bigint")))
             .withColumn("contaminated", F.col("n_hit_shingles") > 0))
+
+
+def source_overlap(df: DataFrame, *, n: int = 3, seed: int = 7,
+                   source_col: str = "source", id_col: str = "doc_id",
+                   text_col: str = "text",
+                   round_digits: int = 6) -> DataFrame:
+    """Cross-source contamination matrix — which corpus sources share
+    content. The triage step BEFORE dedup/decontamination at ingest
+    scale: "is src_A a re-crawl of src_B?" decides whether to drop a
+    whole source, not just documents. One row per unordered source pair
+    that shares at least one distinct word n-gram:
+    ``(src_a, src_b, shared_ngrams, n_a, n_b, containment, jaccard)``
+    with ``src_a < src_b``, containment = shared/min(n_a, n_b) (1.0 when
+    one source's shingle set is a subset of the other — the re-crawl
+    signal), both ratios rounded.
+
+    Scale shape: shingles are 8-byte xxhash64 longs (same contract as
+    the dedup family — collision probability |grams|²/2⁶⁴); the
+    per-source DISTINCT (source, hash) projection is the only
+    corpus-sized aggregate and it map-side combines; the pair join is an
+    inverted-index equi-join on the hash whose output is bounded by
+    sources-per-shingle², then ONE |S|²-key hash aggregate — dashboard-
+    sized for any real source count. The corpus text never shuffles."""
+    sh = shingle_hashes(_spread(df, id_col, source_col), text_col, n=n,
+                        seed=seed, out_col="__sh")
+    ex = (explode_rows(sh, [source_col], F.col("__sh"), "sh")
+          .dropDuplicates([source_col, "sh"]))
+    sizes = ex.groupBy(source_col).agg(F.count("*").alias("_n"))
+    a = ex.select(F.col(source_col).alias("src_a"), "sh")
+    b = ex.select(F.col(source_col).alias("src_b"), "sh")
+    pairs = (a.join(b, "sh")
+              .filter(F.col("src_a") < F.col("src_b"))
+              .groupBy("src_a", "src_b")
+              .agg(F.count("*").alias("shared_ngrams")))
+    na = sizes.select(F.col(source_col).alias("src_a"),
+                      F.col("_n").alias("n_a"))
+    nb = sizes.select(F.col(source_col).alias("src_b"),
+                      F.col("_n").alias("n_b"))
+    out = (pairs.join(F.broadcast(na), "src_a")
+                .join(F.broadcast(nb), "src_b"))
+    shared = F.col("shared_ngrams").cast("double")
+    return out.select(
+        "src_a", "src_b", "shared_ngrams", "n_a", "n_b",
+        F.round(shared / F.least("n_a", "n_b").cast("double"),
+                round_digits).alias("containment"),
+        F.round(shared / (F.col("n_a") + F.col("n_b")
+                          - F.col("shared_ngrams")).cast("double"),
+                round_digits).alias("jaccard"),
+    )

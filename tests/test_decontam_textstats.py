@@ -355,3 +355,46 @@ class TestHeavyHitters:
         assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestSourceOverlap:
+    def _df(self, spark):
+        return spark.createDataFrame([
+            # srcA and srcB share the 3-gram "p q r"; srcB ⊂ srcA ∪ extra
+            Row(doc_id=0, source="srcA", text="p q r s t"),
+            Row(doc_id=1, source="srcA", text="only in a corpus"),
+            Row(doc_id=2, source="srcB", text="p q r"),
+            # srcC shares nothing
+            Row(doc_id=3, source="srcC", text="fully disjoint text here"),
+            # short doc: no 3-grams at all
+            Row(doc_id=4, source="srcC", text="too short"),
+        ])
+
+    def test_pairs_counts_and_ratios(self, spark):
+        from json_schema_rs_spark.operators.decontam import source_overlap
+        rows = source_overlap(self._df(spark)).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        # srcA: {pqr, qrs, rst} + {oia, ia c? ...} -> "only in a corpus"
+        # has 2 grams; n_a = 5. srcB: {pqr}; shared = 1
+        assert (r["src_a"], r["src_b"]) == ("srcA", "srcB")
+        assert r["shared_ngrams"] == 1 and r["n_a"] == 5 and r["n_b"] == 1
+        assert r["containment"] == 1.0          # srcB fully contained
+        assert r["jaccard"] == 0.2
+
+    def test_identical_sources_full_overlap(self, spark):
+        from json_schema_rs_spark.operators.decontam import source_overlap
+        df = spark.createDataFrame([
+            Row(doc_id=0, source="x", text="a b c d"),
+            Row(doc_id=1, source="y", text="a b c d"),
+        ])
+        r = source_overlap(df).collect()[0]
+        assert r["containment"] == 1.0 and r["jaccard"] == 1.0
+
+    def test_no_cartesian_and_broadcast_sizes(self, spark):
+        from json_schema_rs_spark.operators.decontam import source_overlap
+        plan = (source_overlap(self._df(spark))
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert "BroadcastExchange" in plan  # the size joins
