@@ -2025,6 +2025,30 @@ FROM viol GROUP BY code, instance_path
 """
 
 
+def _q_v_review_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic stratified review sample: the 10 md5-smallest
+    # violations per code over the full flagship violation set — exact
+    # top-N-per-group via zero-shuffle local top-N then one pruned
+    # per-code window (no hot-code shuffle of the whole violation table).
+    from json_schema_rs_spark.operators.table_checks import review_queue
+    return review_queue(_flagship(spark, sf_dir), per_code=10)
+
+
+_SQL_V_REVIEW_QUEUE = f"""
+WITH viol AS ({_FLAGSHIP_ORACLE}),
+ranked AS (
+  SELECT conv_id, turn_idx, instance_path, code, message,
+         row_number() OVER (
+           PARTITION BY code
+           ORDER BY md5(coalesce(conv_id, '<NULL>') || '#'
+                        || coalesce(CAST(turn_idx AS VARCHAR), '<NULL>')
+                        || '#' || coalesce(instance_path, '') || '#'
+                        || code)) AS review_rank
+  FROM viol)
+SELECT * FROM ranked WHERE review_rank <= 10
+"""
+
+
 def _q_t_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table-level expectations (aggregate constraints with pass/fail
     # verdict rows — the bounds keywords lifted to the table grain):
@@ -4294,6 +4318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_conv_verdicts": _q_t_conv_verdicts,
         "t_expectations": _q_t_expectations,
         "v_violation_stats": _q_v_violation_stats,
+        "v_review_queue": _q_v_review_queue,
         "t_transcript_diff": _q_t_transcript_diff,
         # stats + drift
         "s_profile": _q_s_profile,
@@ -4441,6 +4466,7 @@ def oracle_sql() -> dict[str, str]:
         "t_conv_verdicts": _SQL_T_CONV_VERDICTS,
         "t_expectations": _SQL_T_EXPECTATIONS,
         "v_violation_stats": _SQL_V_VIOLATION_STATS,
+        "v_review_queue": _SQL_V_REVIEW_QUEUE,
         "t_transcript_diff": _SQL_T_TRANSCRIPT_DIFF,
         "s_profile": _SQL_S_PROFILE,
         "s_profile_drift": _SQL_S_PROFILE_DRIFT,

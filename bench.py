@@ -88,6 +88,14 @@ HEADLINE = [
     "s_vocab_drift",
     "s_emb_drift",
     "v_jsonl_source",
+    "t_repair_validate",
+    "t_tree_check",
+    "t_near_retry",
+    "x_sft_spans",
+    "x_quality_sample",
+    "x_heavy_hitters",
+    "x_truncate_ctx",
+    "d_source_overlap",
     "e_sessionize",
     "e_asof_join",
     "v_multi_spec",

@@ -945,3 +945,57 @@ def near_retry_violations(
                                "turn "),
                          F.col("_pi").cast("string")).alias("message"),
             ))
+
+
+def review_queue(
+    violations: DataFrame,
+    *,
+    per_code: int = 20,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+) -> DataFrame:
+    """Deterministic human-review sample: the ``per_code`` violations
+    with the smallest md5 rank key per ``code`` — a reproducible,
+    stratified "review queue" so a triage rotation sees every firing
+    constraint, not 10^9 copies of the noisiest one. Output = the input
+    columns + ``review_rank`` (1-based within code).
+
+    The rank key ``md5(conv#idx#path#code)`` is a deterministic
+    pseudo-random total order: the same corpus always yields the same
+    queue (reruns are diffable), and no real ordering column (severity,
+    recency) biases which instances a reviewer sees.
+
+    Scale shape — top-N-per-group without a hot-key shuffle: violation
+    codes are FEW (tens), so a plain per-code window would funnel 10^9
+    rows through tens of window partitions. Instead a zero-shuffle
+    ``mapInPandas`` keeps each PARTITION's local top-``per_code`` per
+    code (a superset of the global winners, by the same argument as any
+    distributed top-k), so only ``per_code x codes x partitions`` rows
+    reach the final per-code window — the exact two-phase shape
+    :func:`.textstats.heavy_hitters` uses for counts, applied to
+    ranking. Result is EXACT and layout-independent."""
+    rk = F.md5(F.concat_ws(
+        "#",
+        F.coalesce(F.col(conv_col), F.lit("<NULL>")),
+        F.coalesce(F.col(idx_col).cast("string"), F.lit("<NULL>")),
+        F.coalesce(F.col("instance_path"), F.lit("")),
+        F.col("code")))
+    staged = violations.withColumn("_rk", rk)
+    schema = staged.schema
+
+    def local_topn(batches):
+        import pandas as pd
+        acc = None
+        for pdf in batches:
+            acc = pdf if acc is None else pd.concat([acc, pdf],
+                                                    ignore_index=True)
+            acc = (acc.sort_values("_rk", kind="mergesort")
+                      .groupby("code", sort=False).head(per_code))
+        if acc is not None:
+            yield acc
+
+    local = staged.mapInPandas(local_topn, schema=schema)
+    w = Window.partitionBy("code").orderBy("_rk")
+    return (local.withColumn("review_rank", F.row_number().over(w))
+                 .filter(F.col("review_rank") <= per_code)
+                 .drop("_rk"))

@@ -891,3 +891,69 @@ class TestNearRetryViolations:
                 ._jdf.queryExecution().executedPlan().toString())
         assert plan.count("Exchange") <= 2  # hash + the test-input round
         assert "Join" not in plan
+
+
+class TestReviewQueue:
+    def _violations(self, spark, n=50, parts=8):
+        rows = [(f"c{i}", i % 7, "/text", "TooLong" if i % 3 else "NotInEnum",
+                 f"msg {i}") for i in range(n)]
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, instance_path string, "
+                  "code string, message string").repartition(parts)
+
+    def _brute(self, spark, df, per_code):
+        import hashlib
+        rows = df.collect()
+        def rk(r):
+            s = "#".join([r["conv_id"] or "<NULL>",
+                          str(r["turn_idx"]) if r["turn_idx"] is not None
+                          else "<NULL>",
+                          r["instance_path"] or "", r["code"]])
+            return hashlib.md5(s.encode()).hexdigest()
+        by_code = {}
+        for r in sorted(rows, key=rk):
+            q = by_code.setdefault(r["code"], [])
+            if len(q) < per_code:
+                q.append((r["conv_id"], r["turn_idx"], r["code"],
+                          len(q) + 1))
+        return sorted(x for q in by_code.values() for x in q)
+
+    def test_exact_and_layout_independent(self, spark):
+        from json_schema_rs_spark.operators.table_checks import review_queue
+        df = self._violations(spark)
+        got = sorted((r["conv_id"], r["turn_idx"], r["code"],
+                      r["review_rank"])
+                     for r in review_queue(df, per_code=5).collect())
+        assert got == self._brute(spark, df, 5)
+        # different partition layout, same result
+        got2 = sorted((r["conv_id"], r["turn_idx"], r["code"],
+                       r["review_rank"])
+                      for r in review_queue(df.repartition(3),
+                                            per_code=5).collect())
+        assert got2 == got
+
+    def test_small_groups_survive_whole(self, spark):
+        from json_schema_rs_spark.operators.table_checks import review_queue
+        df = self._violations(spark, n=6)
+        got = review_queue(df, per_code=100).collect()
+        assert len(got) == 6  # fewer rows than per_code: all kept
+
+    def test_rank_contiguous_from_one(self, spark):
+        from json_schema_rs_spark.operators.table_checks import review_queue
+        rows = review_queue(self._violations(spark), per_code=4).collect()
+        by_code = {}
+        for r in rows:
+            by_code.setdefault(r["code"], []).append(r["review_rank"])
+        for ranks in by_code.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+    def test_final_window_input_is_pruned(self, spark):
+        from json_schema_rs_spark.operators.table_checks import review_queue
+        df = self._violations(spark, n=400, parts=4)
+        plan = (review_queue(df, per_code=3)
+                ._jdf.queryExecution().executedPlan().toString())
+        # the local top-N phase runs before the one window exchange
+        assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+        assert plan.count("Window [") == 1
+        # and the Python local-top-N phase sits BELOW the window exchange
+        assert plan.index("MapInPandas") > plan.index("Window [")
