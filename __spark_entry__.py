@@ -2617,6 +2617,48 @@ FROM r WHERE rank <= 5
 """
 
 
+def _q_a_quality_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # kNN-graph quality smoothing: deterministic synthetic per-doc
+    # quality (exact integer hash -> 6dp), one propagation step over the
+    # knn_join graph. Integer micro-unit weighted sums make the result
+    # order-independent, hence value-exact cross-engine.
+    from json_schema_rs_spark.operators.similarity import (
+        knn_join, quality_propagate)
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = knn_join(emb, k=5, n_centroids=16)
+    scores = emb.select(
+        "vec_id",
+        F.round(((F.col("vec_id") * F.lit(2654435761)) % F.lit(1000003))
+                .cast("double") / F.lit(1000003.0), 6).alias("quality"))
+    return quality_propagate(scores, edges)
+
+
+_SQL_A_QUALITY_PROPAGATE = f"""
+WITH knn AS ({_SQL_A_KNN_JOIN}),
+q AS (SELECT vec_id,
+             round(((vec_id * 2654435761) % 1000003) / 1000003.0, 6)
+               AS quality
+      FROM embeddings),
+ed AS (SELECT vec_id, nbr_id,
+              greatest(CAST(round(cos_sim * 1e6) AS BIGINT),
+                       CAST(0 AS BIGINT)) AS w
+       FROM knn),
+agg AS (SELECT e.vec_id,
+               sum(e.w * CAST(round(nq.quality * 1e6) AS BIGINT)) AS num,
+               sum(e.w) AS den, count(*) AS n_nbrs
+        FROM ed e JOIN q nq ON nq.vec_id = e.nbr_id
+        GROUP BY e.vec_id)
+SELECT q.vec_id, q.quality,
+       round(CASE WHEN agg.den IS NULL OR agg.den = 0
+                  THEN CAST(round(q.quality * 1e6) AS BIGINT) / 1e6
+                  ELSE 0.5 * (CAST(round(q.quality * 1e6) AS BIGINT) / 1e6)
+                       + 0.5 * (num::DOUBLE / (den::DOUBLE * 1e6))
+             END, 6) AS smoothed_quality,
+       coalesce(agg.n_nbrs, 0) AS n_nbrs
+FROM q LEFT JOIN agg USING (vec_id)
+"""
+
+
 def _q_a_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SemDeDup end-to-end: IVF-bucketed pair generation -> transitive
     # groups -> min-id canonical survivor. With deterministic centroids
@@ -4351,6 +4393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_cosine_dup_pairs": _q_a_cosine_dup,
         "a_cosine_dup_bucketed": _q_a_cosine_dup_bucketed,
         "a_knn_join": _q_a_knn_join,
+        "a_quality_propagate": _q_a_quality_propagate,
         "a_srp_dup_pairs": _q_a_srp_dup_pairs,
         "a_semantic_dedup": _q_a_semantic_dedup,
         "a_ivf_topk": _q_a_ivf,
@@ -4494,6 +4537,7 @@ def oracle_sql() -> dict[str, str]:
         "a_cosine_dup_pairs": _SQL_A_COSINE_DUP,
         "a_cosine_dup_bucketed": _SQL_A_COSINE_DUP_BUCKETED,
         "a_knn_join": _SQL_A_KNN_JOIN,
+        "a_quality_propagate": _SQL_A_QUALITY_PROPAGATE,
         "a_srp_dup_pairs": _SQL_A_SRP_DUP_PAIRS,
         "a_semantic_dedup": _SQL_A_SEMANTIC_DEDUP,
         "a_ivf_topk": _SQL_A_IVF,

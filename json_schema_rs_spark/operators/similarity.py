@@ -1370,3 +1370,61 @@ def knn_join(
     return out.select(F.col("src").alias(id_col),
                       F.col("nbr").alias("nbr_id"),
                       sim.alias("cos_sim"), "rank")
+
+
+def quality_propagate(
+    scores: DataFrame,
+    edges: DataFrame,
+    *,
+    alpha: float = 0.5,
+    id_col: str = "vec_id",
+    nbr_col: str = "nbr_id",
+    sim_col: str = "cos_sim",
+    score_col: str = "quality",
+    round_digits: int = 6,
+) -> DataFrame:
+    """One smoothing step of quality propagation over the kNN graph —
+    what :func:`knn_join`'s output is FOR in a curation pipeline: a
+    document surrounded by high-quality near-neighbors is probably
+    better than its own noisy heuristic score says (and vice versa), so
+    ``smoothed = (1-alpha)*q_i + alpha * sum(w_ij*q_j)/sum(w_ij)`` with
+    ``w = max(sim, 0)`` (negative similarities carry no vote). Nodes
+    with no edges — or only non-positive-weight ones — keep their own
+    score; every input doc appears exactly once:
+    ``(id_col, score_col, smoothed_quality, n_nbrs)``.
+
+    Cross-engine determinism: floating sums are order-dependent, so the
+    weighted sum is computed in EXACT integer micro-units — scores and
+    similarities are 6-dp-rounded doubles, so ``round(x*1e6)`` is an
+    exact int64 in any engine, the aggregate is an integer sum (k
+    neighbors x 1e12 max per term — no overflow), and the only float
+    ops are one division and the final affine+round. The same recipe as
+    lm_quality's logp_micro.
+
+    Scale shape: edges are ≤ k·|corpus| skinny rows; ONE equi-join
+    attaches neighbor scores (id-keyed, AQE-planned), ONE src-keyed hash
+    aggregate with map-side combine, then an id-grain left join back to
+    the scores table — embeddings/text never move."""
+    qmic = F.round(F.col(score_col) * 1e6).cast("bigint")
+    wmic = F.greatest(F.round(F.col(sim_col) * 1e6).cast("bigint"),
+                      F.lit(0).cast("bigint"))
+    nbr_q = scores.select(F.col(id_col).alias(nbr_col),
+                          qmic.alias("_nq"))
+    agg = (edges.select(id_col, nbr_col, wmic.alias("_w"))
+                .join(nbr_q, nbr_col)
+                .groupBy(id_col)
+                .agg(F.sum(F.col("_w") * F.col("_nq")).alias("_num"),
+                     F.sum("_w").alias("_den"),
+                     F.count("*").alias("n_nbrs")))
+    base = scores.select(id_col, score_col, qmic.alias("_q"))
+    joined = base.join(agg, id_col, "left")
+    own = F.col("_q").cast("double") / 1e6
+    nbr_avg = (F.col("_num").cast("double")
+               / (F.col("_den").cast("double") * 1e6))
+    smoothed = F.when(
+        F.col("_den").isNull() | (F.col("_den") == 0), own
+    ).otherwise(F.lit(1.0 - alpha) * own + F.lit(float(alpha)) * nbr_avg)
+    return joined.select(
+        id_col, score_col,
+        F.round(smoothed, round_digits).alias("smoothed_quality"),
+        F.coalesce(F.col("n_nbrs"), F.lit(0)).alias("n_nbrs"))

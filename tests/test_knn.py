@@ -55,3 +55,73 @@ def test_plan_no_cartesian_one_bucket_exchange(spark):
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
     # the bucket groupBy is the only exchange over corpus rows
     assert plan.count("Exchange") <= 2  # bucket agg + (optional) AQE read
+
+
+class TestQualityPropagate:
+    def _scores(self, spark):
+        return spark.createDataFrame(
+            [(1, 0.9), (2, 0.1), (3, 0.5), (4, 0.7)],
+            "vec_id bigint, quality double")
+
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id bigint, nbr_id bigint, cos_sim double")
+
+    def test_weighted_average_exact(self, spark):
+        from json_schema_rs_spark.operators.similarity import (
+            quality_propagate)
+        # node 1: nbrs 2 (w=.5) and 3 (w=.25) ->
+        # nbr_avg = (.5*.1 + .25*.5)/.75 = .175/.75 = 0.2333333...
+        # smoothed = .5*.9 + .5*0.233333 = 0.566667 (6dp)
+        edges = self._edges(spark, [(1, 2, 0.5), (1, 3, 0.25)])
+        out = {r["vec_id"]: r for r in
+               quality_propagate(self._scores(spark), edges).collect()}
+        assert out[1]["smoothed_quality"] == round(
+            0.5 * 0.9 + 0.5 * (175000000000 / 750000 / 1e6), 6)
+        assert out[1]["n_nbrs"] == 2
+        # nodes without edges keep their score
+        assert out[4]["smoothed_quality"] == 0.7 and out[4]["n_nbrs"] == 0
+        assert len(out) == 4
+
+    def test_negative_sims_carry_no_vote(self, spark):
+        from json_schema_rs_spark.operators.similarity import (
+            quality_propagate)
+        edges = self._edges(spark, [(1, 2, -0.9), (1, 3, -0.1)])
+        out = {r["vec_id"]: r for r in
+               quality_propagate(self._scores(spark), edges).collect()}
+        # all weights clamp to 0 -> den 0 -> own score
+        assert out[1]["smoothed_quality"] == 0.9
+        assert out[1]["n_nbrs"] == 2
+
+    def test_alpha_zero_is_identity(self, spark):
+        from json_schema_rs_spark.operators.similarity import (
+            quality_propagate)
+        edges = self._edges(spark, [(1, 2, 0.8), (3, 2, 0.8)])
+        out = {r["vec_id"]: r["smoothed_quality"] for r in
+               quality_propagate(self._scores(spark), edges,
+                                 alpha=0.0).collect()}
+        assert out == {1: 0.9, 2: 0.1, 3: 0.5, 4: 0.7}
+
+    def test_composes_with_knn_join(self, spark):
+        from json_schema_rs_spark.operators.similarity import (
+            knn_join, quality_propagate)
+        rows = [(i, [float(i % 7), 1.0, float(i % 3)]) for i in range(30)]
+        df = spark.createDataFrame(rows, "vec_id bigint, "
+                                         "embedding array<float>")
+        edges = knn_join(df, k=3, n_centroids=4)
+        scores = df.select(
+            "vec_id",
+            F.round((F.col("vec_id") % 11).cast("double") / 11, 6)
+             .alias("quality"))
+        out = quality_propagate(scores, edges).collect()
+        assert len(out) == 30
+        assert all(0.0 <= r["smoothed_quality"] <= 1.0 for r in out)
+
+    def test_no_wide_shuffle(self, spark):
+        from json_schema_rs_spark.operators.similarity import (
+            quality_propagate)
+        edges = self._edges(spark, [(1, 2, 0.5), (2, 1, 0.5)])
+        plan = (quality_propagate(self._scores(spark), edges)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Cartesian" not in plan
+        assert "BroadcastNestedLoop" not in plan
