@@ -1965,6 +1965,73 @@ FROM counts JOIN totals USING (bucket)
 """
 
 
+def _q_s_trend_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spike alerting over the trend: a synthetic check with a stable
+    # ~2.3% md5-bucketed base rate that jumps to ~75% on the 15th — trend_anomalies must flag exactly those buckets
+    # against the expanding history of prior days.
+    from json_schema_rs_spark.operators.table_checks import trend_anomalies
+    tx = _transcripts_from_events(_t(spark, sf_dir, "events"))
+    day = F.date_trunc("day", F.col("ts"))
+    key = F.md5(F.concat(F.col("conv_id"), F.lit("#"),
+                         F.col("turn_idx").cast("string")))
+    fire = (F.substring(key, 1, 2) < "06") | (
+        (F.dayofmonth("ts") == 15) & (F.substring(key, 3, 1) < "c"))
+    trend = (tx.groupBy(day.alias("window_start"))
+               .agg(F.count(F.lit(1)).alias("n_turns"),
+                    F.sum(fire.cast("bigint")).alias("n_violations"))
+               .withColumn("code", F.lit("SpikyCheck"))
+               .withColumn("violation_rate",
+                           F.round(F.col("n_violations")
+                                   / F.col("n_turns"), 6)))
+    return trend_anomalies(trend, z=3.0)
+
+
+_SQL_S_TREND_ANOMALY = f"""
+WITH tx AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+         props AS text, ts
+  FROM events),
+trend AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+         'SpikyCheck' AS code,
+         count(*) AS n_turns,
+         sum(CASE WHEN substr(md5(conv_id || '#' || turn_idx), 1, 2)
+                       < '06'
+                  OR (date_part('day', ts) = 15
+                      AND substr(md5(conv_id || '#' || turn_idx), 3, 1)
+                          < 'c')
+                  THEN 1 ELSE 0 END) AS n_violations
+  FROM tx GROUP BY 1),
+staged AS (
+  SELECT window_start, code,
+         round(n_violations / n_turns, 6) AS violation_rate,
+         CAST(round(round(n_violations / n_turns, 6) * 1e6) AS BIGINT)
+           AS rm
+  FROM trend),
+win AS (
+  SELECT window_start, code, violation_rate, rm,
+         count(rm) OVER w AS n, sum(rm) OVER w AS s,
+         sum(rm * rm) OVER w AS ss
+  FROM staged
+  WINDOW w AS (PARTITION BY code ORDER BY window_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+calc AS (
+  SELECT *,
+         s::DOUBLE / n AS mean,
+         sqrt(greatest((ss::DOUBLE - (s::DOUBLE * s::DOUBLE) / n)
+                       / (n - 1), 0.0)) AS std
+  FROM win WHERE n >= 3)
+SELECT window_start, code, violation_rate,
+       round(mean / 1e6, 6) AS mean_rate,
+       round(std / 1e6, 6) AS std_rate,
+       n AS n_history
+FROM calc
+WHERE CASE WHEN std > 0 THEN rm::DOUBLE - mean > 3.0 * std
+           ELSE rm::DOUBLE - mean > 0 END
+"""
+
+
 def _q_t_transcript_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the north rule's "per-turn text equality under stable (conv_id,
     # turn_idx) ordering" as a cross-snapshot check: snapshot a drops
@@ -4355,6 +4422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_conv_bounds": _q_t_conv_bounds,
         "t_context_budget": _q_t_context_budget,
         "s_violation_trend": _q_s_violation_trend,
+        "s_trend_anomaly": _q_s_trend_anomaly,
         "t_conv_profile": _q_t_conv_profile,
         "t_turn_loops": _q_t_turn_loops,
         "t_conv_verdicts": _q_t_conv_verdicts,
@@ -4504,6 +4572,7 @@ def oracle_sql() -> dict[str, str]:
         "t_conv_bounds": _SQL_T_CONV_BOUNDS,
         "t_context_budget": _SQL_T_CONTEXT_BUDGET,
         "s_violation_trend": _SQL_S_VIOLATION_TREND,
+        "s_trend_anomaly": _SQL_S_TREND_ANOMALY,
         "t_conv_profile": _SQL_T_CONV_PROFILE,
         "t_turn_loops": _SQL_T_TURN_LOOPS,
         "t_conv_verdicts": _SQL_T_CONV_VERDICTS,

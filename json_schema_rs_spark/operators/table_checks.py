@@ -999,3 +999,58 @@ def review_queue(
     return (local.withColumn("review_rank", F.row_number().over(w))
                  .filter(F.col("review_rank") <= per_code)
                  .drop("_rk"))
+
+
+def trend_anomalies(
+    trend: DataFrame,
+    *,
+    z: float = 3.0,
+    min_history: int = 3,
+    rate_col: str = "violation_rate",
+    bucket_col: str = "window_start",
+    code_col: str = "code",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Spike detection over :func:`violation_trend` output — the alert
+    on top of the dashboard: a bucket is anomalous when its violation
+    rate exceeds the expanding mean of all PRIOR buckets (same code) by
+    more than ``z`` standard deviations, with at least ``min_history``
+    prior buckets (no alerting off a 1-point baseline). A flat history
+    (std = 0) flags ANY increase — a code that never fired above 1%% for
+    a month then does is exactly the alert you want. One row per
+    anomalous (bucket, code):
+    ``(bucket_col, code_col, rate_col, mean_rate, std_rate, n_history)``.
+
+    Cross-engine determinism: expanding float sums are order-dependent,
+    so rates go through the integer micro-unit recipe (6-dp-rounded
+    rate × 1e6 is an exact int64; running sum / sum-of-squares stay
+    integers — ≤ 1e6·buckets and its square, far under 2^63); mean,
+    sample variance and the z comparison are then single float ops on
+    exact integers. Same pattern as quality_propagate/lm_quality.
+
+    Scale shape: the input IS the dashboard table (buckets × codes rows
+    — tiny at any corpus size); one window partitioned by code. The
+    heavy lifting already happened in violation_trend's aggregates."""
+    rm = F.round(F.col(rate_col) * 1e6).cast("bigint")
+    w = (Window.partitionBy(code_col).orderBy(bucket_col)
+               .rowsBetween(Window.unboundedPreceding, -1))
+    staged = (trend.withColumn("_rm", rm)
+                   .withColumn("_n", F.count("_rm").over(w))
+                   .withColumn("_s", F.sum("_rm").over(w))
+                   .withColumn("_ss", F.sum(F.col("_rm")
+                                            * F.col("_rm")).over(w)))
+    n = F.col("_n").cast("double")
+    mean = F.col("_s").cast("double") / n
+    var = (F.col("_ss").cast("double") - (F.col("_s").cast("double")
+                                          * F.col("_s").cast("double")) / n
+           ) / (n - 1)
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    dev = F.col("_rm").cast("double") - mean
+    spike = F.when(std > 0, dev > F.lit(float(z)) * std) \
+             .otherwise(dev > 0)
+    return (staged.filter((F.col("_n") >= min_history) & spike)
+            .select(
+                bucket_col, code_col, rate_col,
+                F.round(mean / 1e6, round_digits).alias("mean_rate"),
+                F.round(std / 1e6, round_digits).alias("std_rate"),
+                F.col("_n").alias("n_history")))

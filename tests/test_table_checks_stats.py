@@ -957,3 +957,58 @@ class TestReviewQueue:
         assert plan.count("Window [") == 1
         # and the Python local-top-N phase sits BELOW the window exchange
         assert plan.index("MapInPandas") > plan.index("Window [")
+
+
+class TestTrendAnomalies:
+    def _trend(self, spark, rates, code="TooLong"):
+        import datetime as dt
+        rows = [(dt.datetime(2026, 1, 1 + i), code, 1, 100,
+                 round(r, 6)) for i, r in enumerate(rates)]
+        return spark.createDataFrame(
+            rows, "window_start timestamp, code string, "
+                  "n_violations bigint, n_turns bigint, "
+                  "violation_rate double")
+
+    def test_spike_flagged_flat_history_silent(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            trend_anomalies)
+        # noisy-but-stable history, then a real spike
+        got = trend_anomalies(
+            self._trend(spark, [0.01, 0.012, 0.011, 0.009, 0.25]),
+            z=3.0).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r["violation_rate"] == 0.25 and r["n_history"] == 4
+        assert r["mean_rate"] == round((0.01 + 0.012 + 0.011 + 0.009) / 4, 6)
+
+    def test_zero_std_any_increase_flags(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            trend_anomalies)
+        got = trend_anomalies(
+            self._trend(spark, [0.01, 0.01, 0.01, 0.0100041]),
+            z=3.0).collect()
+        assert [r["violation_rate"] for r in got] == [0.010004]
+
+    def test_min_history_gate(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            trend_anomalies)
+        # the spike is the 3rd point: only 2 prior buckets -> suppressed
+        got = trend_anomalies(self._trend(spark, [0.01, 0.01, 0.9]),
+                              z=3.0).collect()
+        assert got == []
+
+    def test_codes_independent(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            trend_anomalies)
+        a = self._trend(spark, [0.01, 0.01, 0.01, 0.5], code="A")
+        b = self._trend(spark, [0.5, 0.5, 0.5, 0.5], code="B")
+        got = trend_anomalies(a.unionByName(b)).collect()
+        assert [(r["code"], r["violation_rate"]) for r in got] == \
+            [("A", 0.5)]
+
+    def test_decrease_never_flags(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            trend_anomalies)
+        got = trend_anomalies(
+            self._trend(spark, [0.5, 0.5, 0.5, 0.0001])).collect()
+        assert got == []
