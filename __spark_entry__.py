@@ -2342,6 +2342,36 @@ FROM p JOIN sz sa ON p.src_a = sa.source JOIN sz sb ON p.src_b = sb.source
 """
 
 
+def _q_d_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fuzzy sibling of d_incremental_dedup: batch (doc_id%3==0) deduped
+    # against the signature ledger of already-kept docs (the rest); LSH
+    # candidates at 32 bands (miss ~6.5e-15 at J>=0.8) verified with
+    # exact Jaccard on candidate docs only, so the survivor set is
+    # value-exact vs the brute-force oracle.
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    seen = docs.filter(F.col("doc_id") % 3 != 0)
+    ledger = dedup.minhash_signature(seen).select("doc_id", "minhash")
+    out = dedup.incremental_fuzzy_dedup(batch, ledger, seen)
+    return out.select("doc_id")
+
+
+_SQL_D_INCREMENTAL_FUZZY = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+                             for i in range(1, len(ws) - 1)]) AS s
+       FROM w),
+b AS (SELECT * FROM sh WHERE doc_id % 3 = 0),
+l AS (SELECT * FROM sh WHERE doc_id % 3 <> 0),
+dup AS (SELECT DISTINCT b.doc_id
+        FROM b JOIN l ON len(list_intersect(b.s, l.s))::DOUBLE
+                         / (len(b.s) + len(l.s)
+                            - len(list_intersect(b.s, l.s))) >= 0.8)
+SELECT doc_id FROM b ANTI JOIN dup USING (doc_id)
+"""
+
+
 def _q_d_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
                                      n=3, threshold=0.8)
@@ -4446,6 +4476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup
         "d_exact_groups": _q_d_exact,
         "d_incremental_dedup": _q_d_incremental,
+        "d_incremental_fuzzy": _q_d_incremental_fuzzy,
         "d_ngram_jaccard": _q_d_ngram,
         "d_source_overlap": _q_d_source_overlap,
         "d_minhash_lsh": _q_d_minhash,
@@ -4592,6 +4623,7 @@ def oracle_sql() -> dict[str, str]:
         "s_w1_drift": _SQL_S_W1,
         "d_exact_groups": _SQL_D_EXACT,
         "d_incremental_dedup": _SQL_D_INCREMENTAL,
+        "d_incremental_fuzzy": _SQL_D_INCREMENTAL_FUZZY,
         "d_ngram_jaccard": _SQL_D_NGRAM,
         "d_source_overlap": _SQL_D_SOURCE_OVERLAP,
         "d_minhash_lsh": _SQL_D_NGRAM,

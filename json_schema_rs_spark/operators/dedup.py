@@ -828,3 +828,77 @@ def _cc_two_phase(e: DataFrame, max_iter: int) -> tuple[DataFrame, int]:
     return (star.select(F.col("src").alias("doc_id"), "group_id")
                 .union(roots.select(F.col("src").alias("doc_id"),
                                     "group_id")), rounds)
+
+
+def incremental_fuzzy_dedup(
+    batch: DataFrame,
+    sig_ledger: DataFrame,
+    corpus: DataFrame,
+    *,
+    threshold: float = 0.8,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 32,
+    seed: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """NEAR-duplicate dedup for APPEND-ONLY ingestion — the fuzzy
+    sibling of :func:`incremental_dedup`: drop batch docs that
+    near-duplicate (n-gram Jaccard ``>= threshold``) anything already
+    kept, WITHOUT re-signing or re-shingling the corpus.
+
+    ``sig_ledger`` is the persisted ``(id_col, minhash)`` signature
+    table of previously KEPT docs (this operator's own output carries
+    ``minhash`` so each batch appends its survivors' signatures).
+    ``corpus`` is the kept-docs table itself, touched ONLY to fetch the
+    text of LSH candidate ids — so the expensive full-corpus pass
+    (shingle + 64-permutation signature) is paid once per doc ever, at
+    ingest, while verification stays EXACT (the same
+    verify-after-LSH contract as :func:`minhash_lsh_pairs`: at 64/32
+    bands the per-pair miss at J>=threshold is ~6.5e-15, and exact
+    Jaccard on candidates removes every false positive).
+
+    Within-batch near-dups are deliberately NOT resolved here — compose
+    with :func:`minhash_lsh_pairs` + :func:`near_dup_groups` on the
+    batch (both signature computations share the same kernel) — this
+    operator owns only the batch-vs-history decision, mirroring
+    incremental_dedup's contract.
+
+    Output: surviving batch rows + their ``minhash`` (ship AND append).
+
+    Scale shape: batch signatures are the zero-shuffle NumPy kernel;
+    batch band rows BROADCAST into the ledger band scan (batch ≪
+    corpus — the mirror image of fuzzy_contamination_pairs' broadcast
+    direction), so the ledger never shuffles; candidate ids (skew- and
+    contamination-bounded) broadcast into the corpus scan to fetch and
+    shingle ONLY candidate docs; the final anti-join is batch-grain."""
+    from .decontam import _band_rows
+    assert num_perm % bands == 0
+    batch = _spread(batch, id_col)
+    bsig = minhash_signature(batch, text_col, n=n, num_perm=num_perm,
+                             seed=seed, id_col=id_col)
+    bband = _band_rows(bsig.select(id_col, "minhash"), id_col,
+                       num_perm=num_perm, bands=bands, out_id="_bid")
+    lband = _band_rows(sig_ledger.select(id_col, "minhash"), id_col,
+                       num_perm=num_perm, bands=bands, out_id="_lid")
+    cand = (lband.join(F.broadcast(bband), ["band", "bkey"])
+            .select("_bid", "_lid").distinct())
+    bsh = shingle_hashes(batch, text_col, n=n, seed=seed).select(
+        F.col(id_col).alias("_bid"), F.col("shingle_hashes").alias("_shb"))
+    csh = shingle_hashes(corpus, text_col, n=n, seed=seed).select(
+        F.col(id_col).alias("_lid"), F.col("shingle_hashes").alias("_shl"))
+    size_ok = (F.greatest(F.size("_shb"), F.size("_shl")) * F.lit(threshold)
+               <= F.least(F.size("_shb"), F.size("_shl")))
+    inter = F.size(F.array_intersect("_shb", "_shl"))
+    dup_ids = (csh.join(F.broadcast(cand), "_lid")
+                  .join(F.broadcast(bsh), "_bid")
+                  .filter(size_ok)
+                  .filter(F.try_divide(
+                      inter.cast("double"),
+                      F.size("_shb") + F.size("_shl") - inter)
+                      >= threshold)
+                  .select(F.col("_bid").alias(id_col))
+                  .distinct())
+    return (bsig.join(dup_ids, id_col, "left_anti")
+                .select(*batch.columns, "minhash"))

@@ -277,3 +277,83 @@ class TestIncrementalDedup:
         # scan projections, never in an exchange's hashpartitioning keys
         for frag in plan.split("Exchange")[1:]:
             assert "text#" not in frag.split("\n")[0]
+
+
+class TestIncrementalFuzzyDedup:
+    """incremental_fuzzy_dedup: batch-vs-signature-ledger near-dup drop."""
+
+    BASE = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest tonight")
+
+    def _corpus(self, spark):
+        # kept docs 0..2; doc 1's text will be near-duplicated in batch
+        rows = [(0, self.BASE),
+                (1, "completely different content about spark physical "
+                    "plans and shuffle partitioning strategies here"),
+                (2, "third unrelated document body with enough words to "
+                    "shingle cleanly for the test")]
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def _batch(self, spark):
+        # 10: near-dup of corpus 0 (one word changed) -> dropped
+        # 11: fresh -> kept;  12: short/no shingles -> kept
+        rows = [(10, self.BASE.replace("tonight", "today")),
+                (11, "a genuinely novel batch document with entirely "
+                     "new vocabulary and no overlap at all whatsoever"),
+                (12, "too short")]
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def _ledger(self, spark, corpus):
+        from json_schema_rs_spark.operators.dedup import minhash_signature
+        return minhash_signature(corpus).select("doc_id", "minhash")
+
+    def test_near_dup_dropped_fresh_kept(self, spark):
+        from json_schema_rs_spark.operators.dedup import (
+            incremental_fuzzy_dedup)
+        corpus = self._corpus(spark)
+        out = incremental_fuzzy_dedup(self._batch(spark),
+                                      self._ledger(spark, corpus), corpus)
+        kept = sorted(r["doc_id"] for r in out.collect())
+        assert kept == [11, 12]
+
+    def test_output_signatures_appendable(self, spark):
+        from json_schema_rs_spark.operators.dedup import (
+            incremental_fuzzy_dedup, minhash_signature)
+        corpus = self._corpus(spark)
+        led = self._ledger(spark, corpus)
+        out = incremental_fuzzy_dedup(self._batch(spark), led, corpus)
+        # survivors' signatures equal a fresh signature computation
+        fresh = {r["doc_id"]: r["minhash"] for r in
+                 minhash_signature(self._batch(spark)).collect()}
+        for r in out.collect():
+            assert r["minhash"] == fresh[r["doc_id"]]
+        # and the ledger grows by exactly the survivors
+        led2 = led.unionByName(out.select("doc_id", "minhash"))
+        assert led2.count() == 5
+
+    def test_second_batch_sees_first_batch_survivors(self, spark):
+        from json_schema_rs_spark.operators.dedup import (
+            incremental_fuzzy_dedup)
+        corpus = self._corpus(spark)
+        led = self._ledger(spark, corpus)
+        b1 = self._batch(spark)
+        out1 = incremental_fuzzy_dedup(b1, led, corpus)
+        led2 = led.unionByName(out1.select("doc_id", "minhash"))
+        corpus2 = corpus.unionByName(b1.join(
+            out1.select("doc_id"), "doc_id"))
+        # batch 2 re-sends doc 11's text -> dropped against batch-1 kept
+        b2 = b1.filter("doc_id = 11").withColumn(
+            "doc_id", F.col("doc_id") + 100)
+        out2 = incremental_fuzzy_dedup(b2, led2, corpus2)
+        assert out2.collect() == []
+
+    def test_ledger_never_shuffles_batch_broadcast(self, spark):
+        from json_schema_rs_spark.operators.dedup import (
+            incremental_fuzzy_dedup)
+        corpus = self._corpus(spark)
+        out = incremental_fuzzy_dedup(self._batch(spark),
+                                      self._ledger(spark, corpus), corpus)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert "BroadcastExchange" in plan
