@@ -3245,6 +3245,55 @@ ORDER BY n_occurrences DESC, token ASC LIMIT 50
 """
 
 
+def _q_x_encoding_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # encoding-damage triage: inject U+FFFD / mojibake / C0 junk into
+    # md5-bucketed docs, count each damage class with explicit-codepoint
+    # regexes and emit the ratio + verdict (any replacement char, or
+    # ratio past 1e-3, is 'damaged').
+    from json_schema_rs_spark.operators.textstats import encoding_damage
+    docs = _t(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit("#enc"))), 1, 1)
+    text = (F.when(h < "3", F.concat(F.col("text"), F.lit(" Ã©")))
+             .when(h < "6", F.concat(F.col("text"), F.lit(" �")))
+             .when(h < "8", F.concat(F.col("text"), F.lit("\x07")))
+             .otherwise(F.col("text")))
+    return encoding_damage(docs.select("doc_id", text.alias("text")))
+
+
+_SQL_X_ENCODING_CHECK = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(doc_id || '#enc'), 1, 1) < '3'
+                THEN text || ' ' || chr(195) || chr(233)
+              WHEN substr(md5(doc_id || '#enc'), 1, 1) < '6'
+                THEN text || ' ' || chr(65533)
+              WHEN substr(md5(doc_id || '#enc'), 1, 1) < '8'
+                THEN text || chr(7)
+              ELSE text END AS text
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\\x{FFFD}')) AS n_replacement,
+         len(regexp_extract_all(text,
+             '\\x{00C3}[\\x{0080}-\\x{00BF}\\x{00C0}-\\x{00FF}]'
+             || '|\\x{00E2}\\x{20AC}.')) AS n_mojibake,
+         len(regexp_extract_all(text,
+             '[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}'
+             || '\\x{000E}-\\x{001F}]')) AS n_control,
+         length(text) AS nc
+  FROM d)
+SELECT doc_id, n_replacement, n_mojibake, n_control,
+       round(coalesce((n_replacement + n_mojibake + n_control)
+                      / nullif(nc, 0), 0.0), 6) AS damage_ratio,
+       CASE WHEN coalesce((n_replacement + n_mojibake + n_control)
+                          / nullif(nc, 0), 0.0) > 0.001
+                 OR n_replacement > 0
+            THEN 'damaged' ELSE 'clean' END AS verdict
+FROM c
+"""
+
+
 def _q_x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact heavy hitters at sketch cost: per-partition Misra-Gries
     # candidates (zero shuffle) -> broadcast-semi-join exact recount ->
@@ -4501,6 +4550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_token_stats": _q_x_tokens,
         "x_top_tokens": _q_x_top_tokens,
         "x_heavy_hitters": _q_x_heavy_hitters,
+        "x_encoding_check": _q_x_encoding_check,
         "x_rep_ngram": _q_x_rep_ngram,
         "x_dup_ngrams": _q_x_dup_ngrams,
         "x_dedup_spans": _q_x_dedup_spans,
@@ -4645,6 +4695,7 @@ def oracle_sql() -> dict[str, str]:
         "x_token_stats": _SQL_X_TOKENS,
         "x_top_tokens": _SQL_X_TOP_TOKENS,
         "x_heavy_hitters": _SQL_X_HEAVY_HITTERS,
+        "x_encoding_check": _SQL_X_ENCODING_CHECK,
         "x_rep_ngram": _SQL_X_REP_NGRAM,
         "x_dup_ngrams": _SQL_X_DUP_NGRAMS,
         "x_dedup_spans": _SQL_X_DEDUP_SPANS,

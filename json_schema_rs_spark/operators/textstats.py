@@ -812,3 +812,49 @@ def heavy_hitters(df: DataFrame, text_col: str = "text",
                     F.ceil(F.lit(float(min_frac)) * F.col("_n")))
             .select("token", "n_occurrences")
             .orderBy(F.desc("n_occurrences"), F.asc("token")))
+
+
+def encoding_damage(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", *,
+                    max_ratio: float = 0.001,
+                    round_digits: int = 6) -> DataFrame:
+    """Encoding-damage triage for web-scale text — the hygiene check a
+    crawled corpus needs before any tokenizer sees it. Three exact,
+    codegen'd per-doc counters and a verdict:
+
+    - ``n_replacement``: U+FFFD replacement characters (the decoder
+      already gave up);
+    - ``n_mojibake``: signature sequences of UTF-8 read as Latin-1 —
+      U+00C3 followed by a Latin-1-supplement char (the classic two-byte
+      mangle), plus the U+00E2 U+20AC family (curly quotes/dashes
+      through the same mangle);
+    - ``n_control``: C0 control chars other than tab/newline/carriage
+      return (binary junk or protocol bleed);
+    - ``damage_ratio`` = damaged chars / total chars (0.0 for empty);
+      ``verdict`` = 'damaged' when the ratio exceeds ``max_ratio`` or
+      any replacement char exists, else 'clean'.
+
+    Pure ``regexp_count`` scan projection — zero shuffle, zero Python,
+    trivially row-parallel at any scale. The regexes use explicit
+    codepoint escapes (no locale/ICU class dependence) so any engine
+    counts the same spans."""
+    n_rep = F.regexp_count(F.col(text_col), F.lit("\\ufffd"))
+    n_moj = F.regexp_count(
+        F.col(text_col),
+        F.lit("\\u00c3[\\u0080-\\u00bf\\u00c0-\\u00ff]"
+              "|\\u00e2\\u20ac."))
+    n_ctl = F.regexp_count(
+        F.col(text_col),
+        F.lit("[\\u0000-\\u0008\\u000b\\u000c\\u000e-\\u001f]"))
+    n_chars = F.length(text_col).cast("double")
+    damaged = (n_rep + n_moj + n_ctl).cast("double")
+    ratio = F.coalesce(F.try_divide(damaged, n_chars), F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n_rep.alias("n_replacement"),
+        n_moj.alias("n_mojibake"),
+        n_ctl.alias("n_control"),
+        F.round(ratio, round_digits).alias("damage_ratio"),
+        F.when((ratio > max_ratio) | (n_rep > 0), F.lit("damaged"))
+         .otherwise(F.lit("clean")).alias("verdict"),
+    )

@@ -398,3 +398,45 @@ class TestSourceOverlap:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" not in plan
         assert "BroadcastExchange" in plan  # the size joins
+
+
+class TestEncodingDamage:
+    def _df(self, spark):
+        return spark.createDataFrame([
+            Row(doc_id=0, text="perfectly clean ascii text"),
+            Row(doc_id=1, text="bad char � here"),
+            Row(doc_id=2, text="moji Ã© and Ã¼ twice"),
+            Row(doc_id=3, text="curly â€™ quote"),
+            Row(doc_id=4, text="ctrl\x07bell and\x00nul"),
+            Row(doc_id=5, text="tabs\tand\nnewlines are fine"),
+            Row(doc_id=6, text=""),
+        ])
+
+    def test_counters_exact(self, spark):
+        from json_schema_rs_spark.operators.textstats import encoding_damage
+        out = {r["doc_id"]: r for r in
+               encoding_damage(self._df(spark)).collect()}
+        assert out[0]["verdict"] == "clean"
+        assert out[1]["n_replacement"] == 1
+        assert out[1]["verdict"] == "damaged"   # any U+FFFD flags
+        assert out[2]["n_mojibake"] == 2
+        assert out[3]["n_mojibake"] == 1
+        assert out[4]["n_control"] == 2
+        assert out[5]["n_control"] == 0 and out[5]["verdict"] == "clean"
+        assert out[6]["damage_ratio"] == 0.0 and out[6]["verdict"] == "clean"
+
+    def test_ratio_threshold(self, spark):
+        from json_schema_rs_spark.operators.textstats import encoding_damage
+        # 1 mojibake in 1000+ chars stays under a loose threshold
+        df = spark.createDataFrame(
+            [Row(doc_id=0, text=("x" * 2000) + "Ã©")])
+        out = encoding_damage(df, max_ratio=0.01).collect()[0]
+        assert out["n_mojibake"] == 1 and out["verdict"] == "clean"
+        strict = encoding_damage(df, max_ratio=0.0001).collect()[0]
+        assert strict["verdict"] == "damaged"
+
+    def test_zero_shuffle_plan(self, spark):
+        from json_schema_rs_spark.operators.textstats import encoding_damage
+        plan = (encoding_damage(self._df(spark))
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan
