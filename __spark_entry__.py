@@ -2756,6 +2756,45 @@ FROM q LEFT JOIN agg USING (vec_id)
 """
 
 
+def _q_a_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-space label-noise pass: a vector whose kNN neighborhood
+    # majority label disagrees with its own label is flagged. Labels are
+    # integers with no NULLs in this table (NULL tie-order differs
+    # between engines; the operator's NULL handling is unit-tested).
+    from json_schema_rs_spark.operators.similarity import (
+        knn_join, label_outliers)
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = knn_join(emb, k=5, n_centroids=16)
+    return label_outliers(emb.select("vec_id", "label"), edges)
+
+
+_SQL_A_LABEL_OUTLIERS = f"""
+WITH knn AS ({_SQL_A_KNN_JOIN}),
+lab AS (SELECT vec_id, label FROM embeddings),
+e AS (SELECT k.vec_id, nl.label AS nl, ol.label AS ol
+      FROM knn k JOIN lab nl ON nl.vec_id = k.nbr_id
+                 JOIN lab ol ON ol.vec_id = k.vec_id),
+cnt AS (SELECT vec_id, nl, count(*) AS c,
+               sum(CASE WHEN nl IS NOT DISTINCT FROM ol
+                        THEN 1 ELSE 0 END) AS a
+        FROM e GROUP BY vec_id, nl),
+agg AS (SELECT vec_id, sum(c) AS n_nbrs, sum(a) AS n_agree
+        FROM cnt GROUP BY vec_id),
+m AS (SELECT vec_id, nl AS majority_label FROM (
+        SELECT vec_id, nl,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY c DESC, nl ASC) AS rn
+        FROM cnt) WHERE rn = 1)
+SELECT l.vec_id, l.label, m.majority_label,
+       coalesce(agg.n_nbrs, 0) AS n_nbrs,
+       coalesce(agg.n_agree, 0) AS n_agree,
+       CASE WHEN coalesce(agg.n_nbrs, 0) >= 3
+                 AND (m.majority_label IS DISTINCT FROM l.label)
+            THEN true ELSE false END AS is_outlier
+FROM lab l LEFT JOIN agg USING (vec_id) LEFT JOIN m USING (vec_id)
+"""
+
+
 def _q_a_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SemDeDup end-to-end: IVF-bucketed pair generation -> transitive
     # groups -> min-id canonical survivor. With deterministic centroids
@@ -4542,6 +4581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_cosine_dup_bucketed": _q_a_cosine_dup_bucketed,
         "a_knn_join": _q_a_knn_join,
         "a_quality_propagate": _q_a_quality_propagate,
+        "a_label_outliers": _q_a_label_outliers,
         "a_srp_dup_pairs": _q_a_srp_dup_pairs,
         "a_semantic_dedup": _q_a_semantic_dedup,
         "a_ivf_topk": _q_a_ivf,
@@ -4689,6 +4729,7 @@ def oracle_sql() -> dict[str, str]:
         "a_cosine_dup_bucketed": _SQL_A_COSINE_DUP_BUCKETED,
         "a_knn_join": _SQL_A_KNN_JOIN,
         "a_quality_propagate": _SQL_A_QUALITY_PROPAGATE,
+        "a_label_outliers": _SQL_A_LABEL_OUTLIERS,
         "a_srp_dup_pairs": _SQL_A_SRP_DUP_PAIRS,
         "a_semantic_dedup": _SQL_A_SEMANTIC_DEDUP,
         "a_ivf_topk": _SQL_A_IVF,

@@ -1428,3 +1428,58 @@ def quality_propagate(
         id_col, score_col,
         F.round(smoothed, round_digits).alias("smoothed_quality"),
         F.coalesce(F.col("n_nbrs"), F.lit(0)).alias("n_nbrs"))
+
+
+def label_outliers(
+    labels: DataFrame,
+    edges: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    nbr_col: str = "nbr_id",
+    label_col: str = "label",
+    min_nbrs: int = 3,
+) -> DataFrame:
+    """Label-noise detection by kNN neighborhood disagreement — the
+    classic embedding-space data-cleaning pass (Confident-Learning-style
+    without the model): a point whose neighbors overwhelmingly carry a
+    DIFFERENT label is probably mislabeled, duplicated into the wrong
+    class, or sits on a corrupt embedding. One row per input doc:
+    ``(id_col, label_col, majority_label, n_nbrs, n_agree, is_outlier)``
+    where ``majority_label`` is the most common neighbor label (ties →
+    smallest label, so the verdict is total-order deterministic) and
+    ``is_outlier`` fires when the majority disagrees with the doc's own
+    label AND the doc has at least ``min_nbrs`` neighbors (no verdict
+    off a 1-neighbor sample; under-connected docs report false).
+
+    Scale shape: two id-keyed equi-joins attach own/neighbor labels to
+    the ≤ k·n edge list (skinny, AQE-planned), one (id, label) count
+    aggregate, then the one-aggregate min-struct argmax (same shape as
+    canonical_docs — no window over the corpus), and an id-grain left
+    join back so unconnected docs appear. Labels/ids only — embeddings
+    never move."""
+    own = labels.select(F.col(id_col), F.col(label_col))
+    nbr_lab = labels.select(F.col(id_col).alias(nbr_col),
+                            F.col(label_col).alias("_nl"))
+    e = (edges.select(id_col, nbr_col)
+              .join(nbr_lab, nbr_col)
+              .join(own.withColumnRenamed(label_col, "_ol"), id_col))
+    cnt = (e.groupBy(id_col, "_nl")
+            .agg(F.count("*").alias("_c"),
+                 F.sum((F.col("_nl").eqNullSafe(F.col("_ol")))
+                       .cast("bigint")).alias("_a")))
+    agg = (cnt.groupBy(id_col)
+              .agg(F.min(F.struct((-F.col("_c")).alias("nc"),
+                                  F.col("_nl").alias("l"))).alias("_m"),
+                   F.sum("_c").alias("n_nbrs"),
+                   F.sum("_a").alias("n_agree")))
+    out = own.join(agg, id_col, "left")
+    maj = F.col("_m").getField("l")
+    return out.select(
+        id_col, label_col,
+        maj.alias("majority_label"),
+        F.coalesce(F.col("n_nbrs"), F.lit(0)).alias("n_nbrs"),
+        F.coalesce(F.col("n_agree"), F.lit(0)).alias("n_agree"),
+        F.when((F.col("n_nbrs") >= min_nbrs)
+               & ~maj.eqNullSafe(F.col(label_col)), F.lit(True))
+         .otherwise(F.lit(False)).alias("is_outlier"),
+    )

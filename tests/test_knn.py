@@ -125,3 +125,57 @@ class TestQualityPropagate:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Cartesian" not in plan
         assert "BroadcastNestedLoop" not in plan
+
+
+class TestLabelOutliers:
+    def _labels(self, spark):
+        return spark.createDataFrame(
+            [(1, 0), (2, 0), (3, 0), (4, 1), (5, None), (9, 7)],
+            "vec_id bigint, label int")
+
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id bigint, nbr_id bigint, cos_sim double")
+
+    def test_disagreeing_majority_flags(self, spark):
+        from json_schema_rs_spark.operators.similarity import label_outliers
+        # node 4 (label 1) has three label-0 neighbors -> outlier
+        # node 1 (label 0) agrees with its neighbors -> clean
+        edges = self._edges(spark, [
+            (4, 1, .9), (4, 2, .9), (4, 3, .9),
+            (1, 2, .9), (1, 3, .9), (1, 4, .9),
+        ])
+        out = {r["vec_id"]: r for r in
+               label_outliers(self._labels(spark), edges).collect()}
+        assert out[4]["is_outlier"] and out[4]["majority_label"] == 0
+        assert out[4]["n_agree"] == 0 and out[4]["n_nbrs"] == 3
+        # node 1: nbrs labels {0, 0, 1} -> majority 0 agrees (2 of 3)
+        assert not out[1]["is_outlier"] and out[1]["n_agree"] == 2
+
+    def test_min_nbrs_gate_and_isolated(self, spark):
+        from json_schema_rs_spark.operators.similarity import label_outliers
+        edges = self._edges(spark, [(4, 1, .9), (4, 2, .9)])  # only 2 nbrs
+        out = {r["vec_id"]: r for r in
+               label_outliers(self._labels(spark), edges).collect()}
+        assert not out[4]["is_outlier"]           # below min_nbrs=3
+        assert out[9]["n_nbrs"] == 0 and not out[9]["is_outlier"]
+        assert out[9]["majority_label"] is None
+        assert len(out) == 6                      # every input doc present
+
+    def test_majority_tie_breaks_to_smallest_label(self, spark):
+        from json_schema_rs_spark.operators.similarity import label_outliers
+        # node 9 (label 7): nbrs {0,0,1,1} tie -> majority 0 -> outlier
+        edges = self._edges(spark, [
+            (9, 1, .9), (9, 2, .9), (9, 4, .9), (9, 6, .9)])
+        labels = self._labels(spark).union(
+            spark.createDataFrame([(6, 1)], "vec_id bigint, label int"))
+        out = {r["vec_id"]: r for r in
+               label_outliers(labels, edges).collect()}
+        assert out[9]["majority_label"] == 0 and out[9]["is_outlier"]
+
+    def test_null_own_label_disagrees_with_any_majority(self, spark):
+        from json_schema_rs_spark.operators.similarity import label_outliers
+        edges = self._edges(spark, [(5, 1, .9), (5, 2, .9), (5, 3, .9)])
+        out = {r["vec_id"]: r for r in
+               label_outliers(self._labels(spark), edges).collect()}
+        assert out[5]["is_outlier"] and out[5]["majority_label"] == 0
