@@ -1267,6 +1267,38 @@ SELECT * FROM fwd UNION ALL SELECT * FROM orp UNION ALL SELECT * FROM roots
 """
 
 
+def _q_t_coerce_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # referential repair: out-of-vocabulary roles ('narrator' in the
+    # synthetic role map) coerce to 'unknown'; output the per-role
+    # count by coercion flag so the oracle checks both polarities and
+    # the repaired vocabulary in one table.
+    from json_schema_rs_spark.operators.table_checks import (
+        coerce_vocabulary)
+    tx = _transcripts_from_events(_t(spark, sf_dir, "events"))
+    fixed = coerce_vocabulary(
+        tx.select("conv_id", "turn_idx", "role"), "role",
+        ["system", "user", "assistant", "tool"], fallback="unknown")
+    return (fixed.groupBy("role", "was_coerced")
+                 .agg(F.count(F.lit(1)).alias("n_turns")))
+
+
+_SQL_T_COERCE_VOCAB = f"""
+WITH tx AS (
+  SELECT {_ROLE_MAP} AS role
+  FROM events),
+fixed AS (
+  SELECT CASE WHEN role IS NOT NULL
+                   AND role NOT IN ('system','user','assistant','tool')
+              THEN 'unknown' ELSE role END AS role,
+         (role IS NOT NULL
+          AND role NOT IN ('system','user','assistant','tool'))
+           AS was_coerced
+  FROM tx)
+SELECT role, was_coerced, count(*) AS n_turns
+FROM fixed GROUP BY role, was_coerced
+"""
+
+
 def _q_t_near_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fuzzy retry detection: synthesize per-turn text whose distinct-word
     # overlap between same-role adjacent turns is bucket-controlled —
@@ -4533,6 +4565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_repair_validate": _q_t_repair_validate,
         "t_tree_check": _q_t_tree_check,
         "t_near_retry": _q_t_near_retry,
+        "t_coerce_vocab": _q_t_coerce_vocab,
         "t_hot_convs": _q_t_hot_convs,
         # conversation-protocol checks
         "t_role_protocol": _q_t_role_protocol,
@@ -4687,6 +4720,7 @@ def oracle_sql() -> dict[str, str]:
         "t_repair_validate": _SQL_T_REPAIR_VALIDATE,
         "t_tree_check": _SQL_T_TREE_CHECK,
         "t_near_retry": _SQL_T_NEAR_RETRY,
+        "t_coerce_vocab": _SQL_T_COERCE_VOCAB,
         "t_hot_convs": _SQL_T_HOT_CONVS,
         "t_role_protocol": _SQL_T_ROLE_PROTOCOL,
         "t_tool_pairing": _SQL_T_TOOL_PAIRING,

@@ -1054,3 +1054,46 @@ def trend_anomalies(
                 F.round(mean / 1e6, round_digits).alias("mean_rate"),
                 F.round(std / 1e6, round_digits).alias("std_rate"),
                 F.col("_n").alias("n_history")))
+
+
+def coerce_vocabulary(
+    df: DataFrame,
+    column: str,
+    vocab: Union[DataFrame, Sequence[str]],
+    *,
+    fallback: Optional[str] = None,
+    vocab_column: Optional[str] = None,
+) -> DataFrame:
+    """Vocabulary coercion repair — the ACTING complement of
+    :func:`referential_violations` (the relationship reindex_turns has
+    to gap-free, truncate_to_budget to the budget check): values of
+    ``column`` outside the vocabulary are replaced by ``fallback``
+    (a sentinel like ``'unknown'``, or NULL to mark-for-review), so the
+    repaired table passes the referential check by construction.
+    NULL values pass through untouched — they were never referential
+    violations (the check skips them), so the repair must not invent
+    data for them. Adds ``was_coerced`` (boolean) so downstream audits
+    and the before/after violation-count story stay cheap.
+
+    Scale shape mirrors the check exactly: a literal vocab list compiles
+    to a codegen'd ``isin`` — zero joins, zero shuffle, pure scan
+    projection; a vocab DataFrame broadcasts into ONE left join
+    (vocab-distinct, df never shuffles)."""
+    if isinstance(vocab, DataFrame):
+        vcol = vocab_column or vocab.columns[0]
+        marker = (vocab.select(F.col(vcol).alias(column))
+                       .dropDuplicates()
+                       .withColumn("_in_vocab", F.lit(True)))
+        joined = df.join(F.broadcast(marker), column, "left")
+        bad = F.col(column).isNotNull() & F.col("_in_vocab").isNull()
+        out = (joined.withColumn("was_coerced", bad)
+                     .withColumn(column,
+                                 F.when(bad, F.lit(fallback))
+                                  .otherwise(F.col(column)))
+                     .drop("_in_vocab"))
+        return out.select(*df.columns, "was_coerced")
+    bad = F.col(column).isNotNull() & ~F.col(column).isin(list(vocab))
+    return (df.withColumn("was_coerced", bad)
+              .withColumn(column, F.when(bad, F.lit(fallback))
+                                   .otherwise(F.col(column)))
+              .select(*df.columns, "was_coerced"))

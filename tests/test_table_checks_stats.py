@@ -1012,3 +1012,57 @@ class TestTrendAnomalies:
         got = trend_anomalies(
             self._trend(spark, [0.5, 0.5, 0.5, 0.0001])).collect()
         assert got == []
+
+
+class TestCoerceVocabulary:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [("A", 0, "system"), ("A", 1, "narrator"),
+             ("B", 0, None), ("B", 1, "user")],
+            "conv_id string, turn_idx int, role string")
+
+    VOCAB = ["system", "user", "assistant", "tool"]
+
+    def test_literal_vocab_coerces_and_marks(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            coerce_vocabulary)
+        out = {(r["conv_id"], r["turn_idx"]): r for r in
+               coerce_vocabulary(self._df(spark), "role", self.VOCAB,
+                                 fallback="unknown").collect()}
+        assert out[("A", 1)]["role"] == "unknown"
+        assert out[("A", 1)]["was_coerced"]
+        assert out[("A", 0)]["role"] == "system"
+        assert not out[("A", 0)]["was_coerced"]
+        # NULL passes through: never a referential violation
+        assert out[("B", 0)]["role"] is None
+        assert not out[("B", 0)]["was_coerced"]
+
+    def test_repaired_table_passes_the_check(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            coerce_vocabulary, referential_violations)
+        fixed = coerce_vocabulary(self._df(spark), "role",
+                                  self.VOCAB + ["unknown"],
+                                  fallback="unknown")
+        assert referential_violations(
+            fixed, "role", self.VOCAB + ["unknown"]).collect() == []
+
+    def test_dataframe_vocab_broadcast(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            coerce_vocabulary)
+        vocab = spark.createDataFrame([(v,) for v in self.VOCAB],
+                                      "role string")
+        out = coerce_vocabulary(self._df(spark), "role", vocab,
+                                fallback=None)
+        rows = {(r["conv_id"], r["turn_idx"]): r for r in out.collect()}
+        assert rows[("A", 1)]["role"] is None
+        assert rows[("A", 1)]["was_coerced"]
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_literal_vocab_zero_shuffle(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            coerce_vocabulary)
+        plan = (coerce_vocabulary(self._df(spark), "role", self.VOCAB)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan and "Join" not in plan
