@@ -96,6 +96,13 @@ HEADLINE = [
     "x_heavy_hitters",
     "x_truncate_ctx",
     "d_source_overlap",
+    "v_review_queue",
+    "a_quality_propagate",
+    "s_trend_anomaly",
+    "d_incremental_fuzzy",
+    "x_encoding_check",
+    "a_label_outliers",
+    "t_coerce_vocab",
     "e_sessionize",
     "e_asof_join",
     "v_multi_spec",
