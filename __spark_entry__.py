@@ -2374,6 +2374,40 @@ FROM p JOIN sz sa ON p.src_a = sa.source JOIN sz sb ON p.src_b = sb.source
 """
 
 
+def _q_x_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # data-mixing inverse of decontamination: score the new batch
+    # (doc_id%3==0) by the fraction of its distinct 3-grams NOT already
+    # in the kept corpus (the rest). Spark probes 64-bit shingle hashes;
+    # the oracle uses raw 3-gram strings (identical up to 2^-64
+    # collisions).
+    from json_schema_rs_spark.operators.decontam import novelty_score
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    ref = docs.filter(F.col("doc_id") % 3 != 0)
+    return novelty_score(batch, ref)
+
+
+_SQL_X_NOVELTY = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+                             for i in range(1, len(ws) - 1)]) AS s
+       FROM w),
+ref AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 3 <> 0),
+b AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 3 = 0),
+per AS (SELECT b.doc_id, count(*) AS n_shingles,
+               sum(CASE WHEN r.g IS NOT NULL THEN 1 ELSE 0 END) AS n_known
+        FROM b LEFT JOIN ref r USING (g) GROUP BY b.doc_id)
+SELECT d.doc_id,
+       coalesce(per.n_shingles, 0) AS n_shingles,
+       coalesce(per.n_known, 0) AS n_known,
+       round(coalesce((per.n_shingles - per.n_known)
+                      / nullif(per.n_shingles, 0), 1.0), 6) AS novelty
+FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+LEFT JOIN per USING (doc_id)
+"""
+
+
 def _q_d_incremental_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fuzzy sibling of d_incremental_dedup: batch (doc_id%3==0) deduped
     # against the signature ledger of already-kept docs (the rest); LSH
@@ -4630,6 +4664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_lm_quality": _q_x_lm_quality,
         "x_decontaminate": _q_x_decontaminate,
         "x_fuzzy_decontam": _q_x_fuzzy_decontam,
+        "x_novelty": _q_x_novelty,
         "x_prep_corpus": _q_x_prep_corpus,
         "x_quality": _q_x_quality,
         "x_corpus_report": _q_x_corpus_report,
@@ -4777,6 +4812,7 @@ def oracle_sql() -> dict[str, str]:
         "x_lm_quality": _SQL_X_LM_QUALITY,
         "x_decontaminate": _SQL_X_DECONTAM,
         "x_fuzzy_decontam": _SQL_X_FUZZY_DECONTAM,
+        "x_novelty": _SQL_X_NOVELTY,
         "x_prep_corpus": _SQL_X_PREP_CORPUS,
         "x_quality": _SQL_X_QUALITY,
         "x_corpus_report": _SQL_X_CORPUS_REPORT,

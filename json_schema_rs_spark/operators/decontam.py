@@ -273,3 +273,46 @@ def source_overlap(df: DataFrame, *, n: int = 3, seed: int = 7,
                           - F.col("shared_ngrams")).cast("double"),
                 round_digits).alias("jaccard"),
     )
+
+
+def novelty_score(df: DataFrame, reference: DataFrame, *, n: int = 3,
+                  seed: int = 7, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  round_digits: int = 6) -> DataFrame:
+    """Per-doc n-gram novelty against a reference corpus — the
+    data-mixing INVERSE of decontamination: instead of dropping overlap
+    with an eval set, score how much of each doc is NOT already covered
+    by what you have (novel docs are worth more in the next mixture).
+    One row per input doc:
+    ``(id_col, n_shingles, n_known, novelty)`` with ``novelty`` =
+    novel distinct n-grams / total distinct n-grams (1.0 for docs too
+    short to shingle — nothing about them is known).
+
+    Scale shape: identical to :func:`contamination_hits` — the
+    reference's distinct shingle-hash set is broadcast and probed by a
+    map-side explode (the corpus never shuffles); the per-doc aggregate
+    shuffles only ``(id, counts)``. For a reference too large to
+    broadcast, persist its distinct hashes and flip the probe join to a
+    shuffle join — same semantics, AQE-planned."""
+    ref = benchmark_shingles(reference, text_col, n=n, seed=seed,
+                             id_col=id_col).withColumn("_k", F.lit(True))
+    probes = explode_rows(
+        shingle_hashes(_spread(df, id_col), text_col, n=n, seed=seed,
+                       out_col="__sh"),
+        [id_col], F.col("__sh"), "sh")
+    per_doc = (probes.join(F.broadcast(ref), "sh", "left")
+               .groupBy(id_col)
+               .agg(F.count("*").alias("n_shingles"),
+                    F.sum(F.coalesce(F.col("_k").cast("bigint"),
+                                     F.lit(0))).alias("n_known")))
+    base = df.select(id_col)
+    out = base.join(per_doc, id_col, "left")
+    return out.select(
+        id_col,
+        F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
+        F.coalesce(F.col("n_known"), F.lit(0)).alias("n_known"),
+        F.round(F.coalesce(
+            F.try_divide(F.col("n_shingles") - F.col("n_known"),
+                         F.col("n_shingles").cast("double")),
+            F.lit(1.0)), round_digits).alias("novelty"),
+    )

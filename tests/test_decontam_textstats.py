@@ -440,3 +440,35 @@ class TestEncodingDamage:
         plan = (encoding_damage(self._df(spark))
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange" not in plan
+
+
+class TestNoveltyScore:
+    def test_fraction_exact(self, spark):
+        from json_schema_rs_spark.operators.decontam import novelty_score
+        ref = spark.createDataFrame(
+            [Row(doc_id=100, text="a b c d e")])   # grams: abc bcd cde
+        df = spark.createDataFrame([
+            Row(doc_id=0, text="a b c d e"),        # all 3 known -> 0.0
+            Row(doc_id=1, text="a b c x y z"),      # abc known, bcx bxy/... 3 novel of 4
+            Row(doc_id=2, text="p q r s"),          # 2 grams, all novel
+            Row(doc_id=3, text="too short"),        # no grams -> novelty 1.0
+        ])
+        out = {r["doc_id"]: r for r in novelty_score(df, ref).collect()}
+        assert out[0]["novelty"] == 0.0 and out[0]["n_known"] == 3
+        assert out[1]["n_shingles"] == 4 and out[1]["n_known"] == 1
+        assert out[1]["novelty"] == 0.75
+        assert out[2]["novelty"] == 1.0
+        assert out[3]["n_shingles"] == 0 and out[3]["novelty"] == 1.0
+        assert len(out) == 4
+
+    def test_reference_broadcast_corpus_never_shuffled_wide(self, spark):
+        from json_schema_rs_spark.operators.decontam import novelty_score
+        ref = spark.createDataFrame([Row(doc_id=9, text="a b c d")])
+        df = spark.createDataFrame([Row(doc_id=0, text="a b c d e f")])
+        plan = (novelty_score(df, ref)
+                ._jdf.queryExecution().executedPlan().toString())
+        # reference probe joins broadcast; the id-grain join-back may be
+        # SMJ (corpus-grain both sides — the correct at-scale shape)
+        assert "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
