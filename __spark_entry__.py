@@ -4150,6 +4150,42 @@ WHERE pin OR revcum <= greatest(CAST(60 AS BIGINT) - pincost, 0)
 """
 
 
+def _q_x_turn_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # conversation-grain sliding windows: every full 3-turn window with
+    # stride 2 and its whitespace-token cost (+1/turn render overhead)
+    from json_schema_rs_spark.operators.packing import turn_windows
+    tx = (_transcripts_from_events(_t(spark, sf_dir, "events"))
+          .select("conv_id", "turn_idx", "text"))
+    return turn_windows(tx, 3, stride=2, per_turn_overhead=1)
+
+
+_SQL_X_TURN_WINDOWS = f"""
+WITH tx AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+         props AS text
+  FROM events),
+st AS (
+  SELECT conv_id, turn_idx,
+         CAST(CASE WHEN text IS NULL THEN 0
+              ELSE len(string_split(text, ' ')) END + 1 AS BIGINT) AS tk
+  FROM tx),
+win AS (
+  SELECT conv_id, turn_idx, tk,
+         row_number() OVER w - 1 AS pos,
+         count(tk) OVER wf AS n,
+         max(turn_idx) OVER wf AS end_idx,
+         sum(tk) OVER wf AS s
+  FROM st
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx),
+         wf AS (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING))
+SELECT conv_id, CAST(pos AS INT) AS window_pos, turn_idx AS start_idx,
+       end_idx, n AS n_turns, s AS n_tokens
+FROM win WHERE n = 3 AND pos % 2 = 0
+"""
+
+
 def _q_x_render_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # transcripts -> training-ready sequences: each conversation's turns
     # rendered in stable (turn_idx, role, text) order into one canonical
@@ -4682,6 +4718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_soft_dedup": _q_x_soft_dedup,
         "x_pack_chunks": _q_x_pack,
         "x_chunk_windows": _q_x_chunks,
+        "x_turn_windows": _q_x_turn_windows,
         "x_render_conv": _q_x_render_conv,
         "x_truncate_ctx": _q_x_truncate_ctx,
         "x_sft_spans": _q_x_sft_spans,
@@ -4829,6 +4866,7 @@ def oracle_sql() -> dict[str, str]:
         "x_soft_dedup": _SQL_X_SOFT_DEDUP,
         "x_pack_chunks": _SQL_X_PACK,
         "x_chunk_windows": _SQL_X_CHUNKS,
+        "x_turn_windows": _SQL_X_TURN_WINDOWS,
         "x_render_conv": _SQL_X_RENDER_CONV,
         "x_truncate_ctx": _SQL_X_TRUNCATE_CTX,
         "x_sft_spans": _SQL_X_SFT_SPANS,

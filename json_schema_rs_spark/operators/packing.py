@@ -312,3 +312,55 @@ def truncate_to_budget(
     return (staged.filter(keep)
                   .withColumn("turn_tokens", F.col("_tk"))
                   .drop("_tk", "_pin", "_pincost", "_revcum"))
+
+
+def turn_windows(
+    df: DataFrame,
+    k: int,
+    *,
+    stride: int = 1,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    per_turn_overhead: int = 0,
+) -> DataFrame:
+    """Sliding windows of ``k`` consecutive turns per conversation — the
+    conversation-grain sibling of :func:`chunk_windows` (which slides
+    over one document's tokens): every full window of ``k`` turns
+    becomes a training-example candidate, with its summed token cost so
+    a downstream budget filter (or :func:`pack_sequences`) can consume
+    it directly. ``stride`` keeps every ``stride``-th window (1 = fully
+    overlapping, k = disjoint). Output: one row per kept window —
+    ``(conv_col, window_pos, start_idx, end_idx, n_turns, n_tokens)``
+    with ``window_pos`` = 0-based position of the window's first turn.
+
+    Requires unique ``idx_col`` per conversation (run
+    :func:`.table_checks.reindex_turns` first on dirty tables — same
+    composition contract as the other consumers of turn order); windows
+    shorter than ``k`` (conversation tail) are dropped, so every output
+    row is a complete example.
+
+    Scale shape: ONE hash exchange on ``conv_col``; position, the
+    k-row look-ahead frame sums and the stride filter are all computed
+    inside that single window sort (token cost in the scan projection —
+    text never shuffles). Window state is k rows — bounded by the
+    frame, not the conversation."""
+    tokens = (F.when(F.col(text_col).isNull(), F.lit(0))
+              .otherwise(F.size(F.split(F.col(text_col), " ")))
+              + F.lit(per_turn_overhead)).cast("bigint")
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    wf = w.rowsBetween(0, k - 1)
+    staged = (df.select(F.col(conv_col), F.col(idx_col),
+                        tokens.alias("_tk"))
+                .withColumn("_pos", F.row_number().over(w) - 1)
+                .withColumn("_n", F.count("_tk").over(wf))
+                .withColumn("_end", F.max(idx_col).over(wf))
+                .withColumn("_sum", F.sum("_tk").over(wf)))
+    return (staged.filter((F.col("_n") == k)
+                          & (F.col("_pos") % stride == 0))
+            .select(F.col(conv_col),
+                    F.col("_pos").alias("window_pos"),
+                    F.col(idx_col).alias("start_idx"),
+                    F.col("_end").alias("end_idx"),
+                    F.col("_n").alias("n_turns"),
+                    F.col("_sum").alias("n_tokens")))

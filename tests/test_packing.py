@@ -358,3 +358,45 @@ class TestTruncateToBudget:
                 ._jdf.queryExecution().executedPlan().toString())
         assert plan.count("Exchange") == 1
         assert "Join" not in plan
+
+
+class TestTurnWindows:
+    ROWS = [
+        ("a", 0, "w1 w2"), ("a", 1, "x"), ("a", 2, "y1 y2 y3"),
+        ("a", 3, "z"),
+        ("b", 0, "only"), ("b", 1, "two here"),
+        ("c", 0, "solo"),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self.ROWS, "conv_id string, turn_idx int, text string")
+
+    def test_windows_and_token_sums(self, spark):
+        from json_schema_rs_spark.operators.packing import turn_windows
+        got = sorted((r["conv_id"], r["window_pos"], r["start_idx"],
+                      r["end_idx"], r["n_tokens"])
+                     for r in turn_windows(self._df(spark), 2).collect())
+        assert got == [
+            ("a", 0, 0, 1, 3), ("a", 1, 1, 2, 4), ("a", 2, 2, 3, 4),
+            ("b", 0, 0, 1, 3),
+        ]  # conv c has no full 2-window
+
+    def test_stride_disjoint(self, spark):
+        from json_schema_rs_spark.operators.packing import turn_windows
+        got = sorted((r["conv_id"], r["window_pos"])
+                     for r in turn_windows(self._df(spark), 2,
+                                           stride=2).collect())
+        assert got == [("a", 0), ("a", 2), ("b", 0)]
+
+    def test_k_larger_than_conv_emits_nothing(self, spark):
+        from json_schema_rs_spark.operators.packing import turn_windows
+        got = turn_windows(self._df(spark), 5).collect()
+        assert got == []
+
+    def test_single_exchange(self, spark):
+        from json_schema_rs_spark.operators.packing import turn_windows
+        plan = (turn_windows(self._df(spark), 2)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("Exchange") == 1
+        assert "Join" not in plan
