@@ -2064,6 +2064,43 @@ WHERE CASE WHEN std > 0 THEN rm::DOUBLE - mean > 3.0 * std
 """
 
 
+def _q_s_source_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pairwise drift matrix: PSI of the n_chars distribution between
+    # every source pair, one corpus scan (eager-checkpointed counts)
+    from json_schema_rs_spark.operators.stats import psi_matrix
+    return psi_matrix(_t(spark, sf_dir, "documents"), "n_chars",
+                      group_col="source", lo=0.0, hi=600.0, nbins=10)
+
+
+_SQL_S_SOURCE_PSI = """
+WITH c AS (
+  SELECT source AS g,
+         least(greatest(CAST(floor((CAST(n_chars AS DOUBLE) - 0.0)
+                                   / 60.0) AS INT), 0), 9) AS bin,
+         count(*) AS c
+  FROM documents
+  WHERE n_chars IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2),
+grid AS (
+  SELECT g, b.bin, coalesce(c.c, 0) AS c
+  FROM (SELECT DISTINCT g FROM c)
+  CROSS JOIN (SELECT unnest(range(10)) AS bin) b
+  LEFT JOIN c USING (g, bin)),
+dense AS (
+  SELECT g, bin, c, sum(c) OVER (PARTITION BY g) AS tot FROM grid),
+pairs AS (
+  SELECT a.g AS src_a, b.g AS src_b, a.bin,
+         greatest(a.c / CAST(a.tot AS DOUBLE), 1e-6) AS pa,
+         greatest(b.c / CAST(b.tot AS DOUBLE), 1e-6) AS pb,
+         a.tot AS ta, b.tot AS tb
+  FROM dense a JOIN dense b ON a.bin = b.bin AND a.g < b.g)
+SELECT src_a, src_b,
+       round(sum((pa - pb) * ln(pa / pb)), 6) AS psi,
+       max(ta) AS n_a, max(tb) AS n_b
+FROM pairs GROUP BY src_a, src_b
+"""
+
+
 def _q_t_transcript_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the north rule's "per-turn text equality under stable (conv_id,
     # turn_idx) ordering" as a cross-snapshot check: snapshot a drops
@@ -4661,6 +4698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_emb_drift": _q_s_emb_drift,
         "s_ks_sketch": _q_s_ks_sketch,
         "s_psi_drift": _q_s_psi,
+        "s_source_psi": _q_s_source_psi,
         "s_js_drift": _q_s_js,
         "s_w1_drift": _q_s_w1,
         "s_w1_sketch": _q_s_w1_sketch,
@@ -4815,6 +4853,7 @@ def oracle_sql() -> dict[str, str]:
         "s_vocab_drift": _SQL_S_VOCAB_DRIFT,
         "s_emb_drift": _SQL_S_EMB_DRIFT,
         "s_psi_drift": _SQL_S_PSI,
+        "s_source_psi": _SQL_S_SOURCE_PSI,
         "s_js_drift": _SQL_S_JS,
         "s_w1_drift": _SQL_S_W1,
         "d_exact_groups": _SQL_D_EXACT,

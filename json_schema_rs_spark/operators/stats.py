@@ -540,3 +540,68 @@ def profile_drift(
         T.StructField("mean_delta", T.DoubleType()),
     ])
     return arrow_local_df(df_a.sparkSession, out, schema)
+
+
+def psi_matrix(
+    df: DataFrame,
+    column: str,
+    *,
+    group_col: str = "source",
+    lo: float,
+    hi: float,
+    nbins: int = 10,
+    eps: float = 1e-6,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pairwise PSI between every pair of groups IN ONE PASS — the
+    drift matrix a multi-source corpus dashboard wants ("does src_7's
+    length distribution match src_3's?"), where calling :func:`psi`
+    per pair would rescan the corpus |S|² times. One row per unordered
+    group pair: ``(src_a, src_b, psi, n_a, n_b)``, same fixed-edge
+    equal-width binning, clamping, NULL and ``eps`` semantics as
+    :func:`psi` (pairwise results are identical to the two-sample
+    operator by construction).
+
+    Scale shape: ONE corpus scan into a (group, bin) hash aggregate —
+    at most ``|S| x nbins`` rows survive (map-side combine absorbs the
+    corpus); the dense group×bin grid (missing bins must exist for the
+    eps substitute) comes from an in-plan ``sequence`` explode of the
+    group list — tiny; the pair join is grid×grid on the bin key and
+    every later step is dashboard-sized. Corpus values never shuffle."""
+    step = (float(hi) - float(lo)) / nbins
+    v = F.col(column).cast("double")
+    raw = F.floor((v - F.lit(float(lo))) / F.lit(step)).cast("int")
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1))
+    counts = (df.filter(v.isNotNull() & F.col(group_col).isNotNull())
+                .groupBy(F.col(group_col).alias("_g"), b.alias("bin"))
+                .agg(F.count(F.lit(1)).alias("_c")))
+    # the |S| x nbins aggregate feeds FOUR plan branches (groups, grid,
+    # both pair sides); Catalyst does not CSE DataFrame subtrees, so
+    # without a cut the corpus would be scanned once per branch. An
+    # eager localCheckpoint materializes the tiny aggregate at build
+    # (compile-time job, same pattern as the fuzzy-conv render) and the
+    # matrix plan reads corpus data exactly once.
+    counts = counts.localCheckpoint(eager=True)
+    groups = counts.select("_g").dropDuplicates()
+    grid = (groups.crossJoin(
+                F.broadcast(counts.sparkSession.range(nbins)
+                            .select(F.col("id").cast("int").alias("bin"))))
+            .join(counts, ["_g", "bin"], "left")
+            .select("_g", "bin", F.coalesce("_c", F.lit(0)).alias("_c")))
+    wg = Window.partitionBy("_g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    dense = grid.withColumn("_tot", F.sum("_c").over(wg))
+    a = dense.select(F.col("_g").alias("src_a"), "bin",
+                     F.col("_c").alias("_ca"), F.col("_tot").alias("_ta"))
+    bb = dense.select(F.col("_g").alias("src_b"), "bin",
+                      F.col("_c").alias("_cb"), F.col("_tot").alias("_tb"))
+    pairs = a.join(bb, "bin").filter(F.col("src_a") < F.col("src_b"))
+    pa = F.greatest(F.col("_ca") / F.col("_ta").cast("double"),
+                    F.lit(eps))
+    pb = F.greatest(F.col("_cb") / F.col("_tb").cast("double"),
+                    F.lit(eps))
+    term = (pa - pb) * F.log(pa / pb)
+    return (pairs.groupBy("src_a", "src_b")
+            .agg(F.round(F.sum(term), round_digits).alias("psi"),
+                 F.max("_ta").alias("n_a"),
+                 F.max("_tb").alias("n_b")))

@@ -1066,3 +1066,44 @@ class TestCoerceVocabulary:
         plan = (coerce_vocabulary(self._df(spark), "role", self.VOCAB)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange" not in plan and "Join" not in plan
+
+
+class TestPsiMatrix:
+    def test_pairwise_matches_two_sample_psi(self, spark):
+        import random
+        rng = random.Random(11)
+        rows = ([("s1", rng.gauss(10, 2)) for _ in range(300)]
+                + [("s2", rng.gauss(13, 2)) for _ in range(250)]
+                + [("s3", rng.gauss(10, 2)) for _ in range(200)])
+        df = spark.createDataFrame(rows, "source string, v double")
+        mat = {(r["src_a"], r["src_b"]): r for r in
+               S.psi_matrix(df, "v", lo=0.0, hi=20.0,
+                            nbins=10).collect()}
+        assert set(mat) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+        for (a, b), r in mat.items():
+            two = S.psi(df.filter(F.col("source") == a),
+                        df.filter(F.col("source") == b),
+                        "v", lo=0.0, hi=20.0, nbins=10).collect()[0]
+            assert abs(r["psi"] - two["psi"]) < 1e-6
+            assert (r["n_a"], r["n_b"]) == (two["n_a"], two["n_b"])
+        # same-distribution pair drifts less than the shifted pair
+        assert mat[("s1", "s3")]["psi"] < mat[("s1", "s2")]["psi"]
+        assert mat[("s1", "s2")]["psi"] > 0.25
+
+    def test_null_groups_and_values_dropped(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", None), (None, 2.0), ("b", 3.0)],
+            "source string, v double")
+        rows = S.psi_matrix(df, "v", lo=0.0, hi=4.0, nbins=4).collect()
+        assert len(rows) == 1
+        assert (rows[0]["n_a"], rows[0]["n_b"]) == (1, 1)
+
+    def test_one_corpus_scan(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0), ("b", 2.0)], "source string, v double")
+        plan = (S.psi_matrix(df, "v", lo=0.0, hi=4.0, nbins=4)
+                ._jdf.queryExecution().executedPlan().toString())
+        # the corpus scan happened once, at the eager checkpoint; the
+        # matrix plan reads only the checkpointed (group, bin) counts
+        assert "ExistingRDD[source" not in plan
+        assert "CartesianProduct" not in plan
