@@ -96,6 +96,9 @@ HEADLINE = [
     "x_heavy_hitters",
     "x_truncate_ctx",
     "d_source_overlap",
+    "s_source_psi",
+    "x_turn_windows",
+    "x_novelty",
     "v_review_queue",
     "a_quality_propagate",
     "s_trend_anomaly",
