@@ -2411,6 +2411,27 @@ FROM p JOIN sz sa ON p.src_a = sa.source JOIN sz sb ON p.src_b = sb.source
 """
 
 
+def _q_x_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact-count quota sampling: the 8 md5-smallest docs per source
+    # (stratified_sample's count-quota complement — fractions can't
+    # promise exact per-group counts on skewed strata)
+    from json_schema_rs_spark.operators.sampling import quota_sample
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return quota_sample(docs, "source", 8, salt="quota")
+
+
+_SQL_X_QUOTA_SAMPLE = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(doc_id || '#quota')) AS sample_rank
+  FROM documents)
+SELECT doc_id, source, CAST(sample_rank AS INT) AS sample_rank
+FROM ranked WHERE sample_rank <= 8
+"""
+
+
 def _q_x_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # data-mixing inverse of decontamination: score the new batch
     # (doc_id%3==0) by the fraction of its distinct 3-grams NOT already
@@ -4739,6 +4760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_decontaminate": _q_x_decontaminate,
         "x_fuzzy_decontam": _q_x_fuzzy_decontam,
         "x_novelty": _q_x_novelty,
+        "x_quota_sample": _q_x_quota_sample,
         "x_prep_corpus": _q_x_prep_corpus,
         "x_quality": _q_x_quality,
         "x_corpus_report": _q_x_corpus_report,
@@ -4889,6 +4911,7 @@ def oracle_sql() -> dict[str, str]:
         "x_decontaminate": _SQL_X_DECONTAM,
         "x_fuzzy_decontam": _SQL_X_FUZZY_DECONTAM,
         "x_novelty": _SQL_X_NOVELTY,
+        "x_quota_sample": _SQL_X_QUOTA_SAMPLE,
         "x_prep_corpus": _SQL_X_PREP_CORPUS,
         "x_quality": _SQL_X_QUALITY,
         "x_corpus_report": _SQL_X_CORPUS_REPORT,

@@ -37,8 +37,9 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["bucket_hex", "deterministic_sample", "dup_weighted_sample",
-           "mix_sources", "shard_corpus", "stratified_sample",
-           "temperature_weights", "train_eval_split"]
+           "mix_sources", "quota_sample", "shard_corpus",
+           "stratified_sample", "temperature_weights",
+           "train_eval_split"]
 
 _HEX_SPACE = 16 ** 8  # 8 hex chars = 32 bits of the md5
 
@@ -362,3 +363,49 @@ def temperature_weights(
     else:
         raised = {s: math.pow(n, alpha) for s, n in counts.items()}
     return {s: max(1, math.floor(v * scale)) for s, v in raised.items()}
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    *,
+    key_col: str = "doc_id",
+    salt: str = "0",
+) -> DataFrame:
+    """EXACT-count quota sampling: the ``n`` md5-smallest keys per group
+    — the count-quota complement of :func:`stratified_sample` (which
+    takes a FRACTION per stratum and so can't promise "exactly 1000
+    docs per language" on skewed strata). Deterministic (same corpus +
+    salt → same sample, reruns diffable), unbiased w.r.t. any real
+    ordering, groups smaller than ``n`` are kept whole. Output = the
+    input columns + ``sample_rank`` (1-based within group).
+
+    Scale shape — the same two-phase exact top-N-per-group as
+    :func:`.table_checks.review_queue`: a zero-shuffle per-partition
+    local top-``n`` per group (a superset of the global winners), then
+    one per-group window over the ≤ n x groups x partitions survivors —
+    group skew never funnels the corpus through few window partitions,
+    and wide columns shuffle only for rows that might win."""
+    rk = F.md5(F.concat(F.col(key_col).cast("string"),
+                        F.lit("#" + salt)))
+    staged = df.withColumn("_rk", rk)
+    schema = staged.schema
+    gname = group_col
+
+    def local_topn(batches):
+        import pandas as pd
+        acc = None
+        for pdf in batches:
+            acc = pdf if acc is None else pd.concat([acc, pdf],
+                                                    ignore_index=True)
+            acc = (acc.sort_values("_rk", kind="mergesort")
+                      .groupby(gname, sort=False, dropna=False).head(n))
+        if acc is not None:
+            yield acc
+
+    local = staged.mapInPandas(local_topn, schema=schema)
+    w = Window.partitionBy(group_col).orderBy("_rk")
+    return (local.withColumn("sample_rank", F.row_number().over(w))
+                 .filter(F.col("sample_rank") <= n)
+                 .drop("_rk"))

@@ -445,3 +445,53 @@ def test_temperature_alpha_one_is_proportional(spark):
     df = spark.createDataFrame(rows, "source string")
     w = temperature_weights(df, "source", alpha=1.0)
     assert w["a"] == 3 * w["b"]
+
+
+class TestQuotaSample:
+    def _df(self, spark):
+        rows = [(i, f"s{i % 3}") for i in range(60)]  # 20 docs/source
+        return spark.createDataFrame(
+            rows, "doc_id bigint, source string").repartition(8)
+
+    def test_exact_count_per_group(self, spark):
+        from json_schema_rs_spark.operators.sampling import quota_sample
+        out = quota_sample(self._df(spark), "source", 5).collect()
+        from collections import Counter
+        c = Counter(r["source"] for r in out)
+        assert c == {"s0": 5, "s1": 5, "s2": 5}
+        for r in out:
+            assert 1 <= r["sample_rank"] <= 5
+
+    def test_matches_bruteforce_md5_order(self, spark):
+        from json_schema_rs_spark.operators.sampling import quota_sample
+        import hashlib
+        df = self._df(spark)
+        got = sorted((r["source"], r["doc_id"], r["sample_rank"])
+                     for r in quota_sample(df, "source", 4,
+                                           salt="q").collect())
+        rows = sorted(
+            ((i, f"s{i % 3}") for i in range(60)),
+            key=lambda t: hashlib.md5(f"{t[0]}#q".encode()).hexdigest())
+        want = []
+        seen = {}
+        for i, src in rows:
+            k = seen.setdefault(src, [])
+            if len(k) < 4:
+                k.append(i)
+                want.append((src, i, len(k)))
+        assert got == sorted(want)
+
+    def test_small_groups_kept_whole(self, spark):
+        from json_schema_rs_spark.operators.sampling import quota_sample
+        df = spark.createDataFrame([(1, "tiny"), (2, "tiny")],
+                                   "doc_id bigint, source string")
+        assert quota_sample(df, "source", 100).count() == 2
+
+    def test_layout_independent(self, spark):
+        from json_schema_rs_spark.operators.sampling import quota_sample
+        df = self._df(spark)
+        a = sorted(r["doc_id"] for r in quota_sample(df, "source", 7)
+                   .collect())
+        b = sorted(r["doc_id"] for r in
+                   quota_sample(df.repartition(3), "source", 7).collect())
+        assert a == b
