@@ -3023,6 +3023,32 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim FROM (
 """
 
 
+def _q_a_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the ANN tuning measurement as a query: recall@10 of the IVF path
+    # (16 deterministic centroids, nprobe=4) against exact brute force —
+    # both sides totally ordered, so the quality number itself is
+    # oracle-checkable.
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_recall(emb, emb.filter(F.col("vec_id") < 8),
+                                 k=10, n_centroids=16, nprobe=4)
+
+
+_SQL_A_IVF_RECALL = f"""
+WITH ap AS (SELECT query_id, neighbor_id FROM ({_SQL_A_IVF})),
+ex AS (SELECT query_id, neighbor_id FROM ({_SQL_A_COSINE}))
+SELECT (SELECT count(DISTINCT query_id) FROM ex) AS n_queries,
+       10 AS k,
+       (SELECT count(*) FROM ex) AS n_exact,
+       (SELECT count(*) FROM ap SEMI JOIN ex
+          ON ap.query_id = ex.query_id
+         AND ap.neighbor_id = ex.neighbor_id) AS n_hits,
+       round((SELECT count(*) FROM ap SEMI JOIN ex
+                ON ap.query_id = ex.query_id
+               AND ap.neighbor_id = ex.neighbor_id)
+             / CAST((SELECT count(*) FROM ex) AS DOUBLE), 6) AS recall
+"""
+
+
 def _q_a_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the production IVF shape: centroids from Lloyd k-means (deterministic
     # seed = 16 lowest-id vectors, 2 update rounds) instead of raw seed
@@ -4747,6 +4773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_srp_dup_pairs": _q_a_srp_dup_pairs,
         "a_semantic_dedup": _q_a_semantic_dedup,
         "a_ivf_topk": _q_a_ivf,
+        "a_ivf_recall": _q_a_ivf_recall,
         "a_ivf_topk_trained": _q_a_ivf_trained,
         # text analysis
         "x_token_stats": _q_x_tokens,
@@ -4900,6 +4927,7 @@ def oracle_sql() -> dict[str, str]:
         "a_srp_dup_pairs": _SQL_A_SRP_DUP_PAIRS,
         "a_semantic_dedup": _SQL_A_SEMANTIC_DEDUP,
         "a_ivf_topk": _SQL_A_IVF,
+        "a_ivf_recall": _SQL_A_IVF_RECALL,
         "x_token_stats": _SQL_X_TOKENS,
         "x_top_tokens": _SQL_X_TOP_TOKENS,
         "x_heavy_hitters": _SQL_X_HEAVY_HITTERS,

@@ -1483,3 +1483,47 @@ def label_outliers(
                & ~maj.eqNullSafe(F.col(label_col)), F.lit(True))
          .otherwise(F.lit(False)).alias("is_outlier"),
     )
+
+
+def ivf_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Recall@k of the IVF ANN path against exact brute force — the
+    evaluation OPERATOR the tuning loop needs (tests gate a fixed floor;
+    an index owner retunes ``n_centroids``/``nprobe`` per corpus and
+    wants the measurement as a query): one row,
+    ``(n_queries, k, n_exact, n_hits, recall)`` with recall =
+    |approx ∩ exact| / |exact| over the whole query set.
+
+    With deterministic centroids both sides are totally ordered, so the
+    measurement itself is exactly reproducible cross-engine — the
+    "approximate" path's QUALITY becomes an oracle-checkable number.
+
+    Scale shape: the two operators keep their own shapes (broadcast
+    queries; bucketed probe); the intersection is an equi-join of two
+    ≤ k·|queries| edge lists and one scalar aggregate."""
+    approx = ivf_topk(corpus, queries, k=k, n_centroids=n_centroids,
+                      nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+                      centroids=centroids).select("query_id",
+                                                  "neighbor_id")
+    exact = cosine_topk(corpus, queries, k=k, id_col=id_col,
+                        vec_col=vec_col).select("query_id", "neighbor_id")
+    hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+    stats = exact.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_exact"))
+    nh = hits.agg(F.count("*").alias("n_hits"))
+    return (stats.join(F.broadcast(nh))
+            .select("n_queries", F.lit(k).alias("k"), "n_exact", "n_hits",
+                    F.round(F.col("n_hits")
+                            / F.col("n_exact").cast("double"),
+                            round_digits).alias("recall")))

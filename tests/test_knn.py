@@ -179,3 +179,30 @@ class TestLabelOutliers:
         out = {r["vec_id"]: r for r in
                label_outliers(self._labels(spark), edges).collect()}
         assert out[5]["is_outlier"] and out[5]["majority_label"] == 0
+
+
+class TestIvfRecall:
+    def test_perfect_recall_when_one_bucket(self, spark):
+        from json_schema_rs_spark.operators.similarity import ivf_recall
+        # nprobe == n_centroids => every bucket probed => recall 1.0
+        rows = [(i, [float(i % 5), 1.0, float(i % 3)]) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id bigint, "
+                                         "embedding array<float>")
+        q = df.filter(F.col("vec_id") < 4)
+        r = ivf_recall(df, q, k=5, n_centroids=4, nprobe=4).collect()[0]
+        assert r["recall"] == 1.0
+        assert r["n_queries"] == 4 and r["n_exact"] == 20
+        assert r["n_hits"] == r["n_exact"]
+
+    def test_recall_drops_with_fewer_probes(self, spark):
+        from json_schema_rs_spark.operators.similarity import ivf_recall
+        rows = [(i, [float(i % 7), 1.0, float((i * 3) % 5)])
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "vec_id bigint, "
+                                         "embedding array<float>")
+        q = df.filter(F.col("vec_id") < 6)
+        full = ivf_recall(df, q, k=5, n_centroids=8,
+                          nprobe=8).collect()[0]["recall"]
+        one = ivf_recall(df, q, k=5, n_centroids=8,
+                         nprobe=1).collect()[0]["recall"]
+        assert full == 1.0 and 0.0 < one <= full
