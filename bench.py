@@ -96,6 +96,8 @@ HEADLINE = [
     "x_heavy_hitters",
     "x_truncate_ctx",
     "d_source_overlap",
+    "a_ivf_recall",
+    "x_quota_sample",
     "s_source_psi",
     "x_turn_windows",
     "x_novelty",
