@@ -1267,6 +1267,55 @@ SELECT * FROM fwd UNION ALL SELECT * FROM orp UNION ALL SELECT * FROM roots
 """
 
 
+def _q_t_conv_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # conversation-grain quality gate: md5-bucketed convs get a
+    # stopword-rich suffix (mean quality ~0.50) vs junk suffix (~0.13);
+    # threshold 0.3 splits them — keep/drop verdicts both present.
+    from json_schema_rs_spark.operators.textstats import (
+        conversation_quality)
+    tx = _transcripts_from_events(_t(spark, sf_dir, "events"))
+    suffix = F.when(
+        F.substring(F.md5(F.concat(F.col("conv_id"), F.lit("#cq"))),
+                    1, 1) < "8",
+        F.lit(" the cat sat of the mat and it is that for")
+    ).otherwise(F.lit(" zz qq xx yy"))
+    staged = tx.select("conv_id",
+                       F.concat(F.col("text"), suffix).alias("text"))
+    return conversation_quality(staged, min_quality=0.3)
+
+
+_SQL_T_CONV_QUALITY = f"""
+WITH tx AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         props || (CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || '#cq'),
+                               1, 1) < '8'
+                        THEN ' the cat sat of the mat and it is that for'
+                        ELSE ' zz qq xx yy' END) AS text
+  FROM events),
+b AS (SELECT conv_id, length(text)::DOUBLE AS nc,
+        len(string_split(text, ' '))::DOUBLE AS nw,
+        len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE AS np,
+        len(list_filter(string_split(text, ' '),
+            w -> list_contains(['the','a','of','and','to','in','is',
+                                'it','that','for'], w)))::DOUBLE AS ns
+      FROM tx),
+t AS (SELECT conv_id,
+        CAST(round(round(0.4 * least(nc / 500.0, 1.0)
+                         + 0.3 * least(ns / nw * 5, 1.0)
+                         + 0.2 * least(((nc - (nw - 1)) / nw) / 8, 1.0)
+                         + 0.1 * (1.0 - least(coalesce(np / nullif(nc, 0),
+                                                       0.0) * 10, 1.0)),
+                   6) * 1e6) AS BIGINT) AS qm
+      FROM b)
+SELECT conv_id, count(*) AS n_turns,
+       round(sum(qm) / (count(*) * 1e6), 6) AS mean_quality,
+       round(min(qm) / 1e6, 6) AS min_turn_quality,
+       CASE WHEN sum(qm) / (count(*) * 1e6) >= 0.3
+            THEN 'keep' ELSE 'drop' END AS verdict
+FROM t GROUP BY conv_id
+"""
+
+
 def _q_t_coerce_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # referential repair: out-of-vocabulary roles ('narrator' in the
     # synthetic role map) coerce to 'unknown'; output the per-role
@@ -4720,6 +4769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_tree_check": _q_t_tree_check,
         "t_near_retry": _q_t_near_retry,
         "t_coerce_vocab": _q_t_coerce_vocab,
+        "t_conv_quality": _q_t_conv_quality,
         "t_hot_convs": _q_t_hot_convs,
         # conversation-protocol checks
         "t_role_protocol": _q_t_role_protocol,
@@ -4880,6 +4930,7 @@ def oracle_sql() -> dict[str, str]:
         "t_tree_check": _SQL_T_TREE_CHECK,
         "t_near_retry": _SQL_T_NEAR_RETRY,
         "t_coerce_vocab": _SQL_T_COERCE_VOCAB,
+        "t_conv_quality": _SQL_T_CONV_QUALITY,
         "t_hot_convs": _SQL_T_HOT_CONVS,
         "t_role_protocol": _SQL_T_ROLE_PROTOCOL,
         "t_tool_pairing": _SQL_T_TOOL_PAIRING,

@@ -96,6 +96,7 @@ HEADLINE = [
     "x_heavy_hitters",
     "x_truncate_ctx",
     "d_source_overlap",
+    "t_conv_quality",
     "a_ivf_recall",
     "x_quota_sample",
     "s_source_psi",

@@ -858,3 +858,51 @@ def encoding_damage(df: DataFrame, text_col: str = "text",
         F.when((ratio > max_ratio) | (n_rep > 0), F.lit("damaged"))
          .otherwise(F.lit("clean")).alias("verdict"),
     )
+
+
+def conversation_quality(
+    df: DataFrame,
+    *,
+    min_quality: float = 0.5,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Conversation-grain quality gate — curation at the grain sampling
+    already respects (key-coherent: conversations are kept or dropped
+    WHOLE; doc-grain gating truncates dialogues mid-turn). Scores every
+    turn with the shared :func:`quality_exprs` formula, aggregates per
+    conversation, and emits a verdict:
+    ``(conv_col, n_turns, mean_quality, min_turn_quality, verdict)``
+    with ``verdict`` = 'keep' when ``mean_quality >= min_quality``.
+
+    Cross-engine determinism: each turn's quality is the 6-dp-rounded
+    score, summed as exact integer micro-units (the
+    quality_propagate/lm_quality recipe), so the conversation mean is
+    one division over exact integers — summation-order independent.
+    NULL text scores through the formula's empty-string semantics
+    (length 0 band) rather than being skipped, so every turn counts
+    against its conversation.
+
+    Scale shape: the score is row-local codegen in the scan projection;
+    ONE hash aggregate on ``conv_col`` (map-side partials absorb hot
+    conversations) moves only (conv, int, int) — text never shuffles."""
+    q = quality_exprs(text_col)
+    qmic = F.round(F.round(q["quality"], 6) * 1e6).cast("bigint")
+    coalesced = df.select(
+        F.col(conv_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
+    staged = coalesced.select(conv_col, qmic.alias("_qm"))
+    agg = (staged.groupBy(conv_col)
+           .agg(F.count(F.lit(1)).alias("n_turns"),
+                F.sum("_qm").alias("_s"),
+                F.min("_qm").alias("_min")))
+    mean = (F.col("_s").cast("double")
+            / (F.col("n_turns").cast("double") * 1e6))
+    return agg.select(
+        conv_col, "n_turns",
+        F.round(mean, round_digits).alias("mean_quality"),
+        F.round(F.col("_min").cast("double") / 1e6,
+                round_digits).alias("min_turn_quality"),
+        F.when(mean >= F.lit(float(min_quality)), F.lit("keep"))
+         .otherwise(F.lit("drop")).alias("verdict"))

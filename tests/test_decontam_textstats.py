@@ -472,3 +472,40 @@ class TestNoveltyScore:
         assert "BroadcastExchange" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" not in plan
+
+
+class TestConversationQuality:
+    def _df(self, spark):
+        return spark.createDataFrame([
+            ("good", 0, "the cat sat of the mat and it was that good for"),
+            ("good", 1, "a tale of the kind that is told in the evening"),
+            ("bad", 0, "x"), ("bad", 1, "!!!"),
+            ("nul", 0, None),
+        ], "conv_id string, turn_idx int, text string")
+
+    def test_verdicts_and_exact_mean(self, spark):
+        from json_schema_rs_spark.operators.textstats import (
+            conversation_quality, quality_score)
+        out = {r["conv_id"]: r for r in
+               conversation_quality(self._df(spark),
+                                    min_quality=0.3).collect()}
+        assert out["good"]["verdict"] == "keep"
+        assert out["bad"]["verdict"] == "drop"
+        assert out["nul"]["n_turns"] == 1   # NULL text still counts
+        # mean equals the integer-micro average of per-turn 6dp scores
+        per = {(r["doc_id"]): r["quality"] for r in quality_score(
+            self._df(spark).filter("conv_id = 'good'")
+                .selectExpr("turn_idx AS doc_id", "text")).collect()}
+        want = round((round(per[0] * 1e6) + round(per[1] * 1e6))
+                     / (2 * 1e6), 6)
+        assert out["good"]["mean_quality"] == want
+        assert out["good"]["min_turn_quality"] == min(per.values())
+
+    def test_single_exchange_text_not_shuffled(self, spark):
+        from json_schema_rs_spark.operators.textstats import (
+            conversation_quality)
+        plan = (conversation_quality(self._df(spark))
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("Exchange") == 1
+        assert "text" not in plan.split("Exchange", 1)[1].split(
+            "HashAggregate", 1)[0]  # only (conv, ints) cross the wire
