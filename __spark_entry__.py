@@ -2046,6 +2046,33 @@ FROM counts JOIN totals USING (bucket)
 """
 
 
+def _q_s_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # crawler-health monitor: per-day new-token rate over the transcript
+    # text — a healthy ingest keeps finding new vocabulary, a recrawl
+    # collapses toward 0
+    from json_schema_rs_spark.operators.textstats import vocab_growth
+    tx = _transcripts_from_events(_t(spark, sf_dir, "events"))
+    return vocab_growth(tx.select("text", "ts"))
+
+
+_SQL_S_VOCAB_GROWTH = """
+WITH tx AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS b,
+         unnest(string_split(coalesce(props, ''), ' ')) AS token
+  FROM events),
+per AS (SELECT b, token, count(*) AS c FROM tx GROUP BY b, token),
+first AS (SELECT token, min(b) AS fb FROM per GROUP BY token)
+SELECT per.b AS window_start,
+       sum(per.c) AS n_tokens,
+       count(*) AS n_distinct,
+       sum(CASE WHEN per.b = first.fb THEN 1 ELSE 0 END) AS n_new,
+       round(sum(CASE WHEN per.b = first.fb THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS new_rate
+FROM per JOIN first USING (token)
+GROUP BY per.b
+"""
+
+
 def _q_s_trend_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spike alerting over the trend: a synthetic check with a stable
     # ~2.3% md5-bucketed base rate that jumps to ~75% on the 15th — trend_anomalies must flag exactly those buckets
@@ -4778,6 +4805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_context_budget": _q_t_context_budget,
         "s_violation_trend": _q_s_violation_trend,
         "s_trend_anomaly": _q_s_trend_anomaly,
+        "s_vocab_growth": _q_s_vocab_growth,
         "t_conv_profile": _q_t_conv_profile,
         "t_turn_loops": _q_t_turn_loops,
         "t_conv_verdicts": _q_t_conv_verdicts,
@@ -4938,6 +4966,7 @@ def oracle_sql() -> dict[str, str]:
         "t_context_budget": _SQL_T_CONTEXT_BUDGET,
         "s_violation_trend": _SQL_S_VIOLATION_TREND,
         "s_trend_anomaly": _SQL_S_TREND_ANOMALY,
+        "s_vocab_growth": _SQL_S_VOCAB_GROWTH,
         "t_conv_profile": _SQL_T_CONV_PROFILE,
         "t_turn_loops": _SQL_T_TURN_LOOPS,
         "t_conv_verdicts": _SQL_T_CONV_VERDICTS,

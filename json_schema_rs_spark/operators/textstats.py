@@ -906,3 +906,42 @@ def conversation_quality(
                 round_digits).alias("min_turn_quality"),
         F.when(mean >= F.lit(float(min_quality)), F.lit("keep"))
          .otherwise(F.lit("drop")).alias("verdict"))
+
+
+def vocab_growth(df: DataFrame, text_col: str = "text",
+                 ts_col: str = "ts", *, grain: str = "day",
+                 round_digits: int = 6) -> DataFrame:
+    """New-vocabulary rate over time — the crawler-health monitor: a
+    healthy ingest keeps finding NEW tokens; a recrawl's curve collapses
+    to ~0. Per calendar bucket (``date_trunc(grain)``):
+    ``(window_start, n_tokens, n_distinct, n_new, new_rate)`` where
+    ``n_new`` counts tokens whose FIRST occurrence (minimum bucket) is
+    this bucket and ``new_rate`` = n_new / n_distinct (rounded; 0-token
+    buckets cannot appear by construction).
+
+    Scale shape: one explode feeding TWO vocabulary-sized hash
+    aggregates — per-(bucket, token) counts (map-side combine absorbs
+    the corpus), then min-bucket per token; the join of
+    first-occurrence onto the per-bucket distinct counts is
+    vocabulary-grain, the output bucket-grain. Corpus text never
+    shuffles (tokens do — the same cost class as top_tokens; cap with
+    heavy_hitters' candidate trick if the vocabulary is corpus-sized)."""
+    from ..functions.exprs import explode_rows
+    toks = explode_rows(
+        df.select(F.date_trunc(grain, F.col(ts_col)).alias("_b"),
+                  F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+                   .alias("_w")),
+        ["_b"], F.col("_w"), "token")
+    per = toks.groupBy("_b", "token").agg(F.count("*").alias("_c"))
+    first = per.groupBy("token").agg(F.min("_b").alias("_fb"))
+    joined = per.join(first, "token")
+    return (joined.groupBy("_b")
+            .agg(F.sum("_c").alias("n_tokens"),
+                 F.count("*").alias("n_distinct"),
+                 F.sum((F.col("_b") == F.col("_fb")).cast("bigint"))
+                  .alias("n_new"))
+            .select(F.col("_b").alias("window_start"),
+                    "n_tokens", "n_distinct", "n_new",
+                    F.round(F.col("n_new")
+                            / F.col("n_distinct").cast("double"),
+                            round_digits).alias("new_rate")))

@@ -509,3 +509,31 @@ class TestConversationQuality:
         assert plan.count("Exchange") == 1
         assert "text" not in plan.split("Exchange", 1)[1].split(
             "HashAggregate", 1)[0]  # only (conv, ints) cross the wire
+
+
+class TestVocabGrowth:
+    def test_new_token_accounting(self, spark):
+        import datetime as dt
+        from json_schema_rs_spark.operators.textstats import vocab_growth
+        d1, d2 = dt.datetime(2026, 1, 1, 5), dt.datetime(2026, 1, 2, 9)
+        df = spark.createDataFrame([
+            ("a b a", d1), ("c", d1),        # day1: a,b,c all new
+            ("a b d", d2), ("d e", d2),      # day2: d,e new; a,b seen
+        ], "text string, ts timestamp")
+        out = {r["window_start"].day: r for r in
+               vocab_growth(df).collect()}
+        assert out[1]["n_tokens"] == 4 and out[1]["n_distinct"] == 3
+        assert out[1]["n_new"] == 3 and out[1]["new_rate"] == 1.0
+        assert out[2]["n_tokens"] == 5 and out[2]["n_distinct"] == 4
+        assert out[2]["n_new"] == 2 and out[2]["new_rate"] == 0.5
+
+    def test_full_recrawl_rate_zero(self, spark):
+        import datetime as dt
+        from json_schema_rs_spark.operators.textstats import vocab_growth
+        df = spark.createDataFrame([
+            ("x y z", dt.datetime(2026, 1, 1)),
+            ("x y z", dt.datetime(2026, 1, 2)),
+        ], "text string, ts timestamp")
+        out = {r["window_start"].day: r["new_rate"] for r in
+               vocab_growth(df).collect()}
+        assert out == {1: 1.0, 2: 0.0}
