@@ -2458,6 +2458,31 @@ WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.8
 """
 
 
+def _q_d_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # which source produces the duplicates: per-source exact-dup counts,
+    # cross-source re-crawl counts, and the dup rate
+    from json_schema_rs_spark.operators.dedup import source_dup_stats
+    return source_dup_stats(_t(spark, sf_dir, "documents"))
+
+
+_SQL_D_SOURCE_DUP_RATE = """
+WITH per AS (
+  SELECT md5(text) AS h, source AS src, count(*) AS c
+  FROM documents GROUP BY 1, 2),
+facts AS (
+  SELECT h, sum(c) AS tot, count(*) AS nsrc FROM per GROUP BY h)
+SELECT per.src AS source,
+       sum(per.c) AS n_docs,
+       sum(CASE WHEN facts.tot > 1 THEN per.c ELSE 0 END) AS n_dup_docs,
+       sum(CASE WHEN facts.nsrc > 1 THEN per.c ELSE 0 END)
+         AS n_cross_source,
+       round(sum(CASE WHEN facts.tot > 1 THEN per.c ELSE 0 END)
+             / CAST(sum(per.c) AS DOUBLE), 6) AS dup_rate
+FROM per JOIN facts USING (h)
+GROUP BY per.src
+"""
+
+
 def _q_d_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cross-source contamination matrix: distinct 3-gram overlap between
     # every source pair — counts exact; ratios rounded. Spark hashes
@@ -4833,6 +4858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_incremental_fuzzy": _q_d_incremental_fuzzy,
         "d_ngram_jaccard": _q_d_ngram,
         "d_source_overlap": _q_d_source_overlap,
+        "d_source_dup_rate": _q_d_source_dup_rate,
         "d_minhash_lsh": _q_d_minhash,
         "d_dup_groups": _q_d_dup_groups,
         "d_canonical_docs": _q_d_canonical,
@@ -4990,6 +5016,7 @@ def oracle_sql() -> dict[str, str]:
         "d_incremental_fuzzy": _SQL_D_INCREMENTAL_FUZZY,
         "d_ngram_jaccard": _SQL_D_NGRAM,
         "d_source_overlap": _SQL_D_SOURCE_OVERLAP,
+        "d_source_dup_rate": _SQL_D_SOURCE_DUP_RATE,
         "d_minhash_lsh": _SQL_D_NGRAM,
         "d_dup_groups": _SQL_D_DUP_GROUPS,
         "d_canonical_docs": _SQL_D_CANONICAL,

@@ -96,6 +96,8 @@ HEADLINE = [
     "x_heavy_hitters",
     "x_truncate_ctx",
     "d_source_overlap",
+    "d_source_dup_rate",
+    "s_vocab_growth",
     "t_conv_quality",
     "a_ivf_recall",
     "x_quota_sample",

@@ -902,3 +902,46 @@ def incremental_fuzzy_dedup(
                   .distinct())
     return (bsig.join(dup_ids, id_col, "left_anti")
                 .select(*batch.columns, "minhash"))
+
+
+def source_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    *,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-source exact-duplicate report — WHICH ingest source is
+    producing the duplicates (the triage view that decides whether to
+    fix a crawler rather than keep paying dedup for it). One row per
+    source: ``(source_col, n_docs, n_dup_docs, n_cross_source,
+    dup_rate)`` where a doc is a duplicate when its content digest is
+    shared by ≥2 docs ANYWHERE in the corpus, ``n_cross_source`` counts
+    those whose digest also appears under ANOTHER source (re-crawl
+    signal — pairs with :func:`~.decontam.source_overlap`'s fuzzy
+    matrix), and ``dup_rate`` = n_dup_docs / n_docs.
+
+    Scale shape: one digest-grain hash aggregate over
+    ``(digest, source)`` pairs (map-side combine; 16-byte keys), one
+    digest-grain join of group facts back onto the pairs, one
+    |S|-key final aggregate. Text never shuffles — digests do."""
+    digest = F.md5(F.col(text_col).cast("binary"))
+    pairs = df.select(F.col(source_col).alias("_src"),
+                      digest.alias("_h"))
+    per = (pairs.groupBy("_h", "_src")
+                .agg(F.count(F.lit(1)).alias("_c")))
+    facts = (per.groupBy("_h")
+                .agg(F.sum("_c").alias("_tot"),
+                     F.count(F.lit(1)).alias("_nsrc")))
+    joined = per.join(facts, "_h")
+    return (joined.groupBy(F.col("_src").alias(source_col))
+            .agg(F.sum("_c").alias("n_docs"),
+                 F.sum(F.when(F.col("_tot") > 1, F.col("_c"))
+                        .otherwise(0)).alias("n_dup_docs"),
+                 F.sum(F.when(F.col("_nsrc") > 1, F.col("_c"))
+                        .otherwise(0)).alias("n_cross_source"))
+            .withColumn("dup_rate",
+                        F.round(F.col("n_dup_docs")
+                                / F.col("n_docs").cast("double"),
+                                round_digits)))

@@ -357,3 +357,41 @@ class TestIncrementalFuzzyDedup:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" not in plan
         assert "BroadcastExchange" in plan
+
+
+class TestSourceDupStats:
+    def test_counts_and_cross_source(self, spark):
+        from json_schema_rs_spark.operators.dedup import source_dup_stats
+        df = spark.createDataFrame([
+            (0, "sA", "same text"), (1, "sA", "same text"),   # within-A dup
+            (2, "sA", "unique a"),
+            (3, "sB", "same text"),                           # cross-source
+            (4, "sB", "unique b"), (5, "sB", "unique b2"),
+        ], "doc_id bigint, source string, text string")
+        out = {r["source"]: r for r in source_dup_stats(df).collect()}
+        a, b = out["sA"], out["sB"]
+        assert (a["n_docs"], a["n_dup_docs"], a["n_cross_source"]) \
+            == (3, 2, 2)
+        assert a["dup_rate"] == round(2 / 3, 6)
+        assert (b["n_docs"], b["n_dup_docs"], b["n_cross_source"]) \
+            == (3, 1, 1)
+
+    def test_clean_corpus_all_zero(self, spark):
+        from json_schema_rs_spark.operators.dedup import source_dup_stats
+        df = spark.createDataFrame(
+            [(i, "s", f"text {i}") for i in range(5)],
+            "doc_id bigint, source string, text string")
+        r = source_dup_stats(df).collect()[0]
+        assert r["n_dup_docs"] == 0 and r["dup_rate"] == 0.0
+
+    def test_digest_grain_shuffles_only(self, spark):
+        from json_schema_rs_spark.operators.dedup import source_dup_stats
+        df = spark.createDataFrame(
+            [(i, "s", f"text {i}") for i in range(5)],
+            "doc_id bigint, source string, text string")
+        plan = (source_dup_stats(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan
+        # the join key is the 16-byte digest, never text
+        assert "text" not in plan.split("SortMergeJoin")[-1].split(
+            "HashAggregate")[0] if "SortMergeJoin" in plan else True
