@@ -3535,6 +3535,39 @@ ORDER BY n_occurrences DESC, token ASC LIMIT 50
 """
 
 
+def _q_x_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gibberish/randomness signals: char entropy over the doc's own
+    # sorted distinct characters (order-pinned fold) + digit/upper/space
+    # ratios — all row-local codegen/HOF, zero shuffle
+    from json_schema_rs_spark.operators.textstats import char_stats
+    return char_stats(_t(spark, sf_dir, "documents"))
+
+
+_SQL_X_CHAR_STATS = """
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n,
+         list_sort(list_distinct(string_split(text, ''))) AS uniq
+  FROM documents)
+SELECT doc_id,
+       coalesce(n, 0) AS n_chars,
+       round(coalesce(len(regexp_extract_all(text, '[0-9]'))
+                      / nullif(n, 0)::DOUBLE, 0.0), 6) AS digit_ratio,
+       round(coalesce(len(regexp_extract_all(text, '[A-Z]'))
+                      / nullif(n, 0)::DOUBLE, 0.0), 6) AS upper_ratio,
+       round(coalesce(len(regexp_extract_all(text, ' '))
+                      / nullif(n, 0)::DOUBLE, 0.0), 6) AS space_ratio,
+       round(coalesce(CASE WHEN n > 0 THEN
+         list_aggregate(
+           list_transform(uniq, c ->
+             -(len(list_filter(string_split(text, ''), x -> x = c))
+               / n::DOUBLE)
+              * ln(len(list_filter(string_split(text, ''), x -> x = c))
+                   / n::DOUBLE)), 'sum')
+         END, 0.0), 6) AS char_entropy
+FROM base
+"""
+
+
 def _q_x_encoding_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # encoding-damage triage: inject U+FFFD / mojibake / C0 junk into
     # md5-bucketed docs, count each damage class with explicit-codepoint
@@ -4884,6 +4917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_top_tokens": _q_x_top_tokens,
         "x_heavy_hitters": _q_x_heavy_hitters,
         "x_encoding_check": _q_x_encoding_check,
+        "x_char_stats": _q_x_char_stats,
         "x_rep_ngram": _q_x_rep_ngram,
         "x_dup_ngrams": _q_x_dup_ngrams,
         "x_dedup_spans": _q_x_dedup_spans,
@@ -5039,6 +5073,7 @@ def oracle_sql() -> dict[str, str]:
         "x_top_tokens": _SQL_X_TOP_TOKENS,
         "x_heavy_hitters": _SQL_X_HEAVY_HITTERS,
         "x_encoding_check": _SQL_X_ENCODING_CHECK,
+        "x_char_stats": _SQL_X_CHAR_STATS,
         "x_rep_ngram": _SQL_X_REP_NGRAM,
         "x_dup_ngrams": _SQL_X_DUP_NGRAMS,
         "x_dedup_spans": _SQL_X_DEDUP_SPANS,

@@ -945,3 +945,50 @@ def vocab_growth(df: DataFrame, text_col: str = "text",
                     F.round(F.col("n_new")
                             / F.col("n_distinct").cast("double"),
                             round_digits).alias("new_rate")))
+
+
+def char_stats(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", *,
+               round_digits: int = 6) -> DataFrame:
+    """Character-level quality signals — the gibberish/randomness filter
+    family (base64 blobs, minified code, key dumps all score as text by
+    word heuristics but scream at the character level). Per doc:
+    ``(id, n_chars, digit_ratio, upper_ratio, space_ratio,
+    char_entropy)`` with entropy in nats over the doc's own character
+    distribution (0.0 for empty docs; ~ln(alphabet) for uniform noise —
+    English prose sits near 2.8-3.2).
+
+    All row-local: the ratios are codegen'd ``regexp_count``; the
+    entropy folds over the doc's SORTED distinct characters (sorting
+    pins the summation order, so the float result is cross-engine
+    reproducible) with a per-char ``size(filter(...))`` count —
+    O(distinct_chars x len) per doc, fine for documents, cap extreme
+    lengths upstream if feeding adversarial blobs. Zero shuffle, zero
+    joins, zero Python."""
+    chars = F.split(F.col(text_col), "")
+    n = F.length(text_col)
+    nd = n.cast("double")
+    uniq = F.array_sort(F.array_distinct(chars))
+    cnt = lambda c: F.size(F.filter(chars, lambda x: x == c))  # noqa: E731
+    ent = F.aggregate(
+        uniq, F.lit(0.0).cast("double"),
+        lambda acc, c: acc - (cnt(c).cast("double") / nd)
+        * F.log(cnt(c).cast("double") / nd))
+    return df.select(
+        F.col(id_col),
+        F.coalesce(n, F.lit(0)).alias("n_chars"),
+        F.round(F.coalesce(
+            F.try_divide(F.regexp_count(F.col(text_col), F.lit("[0-9]")),
+                         nd), F.lit(0.0)), round_digits)
+         .alias("digit_ratio"),
+        F.round(F.coalesce(
+            F.try_divide(F.regexp_count(F.col(text_col), F.lit("[A-Z]")),
+                         nd), F.lit(0.0)), round_digits)
+         .alias("upper_ratio"),
+        F.round(F.coalesce(
+            F.try_divide(F.regexp_count(F.col(text_col), F.lit(" ")),
+                         nd), F.lit(0.0)), round_digits)
+         .alias("space_ratio"),
+        F.round(F.coalesce(F.when(n > 0, ent), F.lit(0.0)),
+                round_digits).alias("char_entropy"),
+    )

@@ -537,3 +537,39 @@ class TestVocabGrowth:
         out = {r["window_start"].day: r["new_rate"] for r in
                vocab_growth(df).collect()}
         assert out == {1: 1.0, 2: 0.0}
+
+
+class TestCharStats:
+    def test_values_exact(self, spark):
+        import math
+        from json_schema_rs_spark.operators.textstats import char_stats
+        df = spark.createDataFrame(
+            [(0, "aabb"), (1, ""), (2, None), (3, "aA1 ")],
+            "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in char_stats(df).collect()}
+        assert out[0]["char_entropy"] == round(math.log(2), 6)
+        assert out[3]["char_entropy"] == round(math.log(4), 6)
+        assert out[3]["digit_ratio"] == 0.25
+        assert out[3]["upper_ratio"] == 0.25
+        assert out[3]["space_ratio"] == 0.25
+        for empty in (1, 2):
+            r = out[empty]
+            assert r["n_chars"] == 0 and r["char_entropy"] == 0.0
+
+    def test_gibberish_scores_higher_than_prose(self, spark):
+        from json_schema_rs_spark.operators.textstats import char_stats
+        df = spark.createDataFrame([
+            (0, "the cat sat on the mat and then the cat sat again"),
+            (1, "qZ3k9LmX2vR8pT5wYb7NcJ4hF6sD1gA0eU"),   # key-dump shape
+        ], "doc_id bigint, text string")
+        out = {r["doc_id"]: r["char_entropy"] for r in
+               char_stats(df).collect()}
+        assert out[1] > out[0] > 0
+
+    def test_zero_shuffle(self, spark):
+        from json_schema_rs_spark.operators.textstats import char_stats
+        df = spark.createDataFrame([(0, "abc")],
+                                   "doc_id bigint, text string")
+        plan = (char_stats(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan and "Join" not in plan
