@@ -3725,6 +3725,45 @@ FROM w LEFT JOIN cov USING (doc_id)
 """
 
 
+def _q_x_decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # span-level benchmark decontamination: docs quoting any 5-token
+    # window of the eval subset (doc_id % 97 == 0) lose ONLY those
+    # windows — the surgical alternative to x_decontaminate's doc drop
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return textstats.remove_contaminated_spans(train, bench, k=5)
+
+
+_SQL_X_DECONTAM_SPANS = """
+WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+           FROM documents WHERE doc_id % 97 <> 0),
+bw AS (SELECT string_split(coalesce(text, ''), ' ') AS ws
+       FROM documents WHERE doc_id % 97 = 0),
+bench AS (SELECT DISTINCT unnest(
+            [array_to_string(ws[i:i+4], ' ')
+             for i in range(1, len(ws) - 3)]) AS g
+          FROM bw),
+p0 AS (SELECT doc_id,
+              [{'p': i, 'g': array_to_string(ws[i:i+4], ' ')}
+               for i in range(1, len(ws) - 3)] AS pgs
+       FROM w),
+p AS (SELECT doc_id, unnest(pgs, recursive := true) FROM p0),
+cov AS (SELECT doc_id,
+               list_distinct(flatten(list(range(p, p + 5)))) AS cv
+        FROM p SEMI JOIN bench USING (g) GROUP BY doc_id)
+SELECT w.doc_id,
+       coalesce(array_to_string(
+           [ws[i] for i in range(1, len(ws) + 1)
+            if NOT list_contains(coalesce(cv, []), i)], ' '), '')
+         AS clean_text,
+       len(ws) AS n_tokens,
+       coalesce(len(cv), 0) AS n_removed,
+       round(coalesce(len(cv), 0) * 1.0 / len(ws), 6) AS removed_frac
+FROM w LEFT JOIN cov USING (doc_id)
+"""
+
+
 def _q_x_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CCNet-style unigram-LM quality score: add-one-smoothed average
     # token log-prob under the corpus's own top-512 vocabulary. Per-token
@@ -4921,6 +4960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_rep_ngram": _q_x_rep_ngram,
         "x_dup_ngrams": _q_x_dup_ngrams,
         "x_dedup_spans": _q_x_dedup_spans,
+        "x_decontam_spans": _q_x_decontam_spans,
         "x_lm_quality": _q_x_lm_quality,
         "x_decontaminate": _q_x_decontaminate,
         "x_fuzzy_decontam": _q_x_fuzzy_decontam,
@@ -5077,6 +5117,7 @@ def oracle_sql() -> dict[str, str]:
         "x_rep_ngram": _SQL_X_REP_NGRAM,
         "x_dup_ngrams": _SQL_X_DUP_NGRAMS,
         "x_dedup_spans": _SQL_X_DEDUP_SPANS,
+        "x_decontam_spans": _SQL_X_DECONTAM_SPANS,
         "x_lm_quality": _SQL_X_LM_QUALITY,
         "x_decontaminate": _SQL_X_DECONTAM,
         "x_fuzzy_decontam": _SQL_X_FUZZY_DECONTAM,

@@ -96,6 +96,7 @@ HEADLINE = [
     "x_heavy_hitters",
     "x_truncate_ctx",
     "d_source_overlap",
+    "x_decontam_spans",
     "x_char_stats",
     "d_source_dup_rate",
     "s_vocab_growth",

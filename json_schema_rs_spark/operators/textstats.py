@@ -613,7 +613,19 @@ def remove_duplicated_spans(df: DataFrame, text_col: str = "text",
         id_col, F.col("__pg.p").alias("__p"), F.col("__pg.g").alias("__g"))
     dup = (pos.groupBy("__g").agg(F.count("*").alias("__n"))
            .filter(F.col("__n") >= min_count).select("__g"))
-    starts = (pos.join(dup, "__g")
+    return _rewrite_without_spans(base, pos.join(dup, "__g"), id_col,
+                                  tmp, k, round_digits)
+
+
+def _rewrite_without_spans(base: DataFrame, flagged_pos: DataFrame,
+                           id_col: str, tmp: str, k: int,
+                           round_digits: int) -> DataFrame:
+    """Shared tail of the span-removal operators: roll flagged window
+    starts up per doc, compute covered positions row-locally, delete the
+    covered tokens and re-join — one doc-keyed join is the only stage
+    where text moves (and only for docs with flagged spans when AQE
+    broadcasts the rollup)."""
+    starts = (flagged_pos
               .groupBy(id_col)
               .agg(F.sort_array(F.collect_set("__p")).alias("__starts")))
     joined = base.join(starts, id_col, "left").withColumn(
@@ -992,3 +1004,51 @@ def char_stats(df: DataFrame, text_col: str = "text",
         F.round(F.coalesce(F.when(n > 0, ent), F.lit(0.0)),
                 round_digits).alias("char_entropy"),
     )
+
+
+def remove_contaminated_spans(df: DataFrame, benchmark: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id", *, k: int = 10,
+                              seed: int = 7,
+                              round_digits: int = 6) -> DataFrame:
+    """Span-level benchmark decontamination — the surgical alternative
+    to :func:`~.decontam.decontaminate`'s doc-drop: delete ONLY the
+    ``k``-token windows that occur verbatim in the eval set (the Lee et
+    al. ExactSubstr rule pointed at a benchmark instead of the corpus
+    itself), keeping the rest of the document. A doc that merely quotes
+    one benchmark sentence loses that sentence, not its other 10k
+    tokens. Same output contract as :func:`remove_duplicated_spans`:
+    ``(id_col, clean_text, n_tokens, n_removed, removed_frac)``.
+
+    Scale shape: the corpus side is remove_duplicated_spans' shape
+    minus the gram-count shuffle — corpus window hashes join a
+    BROADCAST distinct benchmark gram set (eval suites are small), so
+    flagging is shuffle-free; then the shared per-doc rollup + row-local
+    rewrite (one doc-keyed join, text moves once)."""
+    from ..functions.exprs import explode_rows
+    from .dedup import _spread
+
+    tmp = "__span_words"
+    pos_arr = F.expr(
+        f"if(size({tmp}) >= {k},"
+        f" transform(sequence(1, size({tmp}) - {k - 1}),"
+        f" i -> struct(i AS p,"
+        f" xxhash64(concat_ws(' ', slice({tmp}, i, {k})), {seed}) AS g)),"
+        f" array())")
+    gram_arr = F.expr(
+        f"if(size({tmp}) >= {k},"
+        f" transform(sequence(1, size({tmp}) - {k - 1}),"
+        f" i -> xxhash64(concat_ws(' ', slice({tmp}, i, {k})), {seed})),"
+        f" array())")
+    base = _spread(df.select(id_col, text_col), id_col).withColumn(
+        tmp, F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
+    pos = explode_rows(base, [id_col], pos_arr, "__pg").select(
+        id_col, F.col("__pg.p").alias("__p"), F.col("__pg.g").alias("__g"))
+    bench = (benchmark.select(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+                 .alias(tmp))
+             .select(F.explode(gram_arr).alias("__g"))
+             .dropDuplicates())
+    flagged = pos.join(F.broadcast(bench), "__g", "left_semi")
+    return _rewrite_without_spans(base, flagged, id_col, tmp, k,
+                                  round_digits)

@@ -214,3 +214,50 @@ class TestLmQuality:
         assert len(out) == 3
         assert out[1]["n_tokens"] == 1 and out[2]["n_tokens"] == 1
         assert out[1]["logp_micro"] == out[2]["logp_micro"]
+
+
+class TestRemoveContaminatedSpans:
+    def _tables(self, spark):
+        bench = spark.createDataFrame(
+            [(100, "q1 q2 q3 q4 q5")], "doc_id bigint, text string")
+        df = spark.createDataFrame([
+            # quotes the benchmark 5-gram in the middle: only it dies
+            (0, "keep1 keep2 q1 q2 q3 q4 q5 keep3 keep4"),
+            # clean doc: untouched
+            (1, "a fully clean document with no overlap at all"),
+            # shorter than k: passes through even if words overlap
+            (2, "q1 q2 q3"),
+        ], "doc_id bigint, text string")
+        return df, bench
+
+    def test_surgical_removal(self, spark):
+        from json_schema_rs_spark.operators.textstats import (
+            remove_contaminated_spans)
+        df, bench = self._tables(spark)
+        out = {r["doc_id"]: r for r in remove_contaminated_spans(
+            df, bench, k=5).collect()}
+        assert out[0]["clean_text"] == "keep1 keep2 keep3 keep4"
+        assert out[0]["n_removed"] == 5
+        assert out[1]["clean_text"].startswith("a fully clean")
+        assert out[1]["n_removed"] == 0
+        assert out[2]["clean_text"] == "q1 q2 q3"
+
+    def test_matches_doc_drop_on_full_copies(self, spark):
+        # a verbatim full copy of a benchmark doc becomes empty text --
+        # consistent with what doc-level decontamination would drop
+        from json_schema_rs_spark.operators.textstats import (
+            remove_contaminated_spans)
+        df, bench = self._tables(spark)
+        copy = spark.createDataFrame([(9, "q1 q2 q3 q4 q5")],
+                                     "doc_id bigint, text string")
+        out = remove_contaminated_spans(copy, bench, k=5).collect()[0]
+        assert out["clean_text"] == "" and out["removed_frac"] == 1.0
+
+    def test_bench_grams_broadcast(self, spark):
+        from json_schema_rs_spark.operators.textstats import (
+            remove_contaminated_spans)
+        df, bench = self._tables(spark)
+        plan = (remove_contaminated_spans(df, bench, k=5)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
