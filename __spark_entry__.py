@@ -3568,6 +3568,63 @@ FROM base
 """
 
 
+def _q_x_line_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher within-doc repetition signals: both engines salt the
+    # single-line docs with the same doc_id-derived duplicate lines
+    # (every even doc repeats its head line) and duplicate paragraphs
+    # (every third doc gets two identical trailing paragraphs), so all
+    # six output columns exercise both polarities
+    from json_schema_rs_spark.operators.textstats import line_repetition
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.withColumn("text", F.concat(
+        F.substring(F.col("text"), 1, 40), F.lit("\n"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.substring(F.col("text"), 1, 40), F.lit("\n")))
+         .otherwise(F.lit("")),
+        F.lit("tail "), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("\n\nrepeated para\n\nrepeated para"))
+         .otherwise(F.lit(""))))
+    return line_repetition(salted)
+
+
+_SQL_X_LINE_REP = r"""
+WITH s AS (SELECT doc_id,
+  substr(text, 1, 40) || chr(10)
+  || CASE WHEN doc_id % 2 = 0 THEN substr(text, 1, 40) || chr(10)
+          ELSE '' END
+  || 'tail ' || doc_id
+  || CASE WHEN doc_id % 3 = 0
+          THEN repeat(chr(10) || chr(10) || 'repeated para', 2)
+          ELSE '' END AS t
+FROM documents),
+seg AS (SELECT doc_id,
+  list_filter(list_transform(regexp_split_to_array(t, '\r?\n'),
+                             x -> trim(x)), x -> x <> '') AS ls,
+  list_filter(list_transform(regexp_split_to_array(t, '(\r?\n){2,}'),
+                             x -> trim(x)), x -> x <> '') AS ps
+FROM s)
+SELECT doc_id,
+  CAST(len(ls) AS INT) AS n_lines,
+  round(coalesce((len(ls) - len(list_distinct(ls)))::DOUBLE
+                 / nullif(len(ls), 0), 0.0), 6) AS dup_line_frac,
+  round(coalesce(
+    (list_sum(list_transform(ls, x -> length(x)))
+     - list_sum(list_transform(list_distinct(ls), x -> length(x))))::DOUBLE
+    / nullif(list_sum(list_transform(ls, x -> length(x))), 0),
+    0.0), 6) AS dup_line_char_frac,
+  CAST(len(ps) AS INT) AS n_paras,
+  round(coalesce((len(ps) - len(list_distinct(ps)))::DOUBLE
+                 / nullif(len(ps), 0), 0.0), 6) AS dup_para_frac,
+  round(coalesce(
+    (list_sum(list_transform(ps, x -> length(x)))
+     - list_sum(list_transform(list_distinct(ps), x -> length(x))))::DOUBLE
+    / nullif(list_sum(list_transform(ps, x -> length(x))), 0),
+    0.0), 6) AS dup_para_char_frac
+FROM seg
+"""
+
+
 def _q_x_encoding_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # encoding-damage triage: inject U+FFFD / mojibake / C0 junk into
     # md5-bucketed docs, count each damage class with explicit-codepoint
@@ -4957,6 +5014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_heavy_hitters": _q_x_heavy_hitters,
         "x_encoding_check": _q_x_encoding_check,
         "x_char_stats": _q_x_char_stats,
+        "x_line_rep": _q_x_line_rep,
         "x_rep_ngram": _q_x_rep_ngram,
         "x_dup_ngrams": _q_x_dup_ngrams,
         "x_dedup_spans": _q_x_dedup_spans,
@@ -5114,6 +5172,7 @@ def oracle_sql() -> dict[str, str]:
         "x_heavy_hitters": _SQL_X_HEAVY_HITTERS,
         "x_encoding_check": _SQL_X_ENCODING_CHECK,
         "x_char_stats": _SQL_X_CHAR_STATS,
+        "x_line_rep": _SQL_X_LINE_REP,
         "x_rep_ngram": _SQL_X_REP_NGRAM,
         "x_dup_ngrams": _SQL_X_DUP_NGRAMS,
         "x_dedup_spans": _SQL_X_DEDUP_SPANS,

@@ -98,6 +98,7 @@ HEADLINE = [
     "d_source_overlap",
     "x_decontam_spans",
     "x_char_stats",
+    "x_line_rep",
     "d_source_dup_rate",
     "s_vocab_growth",
     "t_conv_quality",

@@ -1006,6 +1006,60 @@ def char_stats(df: DataFrame, text_col: str = "text",
     )
 
 
+def line_repetition(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", *,
+                    round_digits: int = 6) -> DataFrame:
+    """Within-doc line/paragraph repetition signals — the Gopher
+    (Rae et al. 2021, arXiv:2112.11446 Table A1) repetition family that
+    :func:`top_ngram_fraction` does not cover: web boilerplate, scraped
+    menus, and chat loops repeat whole LINES verbatim inside one
+    document. Per doc: ``(id, n_lines, dup_line_frac,
+    dup_line_char_frac, n_paras, dup_para_frac, dup_para_char_frac)``.
+
+    Definitions (fixed as contract): lines split on ``\\r?\\n``,
+    paragraphs on blank-line runs ``(\\r?\\n){2,}``; segments are
+    trimmed and empties dropped. ``dup_*_frac`` = fraction of segments
+    that are EXCESS copies of an earlier-seen segment
+    (``(n - n_distinct) / n``); ``dup_*_char_frac`` = fraction of
+    segment characters inside those excess copies
+    (``(chars - distinct_chars) / chars``). Gopher drops docs above
+    0.30 / 0.20 respectively. Empty docs report 0 counts and 0.0
+    fractions.
+
+    All row-local whole-stage codegen (split / array_distinct /
+    aggregate folds over integers — ratios are single IEEE divisions of
+    exact ints, so cross-engine bit-stable before rounding). Zero
+    shuffle, zero joins, zero Python.
+    """
+    def _segs(pat: str):
+        raw = F.split(F.coalesce(F.col(text_col), F.lit("")), pat)
+        return F.filter(F.transform(raw, lambda x: F.trim(x)),
+                        lambda x: x != "")
+
+    def _chars(arr):
+        return F.aggregate(arr, F.lit(0).cast("long"),
+                           lambda acc, x: acc + F.length(x))
+
+    def _signals(arr, prefix: str):
+        n = F.size(arr)
+        nd = F.size(F.array_distinct(arr))
+        c = _chars(arr)
+        cd = _chars(F.array_distinct(arr))
+        frac = lambda a, b: F.round(  # noqa: E731
+            F.coalesce(F.try_divide((a - b).cast("double"),
+                                    a.cast("double")), F.lit(0.0)),
+            round_digits)
+        return [n.alias(f"n_{prefix}s"),
+                frac(n, nd).alias(f"dup_{prefix}_frac"),
+                frac(c, cd).alias(f"dup_{prefix}_char_frac")]
+
+    return df.select(
+        F.col(id_col),
+        *_signals(_segs(r"\r?\n"), "line"),
+        *_signals(_segs(r"(\r?\n){2,}"), "para"),
+    )
+
+
 def remove_contaminated_spans(df: DataFrame, benchmark: DataFrame,
                               text_col: str = "text",
                               id_col: str = "doc_id", *, k: int = 10,

@@ -573,3 +573,61 @@ class TestCharStats:
         plan = (char_stats(df)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange" not in plan and "Join" not in plan
+
+
+class TestLineRepetition:
+    def test_values_exact(self, spark):
+        from json_schema_rs_spark.operators.textstats import line_repetition
+        df = spark.createDataFrame([
+            (0, "a\na\nb"),
+            (1, "hello world\nhello world\n\nxx\n\nxx"),
+            (2, "a\r\na"),              # CRLF
+            (3, "  a  \na"),            # trim before comparing
+            (4, "a\n\n\na"),            # empty segments dropped
+            (5, ""),
+            (6, None),
+        ], "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in line_repetition(df).collect()}
+
+        r = out[0]
+        assert r["n_lines"] == 3 and r["dup_line_frac"] == round(1 / 3, 6)
+        assert r["dup_line_char_frac"] == round(1 / 3, 6)
+        assert r["n_paras"] == 1 and r["dup_para_frac"] == 0.0
+
+        r = out[1]
+        assert r["n_lines"] == 4 and r["dup_line_frac"] == 0.5
+        assert r["dup_line_char_frac"] == 0.5          # 13 of 26 chars
+        assert r["n_paras"] == 3
+        assert r["dup_para_frac"] == round(1 / 3, 6)
+        assert r["dup_para_char_frac"] == round(2 / 27, 6)
+
+        for d in (2, 3, 4):
+            assert out[d]["n_lines"] == 2
+            assert out[d]["dup_line_frac"] == 0.5
+
+        for d in (5, 6):
+            r = out[d]
+            assert r["n_lines"] == 0 and r["n_paras"] == 0
+            assert r["dup_line_frac"] == 0.0
+            assert r["dup_line_char_frac"] == 0.0
+            assert r["dup_para_frac"] == 0.0
+            assert r["dup_para_char_frac"] == 0.0
+
+    def test_loop_scores_above_prose(self, spark):
+        from json_schema_rs_spark.operators.textstats import line_repetition
+        loop = "\n".join(["I will comply."] * 8 + ["done"])
+        prose = "\n".join(f"line number {i} is different" for i in range(9))
+        df = spark.createDataFrame([(0, loop), (1, prose)],
+                                   "doc_id bigint, text string")
+        out = {r["doc_id"]: r["dup_line_frac"] for r in
+               line_repetition(df).collect()}
+        assert out[0] > 0.7 and out[1] == 0.0
+
+    def test_zero_shuffle(self, spark):
+        from json_schema_rs_spark.operators.textstats import line_repetition
+        df = spark.createDataFrame([(0, "a\nb")],
+                                   "doc_id bigint, text string")
+        plan = (line_repetition(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan and "Join" not in plan
+        assert "Python" not in plan
