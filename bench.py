@@ -104,6 +104,7 @@ HEADLINE = [
     "t_conv_quality",
     "a_ivf_recall",
     "x_quota_sample",
+    "x_dsir",
     "s_source_psi",
     "x_turn_windows",
     "x_novelty",

@@ -36,7 +36,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bucket_hex", "deterministic_sample", "dup_weighted_sample",
+__all__ = ["bucket_hex", "deterministic_sample", "dsir_sample",
+           "dsir_weight_table", "dsir_weights", "dup_weighted_sample",
            "mix_sources", "quota_sample", "shard_corpus",
            "stratified_sample", "temperature_weights",
            "train_eval_split"]
@@ -409,3 +410,157 @@ def quota_sample(
     return (local.withColumn("sample_rank", F.row_number().over(w))
                  .filter(F.col("sample_rank") <= n)
                  .drop("_rk"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): select raw-corpus documents whose hashed-n-gram
+# feature distribution looks like a TARGET corpus (the "give me more
+# data shaped like Wikipedia" knob). Per doc the importance log-weight
+# log p_target(doc) - log p_raw(doc) under bag-of-hashed-n-grams
+# unigram models over B feature buckets.
+#
+# Exactness contract (mirrors textstats.lm_quality): every per-bucket
+# weight is an INTEGER in micro-nats —
+#   w[b] = floor(ln((c_t[b]+1)/(N_t+B)) * 1e6)
+#        - floor(ln((c_r[b]+1)/(N_r+B)) * 1e6)
+# with both ln's evaluated ONCE per bucket on the driver (C libm), so a
+# doc's weight is an order-free integer sum any engine reproduces
+# bit-identically. Buckets are md5-derived (first 8 hex chars mod B),
+# the same cross-engine device as bucket_hex above — never a
+# JVM-private hash.
+#
+# Scale shape: training = one gram explode + ONE ≤B-key hash aggregate
+# per corpus (map-side combine absorbs the corpus; 2B longs to the
+# driver). Scoring = gram explode + BROADCAST join against the B-row
+# weight table + per-doc integer sum (skinny (id, long) shuffle) + one
+# id-grain join-back so gram-less docs score 0. Corpus text never
+# shuffles at any stage.
+# ---------------------------------------------------------------------------
+
+def _dsir_words(text_col: str) -> Column:
+    return F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+                    lambda x: x != "")
+
+
+def _dsir_grams(text_col: str, ns: tuple[int, ...]) -> Column:
+    """Whitespace word n-grams for every n in ``ns``, space-joined.
+    Docs shorter than n contribute no n-grams (guarded: Spark's
+    ``sequence(0, -1)`` would count DOWN, not produce empty)."""
+    words = _dsir_words(text_col)
+    parts = []
+    for n in sorted(set(ns)):
+        if n < 1:
+            raise ValueError(f"n-gram sizes must be >= 1, got {n}")
+        if n == 1:
+            parts.append(words)
+        else:
+            idx = F.sequence(F.lit(0), F.size(words) - n)
+            parts.append(
+                F.when(F.size(words) >= n,
+                       F.transform(idx, lambda i: F.array_join(
+                           F.slice(words, i + 1, n), " ")))
+                .otherwise(F.array().cast("array<string>")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.concat(out, p)
+    return out
+
+
+def _dsir_bucket(gram: Column, buckets: int) -> Column:
+    return (F.conv(F.substring(F.md5(gram), 1, 8), 16, 10)
+            .cast("long") % buckets).cast("int")
+
+
+def _dsir_bucket_counts(df: DataFrame, text_col: str, id_col: str,
+                        ns: tuple[int, ...], buckets: int) -> dict[int, int]:
+    from ..functions.exprs import explode_rows
+    from .dedup import _spread
+    grams = explode_rows(
+        _spread(df.select(id_col, text_col), id_col)
+        .withColumn("__dsir_g", _dsir_grams(text_col, ns)),
+        [], F.col("__dsir_g"), "__gram")
+    rows = (grams.select(_dsir_bucket(F.col("__gram"), buckets)
+                         .alias("__b"))
+            .groupBy("__b").agg(F.count("*").alias("__c")).collect())
+    return {r["__b"]: r["__c"] for r in rows}
+
+
+def dsir_weight_table(raw_df: DataFrame, target_df: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id", *,
+                      ns: tuple[int, ...] = (1, 2),
+                      buckets: int = 4096) -> list[tuple[int, int]]:
+    """Train the DSIR importance model: ``[(bucket, micro_nat_weight)]``
+    over all ``buckets`` feature buckets (positive = target-like,
+    negative = raw-typical). Reusable across :func:`dsir_weights` calls
+    so one training pass scores many corpora."""
+    import math
+    tc = _dsir_bucket_counts(target_df, text_col, id_col, ns, buckets)
+    rc = _dsir_bucket_counts(raw_df, text_col, id_col, ns, buckets)
+    dt = float(sum(tc.values()) + buckets)
+    dr = float(sum(rc.values()) + buckets)
+    return [(b,
+             math.floor(math.log((tc.get(b, 0) + 1) / dt) * 1_000_000)
+             - math.floor(math.log((rc.get(b, 0) + 1) / dr) * 1_000_000))
+            for b in range(buckets)]
+
+
+def dsir_weights(raw_df: DataFrame, target_df: DataFrame,
+                 text_col: str = "text", id_col: str = "doc_id", *,
+                 ns: tuple[int, ...] = (1, 2), buckets: int = 4096,
+                 table: list[tuple[int, int]] | None = None,
+                 round_digits: int = 6) -> DataFrame:
+    """Per-doc DSIR importance log-weights against a target corpus:
+    ``(id, n_grams, logw_micro, avg_logw)`` where ``logw_micro`` is the
+    exact integer micro-nat sum of the doc's per-gram bucket weights
+    and ``avg_logw`` its length-normalized float rendering. Docs with
+    no grams (empty/NULL text) report ``(0, 0, 0.0)``. Pass
+    ``table=dsir_weight_table(...)`` to reuse a trained model."""
+    from ..functions.exprs import arrow_local_df, explode_rows
+    from .dedup import _spread
+    wt = table if table is not None else dsir_weight_table(
+        raw_df, target_df, text_col, id_col, ns=ns, buckets=buckets)
+    if len(wt) != buckets:
+        raise ValueError(
+            f"weight table has {len(wt)} rows, expected buckets={buckets}")
+    wdf = arrow_local_df(raw_df.sparkSession, wt, "__b int, __w bigint")
+    grams = explode_rows(
+        _spread(raw_df.select(id_col, text_col), id_col)
+        .withColumn("__dsir_g", _dsir_grams(text_col, ns)),
+        [id_col], F.col("__dsir_g"), "__gram")
+    scored = (grams.select(id_col,
+                           _dsir_bucket(F.col("__gram"), buckets)
+                           .alias("__b"))
+              .join(F.broadcast(wdf), "__b")
+              .groupBy(id_col)
+              .agg(F.count("*").alias("n_grams"),
+                   F.sum("__w").alias("logw_micro")))
+    return (raw_df.select(id_col).join(scored, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+                F.coalesce(F.col("logw_micro"), F.lit(0))
+                 .alias("logw_micro"),
+                F.round(F.coalesce(
+                    F.col("logw_micro") /
+                    (F.col("n_grams").cast("double") * F.lit(1_000_000.0)),
+                    F.lit(0.0)), round_digits).alias("avg_logw")))
+
+
+def dsir_sample(raw_df: DataFrame, target_df: DataFrame, n_docs: int,
+                text_col: str = "text", id_col: str = "doc_id", *,
+                ns: tuple[int, ...] = (1, 2), buckets: int = 4096,
+                table: list[tuple[int, int]] | None = None) -> DataFrame:
+    """The resampling step: keep the ``n_docs`` most target-like raw
+    docs — exact top-N by ``(logw_micro DESC, id ASC)`` (a total order,
+    so the set is unique and cross-engine reproducible; the paper's
+    Gumbel-noise draw trades that determinism for unbiasedness — this
+    engine pins reproducibility, the convention of every sampler here).
+    Output = the input columns + ``logw_micro``. Top-N is a TakeOrdered
+    (per-partition heads, no global sort materialization); the full
+    rows join back by id."""
+    w = dsir_weights(raw_df, target_df, text_col, id_col,
+                     ns=ns, buckets=buckets, table=table)
+    top = (w.orderBy(F.desc("logw_micro"), F.asc(id_col))
+           .limit(n_docs).select(id_col, "logw_micro"))
+    return raw_df.join(top, id_col)

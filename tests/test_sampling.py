@@ -495,3 +495,123 @@ class TestQuotaSample:
         b = sorted(r["doc_id"] for r in
                    quota_sample(df.repartition(3), "source", 7).collect())
         assert a == b
+
+
+class TestDsir:
+    @staticmethod
+    def _bucket(gram: str, buckets: int) -> int:
+        import hashlib
+        return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16) % buckets
+
+    def _expected(self, raw_texts, target_texts, ns, buckets):
+        # independent NumPy/stdlib twin of the whole pipeline
+        import math
+
+        def grams(t):
+            ws = [w for w in (t or "").split(" ") if w != ""]
+            out = []
+            for n in sorted(set(ns)):
+                out += [" ".join(ws[i:i + n])
+                        for i in range(len(ws) - n + 1)]
+            return out
+
+        def counts(texts):
+            c = {}
+            for t in texts:
+                for g in grams(t):
+                    b = self._bucket(g, buckets)
+                    c[b] = c.get(b, 0) + 1
+            return c
+
+        tc, rc = counts(target_texts), counts(raw_texts)
+        dt = float(sum(tc.values()) + buckets)
+        dr = float(sum(rc.values()) + buckets)
+        w = {b: math.floor(math.log((tc.get(b, 0) + 1) / dt) * 1e6)
+             - math.floor(math.log((rc.get(b, 0) + 1) / dr) * 1e6)
+             for b in range(buckets)}
+        exp = {}
+        for i, t in enumerate(raw_texts):
+            gs = grams(t)
+            logw = sum(w[self._bucket(g, buckets)] for g in gs)
+            exp[i] = (len(gs), logw if gs else 0,
+                      round(logw / (len(gs) * 1e6), 6) if gs else 0.0)
+        return exp
+
+    def test_values_match_stdlib_twin(self, spark):
+        from json_schema_rs_spark.operators.sampling import dsir_weights
+        raw = ["alpha beta beta gamma", "delta epsilon", "alpha alpha",
+               "", None]
+        tgt = ["alpha beta alpha", "beta beta"]
+        raw_df = spark.createDataFrame(
+            list(enumerate(raw)), "doc_id bigint, text string")
+        tgt_df = spark.createDataFrame(
+            list(enumerate(tgt)), "doc_id bigint, text string")
+        out = {r["doc_id"]: (r["n_grams"], r["logw_micro"], r["avg_logw"])
+               for r in dsir_weights(raw_df, tgt_df, ns=(1, 2),
+                                     buckets=64).collect()}
+        assert out == self._expected(raw, tgt, (1, 2), 64)
+
+    def test_target_like_docs_score_higher(self, spark):
+        from json_schema_rs_spark.operators.sampling import dsir_weights
+        raw = [(0, "wiki style encyclopedic article text"),
+               (1, "buy cheap pills now click here"),
+               (2, "wiki style article about science")]
+        tgt = [(0, "wiki style encyclopedic science article"),
+               (1, "wiki article style text")]
+        out = {r["doc_id"]: r["avg_logw"] for r in dsir_weights(
+            spark.createDataFrame(raw, "doc_id bigint, text string"),
+            spark.createDataFrame(tgt, "doc_id bigint, text string"),
+            ns=(1,), buckets=256).collect()}
+        assert out[0] > out[1] and out[2] > out[1]
+
+    def test_ngram_counts(self, spark):
+        from json_schema_rs_spark.operators.sampling import dsir_weights
+        df = spark.createDataFrame([(0, "x y z")],
+                                   "doc_id bigint, text string")
+        row = dsir_weights(df, df, ns=(1, 2), buckets=16).collect()[0]
+        assert row["n_grams"] == 5  # 3 unigrams + 2 bigrams
+
+    def test_sample_is_exact_topn(self, spark):
+        from json_schema_rs_spark.operators.sampling import (
+            dsir_sample, dsir_weights)
+        raw = [(i, ("wiki text " if i % 2 == 0 else "spam junk ") * 3)
+               for i in range(10)]
+        raw_df = spark.createDataFrame(raw, "doc_id bigint, text string")
+        tgt_df = spark.createDataFrame([(0, "wiki text wiki text")],
+                                       "doc_id bigint, text string")
+        table_free = dsir_weights(raw_df, tgt_df, ns=(1,), buckets=64)
+        want = [r["doc_id"] for r in table_free.orderBy(
+            F.desc("logw_micro"), F.asc("doc_id")).limit(4).collect()]
+        got = dsir_sample(raw_df, tgt_df, 4, ns=(1,), buckets=64)
+        assert sorted(r["doc_id"] for r in got.collect()) == sorted(want)
+        assert set(got.columns) == {"doc_id", "text", "logw_micro"}
+        assert all(i % 2 == 0 for i in want)  # the wiki-like half wins
+
+    def test_trained_table_reuse_and_validation(self, spark):
+        from json_schema_rs_spark.operators.sampling import (
+            dsir_weight_table, dsir_weights)
+        df = spark.createDataFrame([(0, "a b"), (1, "c")],
+                                   "doc_id bigint, text string")
+        tab = dsir_weight_table(df, df, ns=(1,), buckets=32)
+        assert len(tab) == 32
+        out1 = dsir_weights(df, df, ns=(1,), buckets=32).collect()
+        out2 = dsir_weights(df, df, ns=(1,), buckets=32,
+                            table=tab).collect()
+        assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            dsir_weights(df, df, ns=(1,), buckets=64, table=tab)
+        with _pt.raises(ValueError):
+            dsir_weights(df, df, ns=(0,), buckets=8)
+
+    def test_scoring_plan_shape(self, spark):
+        from json_schema_rs_spark.operators.sampling import (
+            dsir_weight_table, dsir_weights)
+        df = spark.createDataFrame([(0, "a b c")],
+                                   "doc_id bigint, text string")
+        tab = dsir_weight_table(df, df, ns=(1,), buckets=16)
+        plan = (dsir_weights(df, df, ns=(1,), buckets=16, table=tab)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastHashJoin" in plan      # weight-table probe
+        assert "CartesianProduct" not in plan
+        assert "Python" not in plan             # all JVM codegen
