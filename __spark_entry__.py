@@ -3681,6 +3681,68 @@ FROM seg
 """
 
 
+def _q_x_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C4 rulebook cleaner: both engines build the same doc_id-derived
+    # multi-line pages — five proper sentences, one punctuation-less
+    # line (always dropped), a javascript line on every 4th doc, a
+    # "lorem ipsum" closer on every 11th, a curly brace on every 13th —
+    # so line and doc rules both fire in both polarities
+    from json_schema_rs_spark.operators.textstats import c4_clean
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.select("doc_id", F.concat(
+        F.lit("Sentence one about "), F.substring("text", 1, 20),
+        F.lit(" topic.\n"),
+        F.lit("Sentence two is fine here.\n"
+              "Sentence three also reads well.\n"
+              "Sentence four ends properly.\n"
+              "Sentence five closes the doc.\n"
+              "no terminal punctuation line\n"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("Enable javascript now please.\n"))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit("Has lorem ipsum filler inside."))
+         .otherwise(F.lit("Normal closing line indeed.")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" {"))
+         .otherwise(F.lit(""))).alias("text"))
+    return c4_clean(salted)
+
+
+_SQL_X_C4_CLEAN = """
+WITH s AS (SELECT doc_id,
+  'Sentence one about ' || substr(text, 1, 20) || ' topic.' || chr(10)
+  || 'Sentence two is fine here.' || chr(10)
+  || 'Sentence three also reads well.' || chr(10)
+  || 'Sentence four ends properly.' || chr(10)
+  || 'Sentence five closes the doc.' || chr(10)
+  || 'no terminal punctuation line' || chr(10)
+  || CASE WHEN doc_id % 4 = 0
+          THEN 'Enable javascript now please.' || chr(10) ELSE '' END
+  || CASE WHEN doc_id % 11 = 0 THEN 'Has lorem ipsum filler inside.'
+          ELSE 'Normal closing line indeed.' END
+  || CASE WHEN doc_id % 13 = 0 THEN ' {' ELSE '' END AS t
+FROM documents),
+seg AS (SELECT doc_id, t,
+  list_filter(list_transform(regexp_split_to_array(t, '\\r?\\n'),
+                             x -> trim(x)), x -> x <> '') AS lines
+FROM s),
+k AS (SELECT doc_id, t, lines,
+  list_filter(lines, x ->
+    regexp_matches(x, '[.!?"]$')
+    AND len(list_filter(string_split(x, ' '), w -> w <> '')) >= 3
+    AND NOT contains(lower(x), 'javascript')) AS keep
+FROM seg)
+SELECT doc_id,
+  array_to_string(keep, chr(10)) AS clean_text,
+  CAST(len(keep) AS INT) AS n_lines_kept,
+  CAST(len(lines) - len(keep) AS INT) AS n_lines_dropped,
+  (len(regexp_extract_all(array_to_string(keep, chr(10)), '[.!?]')) >= 5
+   AND NOT contains(lower(t), 'lorem ipsum')
+   AND NOT contains(t, '{') AND NOT contains(t, '}')) AS keep_doc
+FROM k
+"""
+
+
 def _q_x_encoding_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # encoding-damage triage: inject U+FFFD / mojibake / C0 junk into
     # md5-bucketed docs, count each damage class with explicit-codepoint
@@ -5071,6 +5133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_encoding_check": _q_x_encoding_check,
         "x_char_stats": _q_x_char_stats,
         "x_line_rep": _q_x_line_rep,
+        "x_c4_clean": _q_x_c4_clean,
         "x_rep_ngram": _q_x_rep_ngram,
         "x_dup_ngrams": _q_x_dup_ngrams,
         "x_dedup_spans": _q_x_dedup_spans,
@@ -5230,6 +5293,7 @@ def oracle_sql() -> dict[str, str]:
         "x_encoding_check": _SQL_X_ENCODING_CHECK,
         "x_char_stats": _SQL_X_CHAR_STATS,
         "x_line_rep": _SQL_X_LINE_REP,
+        "x_c4_clean": _SQL_X_C4_CLEAN,
         "x_rep_ngram": _SQL_X_REP_NGRAM,
         "x_dup_ngrams": _SQL_X_DUP_NGRAMS,
         "x_dedup_spans": _SQL_X_DEDUP_SPANS,

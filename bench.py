@@ -99,6 +99,7 @@ HEADLINE = [
     "x_decontam_spans",
     "x_char_stats",
     "x_line_rep",
+    "x_c4_clean",
     "d_source_dup_rate",
     "s_vocab_growth",
     "t_conv_quality",

@@ -1060,6 +1060,51 @@ def line_repetition(df: DataFrame, text_col: str = "text",
     )
 
 
+def c4_clean(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id", *, min_words_per_line: int = 3,
+             min_sentences: int = 5) -> DataFrame:
+    """The C4 rule-based cleaner (Raffel et al. 2020, arXiv:1910.10683
+    §2.2) — the RULE-driven complement of the statistical filters
+    (:func:`quality_score` scores, :func:`drop_boilerplate_lines` needs
+    corpus frequencies; this one is a fixed per-doc rulebook). Line
+    rules: keep only trimmed lines that end in terminal punctuation
+    (``. ! ? "``) AND have at least ``min_words_per_line`` words AND do
+    not contain the word "javascript" (case-insensitive). Doc rules:
+    ``keep_doc`` is false when the cleaned text has fewer than
+    ``min_sentences`` terminal-punctuation sentences, or the ORIGINAL
+    text contains "lorem ipsum" (case-insensitive) or a curly brace
+    (code). Output: ``(id, clean_text, n_lines_kept, n_lines_dropped,
+    keep_doc)`` — filter on ``keep_doc`` to apply, keep the column to
+    audit.
+
+    All row-local whole-stage codegen (split + HOF filter + regexp
+    counts) — zero shuffle, zero joins, zero Python; the rulebook is a
+    pure scan projection at any corpus size."""
+    lines = F.filter(
+        F.transform(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                            r"\r?\n"),
+                    lambda x: F.trim(x)),
+        lambda x: x != "")
+    keep = F.filter(
+        lines,
+        lambda x: x.rlike('[.!?"]$')
+        & (F.size(F.filter(F.split(x, " "), lambda w: w != ""))
+           >= min_words_per_line)
+        & ~F.lower(x).contains("javascript"))
+    clean = F.array_join(keep, "\n")
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.size(keep).alias("n_lines_kept"),
+        (F.size(lines) - F.size(keep)).alias("n_lines_dropped"),
+        ((F.regexp_count(clean, F.lit(r"[.!?]")) >= min_sentences)
+         & ~F.lower(F.coalesce(F.col(text_col), F.lit("")))
+            .contains("lorem ipsum")
+         & ~F.coalesce(F.col(text_col), F.lit("")).contains("{")
+         & ~F.coalesce(F.col(text_col), F.lit("")).contains("}"))
+        .alias("keep_doc"))
+
+
 def remove_contaminated_spans(df: DataFrame, benchmark: DataFrame,
                               text_col: str = "text",
                               id_col: str = "doc_id", *, k: int = 10,

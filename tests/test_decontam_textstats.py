@@ -631,3 +631,55 @@ class TestLineRepetition:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange" not in plan and "Join" not in plan
         assert "Python" not in plan
+
+
+class TestC4Clean:
+    def test_line_rules(self, spark):
+        from json_schema_rs_spark.operators.textstats import c4_clean
+        text = "\n".join([
+            "This is a proper sentence.",          # kept
+            "no terminal punctuation here",        # dropped: no punct
+            "Too short.",                          # dropped: < 3 words
+            "Enable javascript to continue.",      # dropped: javascript
+            'He said "stop right there."',         # kept (quote end ok)
+            "  Trimmed line stays fine.  ",        # kept after trim
+        ])
+        df = spark.createDataFrame([(0, text)],
+                                   "doc_id bigint, text string")
+        r = c4_clean(df, min_sentences=1).collect()[0]
+        assert r["n_lines_kept"] == 3 and r["n_lines_dropped"] == 3
+        assert r["clean_text"] == (
+            'This is a proper sentence.\nHe said "stop right there."\n'
+            "Trimmed line stays fine.")
+        assert r["keep_doc"] is True
+
+    def test_doc_rules(self, spark):
+        from json_schema_rs_spark.operators.textstats import c4_clean
+        good = "\n".join(["This is sentence number %d." % i
+                          for i in range(6)])
+        df = spark.createDataFrame([
+            (0, good),
+            (1, good + "\nAlso some Lorem Ipsum filler text here."),
+            (2, good + "\nvar f = function() { return 1; }"),
+            (3, "Just one good sentence here."),   # < 5 sentences
+            (4, ""),
+            (5, None),
+        ], "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in c4_clean(df).collect()}
+        assert out[0]["keep_doc"] is True
+        assert out[1]["keep_doc"] is False         # lorem ipsum
+        assert out[2]["keep_doc"] is False         # curly braces
+        assert out[3]["keep_doc"] is False         # too few sentences
+        for d in (4, 5):
+            r = out[d]
+            assert r["keep_doc"] is False and r["n_lines_kept"] == 0
+            assert r["clean_text"] == ""
+
+    def test_zero_shuffle(self, spark):
+        from json_schema_rs_spark.operators.textstats import c4_clean
+        df = spark.createDataFrame([(0, "A line here.")],
+                                   "doc_id bigint, text string")
+        plan = (c4_clean(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan and "Join" not in plan
+        assert "Python" not in plan
