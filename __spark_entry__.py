@@ -3681,6 +3681,77 @@ FROM seg
 """
 
 
+def _q_x_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher rulebook: the corpus' 10-99-word docs straddle the >=50
+    # word rule naturally; salts add stop words (every 2nd doc — the
+    # base vocab carries only "the"), a 10-bullet block (every 7th),
+    # symbol spam (every 13th) and ellipsis lines (every 17th) so each
+    # rule fires in both polarities
+    from json_schema_rs_spark.operators.textstats import gopher_gate
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.select("doc_id", F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(" and that of it"))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.repeat(F.lit("\n• bullet item here"), 10))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0,
+               F.repeat(F.lit(" ###"), 20)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 0,
+               F.lit("\nto be continued...\nmore soon..."))
+         .otherwise(F.lit(""))).alias("text"))
+    return gopher_gate(salted)
+
+
+_SQL_X_GOPHER_GATE = r"""
+WITH s AS (SELECT doc_id,
+  text
+  || CASE WHEN doc_id % 2 = 0 THEN ' and that of it' ELSE '' END
+  || CASE WHEN doc_id % 7 = 0
+          THEN repeat(chr(10) || '• bullet item here', 10) ELSE '' END
+  || CASE WHEN doc_id % 13 = 0 THEN repeat(' ###', 20) ELSE '' END
+  || CASE WHEN doc_id % 17 = 0
+          THEN chr(10) || 'to be continued...' || chr(10) || 'more soon...'
+          ELSE '' END AS t
+FROM documents),
+f AS (SELECT doc_id, t,
+  list_filter(regexp_split_to_array(t, '\s+'), x -> x <> '') AS ws,
+  list_filter(list_transform(regexp_split_to_array(t, '\r?\n'),
+                             x -> trim(x)), x -> x <> '') AS ls
+FROM s),
+m AS (SELECT doc_id,
+  len(ws) AS nw, len(ls) AS nl,
+  list_sum(list_transform(ws, x -> length(x))) AS wchars,
+  len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\.\.\.'))
+    AS syms,
+  len(list_filter(ls, x -> starts_with(x, '•') OR starts_with(x, '- ')))
+    AS nb,
+  len(list_filter(ls, x -> ends_with(x, '...') OR ends_with(x, '…')))
+    AS ne,
+  len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS na,
+  len(list_intersect(list_distinct(list_transform(ws, x -> lower(x))),
+      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS nstop
+FROM f)
+SELECT doc_id,
+  CAST(nw AS INT) AS n_words,
+  round(wchars::DOUBLE / nw, 6) AS mean_word_len,
+  round(syms::DOUBLE / nw, 6) AS symbol_ratio,
+  round(nb::DOUBLE / nl, 6) AS bullet_line_frac,
+  round(ne::DOUBLE / nl, 6) AS ellipsis_line_frac,
+  round(na::DOUBLE / nw, 6) AS alpha_word_frac,
+  CAST(nstop AS INT) AS n_stopwords_present,
+  (nw >= 50 AND nw <= 100000
+   AND wchars::DOUBLE / nw >= 3.0 AND wchars::DOUBLE / nw <= 10.0
+   AND syms::DOUBLE / nw <= 0.1
+   AND nb::DOUBLE / nl <= 0.9
+   AND ne::DOUBLE / nl <= 0.3
+   AND na::DOUBLE / nw >= 0.8
+   AND nstop >= 2) AS keep
+FROM m
+"""
+
+
 def _q_x_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # C4 rulebook cleaner: both engines build the same doc_id-derived
     # multi-line pages — five proper sentences, one punctuation-less
@@ -5134,6 +5205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_char_stats": _q_x_char_stats,
         "x_line_rep": _q_x_line_rep,
         "x_c4_clean": _q_x_c4_clean,
+        "x_gopher_gate": _q_x_gopher_gate,
         "x_rep_ngram": _q_x_rep_ngram,
         "x_dup_ngrams": _q_x_dup_ngrams,
         "x_dedup_spans": _q_x_dedup_spans,
@@ -5294,6 +5366,7 @@ def oracle_sql() -> dict[str, str]:
         "x_char_stats": _SQL_X_CHAR_STATS,
         "x_line_rep": _SQL_X_LINE_REP,
         "x_c4_clean": _SQL_X_C4_CLEAN,
+        "x_gopher_gate": _SQL_X_GOPHER_GATE,
         "x_rep_ngram": _SQL_X_REP_NGRAM,
         "x_dup_ngrams": _SQL_X_DUP_NGRAMS,
         "x_dedup_spans": _SQL_X_DEDUP_SPANS,

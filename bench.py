@@ -100,6 +100,7 @@ HEADLINE = [
     "x_char_stats",
     "x_line_rep",
     "x_c4_clean",
+    "x_gopher_gate",
     "d_source_dup_rate",
     "s_vocab_growth",
     "t_conv_quality",

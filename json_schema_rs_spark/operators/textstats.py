@@ -1060,6 +1060,82 @@ def line_repetition(df: DataFrame, text_col: str = "text",
     )
 
 
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have",
+                    "with"]
+
+
+def gopher_gate(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", *,
+                min_words: int = 50, max_words: int = 100_000,
+                min_mean_word_len: float = 3.0,
+                max_mean_word_len: float = 10.0,
+                max_symbol_ratio: float = 0.1,
+                max_bullet_line_frac: float = 0.9,
+                max_ellipsis_line_frac: float = 0.3,
+                min_alpha_word_frac: float = 0.8,
+                min_stopwords: int = 2,
+                round_digits: int = 6) -> DataFrame:
+    """The Gopher quality rulebook (Rae et al. 2021, arXiv:2112.11446
+    Table A1) — the fixed per-doc gate complementing the statistical
+    :func:`quality_score`: word count in ``[min_words, max_words]``,
+    mean word length in ``[3, 10]``, hash/ellipsis symbol-to-word
+    ratio ≤ 0.1, ≤ 90% of lines bullet-started, ≤ 30% ellipsis-ended,
+    ≥ 80% of words containing an alphabetic character, and ≥ 2 of the
+    eight English stop words present. Output: ``(id, n_words,
+    mean_word_len, symbol_ratio, bullet_line_frac, ellipsis_line_frac,
+    alpha_word_frac, n_stopwords_present, keep)``.
+
+    Cross-engine exactness: every emitted ratio is a single IEEE
+    division of exact integers (rounded only for display); ``keep``
+    compares the UNROUNDED quotients, so both engines take identical
+    branches. All row-local split/HOF/regexp codegen — zero shuffle,
+    zero joins, zero Python."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(txt, r"\s+"), lambda x: x != "")
+    lines = F.filter(
+        F.transform(F.split(txt, r"\r?\n"), lambda x: F.trim(x)),
+        lambda x: x != "")
+    nw = F.size(words)
+    nl = F.size(lines)
+    wchars = F.aggregate(words, F.lit(0).cast("long"),
+                         lambda acc, x: acc + F.length(x))
+    symbols = (F.regexp_count(txt, F.lit("#"))
+               + F.regexp_count(txt, F.lit(r"\.\.\.")))
+    n_bullet = F.size(F.filter(
+        lines, lambda x: x.startswith("•") | x.startswith("- ")))
+    n_ellipsis = F.size(F.filter(
+        lines, lambda x: x.endswith("...") | x.endswith("…")))
+    n_alpha = F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]")))
+    stop_lit = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(F.transform(words, lambda x: F.lower(x))),
+        stop_lit))
+    div = lambda a, b: F.try_divide(a.cast("double"),  # noqa: E731
+                                    b.cast("double"))
+    mean_len = div(wchars, nw)
+    sym_r = div(symbols, nw)
+    bul_r = div(n_bullet, nl)
+    ell_r = div(n_ellipsis, nl)
+    alpha_r = div(n_alpha, nw)
+    keep = ((nw >= min_words) & (nw <= max_words)
+            & (mean_len >= min_mean_word_len)
+            & (mean_len <= max_mean_word_len)
+            & (sym_r <= max_symbol_ratio)
+            & F.coalesce(bul_r <= max_bullet_line_frac, F.lit(False))
+            & F.coalesce(ell_r <= max_ellipsis_line_frac, F.lit(False))
+            & (alpha_r >= min_alpha_word_frac)
+            & (n_stop >= min_stopwords))
+    rd = lambda c, name: F.round(F.coalesce(c, F.lit(0.0)),  # noqa: E731
+                                 round_digits).alias(name)
+    return df.select(
+        F.col(id_col), nw.alias("n_words"),
+        rd(mean_len, "mean_word_len"), rd(sym_r, "symbol_ratio"),
+        rd(bul_r, "bullet_line_frac"), rd(ell_r, "ellipsis_line_frac"),
+        rd(alpha_r, "alpha_word_frac"),
+        n_stop.alias("n_stopwords_present"),
+        F.coalesce(keep, F.lit(False)).alias("keep"))
+
+
 def c4_clean(df: DataFrame, text_col: str = "text",
              id_col: str = "doc_id", *, min_words_per_line: int = 3,
              min_sentences: int = 5) -> DataFrame:

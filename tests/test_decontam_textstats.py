@@ -683,3 +683,56 @@ class TestC4Clean:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange" not in plan and "Join" not in plan
         assert "Python" not in plan
+
+
+class TestGopherGate:
+    def test_signal_values(self, spark):
+        from json_schema_rs_spark.operators.textstats import gopher_gate
+        df = spark.createDataFrame([
+            (0, "the cat and dog sat"),                 # 5 words
+            (1, "• one thing\n• two thing\nplain tail"),
+            (2, "going on...\nnormal line here"),
+            (3, "### ### words here"),
+            (4, ""),
+            (5, None),
+        ], "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in
+               gopher_gate(df, min_words=3).collect()}
+        r = out[0]
+        assert r["n_words"] == 5
+        assert r["mean_word_len"] == round(15 / 5, 6)
+        assert r["n_stopwords_present"] == 2            # the, and
+        assert out[1]["bullet_line_frac"] == round(2 / 3, 6)
+        assert out[2]["ellipsis_line_frac"] == 0.5
+        r = out[3]
+        assert r["symbol_ratio"] == 1.5                 # 6 '#' / 4 words
+        assert r["alpha_word_frac"] == 0.5
+        for d in (4, 5):
+            assert out[d]["n_words"] == 0
+            assert out[d]["keep"] is False
+
+    def test_gate_polarities(self, spark):
+        from json_schema_rs_spark.operators.textstats import gopher_gate
+        good = ("the cat and dog have fun with all of that stuff "
+                "going around here today for sure")  # 16 words, stops ok
+        df = spark.createDataFrame([
+            (0, good),
+            (1, good + "\n" + "\n".join(["• b item here"] * 30)),
+            (2, good + " " + "### " * 30),
+            (3, "zz " * 20),                        # no stopwords/alpha ok but stops=0
+        ], "doc_id bigint, text string")
+        out = {r["doc_id"]: r["keep"] for r in
+               gopher_gate(df, min_words=10).collect()}
+        assert out[0] is True
+        assert out[1] is False                      # bullets > 90%
+        assert out[2] is False                      # symbols + alpha
+        assert out[3] is False                      # stopwords < 2
+
+    def test_zero_shuffle(self, spark):
+        from json_schema_rs_spark.operators.textstats import gopher_gate
+        df = spark.createDataFrame([(0, "a b")],
+                                   "doc_id bigint, text string")
+        plan = (gopher_gate(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan and "Join" not in plan
+        assert "Python" not in plan
