@@ -2707,6 +2707,55 @@ SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n
 """
 
 
+def _q_d_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the "what does dedup buy us" dashboard: LSH pairs -> CC groups ->
+    # per-group-size rollup with the whitespace-token mass the
+    # non-survivors (min-id convention) carry. Oracle = the d_dup_groups
+    # recursive CTE extended with the same two aggregates.
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, n=3, threshold=0.8, bands=32)
+    groups = dedup.near_dup_groups(pairs)
+    return dedup.dedup_summary(groups, docs)
+
+
+_SQL_D_DEDUP_REPORT = """
+WITH RECURSIVE
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+                             for i in range(1, len(ws) - 1)]) AS s
+       FROM w),
+ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+pr AS (SELECT doc_a, doc_b
+       FROM p JOIN sz sa ON p.doc_a = sa.doc_id
+              JOIN sz sb ON p.doc_b = sb.doc_id
+       WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.8),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pr
+      UNION SELECT doc_b, doc_a FROM pr),
+reach(n, m) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM e) t
+    UNION
+    SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a
+),
+g AS (SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n),
+tok AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS t
+        FROM documents),
+per AS (SELECT group_id, count(*) AS gsz, sum(t) AS tt,
+               arg_min(t, doc_id) AS st
+        FROM g JOIN tok USING (doc_id) GROUP BY group_id)
+SELECT CAST(gsz AS INT) AS group_size,
+       count(*)::BIGINT AS n_groups,
+       CAST(sum(gsz) AS BIGINT) AS n_docs,
+       CAST(sum(gsz - 1) AS BIGINT) AS n_excess_docs,
+       CAST(sum(tt - st) AS BIGINT) AS excess_tokens
+FROM per GROUP BY gsz
+"""
+
+
 def _q_d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_t(spark, sf_dir, "documents"))
 
@@ -5179,6 +5228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_source_dup_rate": _q_d_source_dup_rate,
         "d_minhash_lsh": _q_d_minhash,
         "d_dup_groups": _q_d_dup_groups,
+        "d_dedup_report": _q_d_dedup_report,
         "d_canonical_docs": _q_d_canonical,
         "d_simhash": _q_d_simhash,
         "d_simhash_pairs": _q_d_simhash_pairs,
@@ -5343,6 +5393,7 @@ def oracle_sql() -> dict[str, str]:
         "d_source_dup_rate": _SQL_D_SOURCE_DUP_RATE,
         "d_minhash_lsh": _SQL_D_NGRAM,
         "d_dup_groups": _SQL_D_DUP_GROUPS,
+        "d_dedup_report": _SQL_D_DEDUP_REPORT,
         "d_canonical_docs": _SQL_D_CANONICAL,
         "d_simhash": _SQL_D_SIMHASH,
         "d_simhash_pairs": _SQL_D_SIMHASH_PAIRS,

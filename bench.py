@@ -101,6 +101,7 @@ HEADLINE = [
     "x_line_rep",
     "x_c4_clean",
     "x_gopher_gate",
+    "d_dedup_report",
     "d_source_dup_rate",
     "s_vocab_growth",
     "t_conv_quality",

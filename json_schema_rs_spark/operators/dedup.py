@@ -945,3 +945,53 @@ def source_dup_stats(
                         F.round(F.col("n_dup_docs")
                                 / F.col("n_docs").cast("double"),
                                 round_digits)))
+
+
+def dedup_summary(groups: DataFrame, docs: DataFrame | None = None,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  group_col: str = "group_id") -> DataFrame:
+    """Dedup impact report over a :func:`near_dup_groups` /
+    :func:`exact_duplicate_groups` result: one row per duplicate-group
+    SIZE — ``(group_size, n_groups, n_docs, n_excess_docs[,
+    excess_tokens])`` — the "what does deduplication actually buy us"
+    dashboard (is the corpus 2x-dominated by one mega-cluster or a long
+    tail of pairs?). ``n_excess_docs`` counts non-survivors
+    (``size - 1`` per group, min-id survivor — the groups operators'
+    convention); with ``docs`` given, ``excess_tokens`` is the
+    whitespace-token mass those non-survivors carry (the
+    :func:`~.textstats.token_stats` ``ws_tokens`` convention), i.e. the
+    training tokens dedup reclaims.
+
+    Scale shape: the groups table is pairs-bounded (orders below the
+    corpus); the optional token join moves only ``(id, long)`` rows —
+    text never shuffles; two hash aggregates end dashboard-sized
+    (distinct group sizes)."""
+    gs = groups.select(F.col(id_col).alias("__i"),
+                       F.col(group_col).alias("__g"))
+    if docs is not None:
+        tok = docs.select(
+            F.col(id_col).alias("__i"),
+            F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
+             .cast("long").alias("__t"))
+        per = (gs.join(tok, "__i", "left")
+               .withColumn("__t", F.coalesce(F.col("__t"), F.lit(0)))
+               .groupBy("__g")
+               .agg(F.count("*").alias("__sz"),
+                    F.sum("__t").alias("__tt"),
+                    # min on (id, tokens) struct = the min-id survivor's
+                    # token count (ids are unique within a group)
+                    F.min(F.struct(F.col("__i"), F.col("__t")))["__t"]
+                     .alias("__st")))
+        return (per.groupBy(F.col("__sz").cast("int").alias("group_size"))
+                .agg(F.count("*").alias("n_groups"),
+                     F.sum("__sz").alias("n_docs"),
+                     F.sum(F.col("__sz") - 1).alias("n_excess_docs"),
+                     F.sum(F.col("__tt") - F.col("__st"))
+                      .alias("excess_tokens"))
+                .orderBy("group_size"))
+    per = gs.groupBy("__g").agg(F.count("*").alias("__sz"))
+    return (per.groupBy(F.col("__sz").cast("int").alias("group_size"))
+            .agg(F.count("*").alias("n_groups"),
+                 F.sum("__sz").alias("n_docs"),
+                 F.sum(F.col("__sz") - 1).alias("n_excess_docs"))
+            .orderBy("group_size"))

@@ -395,3 +395,58 @@ class TestSourceDupStats:
         # the join key is the 16-byte digest, never text
         assert "text" not in plan.split("SortMergeJoin")[-1].split(
             "HashAggregate")[0] if "SortMergeJoin" in plan else True
+
+
+class TestDedupSummary:
+    def test_values_with_tokens(self, spark):
+        from json_schema_rs_spark.operators.dedup import dedup_summary
+        groups = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1),     # size-3 group, survivor 1
+             (10, 10), (11, 10),         # size-2 group, survivor 10
+             (20, 20), (21, 20)],        # size-2 group, survivor 20
+            "doc_id bigint, group_id bigint")
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "a b c"), (3, "a"),
+             (10, "x y z w"), (11, "x"),
+             (20, "p q"), (21, "p q")],
+            "doc_id bigint, text string")
+        out = {r["group_size"]: r for r in
+               dedup_summary(groups, docs).collect()}
+        assert set(out) == {2, 3}
+        r = out[3]
+        assert r["n_groups"] == 1 and r["n_docs"] == 3
+        assert r["n_excess_docs"] == 2
+        assert r["excess_tokens"] == 4          # (2+3+1) - 2
+        r = out[2]
+        assert r["n_groups"] == 2 and r["n_docs"] == 4
+        assert r["n_excess_docs"] == 2
+        assert r["excess_tokens"] == 1 + 2      # grp10: 5-4; grp20: 4-2
+
+    def test_without_docs_and_missing_doc(self, spark):
+        from json_schema_rs_spark.operators.dedup import dedup_summary
+        groups = spark.createDataFrame([(1, 1), (2, 1)],
+                                       "doc_id bigint, group_id bigint")
+        out = dedup_summary(groups).collect()
+        assert len(out) == 1
+        assert out[0]["group_size"] == 2 and out[0]["n_excess_docs"] == 1
+        assert "excess_tokens" not in out[0].asDict()
+        # doc absent from the docs table counts 0 tokens, never NULLs
+        docs = spark.createDataFrame([(1, "a b")],
+                                     "doc_id bigint, text string")
+        r = dedup_summary(groups, docs).collect()[0]
+        assert r["excess_tokens"] in (0, 2)     # survivor is doc 1
+        assert r["excess_tokens"] == 0          # doc 2 missing -> 0 - but
+        # min-id survivor is doc 1 (2 tokens); excess = total(2) - 2 = 0
+
+    def test_text_never_shuffles(self, spark):
+        from json_schema_rs_spark.operators.dedup import dedup_summary
+        groups = spark.createDataFrame([(1, 1), (2, 1)],
+                                       "doc_id bigint, group_id bigint")
+        docs = spark.createDataFrame([(1, "a b"), (2, "c")],
+                                     "doc_id bigint, text string")
+        plan = (dedup_summary(groups, docs)
+                ._jdf.queryExecution().executedPlan().toString())
+        import re
+        # every Exchange moves only id/group/long columns, never text
+        for ex in re.findall(r"Exchange [^\n]*", plan):
+            assert "text" not in ex
