@@ -2589,6 +2589,57 @@ FROM raw r LEFT JOIN sc ON r.doc_id = sc.doc_id
 """
 
 
+def _q_x_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the resampling step end-to-end: exact top-50 most target-like
+    # docs by (logw_micro DESC, doc_id ASC) — a total order, so the
+    # oracle re-derives the identical set from the weight pipeline
+    from json_schema_rs_spark.operators.sampling import dsir_sample
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.when(F.col("doc_id") % 7 == 0, F.lit(" quantum flux"))
+                  .otherwise(F.lit(""))).alias("text"))
+    tgt = (docs.filter(F.col("doc_id") % 5 == 0)
+           .select("doc_id",
+                   F.concat(F.col("text"), F.lit(" quantum flux"))
+                   .alias("text")))
+    return (dsir_sample(raw, tgt, 50, ns=(1,), buckets=512)
+            .select("doc_id", "logw_micro"))
+
+
+_SQL_X_DSIR_SAMPLE = """
+WITH raw AS (SELECT doc_id,
+    text || CASE WHEN doc_id % 7 = 0 THEN ' quantum flux' ELSE '' END AS t
+  FROM documents),
+tgt AS (SELECT doc_id, text || ' quantum flux' AS t
+  FROM documents WHERE doc_id % 5 = 0),
+rg AS (SELECT doc_id,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % 512 AS b
+       FROM (SELECT doc_id,
+               unnest(list_filter(string_split(t, ' '), x -> x <> '')) AS g
+             FROM raw)),
+tg AS (SELECT ('0x' || substr(md5(g), 1, 8))::BIGINT % 512 AS b
+       FROM (SELECT
+               unnest(list_filter(string_split(t, ' '), x -> x <> '')) AS g
+             FROM tgt)),
+rc AS (SELECT b, count(*) AS c FROM rg GROUP BY b),
+tc AS (SELECT b, count(*) AS c FROM tg GROUP BY b),
+tot AS (SELECT (SELECT count(*) FROM rg) AS nr,
+               (SELECT count(*) FROM tg) AS nt),
+wt AS (SELECT rc.b,
+         CAST(floor(ln((coalesce(tc.c, 0) + 1) / (tot.nt + 512.0)) * 1e6)
+            - floor(ln((rc.c + 1) / (tot.nr + 512.0)) * 1e6) AS BIGINT)
+           AS w
+       FROM rc LEFT JOIN tc ON rc.b = tc.b, tot),
+sc AS (SELECT rg.doc_id,
+              CAST(sum(wt.w) AS BIGINT) AS logw_micro
+       FROM rg JOIN wt ON rg.b = wt.b GROUP BY rg.doc_id)
+SELECT doc_id, logw_micro
+FROM sc ORDER BY logw_micro DESC, doc_id ASC LIMIT 50
+"""
+
+
 def _q_x_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # data-mixing inverse of decontamination: score the new batch
     # (doc_id%3==0) by the fraction of its distinct 3-grams NOT already
@@ -5266,6 +5317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_novelty": _q_x_novelty,
         "x_quota_sample": _q_x_quota_sample,
         "x_dsir": _q_x_dsir,
+        "x_dsir_sample": _q_x_dsir_sample,
         "x_prep_corpus": _q_x_prep_corpus,
         "x_quality": _q_x_quality,
         "x_corpus_report": _q_x_corpus_report,
@@ -5428,6 +5480,7 @@ def oracle_sql() -> dict[str, str]:
         "x_novelty": _SQL_X_NOVELTY,
         "x_quota_sample": _SQL_X_QUOTA_SAMPLE,
         "x_dsir": _SQL_X_DSIR,
+        "x_dsir_sample": _SQL_X_DSIR_SAMPLE,
         "x_prep_corpus": _SQL_X_PREP_CORPUS,
         "x_quality": _SQL_X_QUALITY,
         "x_corpus_report": _SQL_X_CORPUS_REPORT,
