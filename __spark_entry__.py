@@ -4815,6 +4815,78 @@ FROM r
 """
 
 
+def _q_d_conv_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DSIR at the transcripts grain: conversations rendered once, then
+    # importance-weighted against a target slice (md5-selected ~25%,
+    # salted with a marker phrase; a disjoint md5-selected raw slice
+    # carries the same marker and must score more target-like).
+    # Conversations are selected or rejected WHOLE — the same
+    # group-coherence rule every sampler here follows.
+    from json_schema_rs_spark.operators.packing import render_conversations
+    from json_schema_rs_spark.operators.sampling import dsir_weights
+    tx = _transcripts_with_tools(_t(spark, sf_dir, "events"))
+    r = render_conversations(tx).select("conv_id", "text")
+    mark = F.substring(F.md5(F.concat(F.col("conv_id"),
+                                      F.lit("#dsirm"))), 1, 1)
+    raw = r.select(
+        "conv_id",
+        F.concat(F.col("text"),
+                 F.when(mark < "4", F.lit(" quantum flux"))
+                  .otherwise(F.lit(""))).alias("text"))
+    tsel = F.substring(F.md5(F.concat(F.col("conv_id"),
+                                      F.lit("#dsirt"))), 1, 1)
+    tgt = (r.filter(tsel < "4")
+           .select("conv_id",
+                   F.concat(F.col("text"), F.lit(" quantum flux"))
+                   .alias("text")))
+    return dsir_weights(raw, tgt, text_col="text", id_col="conv_id",
+                        ns=(1,), buckets=512)
+
+
+_SQL_D_CONV_DSIR = f"""
+WITH tx AS ({_ORACLE_TX_TOOLS}),
+r AS (SELECT conv_id,
+             string_agg('<|' || coalesce(role, 'unknown') || '|>'
+                        || chr(10) || coalesce(text, ''), chr(10)
+                        ORDER BY coalesce(turn_idx, -2147483648),
+                                 coalesce(role, 'unknown'),
+                                 coalesce(text, '')) AS text
+      FROM tx GROUP BY conv_id),
+raw AS (SELECT conv_id,
+    text || CASE WHEN substr(md5(conv_id || '#dsirm'), 1, 1) < '4'
+                 THEN ' quantum flux' ELSE '' END AS t
+  FROM r),
+tgt AS (SELECT conv_id, text || ' quantum flux' AS t
+  FROM r WHERE substr(md5(conv_id || '#dsirt'), 1, 1) < '4'),
+rg AS (SELECT conv_id,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % 512 AS b
+       FROM (SELECT conv_id,
+               unnest(list_filter(string_split(t, ' '), x -> x <> '')) AS g
+             FROM raw)),
+tg AS (SELECT ('0x' || substr(md5(g), 1, 8))::BIGINT % 512 AS b
+       FROM (SELECT
+               unnest(list_filter(string_split(t, ' '), x -> x <> '')) AS g
+             FROM tgt)),
+rc AS (SELECT b, count(*) AS c FROM rg GROUP BY b),
+tc AS (SELECT b, count(*) AS c FROM tg GROUP BY b),
+tot AS (SELECT (SELECT count(*) FROM rg) AS nr,
+               (SELECT count(*) FROM tg) AS nt),
+wt AS (SELECT rc.b,
+         CAST(floor(ln((coalesce(tc.c, 0) + 1) / (tot.nt + 512.0)) * 1e6)
+            - floor(ln((rc.c + 1) / (tot.nr + 512.0)) * 1e6) AS BIGINT)
+           AS w
+       FROM rc LEFT JOIN tc ON rc.b = tc.b, tot),
+sc AS (SELECT rg.conv_id, count(*) AS n_grams,
+              CAST(sum(wt.w) AS BIGINT) AS logw
+       FROM rg JOIN wt ON rg.b = wt.b GROUP BY rg.conv_id)
+SELECT raw.conv_id,
+  coalesce(sc.n_grams, 0) AS n_grams,
+  coalesce(sc.logw, 0) AS logw_micro,
+  round(coalesce(sc.logw / (sc.n_grams * 1e6), 0.0), 6) AS avg_logw
+FROM raw LEFT JOIN sc ON raw.conv_id = sc.conv_id
+"""
+
+
 def _q_x_sft_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # loss-mask export: where each turn's rendered bytes sit inside the
     # render_conversations sequence, and whether the turn trains
@@ -5280,6 +5352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_minhash_lsh": _q_d_minhash,
         "d_dup_groups": _q_d_dup_groups,
         "d_dedup_report": _q_d_dedup_report,
+        "d_conv_dsir": _q_d_conv_dsir,
         "d_canonical_docs": _q_d_canonical,
         "d_simhash": _q_d_simhash,
         "d_simhash_pairs": _q_d_simhash_pairs,
@@ -5446,6 +5519,7 @@ def oracle_sql() -> dict[str, str]:
         "d_minhash_lsh": _SQL_D_NGRAM,
         "d_dup_groups": _SQL_D_DUP_GROUPS,
         "d_dedup_report": _SQL_D_DEDUP_REPORT,
+        "d_conv_dsir": _SQL_D_CONV_DSIR,
         "d_canonical_docs": _SQL_D_CANONICAL,
         "d_simhash": _SQL_D_SIMHASH,
         "d_simhash_pairs": _SQL_D_SIMHASH_PAIRS,
