@@ -971,21 +971,34 @@ def char_stats(df: DataFrame, text_col: str = "text",
     English prose sits near 2.8-3.2).
 
     All row-local: the ratios are codegen'd ``regexp_count``; the
-    entropy folds over the doc's SORTED distinct characters (sorting
-    pins the summation order, so the float result is cross-engine
-    reproducible) with a per-char ``size(filter(...))`` count —
-    O(distinct_chars x len) per doc, fine for documents, cap extreme
-    lengths upstream if feeding adversarial blobs. Zero shuffle, zero
-    joins, zero Python."""
+    entropy is a single run-length fold over the doc's SORTED
+    characters — each run closing adds its ``-(c/n)·ln(c/n)`` term in
+    sorted-character order, the SAME terms in the SAME order as the
+    per-distinct-char formulation (so the float result is bit-identical
+    and cross-engine reproducible) at O(len log len) per doc instead of
+    O(distinct_chars x len). Zero shuffle, zero joins, zero Python."""
     chars = F.split(F.col(text_col), "")
     n = F.length(text_col)
     nd = n.cast("double")
-    uniq = F.array_sort(F.array_distinct(chars))
-    cnt = lambda c: F.size(F.filter(chars, lambda x: x == c))  # noqa: E731
+
+    def _term(run):
+        p = run.cast("double") / nd
+        return -p * F.log(p)
+
     ent = F.aggregate(
-        uniq, F.lit(0.0).cast("double"),
-        lambda acc, c: acc - (cnt(c).cast("double") / nd)
-        * F.log(cnt(c).cast("double") / nd))
+        F.array_sort(chars),
+        F.struct(F.lit(None).cast("string").alias("p"),
+                 F.lit(0).cast("long").alias("r"),
+                 F.lit(0.0).alias("a")),
+        lambda st, c: F.when(
+            st["p"].isNull() | (st["p"] == c),
+            F.struct(c.alias("p"), (st["r"] + 1).alias("r"),
+                     st["a"].alias("a")))
+        .otherwise(F.struct(c.alias("p"),
+                            F.lit(1).cast("long").alias("r"),
+                            (st["a"] + _term(st["r"])).alias("a"))),
+        lambda st: F.when(st["r"] > 0, st["a"] + _term(st["r"]))
+                    .otherwise(st["a"]))
     return df.select(
         F.col(id_col),
         F.coalesce(n, F.lit(0)).alias("n_chars"),
