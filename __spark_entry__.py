@@ -3781,6 +3781,56 @@ FROM seg
 """
 
 
+def _q_x_dup_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # within-doc duplicated n-gram coverage: every 3rd doc gets the
+    # same 3-gram twice appended, so its tail (and any organic base
+    # repeats) is flagged; the oracle re-derives windows, per-doc dup
+    # counts, and coverage over gram STRINGS (equal up to 64-bit hash
+    # collisions within one doc)
+    from json_schema_rs_spark.operators.textstats import dup_ngram_within
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.select("doc_id", F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit(" alpha beta gamma alpha beta gamma"))
+         .otherwise(F.lit(""))).alias("text"))
+    return dup_ngram_within(salted, n=3)
+
+
+_SQL_X_DUP_WITHIN = """
+WITH s AS (SELECT doc_id,
+  text || CASE WHEN doc_id % 3 = 0
+               THEN ' alpha beta gamma alpha beta gamma' ELSE '' END AS t
+FROM documents),
+w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM s),
+e AS (SELECT doc_id,
+        unnest([{'p': i, 'g': concat_ws(' ', ws[i], ws[i+1], ws[i+2])}
+                for i in range(1, len(ws) - 1)]) AS pg
+      FROM w),
+p AS (SELECT doc_id, pg['p'] AS p, pg['g'] AS g FROM e),
+c AS (SELECT doc_id, p, count(*) OVER (PARTITION BY doc_id, g) AS cnt
+      FROM p),
+st AS (SELECT doc_id, list(DISTINCT p) AS starts
+       FROM c WHERE cnt >= 2 GROUP BY doc_id),
+j AS (SELECT w.doc_id, ws,
+             list_distinct(flatten(list_transform(
+                 coalesce(starts, []), x -> range(x, x + 3)))) AS cov
+      FROM w LEFT JOIN st ON w.doc_id = st.doc_id)
+SELECT doc_id,
+  CAST(len(ws) AS INT) AS n_words,
+  CAST(len(cov) AS INT) AS dup_words,
+  round(coalesce(len(cov)::DOUBLE / nullif(len(ws), 0), 0.0), 6)
+    AS dup_word_frac,
+  CAST(coalesce(list_sum(list_transform(cov, i -> length(ws[i]))), 0)
+       AS BIGINT) AS dup_chars,
+  round(coalesce(
+    coalesce(list_sum(list_transform(cov, i -> length(ws[i]))), 0)::DOUBLE
+    / nullif(list_sum(list_transform(ws, x -> length(x))), 0),
+    0.0), 6) AS dup_char_frac
+FROM j
+"""
+
+
 def _q_x_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher rulebook: the corpus' 10-99-word docs straddle the >=50
     # word rule naturally; salts add stop words (every 2nd doc — the
@@ -5380,6 +5430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_line_rep": _q_x_line_rep,
         "x_c4_clean": _q_x_c4_clean,
         "x_gopher_gate": _q_x_gopher_gate,
+        "x_dup_within": _q_x_dup_within,
         "x_rep_ngram": _q_x_rep_ngram,
         "x_dup_ngrams": _q_x_dup_ngrams,
         "x_dedup_spans": _q_x_dedup_spans,
@@ -5544,6 +5595,7 @@ def oracle_sql() -> dict[str, str]:
         "x_line_rep": _SQL_X_LINE_REP,
         "x_c4_clean": _SQL_X_C4_CLEAN,
         "x_gopher_gate": _SQL_X_GOPHER_GATE,
+        "x_dup_within": _SQL_X_DUP_WITHIN,
         "x_rep_ngram": _SQL_X_REP_NGRAM,
         "x_dup_ngrams": _SQL_X_DUP_NGRAMS,
         "x_dedup_spans": _SQL_X_DEDUP_SPANS,

@@ -102,6 +102,8 @@ HEADLINE = [
     "x_c4_clean",
     "x_gopher_gate",
     "d_dedup_report",
+    "x_dup_within",
+    "d_conv_dsir",
     "d_source_dup_rate",
     "s_vocab_growth",
     "t_conv_quality",

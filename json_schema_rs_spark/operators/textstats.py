@@ -617,6 +617,72 @@ def remove_duplicated_spans(df: DataFrame, text_col: str = "text",
                                   tmp, k, round_digits)
 
 
+def dup_ngram_within(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", *, n: int = 5,
+                     seed: int = 7, round_digits: int = 6) -> DataFrame:
+    """WITHIN-doc duplicated n-gram coverage — the remaining Gopher
+    repetition signal (arXiv:2112.11446 Table A1 "duplicate 5..10-gram
+    character fraction"): the fraction of a document's words/characters
+    covered by an ``n``-gram that occurs MORE THAN ONCE inside that
+    same document. Completes the family: :func:`top_ngram_fraction` =
+    within-doc top-gram mass, :func:`duplicated_ngram_coverage` =
+    cross-doc, this = within-doc any-repeat. Per doc: ``(id, n_words,
+    dup_words, dup_word_frac, dup_chars, dup_char_frac)`` (char mass
+    counts word characters, not separators).
+
+    Scale shape (same skeleton as :func:`remove_duplicated_spans`, with
+    the duplicated set scoped per doc): skinny ``(id, pos, hash64)``
+    gram explode at scan parallelism (text stays in place), occurrence
+    count as a window COUNT over the ``(id, gram)`` partition (the
+    table is the partition, so its row count IS the count — no
+    self-join), per-doc ``collect_set(pos)`` rollup bounded by
+    duplication, ONE doc-keyed join back (the only stage text moves;
+    AQE broadcasts the rollup when duplication is sparse), then a
+    row-local codegen coverage expansion + integer char sums."""
+    from pyspark.sql import Window
+    from ..functions.exprs import explode_rows
+    from .dedup import _spread
+
+    tmp = "__dupw_words"
+    pos_arr = F.expr(
+        f"if(size({tmp}) >= {n},"
+        f" transform(sequence(1, size({tmp}) - {n - 1}),"
+        f" i -> struct(i AS p,"
+        f" xxhash64(concat_ws(' ', slice({tmp}, i, {n})), {seed}) AS g)),"
+        f" array())")
+    base = _spread(df.select(id_col, text_col), id_col).withColumn(
+        tmp, F.split(F.coalesce(F.col(text_col), F.lit("")), " "))
+    pos = explode_rows(base, [id_col], pos_arr, "__pg").select(
+        id_col, F.col("__pg.p").alias("__p"), F.col("__pg.g").alias("__g"))
+    w = Window.partitionBy(id_col, "__g")
+    flagged = (pos.withColumn("__cnt", F.count("*").over(w))
+               .filter(F.col("__cnt") >= 2))
+    starts = (flagged.groupBy(id_col)
+              .agg(F.sort_array(F.collect_set("__p")).alias("__starts")))
+    joined = base.join(starts, id_col, "left").withColumn(
+        "__cov",
+        F.expr(f"array_distinct(flatten(transform("
+               f"coalesce(__starts, array()),"
+               f" s -> sequence(s, s + {n - 1}))))"))
+    words = F.col(tmp)
+    cov = F.col("__cov")
+    total_chars = F.aggregate(words, F.lit(0).cast("long"),
+                              lambda acc, x: acc + F.length(x))
+    dup_chars = F.aggregate(
+        cov, F.lit(0).cast("long"),
+        lambda acc, p: acc + F.length(F.element_at(words, p)))
+    frac = lambda a, b: F.round(  # noqa: E731
+        F.coalesce(F.try_divide(a.cast("double"), b.cast("double")),
+                   F.lit(0.0)), round_digits)
+    return joined.select(
+        F.col(id_col),
+        F.size(words).alias("n_words"),
+        F.size(cov).alias("dup_words"),
+        frac(F.size(cov), F.size(words)).alias("dup_word_frac"),
+        dup_chars.alias("dup_chars"),
+        frac(dup_chars, total_chars).alias("dup_char_frac"))
+
+
 def _rewrite_without_spans(base: DataFrame, flagged_pos: DataFrame,
                            id_col: str, tmp: str, k: int,
                            round_digits: int) -> DataFrame:

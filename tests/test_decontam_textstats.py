@@ -736,3 +736,46 @@ class TestGopherGate:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange" not in plan and "Join" not in plan
         assert "Python" not in plan
+
+
+class TestDupNgramWithin:
+    def test_exact_coverage(self, spark):
+        from json_schema_rs_spark.operators.textstats import dup_ngram_within
+        df = spark.createDataFrame([
+            # "a b c" occurs twice; windows 1..5, dups at starts 1 and 5:
+            # covered word positions {1,2,3} U {5,6,7} -> 6 of 7
+            (0, "a b c xx a b c"),
+            (1, "all words here are unique today"),
+            (2, ""),
+            (3, None),
+        ], "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in
+               dup_ngram_within(df, n=3).collect()}
+        r = out[0]
+        assert r["n_words"] == 7 and r["dup_words"] == 6
+        assert r["dup_word_frac"] == round(6 / 7, 6)
+        assert r["dup_chars"] == 6              # a,b,c,a,b,c
+        assert r["dup_char_frac"] == round(6 / 8, 6)  # total chars 3+2+3
+        assert out[1]["dup_words"] == 0
+        assert out[1]["dup_word_frac"] == 0.0
+        for d in (2, 3):
+            assert out[d]["dup_words"] == 0
+            assert out[d]["dup_char_frac"] == 0.0
+
+    def test_fully_repeated_doc(self, spark):
+        from json_schema_rs_spark.operators.textstats import dup_ngram_within
+        df = spark.createDataFrame([(0, "x y z x y z x y z")],
+                                   "doc_id bigint, text string")
+        r = dup_ngram_within(df, n=3).collect()[0]
+        assert r["dup_word_frac"] == 1.0 and r["dup_char_frac"] == 1.0
+
+    def test_text_never_shuffles(self, spark):
+        from json_schema_rs_spark.operators.textstats import dup_ngram_within
+        df = spark.createDataFrame([(0, "a b c a b c")],
+                                   "doc_id bigint, text string")
+        plan = (dup_ngram_within(df, n=3)
+                ._jdf.queryExecution().executedPlan().toString())
+        import re
+        for ex in re.findall(r"Exchange [^\n]*", plan):
+            assert "text" not in ex
+        assert "CartesianProduct" not in plan
