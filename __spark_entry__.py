@@ -3781,6 +3781,60 @@ FROM seg
 """
 
 
+def _q_x_redact_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Luhn-gated card redaction: every 3rd doc carries a valid PAN
+    # (redacted), every 5th a checksum-failing lookalike (kept), every
+    # 7th a dashed valid PAN (redacted); the oracle re-derives
+    # candidates, the mod-10 fold, and the exact rewritten bytes
+    from json_schema_rs_spark.operators.textstats import (
+        redact_card_numbers)
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.select("doc_id", F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit(" card 4111111111111111 ok")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit(" ref 4111111111111112 no")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit(" pan 5500-0000-0000-0004 end"))
+         .otherwise(F.lit(""))).alias("text"))
+    return redact_card_numbers(salted)
+
+
+_SQL_X_REDACT_CARDS = r"""
+WITH s AS (SELECT doc_id,
+  text
+  || CASE WHEN doc_id % 3 = 0 THEN ' card 4111111111111111 ok'
+          ELSE '' END
+  || CASE WHEN doc_id % 5 = 0 THEN ' ref 4111111111111112 no'
+          ELSE '' END
+  || CASE WHEN doc_id % 7 = 0 THEN ' pan 5500-0000-0000-0004 end'
+          ELSE '' END AS t
+FROM documents),
+c AS (SELECT doc_id, t,
+        unnest(regexp_extract_all(t, '\b(?:[0-9][ -]?){12,18}[0-9]\b'))
+          AS cd
+      FROM s),
+d AS (SELECT doc_id, cd,
+        list_filter(string_split(cd, ''),
+                    ch -> ch BETWEEN '0' AND '9') AS ds
+      FROM c),
+v AS (SELECT doc_id, cd FROM d
+      WHERE len(ds) BETWEEN 13 AND 19
+        AND list_sum(list_transform(range(1, len(ds) + 1), i ->
+              CASE WHEN (len(ds) - i) % 2 = 1
+                   THEN CASE WHEN ds[i]::INT >= 5 THEN ds[i]::INT * 2 - 9
+                             ELSE ds[i]::INT * 2 END
+                   ELSE ds[i]::INT END)) % 10 = 0),
+agg AS (SELECT doc_id, list(cd) AS valids FROM v GROUP BY doc_id)
+SELECT s.doc_id,
+  CAST(coalesce(len(valids), 0) AS INT) AS n_card,
+  list_reduce(list_prepend(s.t, coalesce(valids, [])),
+              (acc, x) -> replace(acc, x, '[CARD]')) AS text_redacted
+FROM s LEFT JOIN agg ON s.doc_id = agg.doc_id
+"""
+
+
 def _q_x_dup_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     # within-doc duplicated n-gram coverage: every 3rd doc gets the
     # same 3-gram twice appended, so its tail (and any organic base
@@ -5431,6 +5485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_c4_clean": _q_x_c4_clean,
         "x_gopher_gate": _q_x_gopher_gate,
         "x_dup_within": _q_x_dup_within,
+        "x_redact_cards": _q_x_redact_cards,
         "x_rep_ngram": _q_x_rep_ngram,
         "x_dup_ngrams": _q_x_dup_ngrams,
         "x_dedup_spans": _q_x_dedup_spans,
@@ -5596,6 +5651,7 @@ def oracle_sql() -> dict[str, str]:
         "x_c4_clean": _SQL_X_C4_CLEAN,
         "x_gopher_gate": _SQL_X_GOPHER_GATE,
         "x_dup_within": _SQL_X_DUP_WITHIN,
+        "x_redact_cards": _SQL_X_REDACT_CARDS,
         "x_rep_ngram": _SQL_X_REP_NGRAM,
         "x_dup_ngrams": _SQL_X_DUP_NGRAMS,
         "x_dedup_spans": _SQL_X_DEDUP_SPANS,

@@ -103,6 +103,7 @@ HEADLINE = [
     "x_gopher_gate",
     "d_dedup_report",
     "x_dup_within",
+    "x_redact_cards",
     "d_conv_dsir",
     "d_source_dup_rate",
     "s_vocab_growth",

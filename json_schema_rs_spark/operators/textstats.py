@@ -433,6 +433,62 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     return df.select(F.col(id_col), *counts, red.alias(out_col))
 
 
+# card-shaped digit runs: 13-19 digits, single space/dash separators
+# allowed between digits; \b + bounded repetition keep 20+-digit runs
+# unmatched in BOTH dialects (Java backtracks to a failing \b, RE2's
+# NFA finds no valid end) — parity-tested on adversarial strings
+CARD_CANDIDATE_REGEX = r"\b(?:[0-9][ -]?){12,18}[0-9]\b"
+
+
+def redact_card_numbers(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", *,
+                        out_col: str = "text_redacted",
+                        placeholder: str = "[CARD]") -> DataFrame:
+    """Payment-card redaction with Luhn validation — the PII category
+    :func:`redact_pii`'s pure-regex pass can't do safely: card-shaped
+    13-19-digit runs (spaces/dashes allowed) are redacted ONLY when the
+    digits pass the Luhn mod-10 checksum, so order ids / tracking
+    numbers / timestamps survive while real PANs are scrubbed (the
+    regex+checksum convention of public CommonCrawl PII pipelines).
+    Output: ``(id, n_card, out_col)``; counts on the original text,
+    NULL text propagates (NULL count, NULL output — the redact_pii
+    convention).
+
+    All row-local whole-stage codegen: candidate extraction is one
+    ``regexp_extract_all``, the Luhn check a per-candidate integer fold
+    (doubling from the right, 2d-9 folding), the rewrite a literal
+    ``replace`` fold over the validated candidates — zero shuffle, zero
+    joins, zero Python. Candidate regex confined to the Java/RE2
+    dialect intersection so the DuckDB oracle reproduces the bytes."""
+    orig = F.col(text_col)
+    cands = F.regexp_extract_all(orig, F.lit(CARD_CANDIDATE_REGEX),
+                                 F.lit(0))
+
+    def _luhn_ok(cd):
+        ds = F.filter(F.split(cd, ""), lambda c: c.rlike("[0-9]"))
+        n = F.size(ds)
+
+        def _dig(i):
+            return F.element_at(ds, i).cast("int")
+
+        def _term(i):
+            d = _dig(i)
+            return F.when(((n - i) % 2) == 1,
+                          F.when(d >= 5, d * 2 - 9).otherwise(d * 2)) \
+                    .otherwise(d)
+
+        tot = F.aggregate(F.sequence(F.lit(1), n), F.lit(0),
+                          lambda acc, i: acc + _term(i))
+        return (n >= 13) & (n <= 19) & (tot % 10 == 0)
+
+    valids = F.filter(cands, _luhn_ok)
+    red = F.aggregate(valids, orig,
+                      lambda acc, c: F.replace(acc, c, F.lit(placeholder)))
+    return df.select(F.col(id_col),
+                     F.size(valids).alias("n_card"),
+                     red.alias(out_col))
+
+
 CONTROL_CLASS = r"[\x00-\x08\x0B-\x1F\x7F]"  # C0 minus \t \n, plus DEL
 
 

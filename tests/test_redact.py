@@ -85,3 +85,76 @@ class TestRedactPii:
                                          .executedPlan().toString()
         assert "Exchange" not in plan
         assert "*(1)" in plan  # whole-stage-codegen stage marker
+
+
+class TestRedactCardNumbers:
+    def _run(self, spark, rows):
+        from json_schema_rs_spark.operators.textstats import (
+            redact_card_numbers)
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        return {r["doc_id"]: r for r in redact_card_numbers(df).collect()}
+
+    def test_luhn_valid_redacted_invalid_kept(self, spark):
+        out = self._run(spark, [
+            (0, "pay 4111111111111111 now"),           # Luhn-valid
+            (1, "ref 4111111111111112 now"),           # checksum fails
+            (2, "card 5500-0000-0000-0004 ok"),        # dashed, valid
+            (3, "card 5500 0000 0000 0004 ok"),        # spaced, valid
+        ])
+        assert out[0]["n_card"] == 1
+        assert out[0]["text_redacted"] == "pay [CARD] now"
+        assert out[1]["n_card"] == 0
+        assert out[1]["text_redacted"] == "ref 4111111111111112 now"
+        assert out[2]["text_redacted"] == "card [CARD] ok"
+        assert out[3]["text_redacted"] == "card [CARD] ok"
+
+    def test_lengths_and_runs(self, spark):
+        out = self._run(spark, [
+            (0, "short 411111111111 no"),              # 12 digits: no hit
+            (1, "id 12345678901234567890123 x"),       # 23-digit run: no hit
+            (2, "a 4111111111111111 b 4012888888881881 c"),  # two valid
+            (3, ""),
+            (4, None),
+        ])
+        assert out[0]["n_card"] == 0 and "[CARD]" not in out[0]["text_redacted"]
+        assert out[1]["n_card"] == 0
+        assert out[2]["n_card"] == 2
+        assert out[2]["text_redacted"] == "a [CARD] b [CARD] c"
+        assert out[3]["n_card"] == 0
+        assert out[4]["n_card"] is None and out[4]["text_redacted"] is None
+
+    def test_java_re2_parity_on_adversarial_strings(self, spark):
+        # the SAME candidate set + bytes from both regex dialects
+        import duckdb
+        from json_schema_rs_spark.operators.textstats import (
+            CARD_CANDIDATE_REGEX)
+        probes = [
+            "4111111111111111", "4111-1111 1111-1111x",
+            "x4111111111111111", "41 11 11 11 11 11 11 11",
+            "1234567890123456789012345", "4111111111111111-",
+            " 4111111111111111 5500000000000004 ",
+            "a-4111111111111111-b", "….4111111111111111.…",
+        ]
+        df = spark.createDataFrame(list(enumerate(probes)),
+                                   "doc_id bigint, text string")
+        from pyspark.sql import functions as F
+        got = {r["doc_id"]: r["c"] for r in df.select(
+            "doc_id", F.regexp_extract_all(
+                "text", F.lit(CARD_CANDIDATE_REGEX), F.lit(0)).alias("c")
+        ).collect()}
+        con = duckdb.connect()
+        for i, p in enumerate(probes):
+            want = con.execute(
+                "SELECT regexp_extract_all(?, ?)",
+                [p, CARD_CANDIDATE_REGEX]).fetchone()[0]
+            assert got[i] == want, (p, got[i], want)
+
+    def test_zero_shuffle(self, spark):
+        from json_schema_rs_spark.operators.textstats import (
+            redact_card_numbers)
+        df = spark.createDataFrame([(0, "x 4111111111111111")],
+                                   "doc_id bigint, text string")
+        plan = (redact_card_numbers(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan and "Join" not in plan
+        assert "Python" not in plan
