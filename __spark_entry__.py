@@ -3781,6 +3781,42 @@ FROM seg
 """
 
 
+def _q_x_blockwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C4 bad-words rule: every 4th doc gets a punctuated blocklist hit,
+    # every 9th a plural near-miss that must NOT match (whole-word
+    # contract), so count and verdict fire in both polarities
+    from json_schema_rs_spark.operators.textstats import blockword_stats
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.select("doc_id", F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" visit our Casino!"))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 9 == 0, F.lit(" the casinos closed"))
+         .otherwise(F.lit(""))).alias("text"))
+    return blockword_stats(salted, ["casino", "jackpot"])
+
+
+_SQL_X_BLOCKWORDS = r"""
+WITH s AS (SELECT doc_id,
+  text
+  || CASE WHEN doc_id % 4 = 0 THEN ' visit our Casino!' ELSE '' END
+  || CASE WHEN doc_id % 9 = 0 THEN ' the casinos closed' ELSE '' END AS t
+FROM documents),
+n AS (SELECT doc_id,
+  list_transform(
+    list_filter(regexp_split_to_array(t, '\s+'), x -> x <> ''),
+    x -> regexp_replace(regexp_replace(lower(x), '^[^a-z0-9]+', ''),
+                        '[^a-z0-9]+$', '')) AS ws
+FROM s)
+SELECT doc_id,
+  CAST(len(list_filter(ws, x -> list_contains(['casino', 'jackpot'], x)))
+       AS INT) AS n_blocked,
+  len(list_filter(ws, x -> list_contains(['casino', 'jackpot'], x))) > 0
+    AS has_blocked
+FROM n
+"""
+
+
 def _q_x_redact_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Luhn-gated card redaction: every 3rd doc carries a valid PAN
     # (redacted), every 5th a checksum-failing lookalike (kept), every
@@ -5486,6 +5522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_gopher_gate": _q_x_gopher_gate,
         "x_dup_within": _q_x_dup_within,
         "x_redact_cards": _q_x_redact_cards,
+        "x_blockwords": _q_x_blockwords,
         "x_rep_ngram": _q_x_rep_ngram,
         "x_dup_ngrams": _q_x_dup_ngrams,
         "x_dedup_spans": _q_x_dedup_spans,
@@ -5652,6 +5689,7 @@ def oracle_sql() -> dict[str, str]:
         "x_gopher_gate": _SQL_X_GOPHER_GATE,
         "x_dup_within": _SQL_X_DUP_WITHIN,
         "x_redact_cards": _SQL_X_REDACT_CARDS,
+        "x_blockwords": _SQL_X_BLOCKWORDS,
         "x_rep_ngram": _SQL_X_REP_NGRAM,
         "x_dup_ngrams": _SQL_X_DUP_NGRAMS,
         "x_dedup_spans": _SQL_X_DEDUP_SPANS,

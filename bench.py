@@ -104,6 +104,7 @@ HEADLINE = [
     "d_dedup_report",
     "x_dup_within",
     "x_redact_cards",
+    "x_blockwords",
     "d_conv_dsir",
     "d_source_dup_rate",
     "s_vocab_growth",

@@ -433,6 +433,42 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     return df.select(F.col(id_col), *counts, red.alias(out_col))
 
 
+def blockword_stats(df: DataFrame, blocklist: list[str],
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Word-blocklist screening — the C4 "bad words" rule (Raffel et
+    al. 2020 §2.2 drops any page containing a word from a blocklist;
+    RefinedWeb/FineWeb keep the same gate with curated lists): per doc
+    ``(id, n_blocked, has_blocked)`` where matching is on LOWERCASED
+    whitespace words with non-alphanumeric edges stripped (so
+    "Casino!", "(casino)" and "casino" all match a `casino` entry, but
+    "casinos" does not — whole-word, not substring, the C4 convention).
+    Filter on ``has_blocked`` to apply; keep ``n_blocked`` to audit or
+    threshold (one incidental hit vs saturation).
+
+    The blocklist compiles to a literal array probed with
+    ``array_contains`` — all row-local whole-stage codegen, zero
+    shuffle, zero joins, zero Python; for 100k+-entry lists switch to a
+    broadcast semi-join on the exploded token (same note as the URL
+    blocklist)."""
+    if not blocklist:
+        raise ValueError("blocklist must be non-empty")
+    blk = F.array(*[F.lit(w.lower()) for w in blocklist])
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != "")
+    norm = F.transform(
+        words,
+        lambda x: F.regexp_replace(
+            F.regexp_replace(F.lower(x), "^[^a-z0-9]+", ""),
+            "[^a-z0-9]+$", ""))
+    n_blocked = F.size(F.filter(norm,
+                                lambda x: F.array_contains(blk, x)))
+    return df.select(F.col(id_col),
+                     n_blocked.alias("n_blocked"),
+                     (n_blocked > 0).alias("has_blocked"))
+
+
 # card-shaped digit runs: 13-19 digits, single space/dash separators
 # allowed between digits; \b + bounded repetition keep 20+-digit runs
 # unmatched in BOTH dialects (Java backtracks to a failing \b, RE2's

@@ -779,3 +779,39 @@ class TestDupNgramWithin:
         for ex in re.findall(r"Exchange [^\n]*", plan):
             assert "text" not in ex
         assert "CartesianProduct" not in plan
+
+
+class TestBlockwordStats:
+    def test_whole_word_matching(self, spark):
+        from json_schema_rs_spark.operators.textstats import blockword_stats
+        df = spark.createDataFrame([
+            (0, "visit our Casino! today"),          # punct-stripped hit
+            (1, "the casinos are closed"),           # plural: no hit
+            (2, "(casino) casino CASINO"),           # three hits
+            (3, "perfectly clean text here"),
+            (4, ""),
+            (5, None),
+        ], "doc_id bigint, text string")
+        out = {r["doc_id"]: r for r in
+               blockword_stats(df, ["casino", "jackpot"]).collect()}
+        assert out[0]["n_blocked"] == 1 and out[0]["has_blocked"] is True
+        assert out[1]["n_blocked"] == 0 and out[1]["has_blocked"] is False
+        assert out[2]["n_blocked"] == 3
+        for d in (3, 4, 5):
+            assert out[d]["n_blocked"] == 0
+            assert out[d]["has_blocked"] is False
+
+    def test_empty_blocklist_raises(self, spark):
+        from json_schema_rs_spark.operators.textstats import blockword_stats
+        df = spark.createDataFrame([(0, "x")], "doc_id bigint, text string")
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            blockword_stats(df, [])
+
+    def test_zero_shuffle(self, spark):
+        from json_schema_rs_spark.operators.textstats import blockword_stats
+        df = spark.createDataFrame([(0, "a b")], "doc_id bigint, text string")
+        plan = (blockword_stats(df, ["x"])
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan and "Join" not in plan
+        assert "Python" not in plan
