@@ -1891,6 +1891,47 @@ _ORACLE_TX_TOOLS = f"""
 """
 
 
+def _q_t_drop_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the stuck-loop REPAIR: turns at idx % 6 in (2,3) are forced into
+    # identical assistant replies, so each injected pair loses its
+    # second member (and any organic same-role byte-repeats go too);
+    # the oracle re-derives the same (role, idx)-sorted lag filter
+    from json_schema_rs_spark.operators.table_checks import (
+        drop_looped_turns)
+    tx = _transcripts_with_tools(_t(spark, sf_dir, "events"))
+    looped = F.col("turn_idx") % 6
+    salted = tx.select(
+        "conv_id", "turn_idx",
+        F.when(looped.isin(2, 3), F.lit("assistant"))
+         .otherwise(F.col("role")).alias("role"),
+        F.when(looped.isin(2, 3), F.lit("I will comply."))
+         .otherwise(F.col("text")).alias("text"),
+        "tool", "ts")
+    return drop_looped_turns(salted)
+
+
+_SQL_T_DROP_LOOPS = f"""
+WITH tx AS ({_ORACLE_TX_TOOLS}),
+m AS (SELECT conv_id, turn_idx,
+        CASE WHEN turn_idx % 6 IN (2, 3) THEN 'assistant'
+             ELSE role END AS role,
+        CASE WHEN turn_idx % 6 IN (2, 3) THEN 'I will comply.'
+             ELSE text END AS text,
+        tool, ts
+      FROM tx),
+l AS (SELECT *,
+        lag(coalesce(role, '')) OVER w AS pr,
+        lag(text) OVER w AS pt
+      FROM m
+      WINDOW w AS (PARTITION BY conv_id
+                   ORDER BY coalesce(role, ''), turn_idx))
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM l
+WHERE NOT coalesce(coalesce(role, '') = pr
+                   AND text IS NOT NULL AND text = pt, FALSE)
+"""
+
+
 def _q_t_role_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json_schema_rs_spark.operators.table_checks import (
         role_transition_violations,
@@ -5463,6 +5504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_vocab_growth": _q_s_vocab_growth,
         "t_conv_profile": _q_t_conv_profile,
         "t_turn_loops": _q_t_turn_loops,
+        "t_drop_loops": _q_t_drop_loops,
         "t_conv_verdicts": _q_t_conv_verdicts,
         "t_expectations": _q_t_expectations,
         "v_violation_stats": _q_v_violation_stats,
@@ -5637,6 +5679,7 @@ def oracle_sql() -> dict[str, str]:
         "s_vocab_growth": _SQL_S_VOCAB_GROWTH,
         "t_conv_profile": _SQL_T_CONV_PROFILE,
         "t_turn_loops": _SQL_T_TURN_LOOPS,
+        "t_drop_loops": _SQL_T_DROP_LOOPS,
         "t_conv_verdicts": _SQL_T_CONV_VERDICTS,
         "t_expectations": _SQL_T_EXPECTATIONS,
         "v_violation_stats": _SQL_V_VIOLATION_STATS,

@@ -105,6 +105,7 @@ HEADLINE = [
     "x_dup_within",
     "x_redact_cards",
     "x_blockwords",
+    "t_drop_loops",
     "d_conv_dsir",
     "d_source_dup_rate",
     "s_vocab_growth",

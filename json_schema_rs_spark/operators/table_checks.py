@@ -1097,3 +1097,36 @@ def coerce_vocabulary(
               .withColumn(column, F.when(bad, F.lit(fallback))
                                    .otherwise(F.col(column)))
               .select(*df.columns, "was_coerced"))
+
+
+def drop_looped_turns(
+    df: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """The ACTING complement of :func:`turn_loop_stats` (the same
+    check/repair symmetry as gap-free <-> :func:`reindex_turns`): drop
+    every turn whose text byte-equals the SAME role's previous turn in
+    ``idx_col`` order — the first occurrence of each streak survives,
+    the retries/stuck repeats go. Exactly the turns `turn_loop_stats`
+    counts as loop turns are removed, so a repaired conversation scores
+    ``loop_turns = 0`` by construction (asserted in tests). NULL text
+    never drops; NULL roles compare as one role. Surviving rows keep
+    all input columns and their original ``idx_col`` (gaps where drops
+    happened — compose with :func:`reindex_turns` to renumber, the
+    repair-pipeline convention).
+
+    Scale shape: ONE conv-keyed exchange — the same (role, idx)-sorted
+    window trick as the check (same-role adjacency without per-role
+    windows); the filter is a codegen'd lag comparison, no joins, no
+    Python."""
+    rkey = F.coalesce(F.col(role_col), F.lit(""))
+    w = Window.partitionBy(conv_col).orderBy(rkey, F.col(idx_col))
+    dup = ((rkey == F.lag(rkey).over(w))
+           & F.col(text_col).isNotNull()
+           & (F.col(text_col) == F.lag(text_col).over(w)))
+    return (df.withColumn("__loop", F.coalesce(dup, F.lit(False)))
+            .filter(~F.col("__loop")).drop("__loop"))

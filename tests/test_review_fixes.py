@@ -174,3 +174,57 @@ class TestDriverCcGate:
         out = near_dup_groups(pairs, method="driver",
                               driver_max_edges=100).collect()
         assert all(r["group_id"] == 0 for r in out)
+
+
+class TestDropLoopedTurns:
+    def _tx(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string")
+
+    def test_drops_streak_keeps_first(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            drop_looped_turns)
+        df = self._tx(spark, [
+            ("c", 0, "user", "hi"),
+            ("c", 1, "assistant", "I will comply."),
+            ("c", 2, "user", "and?"),            # wedged turn: no reset
+            ("c", 3, "assistant", "I will comply."),
+            ("c", 4, "assistant", "I will comply."),
+            ("c", 5, "assistant", "done"),
+        ])
+        kept = sorted(r["turn_idx"] for r in
+                      drop_looped_turns(df).collect())
+        assert kept == [0, 1, 2, 5]
+
+    def test_repaired_conversation_scores_clean(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            drop_looped_turns, turn_loop_stats)
+        df = self._tx(spark, [
+            ("c", i, "assistant", "loop" if i < 4 else f"t{i}")
+            for i in range(6)
+        ])
+        before = turn_loop_stats(df).collect()[0]
+        assert before["loop_turns"] == 3
+        after = turn_loop_stats(drop_looped_turns(df)).collect()[0]
+        assert after["loop_turns"] == 0 and after["verdict"] == "ok"
+
+    def test_null_text_and_roles(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            drop_looped_turns)
+        df = self._tx(spark, [
+            ("c", 0, None, None),
+            ("c", 1, None, None),     # NULL text never loops
+            ("c", 2, None, "x"),
+            ("c", 3, None, "x"),      # NULL roles compare as one role
+        ])
+        kept = sorted(r["turn_idx"] for r in
+                      drop_looped_turns(df).collect())
+        assert kept == [0, 1, 2]
+
+    def test_one_exchange(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            drop_looped_turns)
+        df = self._tx(spark, [("c", 0, "u", "a")])
+        plan = (drop_looped_turns(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("Exchange") == 1 and "Join" not in plan
