@@ -1308,8 +1308,8 @@ t AS (SELECT conv_id,
                    6) * 1e6) AS BIGINT) AS qm
       FROM b)
 SELECT conv_id, count(*) AS n_turns,
-       round(sum(qm) / (count(*) * 1e6), 6) AS mean_quality,
-       round(min(qm) / 1e6, 6) AS min_turn_quality,
+       floor(sum(qm) / count(*))::BIGINT::DOUBLE / 1e6 AS mean_quality,
+       min(qm)::DOUBLE / 1e6 AS min_turn_quality,
        CASE WHEN sum(qm) / (count(*) * 1e6) >= 0.3
             THEN 'keep' ELSE 'drop' END AS verdict
 FROM t GROUP BY conv_id
@@ -2625,7 +2625,8 @@ sc AS (SELECT rg.doc_id, count(*) AS n_grams,
 SELECT r.doc_id,
   coalesce(sc.n_grams, 0) AS n_grams,
   coalesce(sc.logw, 0) AS logw_micro,
-  round(coalesce(sc.logw / (sc.n_grams * 1e6), 0.0), 6) AS avg_logw
+  coalesce(floor(sc.logw / sc.n_grams)::BIGINT::DOUBLE / 1e6, 0.0)
+    AS avg_logw
 FROM raw r LEFT JOIN sc ON r.doc_id = sc.doc_id
 """
 
@@ -4319,7 +4320,8 @@ scored AS (SELECT doc_id, count(*) AS n_tokens,
                   sum(coalesce(micro.m, (SELECT m FROM oov))) AS logp_micro
            FROM tok LEFT JOIN micro USING (t) GROUP BY doc_id)
 SELECT doc_id, n_tokens, logp_micro,
-       round(logp_micro / (n_tokens * 1000000.0), 6) AS avg_logp
+       floor(logp_micro / n_tokens)::BIGINT::DOUBLE / 1000000.0
+         AS avg_logp
 FROM scored
 """
 
@@ -5063,7 +5065,8 @@ sc AS (SELECT rg.conv_id, count(*) AS n_grams,
 SELECT raw.conv_id,
   coalesce(sc.n_grams, 0) AS n_grams,
   coalesce(sc.logw, 0) AS logw_micro,
-  round(coalesce(sc.logw / (sc.n_grams * 1e6), 0.0), 6) AS avg_logw
+  coalesce(floor(sc.logw / sc.n_grams)::BIGINT::DOUBLE / 1e6, 0.0)
+    AS avg_logw
 FROM raw LEFT JOIN sc ON raw.conv_id = sc.conv_id
 """
 
@@ -5306,7 +5309,8 @@ SELECT conv_id,
        CAST(max(gap_us) AS BIGINT) AS max_gap_us,
        CAST(sum(CASE WHEN gap_us > 43200000000::BIGINT
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_stale,
-       round(sum(gap_us) / (count(*) * 1000000.0), 6) AS avg_gap_sec
+       floor(sum(gap_us) / count(*))::BIGINT::DOUBLE / 1000000.0
+         AS avg_gap_sec
 FROM g WHERE gap_us IS NOT NULL
 GROUP BY conv_id
 """
@@ -5331,7 +5335,8 @@ SELECT prev_role, role,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
        CAST(max(gap_us) AS BIGINT) AS max_gap_us,
-       round(sum(gap_us) / (count(*) * 1000000.0), 6) AS avg_gap_sec
+       floor(sum(gap_us) / count(*))::BIGINT::DOUBLE / 1000000.0
+         AS avg_gap_sec
 FROM g WHERE gap_us IS NOT NULL
 GROUP BY prev_role, role
 """

@@ -508,14 +508,19 @@ def dsir_weight_table(raw_df: DataFrame, target_df: DataFrame,
 def dsir_weights(raw_df: DataFrame, target_df: DataFrame,
                  text_col: str = "text", id_col: str = "doc_id", *,
                  ns: tuple[int, ...] = (1, 2), buckets: int = 4096,
-                 table: list[tuple[int, int]] | None = None,
-                 round_digits: int = 6) -> DataFrame:
+                 table: list[tuple[int, int]] | None = None) -> DataFrame:
     """Per-doc DSIR importance log-weights against a target corpus:
     ``(id, n_grams, logw_micro, avg_logw)`` where ``logw_micro`` is the
     exact integer micro-nat sum of the doc's per-gram bucket weights
-    and ``avg_logw`` its length-normalized float rendering. Docs with
-    no grams (empty/NULL text) report ``(0, 0, 0.0)``. Pass
-    ``table=dsir_weight_table(...)`` to reuse a trained model."""
+    and ``avg_logw`` its length-normalized float rendering —
+    ``floor(logw_micro / n_grams) / 1e6``, derived from an exact
+    integer floor division rather than ``round()`` because rounding a
+    quotient of small integers regularly lands on exact decimal ties
+    (x.5 micro-nats whenever ``2·logw ≡ n (mod 2n)``) where engines'
+    tie-breaking disagrees; the floor-div double is the same IEEE op
+    sequence everywhere. Docs with no grams (empty/NULL text) report
+    ``(0, 0, 0.0)``. Pass ``table=dsir_weight_table(...)`` to reuse a
+    trained model."""
     from ..functions.exprs import arrow_local_df, explode_rows
     from .dedup import _spread
     wt = table if table is not None else dsir_weight_table(
@@ -541,10 +546,11 @@ def dsir_weights(raw_df: DataFrame, target_df: DataFrame,
                 F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
                 F.coalesce(F.col("logw_micro"), F.lit(0))
                  .alias("logw_micro"),
-                F.round(F.coalesce(
-                    F.col("logw_micro") /
-                    (F.col("n_grams").cast("double") * F.lit(1_000_000.0)),
-                    F.lit(0.0)), round_digits).alias("avg_logw")))
+                F.coalesce(
+                    F.floor(F.col("logw_micro") /
+                            F.col("n_grams")).cast("double")
+                    / F.lit(1_000_000.0),
+                    F.lit(0.0)).alias("avg_logw")))
 
 
 def dsir_sample(raw_df: DataFrame, target_df: DataFrame, n_docs: int,

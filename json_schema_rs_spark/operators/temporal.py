@@ -133,8 +133,9 @@ def turn_latency_stats(
     a pure measurement.
 
     Exactness: sums/max are integer microseconds (bit-exact
-    cross-engine); ``avg_gap_sec`` is one IEEE division rounded to
-    ``round_digits``.
+    cross-engine); ``avg_gap_sec`` = ``floor(sum_us / n) / 1e6`` — an
+    exact integer floor division (tie-free cross-engine; round()
+    of an int/small-int quotient hits exact decimal ties).
 
     Scale shape: the gap is computed in a skinny ``(conv, ts)`` window
     projection — ONE exchange on ``conv_col``; the per-conversation
@@ -154,10 +155,15 @@ def turn_latency_stats(
             (F.col("_gap_us") > F.lit(int(stale_seconds * 1_000_000)))
             .cast("long")).alias("n_stale"))
     return (per.groupBy(conv_col).agg(*aggs)
-            .withColumn("avg_gap_sec",
-                        F.round(F.col("sum_gap_us")
-                                / (F.col("n_gaps") * F.lit(1_000_000.0)),
-                                round_digits)))
+            .withColumn(
+                # exact integer floor division, not round(): an integer
+                # microsecond sum over a small count regularly lands on
+                # exact decimal ties where engines' tie-breaking
+                # disagrees; floor(a/b)/1e6 is tie-free and identical
+                # IEEE ops everywhere
+                "avg_gap_sec",
+                F.floor(F.col("sum_gap_us") / F.col("n_gaps"))
+                 .cast("double") / F.lit(1_000_000.0)))
 
 
 def role_pair_latency(
@@ -197,10 +203,10 @@ def role_pair_latency(
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("_gap_us").alias("sum_gap_us"),
                  F.max("_gap_us").alias("max_gap_us"))
-            .withColumn("avg_gap_sec",
-                        F.round(F.col("sum_gap_us")
-                                / (F.col("n") * F.lit(1_000_000.0)),
-                                round_digits)))
+            .withColumn(
+                "avg_gap_sec",
+                F.floor(F.col("sum_gap_us") / F.col("n"))
+                 .cast("double") / F.lit(1_000_000.0)))
 
 
 def asof_join(

@@ -899,11 +899,15 @@ def lm_quality(df: DataFrame, text_col: str = "text",
               .agg(F.count("*").alias("n_tokens"),
                    F.sum(F.coalesce(F.col("__m"), F.lit(oov_micro)))
                    .alias("logp_micro")))
+    # avg via exact integer floor division, NOT round(): the quotient of
+    # an integer micro-nat sum by a small token count regularly lands on
+    # exact decimal ties (x.5 micro-nats whenever 2·logp ≡ n (mod 2n))
+    # where Spark's BigDecimal HALF_UP and DuckDB's scale-then-round
+    # disagree; floor(a/b)/1e6 is the same IEEE op sequence everywhere
     return scored.select(
         F.col(id_col), F.col("n_tokens"), F.col("logp_micro"),
-        F.round(F.col("logp_micro") /
-                (F.col("n_tokens").cast("double") * F.lit(1_000_000.0)),
-                round_digits).alias("avg_logp"))
+        (F.floor(F.col("logp_micro") / F.col("n_tokens")).cast("double")
+         / F.lit(1_000_000.0)).alias("avg_logp"))
 
 
 def heavy_hitters(df: DataFrame, text_col: str = "text",
@@ -1069,11 +1073,15 @@ def conversation_quality(
                 F.min("_qm").alias("_min")))
     mean = (F.col("_s").cast("double")
             / (F.col("n_turns").cast("double") * 1e6))
+    # emitted mean via exact integer floor division (round() of an
+    # integer micro sum over a small turn count hits exact decimal
+    # ties where engines disagree); _min is already integer micro, so
+    # its /1e6 is a single exact division needing no rounding at all
     return agg.select(
         conv_col, "n_turns",
-        F.round(mean, round_digits).alias("mean_quality"),
-        F.round(F.col("_min").cast("double") / 1e6,
-                round_digits).alias("min_turn_quality"),
+        (F.floor(F.col("_s") / F.col("n_turns")).cast("double") / 1e6)
+        .alias("mean_quality"),
+        (F.col("_min").cast("double") / 1e6).alias("min_turn_quality"),
         F.when(mean >= F.lit(float(min_quality)), F.lit("keep"))
          .otherwise(F.lit("drop")).alias("verdict"))
 

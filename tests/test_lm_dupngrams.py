@@ -178,8 +178,7 @@ class TestLmQuality:
                lm_quality(df, lm=(rows, n, v)).collect()}
         exp0 = 2 * by_tok["a"][1] + by_tok["b"][1]
         assert out[0]["logp_micro"] == exp0
-        assert out[0]["avg_logp"] == pytest.approx(
-            round(exp0 / (3 * 1_000_000.0), 6))
+        assert out[0]["avg_logp"] == math.floor(exp0 / 3) / 1_000_000.0
 
     def test_reference_corpus_lm(self, spark):
         # train on a reference corpus, score a different one: OOV-heavy
@@ -195,7 +194,7 @@ class TestLmQuality:
         assert out[0] > out[1]
         rows, n, v = lm
         oov = int(math.floor(math.log(1.0 / (n + v + 1)) * 1_000_000))
-        assert out[1] == pytest.approx(round(oov / 1_000_000.0, 6))
+        assert out[1] == math.floor(oov / 1) / 1_000_000.0
 
     def test_vocab_join_is_broadcast(self, spark):
         df = spark.createDataFrame(

@@ -534,7 +534,7 @@ class TestDsir:
             gs = grams(t)
             logw = sum(w[self._bucket(g, buckets)] for g in gs)
             exp[i] = (len(gs), logw if gs else 0,
-                      round(logw / (len(gs) * 1e6), 6) if gs else 0.0)
+                      math.floor(logw / len(gs)) / 1e6 if gs else 0.0)
         return exp
 
     def test_values_match_stdlib_twin(self, spark):
