@@ -3026,6 +3026,58 @@ FROM r WHERE rank <= 10
 """
 
 
+def _q_a_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # product-quantization ADC top-k (Jégou et al. 2011): 64-dim floats
+    # -> 4 codes/vector against 16 per-subspace centroids. With the
+    # deterministic lowest-id codebook the whole pipeline — codebook,
+    # per-subspace argmin encode, LUT scoring, ranking — is re-derived
+    # by the oracle value-exactly (dim-ordered folds, sub-ordered sums).
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(emb, emb.filter(F.col("vec_id") < 8),
+                              k=10, m=4, n_centroids=16)
+
+
+_SQL_A_PQ_TOPK = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+cen AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        FROM e ORDER BY vec_id LIMIT 16),
+sub AS (SELECT unnest(range(4)) AS s),
+dist AS (SELECT e.vec_id, sub.s, cen.cid,
+           list_sum(list_transform(range(1, 17), i ->
+             (v[sub.s * 16 + i] - cv[sub.s * 16 + i])
+             * (v[sub.s * 16 + i] - cv[sub.s * 16 + i]))) AS d2
+         FROM e, sub, cen),
+code AS (SELECT vec_id, s, cid FROM (
+           SELECT vec_id, s, cid,
+                  row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2, cid) AS rn
+           FROM dist) WHERE rn = 1),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+lut AS (SELECT q.qid, sub.s, cen.cid,
+          list_sum(list_transform(range(1, 17), i ->
+            qv[sub.s * 16 + i] * cv[sub.s * 16 + i])) AS pd
+        FROM q, sub, cen),
+parts AS (SELECT l.qid, co.vec_id,
+            max(CASE WHEN co.s = 0 THEN l.pd END) AS p0,
+            max(CASE WHEN co.s = 1 THEN l.pd END) AS p1,
+            max(CASE WHEN co.s = 2 THEN l.pd END) AS p2,
+            max(CASE WHEN co.s = 3 THEN l.pd END) AS p3
+          FROM code co JOIN lut l ON l.s = co.s AND l.cid = co.cid
+          GROUP BY l.qid, co.vec_id),
+sc AS (SELECT qid AS query_id, vec_id AS neighbor_id,
+         round(((p0 + p1) + p2) + p3, 6) AS adc_sim
+       FROM parts WHERE vec_id <> qid),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_sim DESC, neighbor_id)
+        AS rank
+      FROM sc)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_sim
+FROM r WHERE rank <= 10
+"""
+
+
 def _q_a_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding-cosine near-dup pairs (exact baseline / verifier). The
     # NumPy mapInPandas path: bit-identical to the HOF-fold operator
@@ -5548,6 +5600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_vector_check": _q_v_vector_check,
         "a_normalize": _q_a_normalize,
         "a_quantized_topk": _q_a_quantized_topk,
+        "a_pq_topk": _q_a_pq_topk,
         "a_cosine_dup_pairs": _q_a_cosine_dup,
         "a_cosine_dup_bucketed": _q_a_cosine_dup_bucketed,
         "a_knn_join": _q_a_knn_join,
@@ -5718,6 +5771,7 @@ def oracle_sql() -> dict[str, str]:
         "v_vector_check": _SQL_V_VECTOR_CHECK,
         "a_normalize": _SQL_A_NORMALIZE,
         "a_quantized_topk": _SQL_A_QUANTIZED_TOPK,
+        "a_pq_topk": _SQL_A_PQ_TOPK,
         "a_cosine_dup_pairs": _SQL_A_COSINE_DUP,
         "a_cosine_dup_bucketed": _SQL_A_COSINE_DUP_BUCKETED,
         "a_knn_join": _SQL_A_KNN_JOIN,

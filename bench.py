@@ -106,6 +106,7 @@ HEADLINE = [
     "x_redact_cards",
     "x_blockwords",
     "t_drop_loops",
+    "a_pq_topk",
     "d_conv_dsir",
     "d_source_dup_rate",
     "s_vocab_growth",

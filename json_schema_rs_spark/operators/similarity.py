@@ -1527,3 +1527,203 @@ def ivf_recall(
                     F.round(F.col("n_hits")
                             / F.col("n_exact").cast("double"),
                             round_digits).alias("recall")))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search") — the memory lever past int8: split each
+# d-dim vector into m subspaces, quantize each sub-vector to one of k
+# per-subspace centroids, store m small codes (d=64, m=4, k=16 → 4
+# bytes/vector, 64x under float32). Search uses asymmetric distance
+# computation (ADC): the query stays float, each subspace contributes a
+# looked-up partial dot, so ranking quality degrades gracefully while
+# the corpus scan reads only codes.
+# ---------------------------------------------------------------------------
+
+def _pq_valid(df: DataFrame, id_col: str, vec_col: str):
+    return df.filter(F.col(vec_col).isNotNull()
+                     & (F.size(F.col(vec_col)) > 0))
+
+
+def pq_codebook(corpus: DataFrame, *, m: int = 4, n_centroids: int = 16,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                iters: int = 0, sample_n: int = 2048) -> list:
+    """Train/derive the PQ codebook: ``m x n_centroids x (d/m)`` nested
+    lists. Default (``iters=0``) is the engine's deterministic
+    convention — per-subspace centroids are the sub-slices of the
+    ``n_centroids`` LOWEST-ID valid vectors (exactly the untrained-IVF
+    rule, so a SQL oracle re-derives the codebook from the data).
+    ``iters>0`` runs per-subspace Lloyd in NumPy over the ``sample_n``
+    lowest-id vectors (PQ codebooks train on bounded samples even for
+    billion-vector indexes — the standard practice); the trained path
+    is recall-gated in tests rather than value-oracled.
+
+    Distance folds accumulate DIMENSION BY DIMENSION (the engine's
+    cross-engine parity convention), so assignments are reproducible."""
+    import numpy as np
+
+    if m < 1 or n_centroids < 1:
+        raise ValueError("m and n_centroids must be >= 1")
+    head = (_pq_valid(corpus, id_col, vec_col)
+            .orderBy(id_col)
+            .limit(max(n_centroids, sample_n if iters > 0 else 0))
+            .select(F.col(vec_col).cast("array<double>").alias("_v"))
+            .collect())
+    if len(head) < n_centroids:
+        raise ValueError(
+            f"corpus has {len(head)} valid vectors, need {n_centroids}")
+    dims = len(head[0]["_v"])
+    if dims % m != 0:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    dsub = dims // m
+    mats = np.array([r["_v"] for r in head if len(r["_v"]) == dims],
+                    dtype="float64")
+    book = np.array([mats[:n_centroids, s * dsub:(s + 1) * dsub]
+                     for s in range(m)])          # (m, k, dsub)
+    if iters > 0:
+        sample = mats[:sample_n]
+        for _ in range(iters):
+            for s in range(m):
+                xs = sample[:, s * dsub:(s + 1) * dsub]
+                dist = np.zeros((len(xs), n_centroids))
+                for d in range(dsub):             # pinned fold order
+                    diff = xs[:, d, None] - book[s][None, :, d]
+                    dist += diff * diff
+                code = np.argmin(dist, axis=1)    # first-min tie
+                for c in range(n_centroids):
+                    members = xs[code == c]
+                    if len(members):
+                        book[s][c] = members.mean(axis=0)
+    return [[list(map(float, c)) for c in sub] for sub in book]
+
+
+def pq_encode(corpus: DataFrame, codebook: list, *,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode each vector to its ``m`` per-subspace nearest-centroid
+    codes — ``(id, codes array<int>)``. NULL / wrong-dimension vectors
+    get NULL codes. ZERO shuffle: the codebook broadcasts, each Arrow
+    batch computes its distances in NumPy with the dimension-by-
+    dimension fold (ties -> lowest centroid index, the argmin
+    first-occurrence rule the SQL oracle mirrors with a (dist, cid)
+    lexicographic min)."""
+    import numpy as np
+
+    book = np.array(codebook, dtype="float64")    # (m, k, dsub)
+    m, k, dsub = book.shape
+    dims = m * dsub
+    sc = corpus.sparkSession.sparkContext
+    b_book = sc.broadcast(book)
+    src = corpus.select(F.col(id_col).cast("bigint").alias(id_col),
+                        F.col(vec_col).alias("_v"))
+
+    def run(batches):
+        import pandas as pd
+        bk = b_book.value
+        for pdf in batches:
+            out: list = [None] * len(pdf)
+            live = [i for i, v in enumerate(pdf["_v"])
+                    if v is not None and len(v) == dims]
+            if live:
+                mat = np.array([pdf["_v"].iloc[i] for i in live],
+                               dtype="float64")
+                codes = np.zeros((len(live), m), dtype="int64")
+                for s in range(m):
+                    xs = mat[:, s * dsub:(s + 1) * dsub]
+                    dist = np.zeros((len(xs), k))
+                    for d in range(dsub):         # pinned fold order
+                        diff = xs[:, d, None] - bk[s][None, :, d]
+                        dist += diff * diff
+                    codes[:, s] = np.argmin(dist, axis=1)
+                for vi, i in enumerate(live):
+                    out[i] = codes[vi].tolist()
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": out})
+
+    return src.mapInPandas(run, schema=f"{id_col} bigint, codes array<int>")
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, *, k: int = 10,
+            m: int = 4, n_centroids: int = 16, codebook: list | None = None,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            round_digits: int | None = 6) -> DataFrame:
+    """PQ/ADC top-k: rank the encoded corpus for each float query by
+    the asymmetric dot score ``sum_s dot(q_sub, centroid[s][code_s])``
+    (use L2-normalized inputs for cosine semantics). Same output
+    contract as :func:`cosine_topk`: ``(query_id, neighbor_id, rank,
+    adc_sim)``; ranking recall vs the exact scan is gated in tests.
+
+    Scale shape: ONE corpus encode pass (zero shuffle) + ONE code scan
+    where each Arrow batch scores against the broadcast per-query
+    lookup tables (m x k partial dots, computed once per query) and
+    emits only its batch-local top-k superset — the final per-query
+    window sees k x n_batches rows, never |corpus| (the quantized_topk
+    pruning argument, margin sized to the rounding grain). Scores
+    accumulate SUBSPACE BY SUBSPACE after dimension-by-dimension LUT
+    folds, so the SQL oracle reproduces every value bit-for-bit."""
+    import numpy as np
+
+    book_l = codebook if codebook is not None else pq_codebook(
+        corpus, m=m, n_centroids=n_centroids, id_col=id_col,
+        vec_col=vec_col)
+    book = np.array(book_l, dtype="float64")
+    m_, kc, dsub = book.shape
+    dims = m_ * dsub
+    q_rows = [r for r in _pq_valid(queries, id_col, vec_col)
+              .select(F.col(id_col).cast("bigint").alias(id_col),
+                      F.col(vec_col).cast("array<double>").alias("_v"))
+              .collect() if len(r["_v"]) == dims]
+    if not q_rows:
+        return arrow_local_df(
+            corpus.sparkSession, [],
+            "query_id bigint, neighbor_id bigint, rank int, adc_sim double")
+    q_ids = np.array([r[id_col] for r in q_rows], dtype="int64")
+    q_mat = np.array([r["_v"] for r in q_rows], dtype="float64")
+    # per-query LUT: lut[q, s, c] = dot(q_sub, centroid) in dim order
+    lut = np.zeros((len(q_ids), m_, kc))
+    for s in range(m_):
+        for d in range(dsub):                     # pinned fold order
+            lut[:, s, :] += np.outer(q_mat[:, s * dsub + d],
+                                     book[s][:, d])
+    sc = corpus.sparkSession.sparkContext
+    b_lut = sc.broadcast((q_ids, lut))
+    margin = (1.01 * 10.0 ** -round_digits) if round_digits is not None \
+        else 0.0
+    enc = pq_encode(corpus, book_l, id_col=id_col, vec_col=vec_col)
+
+    def score(batches):
+        import pandas as pd
+        ids_, lut_ = b_lut.value
+        for pdf in batches:
+            outs = {"query_id": [], "neighbor_id": [], "_sim": []}
+            live = [i for i, cd in enumerate(pdf["codes"])
+                    if cd is not None]
+            if live:
+                nids = pdf[id_col].to_numpy(dtype="int64")[live]
+                codes = np.array([pdf["codes"].iloc[i] for i in live],
+                                 dtype="int64")
+                sims = np.zeros((len(live), len(ids_)))
+                for s in range(m_):               # subspace order
+                    sims += lut_[:, s, :][:, codes[:, s]].T
+                for qi in range(len(ids_)):
+                    col = sims[:, qi]
+                    mask = nids != ids_[qi]
+                    cand_ids, cand = nids[mask], col[mask]
+                    order = np.lexsort((cand_ids, -cand))
+                    if len(order) > k:
+                        cut = cand[order[k - 1]] - margin
+                        order = order[cand[order] >= cut]
+                    outs["query_id"].extend([ids_[qi]] * len(order))
+                    outs["neighbor_id"].extend(cand_ids[order].tolist())
+                    outs["_sim"].extend(cand[order].tolist())
+            yield pd.DataFrame(outs)
+
+    scored = enc.mapInPandas(
+        score, schema="query_id bigint, neighbor_id bigint, _sim double")
+    sim = (F.round(F.col("_sim"), round_digits)
+           if round_digits is not None else F.col("_sim"))
+    scored = scored.select("query_id", "neighbor_id", sim.alias("adc_sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k)
+                  .select("query_id", "neighbor_id", "rank", "adc_sim"))

@@ -172,3 +172,115 @@ class TestNormalizeEmbeddings:
         plan = normalize_embeddings(df)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestProductQuantization:
+    def _clustered(self, spark, *, per=6, dims=8, noise=0.01):
+        # 3 well-separated clusters; PQ must keep members together
+        import numpy as np
+        rng = np.random.RandomState(7)
+        centers = np.array([
+            [1.0] * dims,
+            [-1.0] * dims,
+            [1.0, -1.0] * (dims // 2),
+        ])
+        rows = []
+        for ci, c in enumerate(centers):
+            for j in range(per):
+                v = c + noise * rng.standard_normal(dims)
+                v = v / np.sqrt((v * v).sum())
+                rows.append((ci * 100 + j, [float(x) for x in v]))
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>"), per
+
+    def test_codebook_shape_and_validation(self, spark):
+        from json_schema_rs_spark.operators.similarity import pq_codebook
+        df, _ = self._clustered(spark)
+        book = pq_codebook(df, m=4, n_centroids=3)
+        assert len(book) == 4 and len(book[0]) == 3
+        assert len(book[0][0]) == 2                 # 8 dims / 4 subs
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            pq_codebook(df, m=3, n_centroids=3)     # 8 % 3 != 0
+        with _pt.raises(ValueError):
+            pq_codebook(df.limit(2), m=4, n_centroids=5)
+
+    def test_encode_codes_and_nulls(self, spark):
+        from json_schema_rs_spark.operators.similarity import (
+            pq_codebook, pq_encode)
+        df, _ = self._clustered(spark)
+        book = pq_codebook(df, m=4, n_centroids=3)
+        twin = df.filter(F.col("vec_id") == 0).select(
+            (F.col("vec_id") + 905).alias("vec_id"), "embedding")
+        extra = df.union(spark.createDataFrame(
+            [(900, None), (901, [1.0, 2.0])],
+            "vec_id bigint, embedding array<double>")).union(twin)
+        out = {r["vec_id"]: r["codes"] for r in
+               pq_encode(extra, book).collect()}
+        assert out[900] is None and out[901] is None
+        assert all(len(c) == 4 for i, c in out.items()
+                   if i < 900 or i == 905)
+        # an exact twin must share its original's codes
+        assert out[905] == out[0]
+
+    def test_topk_groups_clusters(self, spark):
+        from json_schema_rs_spark.operators.similarity import (
+            pq_codebook, pq_topk)
+        df, per = self._clustered(spark)
+        book = pq_codebook(df, m=4, n_centroids=3, iters=3)
+        got = pq_topk(df, df.filter(F.col("vec_id").isin(0, 100, 200)),
+                      k=per - 1, m=4, n_centroids=3,
+                      codebook=book).collect()
+        for r in got:
+            assert r["neighbor_id"] // 100 == r["query_id"] // 100, r
+
+    def test_matches_brute_force_adc(self, spark):
+        # the distributed scan must equal a local NumPy ADC re-derivation
+        import numpy as np
+        from json_schema_rs_spark.operators.similarity import (
+            pq_codebook, pq_topk)
+        df, _ = self._clustered(spark)
+        book = pq_codebook(df, m=4, n_centroids=3)
+        bk = np.array(book)
+        rows = sorted((r["vec_id"], np.array(r["embedding"]))
+                      for r in df.collect())
+        ids = np.array([i for i, _ in rows])
+        mat = np.stack([v for _, v in rows])
+        m, kc, dsub = bk.shape
+        codes = np.zeros((len(ids), m), dtype=int)
+        for s in range(m):
+            d2 = np.zeros((len(ids), kc))
+            for d in range(dsub):
+                diff = mat[:, s * dsub + d, None] - bk[s][None, :, d]
+                d2 += diff * diff
+            codes[:, s] = np.argmin(d2, axis=1)
+        q = mat[ids == 0][0]
+        sim = np.zeros(len(ids))
+        for s in range(m):
+            lut = np.zeros(kc)
+            for d in range(dsub):
+                lut += q[s * dsub + d] * bk[s][:, d]
+            sim += lut[codes[:, s]]
+        mask = ids != 0
+        order = np.lexsort((ids[mask], -np.round(sim[mask], 6)))
+        want = [(int(ids[mask][i]), round(float(sim[mask][i]), 6))
+                for i in order[:5]]
+        got = [(r["neighbor_id"], r["adc_sim"]) for r in
+               pq_topk(df, df.filter(F.col("vec_id") == 0), k=5, m=4,
+                       n_centroids=3, codebook=book)
+               .orderBy("rank").collect()]
+        assert got == want
+
+    def test_plan_shapes(self, spark):
+        from json_schema_rs_spark.operators.similarity import (
+            pq_codebook, pq_encode, pq_topk)
+        df, _ = self._clustered(spark)
+        book = pq_codebook(df, m=4, n_centroids=3)
+        enc_plan = (pq_encode(df, book)
+                    ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in enc_plan
+        top_plan = (pq_topk(df, df.limit(2), k=3, m=4, n_centroids=3,
+                            codebook=book)
+                    ._jdf.queryExecution().executedPlan().toString())
+        assert top_plan.count("Exchange") == 1      # the top-k window
+        assert "CartesianProduct" not in top_plan
