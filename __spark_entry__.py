@@ -3400,6 +3400,31 @@ SELECT (SELECT count(DISTINCT query_id) FROM ex) AS n_queries,
 """
 
 
+def _q_a_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recall@10 of the 4-byte PQ codes vs exact brute force — the
+    # compression-tuning measurement as a first-class query; fully
+    # value-oracled (both sides deterministic)
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_recall(emb, emb.filter(F.col("vec_id") < 8),
+                                k=10, m=4, n_centroids=16)
+
+
+_SQL_A_PQ_RECALL = f"""
+WITH ap AS (SELECT query_id, neighbor_id FROM ({_SQL_A_PQ_TOPK})),
+ex AS (SELECT query_id, neighbor_id FROM ({_SQL_A_COSINE}))
+SELECT (SELECT count(DISTINCT query_id) FROM ex) AS n_queries,
+       10 AS k,
+       (SELECT count(*) FROM ex) AS n_exact,
+       (SELECT count(*) FROM ap SEMI JOIN ex
+          ON ap.query_id = ex.query_id
+         AND ap.neighbor_id = ex.neighbor_id) AS n_hits,
+       round((SELECT count(*) FROM ap SEMI JOIN ex
+                ON ap.query_id = ex.query_id
+               AND ap.neighbor_id = ex.neighbor_id)
+             / CAST((SELECT count(*) FROM ex) AS DOUBLE), 6) AS recall
+"""
+
+
 def _q_a_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the production IVF shape: centroids from Lloyd k-means (deterministic
     # seed = 16 lowest-id vectors, 2 update rounds) instead of raw seed
@@ -5601,6 +5626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_normalize": _q_a_normalize,
         "a_quantized_topk": _q_a_quantized_topk,
         "a_pq_topk": _q_a_pq_topk,
+        "a_pq_recall": _q_a_pq_recall,
         "a_cosine_dup_pairs": _q_a_cosine_dup,
         "a_cosine_dup_bucketed": _q_a_cosine_dup_bucketed,
         "a_knn_join": _q_a_knn_join,
@@ -5772,6 +5798,7 @@ def oracle_sql() -> dict[str, str]:
         "a_normalize": _SQL_A_NORMALIZE,
         "a_quantized_topk": _SQL_A_QUANTIZED_TOPK,
         "a_pq_topk": _SQL_A_PQ_TOPK,
+        "a_pq_recall": _SQL_A_PQ_RECALL,
         "a_cosine_dup_pairs": _SQL_A_COSINE_DUP,
         "a_cosine_dup_bucketed": _SQL_A_COSINE_DUP_BUCKETED,
         "a_knn_join": _SQL_A_KNN_JOIN,

@@ -107,6 +107,7 @@ HEADLINE = [
     "x_blockwords",
     "t_drop_loops",
     "a_pq_topk",
+    "a_pq_recall",
     "d_conv_dsir",
     "d_source_dup_rate",
     "s_vocab_growth",

@@ -1727,3 +1727,41 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, *, k: int = 10,
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k)
                   .select("query_id", "neighbor_id", "rank", "adc_sim"))
+
+
+def pq_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    m: int = 4,
+    n_centroids: int = 16,
+    codebook: list | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Recall@k of the PQ/ADC path against exact brute force — the
+    :func:`ivf_recall` measurement for the compressed index (an index
+    owner tunes ``m``/``n_centroids`` against THIS number: more
+    subspaces = better recall, more bytes). Same one-row output
+    contract ``(n_queries, k, n_exact, n_hits, recall)``; with the
+    deterministic codebook the measurement is value-oracle-checkable.
+    Shapes: each operator keeps its own (one code scan + window; one
+    exact scan + window); the intersection is an equi-join of two
+    ≤ k·|queries| edge lists."""
+    approx = pq_topk(corpus, queries, k=k, m=m, n_centroids=n_centroids,
+                     codebook=codebook, id_col=id_col,
+                     vec_col=vec_col).select("query_id", "neighbor_id")
+    exact = cosine_topk(corpus, queries, k=k, id_col=id_col,
+                        vec_col=vec_col).select("query_id", "neighbor_id")
+    hits = approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+    stats = exact.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_exact"))
+    nh = hits.agg(F.count("*").alias("n_hits"))
+    return (stats.join(F.broadcast(nh))
+            .select("n_queries", F.lit(k).alias("k"), "n_exact", "n_hits",
+                    F.round(F.col("n_hits")
+                            / F.col("n_exact").cast("double"),
+                            round_digits).alias("recall")))
