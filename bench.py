@@ -108,6 +108,7 @@ HEADLINE = [
     "t_drop_loops",
     "a_pq_topk",
     "a_pq_recall",
+    "a_ivfpq_topk",
     "d_conv_dsir",
     "d_source_dup_rate",
     "s_vocab_growth",

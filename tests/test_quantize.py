@@ -284,3 +284,65 @@ class TestProductQuantization:
                     ._jdf.queryExecution().executedPlan().toString())
         assert top_plan.count("Exchange") == 1      # the top-k window
         assert "CartesianProduct" not in top_plan
+
+
+class TestIvfPq:
+    def _clustered(self, spark, *, per=6, dims=8, noise=0.01):
+        # interleaved ids (cluster = id % 10) so the lowest-3-id
+        # untrained centroids span the three clusters and IVF buckets
+        # align with them
+        import numpy as np
+        rng = np.random.RandomState(7)
+        centers = np.array([
+            [1.0] * dims,
+            [-1.0] * dims,
+            [1.0, -1.0] * (dims // 2),
+        ])
+        rows = []
+        for ci, c in enumerate(centers):
+            for j in range(per):
+                v = c + noise * rng.standard_normal(dims)
+                v = v / np.sqrt((v * v).sum())
+                rows.append((j * 10 + ci, [float(x) for x in v]))
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>")
+
+    def test_subset_of_pq_and_probe_semantics(self, spark):
+        # with nprobe = n_centroids (probe everything) IVF+PQ must equal
+        # plain PQ exactly — routing only ever REMOVES candidates
+        from json_schema_rs_spark.operators.similarity import (
+            ivfpq_topk, pq_codebook, pq_topk)
+        df = self._clustered(spark)
+        book = pq_codebook(df, m=4, n_centroids=3)
+        q = df.filter(F.col("vec_id").isin(0, 11))
+        full = {(r["query_id"], r["neighbor_id"], r["adc_sim"]) for r in
+                ivfpq_topk(df, q, k=5, m=4, n_centroids=3, nprobe=3,
+                           codebook=book).collect()}
+        plain = {(r["query_id"], r["neighbor_id"], r["adc_sim"]) for r in
+                 pq_topk(df, q, k=5, m=4, n_centroids=3,
+                         codebook=book).collect()}
+        assert full == plain
+        # nprobe=1 returns only same-bucket rows (clusters separate)
+        one = ivfpq_topk(df, q, k=5, m=4, n_centroids=3, nprobe=1,
+                         codebook=book).collect()
+        assert len(one) > 0
+        for r in one:
+            assert r["neighbor_id"] % 10 == r["query_id"] % 10
+
+    def test_plan_single_exchange(self, spark):
+        from json_schema_rs_spark.operators.similarity import (
+            ivfpq_topk, pq_codebook)
+        df = self._clustered(spark)
+        book = pq_codebook(df, m=4, n_centroids=3)
+        plan = (ivfpq_topk(df, df.limit(2), k=3, m=4, n_centroids=3,
+                           nprobe=2, codebook=book)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("Exchange") == 1
+        assert "CartesianProduct" not in plan
+
+    def test_empty_queries(self, spark):
+        from json_schema_rs_spark.operators.similarity import ivfpq_topk
+        df = self._clustered(spark)
+        out = ivfpq_topk(df, df.filter(F.col("vec_id") < 0), k=3,
+                         m=4, n_centroids=3).collect()
+        assert out == []
