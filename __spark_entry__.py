@@ -3474,6 +3474,97 @@ FROM r WHERE rank <= 10
 """
 
 
+def _q_a_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full FAISS IVFADC (by_residual=true): quantize v - centroid
+    # instead of v, score dot(q, centroid) + residual ADC lookups.
+    # Deterministic residual codebook (residuals of the 17th-32nd
+    # lowest-id vectors) keeps the whole pipeline value-oracled.
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(emb, emb.filter(F.col("vec_id") < 8),
+                                 k=10, m=4, n_centroids=16, nprobe=4,
+                                 by_residual=True)
+
+
+_SQL_A_IVFPQ_RES = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+icen AS (SELECT vec_id AS icid, v AS icv FROM e ORDER BY vec_id LIMIT 16),
+bsc AS (SELECT e.vec_id, icen.icid,
+          list_dot_product(e.v, icen.icv) /
+          (sqrt(list_dot_product(e.v, e.v)) *
+           sqrt(list_dot_product(icen.icv, icen.icv))) AS s
+        FROM e CROSS JOIN icen),
+asg AS (SELECT vec_id, icid AS bucket_id FROM (
+          SELECT bsc.*, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY s DESC, icid) AS rn
+          FROM bsc) WHERE rn = 1),
+srows AS (SELECT vec_id, v FROM (
+            SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rk
+            FROM e) WHERE rk > 16 AND rk <= 32),
+rseed AS (SELECT s.vec_id,
+            list_transform(range(1, 65), i -> s.v[i] - icen.icv[i]) AS rv
+          FROM srows s
+          JOIN asg ON asg.vec_id = s.vec_id
+          JOIN icen ON icen.icid = asg.bucket_id),
+pcen AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, rv AS cv
+         FROM rseed),
+rcor AS (SELECT e.vec_id, asg.bucket_id,
+           list_transform(range(1, 65), i -> e.v[i] - icen.icv[i]) AS rv
+         FROM e
+         JOIN asg ON asg.vec_id = e.vec_id
+         JOIN icen ON icen.icid = asg.bucket_id),
+sub AS (SELECT unnest(range(4)) AS s),
+dist AS (SELECT rcor.vec_id, sub.s, pcen.cid,
+           list_sum(list_transform(range(1, 17), i ->
+             (rv[sub.s * 16 + i] - cv[sub.s * 16 + i])
+             * (rv[sub.s * 16 + i] - cv[sub.s * 16 + i]))) AS d2
+         FROM rcor, sub, pcen),
+code AS (SELECT vec_id, s, cid FROM (
+           SELECT vec_id, s, cid,
+                  row_number() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2, cid) AS rn
+           FROM dist) WHERE rn = 1),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+ps AS (SELECT q.qid, icen.icid,
+         list_dot_product(q.qv, icen.icv) /
+         (sqrt(list_dot_product(q.qv, q.qv)) *
+          sqrt(list_dot_product(icen.icv, icen.icv))) AS s
+       FROM q CROSS JOIN icen),
+probes AS (SELECT qid, icid AS bucket_id FROM (
+             SELECT ps.*, row_number() OVER (PARTITION BY qid
+                                             ORDER BY s DESC, icid) AS rn
+             FROM ps WHERE s IS NOT NULL) WHERE rn <= 4),
+lut AS (SELECT q.qid, sub.s, pcen.cid,
+          list_sum(list_transform(range(1, 17), i ->
+            qv[sub.s * 16 + i] * cv[sub.s * 16 + i])) AS pd
+        FROM q, sub, pcen),
+parts AS (SELECT l.qid, co.vec_id,
+            max(CASE WHEN co.s = 0 THEN l.pd END) AS p0,
+            max(CASE WHEN co.s = 1 THEN l.pd END) AS p1,
+            max(CASE WHEN co.s = 2 THEN l.pd END) AS p2,
+            max(CASE WHEN co.s = 3 THEN l.pd END) AS p3
+          FROM code co JOIN lut l ON l.s = co.s AND l.cid = co.cid
+          GROUP BY l.qid, co.vec_id),
+sc AS (SELECT parts.qid AS query_id, parts.vec_id AS neighbor_id,
+         round(((((list_dot_product(q.qv, icen.icv) + p0) + p1) + p2)
+                + p3), 6) AS adc_sim
+       FROM parts
+       JOIN asg ON asg.vec_id = parts.vec_id
+       JOIN icen ON icen.icid = asg.bucket_id
+       JOIN probes p ON p.qid = parts.qid
+                    AND p.bucket_id = asg.bucket_id
+       JOIN q ON q.qid = parts.qid
+       WHERE parts.vec_id <> parts.qid),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_sim DESC, neighbor_id)
+        AS rank
+      FROM sc)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_sim
+FROM r WHERE rank <= 10
+"""
+
+
 def _q_a_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recall@10 of the 4-byte PQ codes vs exact brute force — the
     # compression-tuning measurement as a first-class query; fully
@@ -5702,6 +5793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_pq_topk": _q_a_pq_topk,
         "a_pq_recall": _q_a_pq_recall,
         "a_ivfpq_topk": _q_a_ivfpq_topk,
+        "a_ivfpq_res": _q_a_ivfpq_res,
         "a_cosine_dup_pairs": _q_a_cosine_dup,
         "a_cosine_dup_bucketed": _q_a_cosine_dup_bucketed,
         "a_knn_join": _q_a_knn_join,
@@ -5875,6 +5967,7 @@ def oracle_sql() -> dict[str, str]:
         "a_pq_topk": _SQL_A_PQ_TOPK,
         "a_pq_recall": _SQL_A_PQ_RECALL,
         "a_ivfpq_topk": _SQL_A_IVFPQ_TOPK,
+        "a_ivfpq_res": _SQL_A_IVFPQ_RES,
         "a_cosine_dup_pairs": _SQL_A_COSINE_DUP,
         "a_cosine_dup_bucketed": _SQL_A_COSINE_DUP_BUCKETED,
         "a_knn_join": _SQL_A_KNN_JOIN,

@@ -109,6 +109,7 @@ HEADLINE = [
     "a_pq_topk",
     "a_pq_recall",
     "a_ivfpq_topk",
+    "a_ivfpq_res",
     "d_conv_dsir",
     "d_source_dup_rate",
     "s_vocab_growth",

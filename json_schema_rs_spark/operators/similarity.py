@@ -1769,7 +1769,7 @@ def pq_recall(
 
 def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *, k: int = 10,
                m: int = 4, n_centroids: int = 16, nprobe: int = 4,
-               codebook: list | None = None,
+               codebook: list | None = None, by_residual: bool = False,
                id_col: str = "vec_id", vec_col: str = "embedding",
                round_digits: int | None = 6) -> DataFrame:
     """IVF+PQ — the FAISS-style production ANN index composed from the
@@ -1777,10 +1777,15 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *, k: int = 10,
     of ``n_centroids`` cosine buckets) over a corpus stored as 4-byte
     PQ codes, scored by ADC lookup tables. The scan that serves top-k
     from ~64x less memory while touching ~nprobe/n_centroids of the
-    corpus. This is the non-residual variant (FAISS ``by_residual =
-    false``); residual encoding (quantize ``v - centroid`` instead of
-    ``v``) is the documented accuracy upgrade and drops into the same
-    kernel. Output contract = :func:`pq_topk`.
+    corpus. ``by_residual=True`` is full FAISS IVFADC: the RESIDUAL
+    ``v - centroid[bucket]`` is quantized instead of ``v`` (residuals
+    are smaller and centered, so the same code budget buys more
+    precision), and the score becomes ``dot(q, centroid) +
+    sum_s lut_res[s][code_s]`` — the per-(query, bucket) dot is a
+    driver-side constant. The deterministic residual codebook seeds
+    from the residuals of the NEXT ``n_centroids`` lowest-id vectors
+    (the centroid rows' own residuals are identically zero). Output
+    contract = :func:`pq_topk`.
 
     Scale shape: ONE fused corpus pass (zero shuffle) computes bucket
     assignment AND PQ codes in the same Arrow/NumPy kernel (broadcast
@@ -1792,23 +1797,46 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *, k: int = 10,
     final per-query window is the single exchange (plan-asserted)."""
     import numpy as np
 
-    book_l = codebook if codebook is not None else pq_codebook(
-        corpus, m=m, n_centroids=n_centroids, id_col=id_col,
-        vec_col=vec_col)
-    book = np.array(book_l, dtype="float64")
-    m_, kc, dsub = book.shape
-    dims = m_ * dsub
-    cent_rows = (_pq_valid(corpus, id_col, vec_col)
-                 .orderBy(id_col).limit(n_centroids)
-                 .select(F.col(id_col).cast("bigint").alias("cid"),
-                         F.col(vec_col).cast("array<double>").alias("cv"))
-                 .collect())
+    head = (_pq_valid(corpus, id_col, vec_col)
+            .orderBy(id_col).limit(2 * n_centroids)
+            .select(F.col(id_col).cast("bigint").alias("cid"),
+                    F.col(vec_col).cast("array<double>").alias("cv"))
+            .collect())
+    cent_rows = head[:n_centroids]
     cids = np.array([r["cid"] for r in cent_rows], dtype="int64")
     cmat = np.array([r["cv"] for r in cent_rows], dtype="float64")
+    dims = cmat.shape[1]
     cn = np.zeros(len(cids))
     for d in range(dims):                         # pinned fold order
         cn += cmat[:, d] * cmat[:, d]
     cn = np.sqrt(cn)
+    if codebook is not None:
+        book_l = codebook
+    elif not by_residual:
+        book_l = pq_codebook(corpus, m=m, n_centroids=n_centroids,
+                             id_col=id_col, vec_col=vec_col)
+    else:
+        seed_rows = head[n_centroids:]
+        if len(seed_rows) < n_centroids:
+            raise ValueError(
+                f"need {2 * n_centroids} valid vectors for a residual "
+                f"codebook, corpus has {len(head)}")
+        smat = np.array([r["cv"] for r in seed_rows], dtype="float64")
+        sn = np.zeros(len(smat))
+        sdots = np.zeros((len(smat), len(cids)))
+        for d in range(dims):                     # pinned fold order
+            sn += smat[:, d] * smat[:, d]
+            sdots += np.outer(smat[:, d], cmat[:, d])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ssim = sdots / np.outer(np.sqrt(sn), cn)
+        res = smat - cmat[np.argmax(ssim, axis=1)]
+        dsub0 = dims // m
+        book_l = [[list(map(float, res[c, s * dsub0:(s + 1) * dsub0]))
+                   for c in range(n_centroids)] for s in range(m)]
+    book = np.array(book_l, dtype="float64")
+    m_, kc, dsub = book.shape
+    if m_ * dsub != dims:
+        raise ValueError(f"codebook dims {m_ * dsub} != corpus {dims}")
 
     q_rows = [r for r in _pq_valid(queries, id_col, vec_col)
               .select(F.col(id_col).cast("bigint").alias(id_col),
@@ -1824,12 +1852,13 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *, k: int = 10,
     for d in range(dims):
         qn += q_mat[:, d] * q_mat[:, d]
     qn = np.sqrt(qn)
-    # probes: top-nprobe centroids by cosine, ties -> lowest cid
-    qsim = np.zeros((len(q_ids), len(cids)))
+    # probes: top-nprobe centroids by cosine, ties -> lowest cid;
+    # the UNNORMALIZED qdot doubles as the residual-scoring constant
+    qdot = np.zeros((len(q_ids), len(cids)))
     for d in range(dims):
-        qsim += np.outer(q_mat[:, d], cmat[:, d])
+        qdot += np.outer(q_mat[:, d], cmat[:, d])
     with np.errstate(divide="ignore", invalid="ignore"):
-        qsim = qsim / np.outer(qn, cn)
+        qsim = qdot / np.outer(qn, cn)
     probes = {}
     for qi in range(len(q_ids)):
         order = np.lexsort((cids, -qsim[qi]))
@@ -1841,7 +1870,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *, k: int = 10,
             lut[:, s, :] += np.outer(q_mat[:, s * dsub + d],
                                      book[s][:, d])
     sc = corpus.sparkSession.sparkContext
-    b_all = sc.broadcast((cids, cmat, cn, book, q_ids, lut, probes))
+    b_all = sc.broadcast((cids, cmat, cn, book, q_ids, lut, probes,
+                          qdot if by_residual else None))
     margin = (1.01 * 10.0 ** -round_digits) if round_digits is not None \
         else 0.0
     src = corpus.select(F.col(id_col).cast("bigint").alias(id_col),
@@ -1849,7 +1879,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *, k: int = 10,
 
     def encode_score(batches):
         import pandas as pd
-        cids_, cmat_, cn_, bk, qids_, lut_, probes_ = b_all.value
+        cids_, cmat_, cn_, bk, qids_, lut_, probes_, qdot_ = b_all.value
         for pdf in batches:
             outs = {"query_id": [], "neighbor_id": [], "_sim": []}
             live = [i for i, v in enumerate(pdf["_v"])
@@ -1866,16 +1896,22 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *, k: int = 10,
                 vn = np.sqrt(vn)
                 with np.errstate(divide="ignore", invalid="ignore"):
                     sims_c = dots / np.outer(vn, cn_)
-                bucket = cids_[np.argmax(sims_c, axis=1)]
+                brow = np.argmax(sims_c, axis=1)
+                bucket = cids_[brow]
+                enc_mat = mat - cmat_[brow] if qdot_ is not None else mat
                 codes = np.zeros((len(live), m_), dtype="int64")
                 for s in range(m_):
-                    xs = mat[:, s * dsub:(s + 1) * dsub]
+                    xs = enc_mat[:, s * dsub:(s + 1) * dsub]
                     dist = np.zeros((len(xs), kc))
                     for d in range(dsub):
                         diff = xs[:, d, None] - bk[s][None, :, d]
                         dist += diff * diff
                     codes[:, s] = np.argmin(dist, axis=1)
-                adc = np.zeros((len(live), len(qids_)))
+                # residual ADC starts from the per-(query, bucket)
+                # dot(q, centroid) constant, then adds the LUT partials
+                # in subspace order (non-residual starts at zero)
+                adc = (qdot_[:, brow].T.copy() if qdot_ is not None
+                       else np.zeros((len(live), len(qids_))))
                 for s in range(m_):               # subspace order
                     adc += lut_[:, s, :][:, codes[:, s]].T
                 for qi in range(len(qids_)):
