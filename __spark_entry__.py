@@ -1559,6 +1559,36 @@ FROM pa, pb
 """
 
 
+def _q_s_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXACT quantiles via iterative histogram refinement (the precise
+    # complement of the profile's sketch percentiles): values are
+    # actual data points at the quantile_disc rank, so the oracle
+    # compares them with zero float arithmetic
+    from json_schema_rs_spark.operators.stats import exact_quantiles
+    li = _t(spark, sf_dir, "lineitem")
+    return exact_quantiles(li, "l_extendedprice",
+                           (0.25, 0.5, 0.9, 0.99))
+
+
+_SQL_S_EXACT_QUANTILES = """
+SELECT CAST(0.25 AS DOUBLE) AS q,
+       quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.25) AS value,
+       count(l_extendedprice) AS n FROM lineitem
+UNION ALL
+SELECT CAST(0.5 AS DOUBLE),
+       quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.5),
+       count(l_extendedprice) FROM lineitem
+UNION ALL
+SELECT CAST(0.9 AS DOUBLE),
+       quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.9),
+       count(l_extendedprice) FROM lineitem
+UNION ALL
+SELECT CAST(0.99 AS DOUBLE),
+       quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.99),
+       count(l_extendedprice) FROM lineitem
+"""
+
+
 def _q_s_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     prof = stats.profile(
         _t(spark, sf_dir, "lineitem"),
@@ -5759,6 +5789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_transcript_diff": _q_t_transcript_diff,
         # stats + drift
         "s_profile": _q_s_profile,
+        "s_exact_quantiles": _q_s_exact_quantiles,
         "s_profile_drift": _q_s_profile_drift,
         "s_chi2_drift": _q_s_chi2,
         "s_ks_drift": _q_s_ks,
@@ -5937,6 +5968,7 @@ def oracle_sql() -> dict[str, str]:
         "v_review_queue": _SQL_V_REVIEW_QUEUE,
         "t_transcript_diff": _SQL_T_TRANSCRIPT_DIFF,
         "s_profile": _SQL_S_PROFILE,
+        "s_exact_quantiles": _SQL_S_EXACT_QUANTILES,
         "s_profile_drift": _SQL_S_PROFILE_DRIFT,
         "s_chi2_drift": _SQL_S_CHI2,
         "s_ks_drift": _SQL_S_KS,

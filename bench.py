@@ -110,6 +110,7 @@ HEADLINE = [
     "a_pq_recall",
     "a_ivfpq_topk",
     "a_ivfpq_res",
+    "s_exact_quantiles",
     "d_conv_dsir",
     "d_source_dup_rate",
     "s_vocab_growth",

@@ -605,3 +605,103 @@ def psi_matrix(
             .agg(F.round(F.sum(term), round_digits).alias("psi"),
                  F.max("_ta").alias("n_a"),
                  F.max("_tb").alias("n_b")))
+
+
+def exact_quantiles(df: DataFrame, value_col: str,
+                    qs: Sequence[float] = (0.5,), *,
+                    bins: int = 2048, max_collect: int = 100_000,
+                    max_rounds: int = 16) -> DataFrame:
+    """EXACT quantiles at any scale — the precise complement of the
+    profile's sketch percentiles, via the classic iterative histogram
+    refinement ("median of a huge file"): each round one fixed-edge
+    histogram aggregate narrows the candidate interval by a factor of
+    ``bins`` until the target bucket holds ≤ ``max_collect`` rows,
+    which are then collected and indexed directly. Returns one row per
+    requested quantile: ``(q, value, n)`` with ``value`` an ACTUAL
+    data value at rank ``max(ceil(q·n) − 1, 0)`` of the sorted
+    non-null multiset — the ``quantile_disc`` convention, so a SQL
+    oracle compares values exactly with no float arithmetic at all.
+    Empty input → NULL values.
+
+    Scale shape: scans only — one count/min/max pass, one shared
+    first-round histogram for ALL quantiles, then ≤ ``max_rounds``
+    per-quantile refinement histograms (doubles exhaust after ~6
+    rounds of 2048 bins; mass concentrated on one float terminates via
+    a zero-width interval). Every aggregate is map-side combined; the
+    driver holds only ``bins`` longs per round. No sort, no shuffle of
+    data rows, no single-reducer value buffering (Spark's exact
+    ``percentile`` aggregate buffers all values per group — this
+    doesn't)."""
+    import math as _m
+
+    col = F.col(value_col).cast("double")
+    base = df.filter(col.isNotNull()).select(col.alias("_x"))
+    head = base.agg(F.count("*").alias("n"), F.min("_x").alias("mn"),
+                    F.max("_x").alias("mx")).collect()[0]
+    n, mn, mx = head["n"], head["mn"], head["mx"]
+    spark = df.sparkSession
+    if n == 0:
+        return arrow_local_df(
+            spark, [(float(q), None, 0) for q in qs],
+            "q double, value double, n bigint")
+
+    def _bin_expr(lo: float, hi: float):
+        w = hi - lo
+        return F.least(
+            F.greatest(F.floor((F.col("_x") - F.lit(lo)) / F.lit(w)
+                               * F.lit(float(bins))).cast("int"),
+                       F.lit(0)),
+            F.lit(bins - 1))
+
+    def _hist(lo: float, hi: float) -> list[int]:
+        rows = (base.filter((F.col("_x") >= lo) & (F.col("_x") <= hi))
+                .groupBy(_bin_expr(lo, hi).alias("_b"))
+                .agg(F.count("*").alias("_c")).collect())
+        out = [0] * bins
+        for r in rows:
+            out[r["_b"]] = r["_c"]
+        return out
+
+    def _edges(lo: float, hi: float, b: int) -> tuple[float, float]:
+        w = hi - lo
+        e_lo = lo if b == 0 else lo + w * b / bins
+        e_hi = hi if b == bins - 1 else lo + w * (b + 1) / bins
+        return e_lo, e_hi
+
+    first = _hist(mn, mx) if mn < mx else None
+    results = []
+    for q in qs:
+        rank = max(_m.ceil(q * n) - 1, 0)
+        if mn == mx:
+            results.append((float(q), float(mn), int(n)))
+            continue
+        lo, hi, offset, hist = mn, mx, 0, first
+        value = None
+        for _ in range(max_rounds):
+            cum = 0
+            for b, c in enumerate(hist):
+                if cum + c > rank - offset:
+                    break
+                cum += c
+            offset += cum
+            in_bucket = hist[b]
+            b_lo, b_hi = _edges(lo, hi, b)
+            if in_bucket <= max_collect or b_lo >= b_hi:
+                # collect with the SAME membership rule the histogram
+                # used (the bin expression), so floats on edges land
+                # identically
+                vals = sorted(r["_x"] for r in
+                              base.filter((F.col("_x") >= lo)
+                                          & (F.col("_x") <= hi))
+                              .filter(_bin_expr(lo, hi) == b)
+                              .collect())
+                value = vals[rank - offset]
+                break
+            lo, hi = b_lo, b_hi
+            hist = _hist(lo, hi)
+        if value is None:
+            raise RuntimeError(
+                f"exact_quantiles did not converge for q={q} "
+                f"(raise max_collect or max_rounds)")
+        results.append((float(q), float(value), int(n)))
+    return arrow_local_df(spark, results, "q double, value double, n bigint")

@@ -1107,3 +1107,45 @@ class TestPsiMatrix:
         # matrix plan reads only the checkpointed (group, bin) counts
         assert "ExistingRDD[source" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestExactQuantiles:
+    def test_differential_vs_duckdb(self, spark):
+        import random
+        import duckdb
+        from json_schema_rs_spark.operators.stats import exact_quantiles
+        rng = random.Random(11)
+        vals = ([rng.uniform(-50, 50) for _ in range(400)]
+                + [3.5] * 57 + [-7.25] * 23)      # heavy duplicates
+        rng.shuffle(vals)
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        qs = (0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+        got = {r["q"]: r["value"] for r in
+               exact_quantiles(df, "x", qs, bins=16,
+                               max_collect=8).collect()}
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT unnest(?) AS x", [vals])
+        for q in qs:
+            want = con.execute(
+                "SELECT quantile_disc(x, ?) FROM t", [q]).fetchone()[0]
+            assert got[q] == want, (q, got[q], want)
+
+    def test_tiny_buckets_force_rounds(self, spark):
+        from json_schema_rs_spark.operators.stats import exact_quantiles
+        df = spark.createDataFrame([(float(i),) for i in range(1000)],
+                                   "x double")
+        out = {r["q"]: r["value"] for r in
+               exact_quantiles(df, "x", (0.5,), bins=4,
+                               max_collect=2).collect()}
+        assert out[0.5] == 499.0                  # ceil(0.5*1000)-1
+    def test_constant_and_empty(self, spark):
+        from json_schema_rs_spark.operators.stats import exact_quantiles
+        const = spark.createDataFrame([(5.0,)] * 9, "x double")
+        r = exact_quantiles(const, "x", (0.5,)).collect()[0]
+        assert r["value"] == 5.0 and r["n"] == 9
+        empty = spark.createDataFrame([], "x double")
+        r = exact_quantiles(empty, "x", (0.5,)).collect()[0]
+        assert r["value"] is None and r["n"] == 0
+        withnull = spark.createDataFrame([(None,), (2.0,)], "x double")
+        r = exact_quantiles(withnull, "x", (1.0,)).collect()[0]
+        assert r["value"] == 2.0 and r["n"] == 1
