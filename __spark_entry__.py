@@ -1589,6 +1589,47 @@ SELECT CAST(0.99 AS DOUBLE),
 """
 
 
+def _q_s_exact_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact Pearson r between two per-doc signals, per source — all
+    # five accumulations are order-free integer micro sums, so the
+    # oracle reproduces r to the bit before rounding
+    from json_schema_rs_spark.operators.stats import exact_corr
+    from json_schema_rs_spark.operators.textstats import token_stats
+    docs = _t(spark, sf_dir, "documents")
+    t = (docs.select("doc_id", "source")
+         .join(token_stats(docs), "doc_id"))
+    return exact_corr(t, "n_chars", "bpe_tokens", group_col="source")
+
+
+_SQL_S_EXACT_CORR = r"""
+WITH t AS (SELECT source,
+             length(text)::BIGINT AS nc,
+             len(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS bt
+           FROM documents
+           WHERE text IS NOT NULL),
+m AS (SELECT source,
+        CAST(round(nc * 1e6) AS BIGINT) AS x,
+        CAST(round(bt * 1e6) AS BIGINT) AS y
+      FROM t),
+a AS (SELECT source, count(*) AS n,
+        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        CAST(sum(x * y) AS BIGINT) AS sxy,
+        CAST(sum(x * x) AS BIGINT) AS sxx,
+        CAST(sum(y * y) AS BIGINT) AS syy
+      FROM m GROUP BY source)
+SELECT source, n,
+  CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+        AND n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0
+       THEN round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                  / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                         * (n::DOUBLE * syy::DOUBLE
+                            - sy::DOUBLE * sy::DOUBLE)), 6)
+  END AS r
+FROM a ORDER BY source
+"""
+
+
 def _q_s_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     prof = stats.profile(
         _t(spark, sf_dir, "lineitem"),
@@ -5790,6 +5831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stats + drift
         "s_profile": _q_s_profile,
         "s_exact_quantiles": _q_s_exact_quantiles,
+        "s_exact_corr": _q_s_exact_corr,
         "s_profile_drift": _q_s_profile_drift,
         "s_chi2_drift": _q_s_chi2,
         "s_ks_drift": _q_s_ks,
@@ -5969,6 +6011,7 @@ def oracle_sql() -> dict[str, str]:
         "t_transcript_diff": _SQL_T_TRANSCRIPT_DIFF,
         "s_profile": _SQL_S_PROFILE,
         "s_exact_quantiles": _SQL_S_EXACT_QUANTILES,
+        "s_exact_corr": _SQL_S_EXACT_CORR,
         "s_profile_drift": _SQL_S_PROFILE_DRIFT,
         "s_chi2_drift": _SQL_S_CHI2,
         "s_ks_drift": _SQL_S_KS,

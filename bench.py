@@ -111,6 +111,7 @@ HEADLINE = [
     "a_ivfpq_topk",
     "a_ivfpq_res",
     "s_exact_quantiles",
+    "s_exact_corr",
     "d_conv_dsir",
     "d_source_dup_rate",
     "s_vocab_growth",

@@ -705,3 +705,54 @@ def exact_quantiles(df: DataFrame, value_col: str,
                 f"(raise max_collect or max_rounds)")
         results.append((float(q), float(value), int(n)))
     return arrow_local_df(spark, results, "q double, value double, n bigint")
+
+
+def exact_corr(df: DataFrame, x_col: str, y_col: str, *,
+               group_col: Optional[str] = None,
+               scale_digits: int = 6,
+               round_digits: int = 6) -> DataFrame:
+    """EXACT Pearson correlation between two per-row metrics (the
+    quality-signal agreement report: does `quality_score` agree with
+    `lm_quality`? does char entropy track token diversity per source?)
+    — ``(group?, n, r)``. Rows with a NULL on either side are excluded.
+
+    Exactness: both inputs are fixed-point micro-ized
+    (``round(x·10^scale_digits)`` int64 — exact for 6-dp-rounded scores
+    by construction), so ALL five accumulations (Σx, Σy, Σxy, Σx²,
+    Σy²) are integer sums — order-free, bit-exact cross-engine; the
+    Pearson formula then runs once per group on exact integers
+    (n·Σxy − ΣxΣy over the root of the exact variances). Magnitudes:
+    micro values ~1e6 ⇒ Σx² terms ~1e12; overflow guard: keep group
+    row counts below ~1e6 at 6-digit scale or lower ``scale_digits``
+    (the numerator products are computed in DOUBLE after the exact
+    integer aggregation, so only the per-term sums must fit int64).
+    Zero variance on either side → NULL r (undefined).
+
+    One hash aggregate with map-side combine — group-cardinality
+    output, corpus never shuffles."""
+    xm = F.round(F.col(x_col) * F.lit(10.0 ** scale_digits)).cast("bigint")
+    ym = F.round(F.col(y_col) * F.lit(10.0 ** scale_digits)).cast("bigint")
+    base = (df.filter(F.col(x_col).isNotNull()
+                      & F.col(y_col).isNotNull())
+            .select(*([group_col] if group_col else []),
+                    xm.alias("_x"), ym.alias("_y")))
+    aggs = [F.count("*").alias("n"),
+            F.sum("_x").alias("sx"), F.sum("_y").alias("sy"),
+            F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+            F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+            F.sum(F.col("_y") * F.col("_y")).alias("syy")]
+    g = (base.groupBy(group_col).agg(*aggs) if group_col
+         else base.agg(*aggs))
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy").cast("double") \
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    vx = n * F.col("sxx").cast("double") \
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    vy = n * F.col("syy").cast("double") \
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    r = F.when((vx > 0) & (vy > 0),
+               F.round(num / F.sqrt(vx * vy), round_digits))
+    cols = ([F.col(group_col)] if group_col else []) + [
+        F.col("n"), r.alias("r")]
+    out = g.select(*cols)
+    return out.orderBy(group_col) if group_col else out

@@ -1149,3 +1149,37 @@ class TestExactQuantiles:
         withnull = spark.createDataFrame([(None,), (2.0,)], "x double")
         r = exact_quantiles(withnull, "x", (1.0,)).collect()[0]
         assert r["value"] == 2.0 and r["n"] == 1
+
+
+class TestExactCorr:
+    def test_matches_numpy(self, spark):
+        import numpy as np
+        from json_schema_rs_spark.operators.stats import exact_corr
+        rng = np.random.RandomState(3)
+        x = np.round(rng.uniform(0, 1, 300), 6)
+        y = np.round(0.7 * x + 0.3 * rng.uniform(0, 1, 300), 6)
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(x, y)],
+            "x double, y double")
+        r = exact_corr(df, "x", "y").collect()[0]
+        assert r["n"] == 300
+        assert r["r"] == round(float(np.corrcoef(x, y)[0, 1]), 6)
+
+    def test_grouped_nulls_and_zero_variance(self, spark):
+        from json_schema_rs_spark.operators.stats import exact_corr
+        rows = ([("a", float(i), float(2 * i)) for i in range(10)]
+                + [("b", 5.0, float(i)) for i in range(10)]   # x const
+                + [("a", None, 1.0), ("a", 1.0, None)])       # dropped
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        out = {r["g"]: r for r in
+               exact_corr(df, "x", "y", group_col="g").collect()}
+        assert out["a"]["n"] == 10 and out["a"]["r"] == 1.0
+        assert out["b"]["r"] is None                # zero variance
+
+    def test_one_exchange_group_sized(self, spark):
+        from json_schema_rs_spark.operators.stats import exact_corr
+        df = spark.createDataFrame([("a", 1.0, 2.0)],
+                                   "g string, x double, y double")
+        plan = (exact_corr(df, "x", "y", group_col="g")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Join" not in plan and "Python" not in plan
