@@ -1589,6 +1589,29 @@ SELECT CAST(0.99 AS DOUBLE),
 """
 
 
+def _q_s_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-group exact quantiles: every refinement round is ONE corpus
+    # scan shared by all (group, q) tasks; values are actual data
+    # points, compared with zero float arithmetic
+    from json_schema_rs_spark.operators.stats import exact_quantiles_by
+    li = _t(spark, sf_dir, "lineitem")
+    return exact_quantiles_by(li, "l_returnflag", "l_extendedprice",
+                              (0.5, 0.9))
+
+
+_SQL_S_GROUP_QUANTILES = """
+SELECT l_returnflag, CAST(0.5 AS DOUBLE) AS q,
+       quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.5) AS value,
+       count(l_extendedprice) AS n
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT l_returnflag, CAST(0.9 AS DOUBLE),
+       quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.9),
+       count(l_extendedprice)
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def _q_s_exact_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact Pearson r between two per-doc signals, per source — all
     # five accumulations are order-free integer micro sums, so the
@@ -5832,6 +5855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_profile": _q_s_profile,
         "s_exact_quantiles": _q_s_exact_quantiles,
         "s_exact_corr": _q_s_exact_corr,
+        "s_group_quantiles": _q_s_group_quantiles,
         "s_profile_drift": _q_s_profile_drift,
         "s_chi2_drift": _q_s_chi2,
         "s_ks_drift": _q_s_ks,
@@ -6012,6 +6036,7 @@ def oracle_sql() -> dict[str, str]:
         "s_profile": _SQL_S_PROFILE,
         "s_exact_quantiles": _SQL_S_EXACT_QUANTILES,
         "s_exact_corr": _SQL_S_EXACT_CORR,
+        "s_group_quantiles": _SQL_S_GROUP_QUANTILES,
         "s_profile_drift": _SQL_S_PROFILE_DRIFT,
         "s_chi2_drift": _SQL_S_CHI2,
         "s_ks_drift": _SQL_S_KS,

@@ -112,6 +112,7 @@ HEADLINE = [
     "a_ivfpq_res",
     "s_exact_quantiles",
     "s_exact_corr",
+    "s_group_quantiles",
     "d_conv_dsir",
     "d_source_dup_rate",
     "s_vocab_growth",

@@ -686,16 +686,31 @@ def exact_quantiles(df: DataFrame, value_col: str,
             offset += cum
             in_bucket = hist[b]
             b_lo, b_hi = _edges(lo, hi, b)
-            if in_bucket <= max_collect or b_lo >= b_hi:
-                # collect with the SAME membership rule the histogram
-                # used (the bin expression), so floats on edges land
-                # identically
-                vals = sorted(r["_x"] for r in
-                              base.filter((F.col("_x") >= lo)
-                                          & (F.col("_x") <= hi))
-                              .filter(_bin_expr(lo, hi) == b)
-                              .collect())
-                value = vals[rank - offset]
+            # no-progress = the interval stopped shrinking (mass piled
+            # on a few adjacent floats): resolve via a DISTINCT-value
+            # aggregate — bounded by the ulp-wide bucket's distinct
+            # count, never its multiplicity
+            stuck = b_lo >= b_hi or (b_lo == lo and b_hi == hi)
+            if in_bucket <= max_collect or stuck:
+                # same membership rule the histogram used (the bin
+                # expression), so floats on edges land identically
+                bucket_rows = (base.filter((F.col("_x") >= lo)
+                                           & (F.col("_x") <= hi))
+                               .filter(_bin_expr(lo, hi) == b))
+                if stuck and in_bucket > max_collect:
+                    pairs = sorted(
+                        (r["_x"], r["c"]) for r in bucket_rows
+                        .groupBy("_x").agg(F.count("*").alias("c"))
+                        .collect())
+                    idx = rank - offset
+                    for v, c in pairs:
+                        if idx < c:
+                            value = v
+                            break
+                        idx -= c
+                else:
+                    vals = sorted(r["_x"] for r in bucket_rows.collect())
+                    value = vals[rank - offset]
                 break
             lo, hi = b_lo, b_hi
             hist = _hist(lo, hi)
@@ -756,3 +771,148 @@ def exact_corr(df: DataFrame, x_col: str, y_col: str, *,
         F.col("n"), r.alias("r")]
     out = g.select(*cols)
     return out.orderBy(group_col) if group_col else out
+
+
+def exact_quantiles_by(df: DataFrame, group_col: str, value_col: str,
+                       qs: Sequence[float] = (0.5,), *,
+                       bins: int = 512, max_collect: int = 50_000,
+                       max_rounds: int = 16) -> DataFrame:
+    """Per-GROUP exact quantiles (the per-source exact median over
+    100 TB): :func:`exact_quantiles`' iterative histogram refinement
+    with every round batched into ONE corpus scan for ALL outstanding
+    ``(group, quantile)`` tasks — rows join their group's task table
+    (broadcast, |groups|·|qs| rows), land in that task's current
+    interval bins, and one ``(group, q, bin)`` hash aggregate narrows
+    every task simultaneously. Total cost: 1 bounds pass + ~a few
+    shared histogram passes + one small collect per finished task.
+    Output: ``(group, q, value, n)``, values actual data points at the
+    ``quantile_disc`` rank — zero float arithmetic in the comparison.
+    Empty groups don't appear (no rows → no group); all-NULL groups
+    report NULL value with n=0 semantics omitted likewise."""
+    import math as _m
+    from ..functions.exprs import arrow_local_df as _aldf
+
+    col = F.col(value_col).cast("double")
+    base = (df.filter(col.isNotNull())
+            .select(F.col(group_col).alias("_g"), col.alias("_x")))
+    stats = {r["_g"]: (r["n"], r["mn"], r["mx"]) for r in
+             base.groupBy("_g").agg(F.count("*").alias("n"),
+                                    F.min("_x").alias("mn"),
+                                    F.max("_x").alias("mx")).collect()}
+    spark = df.sparkSession
+    # task: (g, q) -> [rank, lo, hi, offset, parent_lo, parent_hi,
+    # parent_bin] — the parent triple records the EXACT membership rule
+    # (previous round's bin expression) so terminal collects can't pick
+    # up float-edge stragglers the offset already counted
+    tasks = {}
+    done = []
+    for g, (n, mn, mx) in stats.items():
+        for q in qs:
+            rank = max(_m.ceil(q * n) - 1, 0)
+            if mn == mx:
+                done.append((g, float(q), float(mn), int(n)))
+            else:
+                tasks[(g, float(q))] = [rank, mn, mx, 0, None, None, None]
+
+    def _bin(lo, hi):
+        w = F.col("_hi") - F.col("_lo")
+        return F.least(
+            F.greatest(F.floor((F.col("_x") - F.col("_lo")) / w
+                               * F.lit(float(bins))).cast("int"),
+                       F.lit(0)), F.lit(bins - 1))
+
+    rounds = 0
+    while tasks and rounds < max_rounds:
+        rounds += 1
+        tdf = F.broadcast(_aldf(
+            spark,
+            [(g, q, t[1], t[2]) for (g, q), t in tasks.items()],
+            "_g string, _q double, _lo double, _hi double"))
+        hist_rows = (base.join(tdf, "_g")
+                     .filter((F.col("_x") >= F.col("_lo"))
+                             & (F.col("_x") <= F.col("_hi")))
+                     .groupBy("_g", "_q", _bin("_lo", "_hi").alias("_b"))
+                     .agg(F.count("*").alias("_c")).collect())
+        hists = {}
+        for r in hist_rows:
+            hists.setdefault((r["_g"], r["_q"]),
+                             [0] * bins)[r["_b"]] = r["_c"]
+        finished = []
+        for key, t in tasks.items():
+            rank, lo, hi, offset = t[:4]
+            hist = hists.get(key, [0] * bins)
+            cum = 0
+            for b, c in enumerate(hist):
+                if cum + c > rank - offset:
+                    break
+                cum += c
+            offset += cum
+            w = hi - lo
+            b_lo = lo if b == 0 else lo + w * b / bins
+            b_hi = hi if b == bins - 1 else lo + w * (b + 1) / bins
+            stuck = b_lo >= b_hi or (b_lo == lo and b_hi == hi)
+            if hist[b] <= max_collect or stuck:
+                g, q = key
+                bucket_rows = (base.filter((F.col("_g") == g)
+                                           & (F.col("_x") >= lo)
+                                           & (F.col("_x") <= hi))
+                               .withColumn("_lo", F.lit(lo))
+                               .withColumn("_hi", F.lit(hi))
+                               .filter(_bin(lo, hi) == b))
+                if stuck and hist[b] > max_collect:
+                    # distinct-value resolve (see exact_quantiles)
+                    pairs = sorted(
+                        (r["_x"], r["c"]) for r in bucket_rows
+                        .groupBy("_x").agg(F.count("*").alias("c"))
+                        .collect())
+                    idx, value = rank - offset, None
+                    for v, c in pairs:
+                        if idx < c:
+                            value = v
+                            break
+                        idx -= c
+                else:
+                    vals = sorted(r["_x"] for r in
+                                  bucket_rows.collect())
+                    value = vals[rank - offset]
+                done.append((g, q, float(value), int(stats[g][0])))
+                finished.append(key)
+            else:
+                t[1], t[2], t[3] = b_lo, b_hi, offset
+                t[4], t[5], t[6] = lo, hi, b
+        for key in finished:
+            del tasks[key]
+    # rounds exhausted with the interval already narrowed by
+    # bins^max_rounds: the remaining mass is concentrated on few
+    # distinct floats — resolve by a distinct-value aggregate over the
+    # final interval (guarded so an adversarial still-wide spread
+    # raises instead of collecting unboundedly)
+    for (g, q), t in sorted(tasks.items()):
+        rank, lo, hi, offset, plo, phi, pb = t
+        rows = base.filter(F.col("_g") == g)
+        if pb is None:
+            rows = rows.filter((F.col("_x") >= lo)
+                               & (F.col("_x") <= hi))
+        else:
+            rows = (rows.filter((F.col("_x") >= plo)
+                                & (F.col("_x") <= phi))
+                    .withColumn("_lo", F.lit(plo))
+                    .withColumn("_hi", F.lit(phi))
+                    .filter(_bin(plo, phi) == pb))
+        pairs = sorted(
+            (r["_x"], r["c"]) for r in
+            rows.groupBy("_x").agg(F.count("*").alias("c"))
+            .limit(max_collect + 1).collect())
+        if len(pairs) > max_collect:
+            raise RuntimeError(
+                f"exact_quantiles_by did not converge for {(g, q)} "
+                f"(raise max_collect or max_rounds)")
+        idx, value = rank - offset, None
+        for v, c in pairs:
+            if idx < c:
+                value = v
+                break
+            idx -= c
+        done.append((g, float(q), float(value), int(stats[g][0])))
+    return (_aldf(spark, sorted(done),
+                  f"{group_col} string, q double, value double, n bigint"))

@@ -1183,3 +1183,40 @@ class TestExactCorr:
         plan = (exact_corr(df, "x", "y", group_col="g")
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Join" not in plan and "Python" not in plan
+
+
+class TestExactQuantilesBy:
+    def test_differential_vs_duckdb_per_group(self, spark):
+        import random
+        import duckdb
+        from json_schema_rs_spark.operators.stats import exact_quantiles_by
+        rng = random.Random(5)
+        rows = []
+        for g, n in (("a", 217), ("b", 64), ("c", 5)):
+            vs = [rng.uniform(-10, 10) for _ in range(n)] + [1.25] * 11
+            rows += [(g, v) for v in vs]
+        rng.shuffle(rows)
+        df = spark.createDataFrame(rows, "g string, x double")
+        qs = (0.1, 0.5, 0.95)
+        got = {(r["g"], r["q"]): r["value"] for r in
+               exact_quantiles_by(df, "g", "x", qs, bins=8,
+                                  max_collect=4).collect()}
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (g VARCHAR, x DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        for g in ("a", "b", "c"):
+            for q in qs:
+                want = con.execute(
+                    "SELECT quantile_disc(x, ?) FROM t WHERE g = ?",
+                    [q, g]).fetchone()[0]
+                assert got[(g, q)] == want, (g, q, got[(g, q)], want)
+
+    def test_constant_group_and_row_counts(self, spark):
+        from json_schema_rs_spark.operators.stats import exact_quantiles_by
+        df = spark.createDataFrame(
+            [("k", 7.0)] * 5 + [("m", 1.0), ("m", 2.0)],
+            "g string, x double")
+        out = {(r["g"], r["q"]): (r["value"], r["n"]) for r in
+               exact_quantiles_by(df, "g", "x", (0.5,)).collect()}
+        assert out[("k", 0.5)] == (7.0, 5)
+        assert out[("m", 0.5)] == (1.0, 2)   # ceil(0.5*2)-1 = 0
