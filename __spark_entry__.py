@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from json_schema_rs_spark import ValidationEngine
@@ -25,7 +25,8 @@ from json_schema_rs_spark.functions.exprs import arrow_local_df
 from json_schema_rs_spark.operators import (
     decontam, dedup, multimodal, packing, prep, sampling, similarity,
     stats, textstats)
-from json_schema_rs_spark.operators.json_mode import validate_json_column
+from json_schema_rs_spark.operators.json_mode import (
+    json_key_profile, validate_json_column)
 from json_schema_rs_spark.operators.table_checks import (
     monotonic_ts_violations,
     referential_violations,
@@ -701,6 +702,69 @@ UNION ALL
 SELECT event_id, '/props/k', 'AboveMaximum',
   '/props/k: value ' || CAST(k AS VARCHAR) || ' is above maximum 80'
 FROM p WHERE k > 80
+"""
+
+
+def _jkp_payload_col() -> Column:
+    # deterministic event_id-derived JSON payloads exercising every kind
+    # bucket (integer / number / string / boolean / null / object /
+    # array) plus a malformed line and an absent payload — the SAME CASE
+    # the oracle derives, so the profile is value-exact cross-engine
+    eid = F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    return (
+        F.when(eid % 7 == 0, F.concat(F.lit('{"k": '), s(eid % 100),
+                                      F.lit("}")))
+        .when(eid % 7 == 1, F.concat(F.lit('{"k": '), s(eid % 100),
+                                     F.lit(', "name": "e'), s(eid),
+                                     F.lit('"}')))
+        .when(eid % 7 == 2, F.concat(F.lit('{"name": "e'), s(eid),
+                                     F.lit('", "flag": true}')))
+        .when(eid % 7 == 3, F.concat(F.lit('{"k": null, "score": '),
+                                     s(eid % 10), F.lit(".5}")))
+        .when(eid % 7 == 4, F.concat(F.lit('{"tags": ["a", "b"], "meta": '
+                                           '{"v": '), s(eid % 5),
+                                     F.lit("}}")))
+        .when(eid % 7 == 5, F.lit("not json {"))
+        .otherwise(F.lit(None).cast("string")))
+
+
+def _q_s_json_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JSON schema discovery: per (top-level key, JSON-Schema type kind)
+    # document counts + presence fraction over a payload column — the
+    # profiling complement of v_json_payload (operators/json_mode.py);
+    # variant_explode generator + vocab-sized hash agg, zero Python
+    ev = _t(spark, sf_dir, "events").select(
+        _jkp_payload_col().alias("payload"))
+    return json_key_profile(ev, "payload")
+
+
+_SQL_S_JSON_KEYS = """
+WITH src AS (SELECT CASE event_id % 7
+    WHEN 0 THEN '{"k": ' || (event_id % 100) || '}'
+    WHEN 1 THEN '{"k": ' || (event_id % 100) || ', "name": "e'
+             || event_id || '"}'
+    WHEN 2 THEN '{"name": "e' || event_id || '", "flag": true}'
+    WHEN 3 THEN '{"k": null, "score": ' || (event_id % 10) || '.5}'
+    WHEN 4 THEN '{"tags": ["a", "b"], "meta": {"v": ' || (event_id % 5)
+             || '}}'
+    WHEN 5 THEN 'not json {'
+    ELSE NULL END AS payload
+  FROM events),
+tot AS (SELECT count(*) AS n FROM src),
+k AS (SELECT payload, unnest(json_keys(payload)) AS key
+      FROM src WHERE payload IS NOT NULL AND json_valid(payload)),
+typed AS (SELECT key,
+    CASE COALESCE(json_type(payload, '$."' || key || '"'), 'NULL')
+      WHEN 'OBJECT' THEN 'object' WHEN 'ARRAY' THEN 'array'
+      WHEN 'VARCHAR' THEN 'string' WHEN 'BIGINT' THEN 'integer'
+      WHEN 'UBIGINT' THEN 'integer' WHEN 'DOUBLE' THEN 'number'
+      WHEN 'BOOLEAN' THEN 'boolean' WHEN 'NULL' THEN 'null'
+      ELSE 'other' END AS kind
+  FROM k)
+SELECT key, kind, count(*) AS n_values,
+       round(count(*) / (SELECT n FROM tot), 6) AS frac_of_docs
+FROM typed GROUP BY key, kind ORDER BY key, kind
 """
 
 
@@ -5811,6 +5875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_oneof_none": _q_v_oneof_none,
         "v_oneof_multi": _q_v_oneof_multi,
         "v_json_payload": _q_v_json_payload,
+        "s_json_keys": _q_s_json_keys,
         "v_array_items": _q_v_array_items,
         "v_ref_allof": _q_v_ref_allof,
         "v_enum_stream": _q_v_enum_stream,
@@ -5996,6 +6061,7 @@ def oracle_sql() -> dict[str, str]:
         "v_oneof_none": _SQL_V_ONEOF_NONE,
         "v_oneof_multi": _SQL_V_ONEOF_MULTI,
         "v_json_payload": _SQL_V_JSON_PAYLOAD,
+        "s_json_keys": _SQL_S_JSON_KEYS,
         "v_array_items": _SQL_V_ARRAY_ITEMS,
         "v_ref_allof": _SQL_V_REF_ALLOF,
         "v_enum_stream": _SQL_V_ENUM,

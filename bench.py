@@ -143,6 +143,7 @@ HEADLINE = [
     "d_conv_fuzzy_groups",
     "d_conv_canonical",
     "e_turn_latency",
+    "s_json_keys",
     "e_role_latency",
     "v_vector_check",
     "a_normalize",

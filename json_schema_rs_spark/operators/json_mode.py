@@ -115,6 +115,86 @@ def validate_json_column(
     return src.mapInPandas(run, schema=out_schema)
 
 
+def json_key_profile(
+    df: DataFrame,
+    json_col: str,
+    *,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Schema discovery for a JSON payload column: per top-level key and
+    JSON-Schema type kind, how many documents carry it —
+    ``(key, kind, n_values, frac_of_docs)`` ordered by ``(key, kind)``.
+
+    The profiling complement of :func:`validate_json_column` and the
+    payload-mode analog of the reverse-codegen path
+    (`/root/reference/json_schema_rs/src/reverse_code_gen/mod.rs:14-17` —
+    type -> schema): before an operator WRITES a spec for a payload
+    column, this answers "what keys actually occur, with what types, how
+    often" — ``frac_of_docs == 1.0`` keys are ``required`` candidates,
+    single-kind keys get a ``type``, and the kinds are emitted in the
+    JSON-Schema ``type`` vocabulary (object / array / string / integer /
+    number / boolean / null) so the profile feeds spec authoring
+    directly.
+
+    Scale shape: scan -> ``try_parse_json`` -> ``variant_explode``
+    (row-local generator; fan-out bounded by keys per document) -> ONE
+    hash aggregate on (key, kind) with map-side partial combine — only
+    vocabulary-sized (key, kind, partial-count) rows shuffle, never the
+    payloads. The document total rides a 1-row broadcast attach (the
+    ``hot_key_stats`` totals pattern). Zero Python anywhere. NULL and
+    malformed payloads contribute no keys but stay in the denominator
+    (``try_parse_json`` -> NULL -> generator emits nothing), so
+    ``frac_of_docs`` reads as "fraction of ALL rows where this key holds
+    a value of this kind".
+
+    Note this does NOT contradict the VARIANT negative result below: that
+    experiment bound per-PROPERTY accessors (one ``variant_get`` tree per
+    spec property) against the pandas validator; here the single
+    ``variant_explode`` generator is the whole workload and there is no
+    per-row Python to compete with.
+
+    Numeric kind boundary (both engines, pinned by the oracle entry):
+    a JSON number is ``integer`` iff it lexes as an int64 (no ``.``/
+    exponent) — Spark's variant parser types those BIGINT and DuckDB's
+    ``json_type`` says BIGINT/UBIGINT; anything fractional/exponential is
+    ``number`` (Spark DECIMAL/DOUBLE, DuckDB DOUBLE). This matches the
+    reference's serde-driven "1.0 is not an integer" stance
+    (`validator/mod.rs:291-297`)."""
+    from pyspark.sql import functions as F
+
+    # variant_explode is a table-valued generator: LATERAL-join form
+    # (emits nothing for NULL / non-object variants, which is exactly the
+    # malformed-payload contract we want from try_parse_json -> NULL).
+    src = df.selectExpr(f"try_parse_json({json_col}) AS __v")
+    pairs = (src.lateralJoin(
+                 df.sparkSession.tvf.variant_explode(F.col("__v").outer()))
+             # a top-level ARRAY explodes to (pos, key=NULL, value) rows;
+             # only object fields profile (keys are never NULL on objects)
+             .where(F.col("key").isNotNull())
+             .select(F.col("key"),
+                     F.expr("schema_of_variant(value)").alias("sv")))
+    kind = (
+        F.when(F.col("sv").startswith("OBJECT"), F.lit("object"))
+        .when(F.col("sv").startswith("ARRAY"), F.lit("array"))
+        .when(F.col("sv") == "STRING", F.lit("string"))
+        .when(F.col("sv").isin("TINYINT", "SMALLINT", "INT", "BIGINT"),
+              F.lit("integer"))
+        .when(F.col("sv").startswith("DECIMAL")
+              | F.col("sv").isin("FLOAT", "DOUBLE"), F.lit("number"))
+        .when(F.col("sv") == "BOOLEAN", F.lit("boolean"))
+        .when(F.col("sv") == "VOID", F.lit("null"))
+        .otherwise(F.lit("other"))
+    )
+    counts = (pairs.select("key", kind.alias("kind"))
+              .groupBy("key", "kind").agg(F.count("*").alias("n_values")))
+    total = df.select(F.count("*").alias("__n_docs"))
+    return (counts.join(F.broadcast(total))
+            .select("key", "kind", "n_values",
+                    F.round(F.col("n_values") / F.col("__n_docs"),
+                            round_digits).alias("frac_of_docs"))
+            .orderBy("key", "kind"))
+
+
 # ---------------------------------------------------------------------------
 # Negative result (round 2), recorded so it is not re-attempted blindly:
 # a VARIANT-based vectorized fast path (try_parse_json + per-property

@@ -76,3 +76,60 @@ def test_root_reroot_message(spark):
     got = _run(spark, df_rows)
     assert got == [("c2", 0, "/payload", "ExpectedObject",
                     "/payload: expected object, got string")]
+
+
+# ---------------------------------------------------------------------------
+# json_key_profile: schema discovery over a JSON payload column
+# ---------------------------------------------------------------------------
+
+from json_schema_rs_spark.operators.json_mode import json_key_profile  # noqa: E402
+
+
+def _profile(spark, payloads):
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(payloads)],
+                               "id long, payload string")
+    out = json_key_profile(df, "payload")
+    return [(r.key, r.kind, r.n_values, r.frac_of_docs)
+            for r in out.collect()]
+
+
+def test_key_profile_kinds(spark):
+    rows = _profile(spark, [
+        '{"k": 5, "f": 1.5, "s": "x", "b": true, "z": null, '
+        '"o": {"a": 1}, "arr": [1, 2]}',
+        '{"k": 7}',
+        '{"k": "seven"}',
+        '{"e": 2e3}',
+    ])
+    got = {(k, kind): n for k, kind, n, _ in rows}
+    assert got == {
+        ("arr", "array"): 1, ("b", "boolean"): 1, ("f", "number"): 1,
+        ("k", "integer"): 2, ("k", "string"): 1, ("o", "object"): 1,
+        ("s", "string"): 1, ("z", "null"): 1, ("e", "number"): 1,
+    }
+    # output is ordered by (key, kind)
+    assert rows == sorted(rows, key=lambda r: (r[0], r[1]))
+
+
+def test_key_profile_denominator_counts_all_rows(spark):
+    # NULL and malformed payloads contribute no keys but stay in the
+    # denominator; non-object JSON (a bare array) also emits no keys
+    rows = _profile(spark, ['{"k": 1}', '{"k": 2}', "not json {",
+                            None, "[1, 2]"])
+    assert rows == [("k", "integer", 2, 0.4)]
+
+
+def test_key_profile_integer_vs_number_boundary(spark):
+    # the serde-driven boundary the validator uses: 1.0 is NOT an integer
+    rows = _profile(spark, ['{"x": 1}', '{"x": 1.0}'])
+    assert {(k, kind): n for k, kind, n, _ in rows} == {
+        ("x", "integer"): 1, ("x", "number"): 1}
+
+
+def test_key_profile_plan_is_jvm_only(spark):
+    df = spark.createDataFrame([(1, '{"k": 1}')], "id long, payload string")
+    plan = json_key_profile(df, "payload")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Python" not in plan         # zero Python stages
+    assert "Generate" in plan           # the variant_explode generator
+    assert "CartesianProduct" not in plan
