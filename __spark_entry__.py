@@ -4617,6 +4617,33 @@ FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
 
+def _q_x_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-source distinct-n corpus diversity (Li et al. 2016): two
+    # stacked hash aggregates over xxhash64 gram longs + a group-sized
+    # docs join — ranks whole sources by phrase re-emission
+    return textstats.ngram_diversity(_t(spark, sf_dir, "documents"), n=3)
+
+
+_SQL_X_NGRAM_DIVERSITY = """
+WITH w AS (SELECT doc_id, source, string_split(coalesce(text,''), ' ') AS ws
+           FROM documents),
+g AS (SELECT source, unnest([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+                             for i in range(1, len(ws) - 1)]) AS gm
+      FROM w WHERE len(ws) >= 3),
+c AS (SELECT source, gm, count(*) AS c FROM g GROUP BY 1, 2),
+r AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_grams,
+             count(*) AS n_distinct_grams
+      FROM c GROUP BY source),
+d AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+SELECT d.source, d.n_docs,
+       coalesce(r.n_grams, 0) AS n_grams,
+       coalesce(r.n_distinct_grams, 0) AS n_distinct_grams,
+       round(r.n_distinct_grams * 1.0 / nullif(r.n_grams, 0), 6)
+         AS diversity
+FROM d LEFT JOIN r USING (source) ORDER BY source
+"""
+
+
 def _q_x_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ExactSubstr-style duplicated-span REMOVAL (the acting complement of
     # x_dup_ngrams' diagnostic): every token covered by a 10-token window
@@ -5980,6 +6007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_blockwords": _q_x_blockwords,
         "x_rep_ngram": _q_x_rep_ngram,
         "x_dup_ngrams": _q_x_dup_ngrams,
+        "x_ngram_diversity": _q_x_ngram_diversity,
         "x_dedup_spans": _q_x_dedup_spans,
         "x_decontam_spans": _q_x_decontam_spans,
         "x_lm_quality": _q_x_lm_quality,
@@ -6156,6 +6184,7 @@ def oracle_sql() -> dict[str, str]:
         "x_blockwords": _SQL_X_BLOCKWORDS,
         "x_rep_ngram": _SQL_X_REP_NGRAM,
         "x_dup_ngrams": _SQL_X_DUP_NGRAMS,
+        "x_ngram_diversity": _SQL_X_NGRAM_DIVERSITY,
         "x_dedup_spans": _SQL_X_DEDUP_SPANS,
         "x_decontam_spans": _SQL_X_DECONTAM_SPANS,
         "x_lm_quality": _SQL_X_LM_QUALITY,

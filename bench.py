@@ -144,6 +144,7 @@ HEADLINE = [
     "d_conv_canonical",
     "e_turn_latency",
     "s_json_keys",
+    "x_ngram_diversity",
     "e_role_latency",
     "v_vector_check",
     "a_normalize",

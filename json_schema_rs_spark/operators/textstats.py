@@ -615,6 +615,62 @@ def duplicated_ngram_coverage(df: DataFrame, text_col: str = "text",
                            "dup_ngram_frac", round_digits)
 
 
+def ngram_diversity(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", group_col: str = "source",
+                    *, n: int = 3, seed: int = 7,
+                    round_digits: int = 6) -> DataFrame:
+    """Per-group corpus diversity (distinct-n, Li et al. 2016
+    "A Diversity-Promoting Objective", arXiv:1510.03055 §5): the fraction
+    of a group's word n-gram occurrences that are DISTINCT n-grams —
+    ``(group, n_docs, n_grams, n_distinct_grams, diversity)``.
+
+    The diversity complement of the repetition family: where
+    ``top_ngram_fraction`` / ``duplicated_ngram_coverage`` flag
+    individual repetitive documents, this ranks whole SOURCES — a
+    templated/boilerplate source scores low diversity and is a mixing
+    liability regardless of any single document's health. Diversity near
+    1.0 = almost every n-gram occurrence is unique; near 0 = the source
+    keeps re-emitting the same phrases.
+
+    Scale shape: grams as xxhash64 longs (the shared dedup hashing
+    contract — 8-byte shuffles, collision odds |grams|²/2⁶⁴ per group);
+    TWO stacked hash aggregates, (group, gram) counts first (map-side
+    combine absorbs the corpus — vocabulary-sized shuffle) then the
+    group rollup — no ``countDistinct`` Expand ever touches the gram
+    stream. ``n_docs`` is a group-sized aggregate over the raw table
+    (column-pruned scan) joined group-to-group (AQE-broadcast). Groups
+    whose docs are all shorter than ``n`` words report 0 grams and NULL
+    diversity rather than vanishing."""
+    from ..functions.exprs import explode_rows
+    from .dedup import _spread
+    tmp = "__nd_words"
+    grams = F.expr(
+        f"if(size({tmp}) >= {n},"
+        f" transform(sequence(1, size({tmp}) - {n - 1}),"
+        f" i -> xxhash64(concat_ws(' ', slice({tmp}, i, {n})), {seed})),"
+        f" array())"
+    )
+    exploded = explode_rows(
+        _spread(df, id_col).withColumn(
+            tmp, F.split(F.coalesce(F.col(text_col), F.lit("")), " ")),
+        [group_col], grams, "__g")
+    per_gram = exploded.groupBy(group_col, "__g").agg(
+        F.count("*").alias("__c"))
+    rolled = per_gram.groupBy(group_col).agg(
+        F.sum("__c").alias("n_grams"),
+        F.count("*").alias("n_distinct_grams"))
+    docs = df.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    return (docs.join(rolled, group_col, "left")
+            .select(group_col, "n_docs",
+                    F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                    F.coalesce("n_distinct_grams",
+                               F.lit(0)).alias("n_distinct_grams"),
+                    F.round(F.col("n_distinct_grams")
+                            / F.nullif(F.col("n_grams"), F.lit(0)),
+                            round_digits).alias("diversity"))
+            .orderBy(group_col))
+
+
 def vocab_drift(df_a: DataFrame, df_b: DataFrame, text_col: str = "text",
                 *, k: int = 100, other: str = "<other>") -> DataFrame:
     """Vocabulary drift between two corpus snapshots: Pearson chi² over

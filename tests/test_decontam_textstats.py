@@ -815,3 +815,45 @@ class TestBlockwordStats:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange" not in plan and "Join" not in plan
         assert "Python" not in plan
+
+
+class TestNgramDiversity:
+    """ngram_diversity: per-group distinct-n corpus diversity."""
+
+    def _run(self, spark, rows, n=2):
+        from json_schema_rs_spark.operators.textstats import ngram_diversity
+        df = spark.createDataFrame(rows,
+                                   "doc_id long, text string, source string")
+        return {r.source: r for r in ngram_diversity(df, n=n).collect()}
+
+    def test_templated_source_scores_low(self, spark):
+        rows = (
+            # s_tmpl re-emits one bigram stream 4x
+            [(i, "buy now click here buy now", "s_tmpl") for i in range(4)]
+            # s_div: all-distinct bigrams
+            + [(10, "alpha beta gamma delta", "s_div"),
+               (11, "epsilon zeta eta theta", "s_div")]
+        )
+        out = self._run(spark, rows)
+        assert out["s_div"].diversity == 1.0
+        # 4 docs x 5 bigrams = 20 occurrences of 4 distinct bigrams
+        # ("buy now" appears twice per doc)
+        assert out["s_tmpl"].n_grams == 20
+        assert out["s_tmpl"].n_distinct_grams == 4
+        assert out["s_tmpl"].diversity == 0.2
+        assert out["s_tmpl"].n_docs == 4
+
+    def test_short_and_null_docs_report_zero_not_vanish(self, spark):
+        out = self._run(spark, [(1, "one", "s"), (2, None, "s")], n=2)
+        r = out["s"]
+        assert (r.n_docs, r.n_grams, r.n_distinct_grams, r.diversity) == \
+            (2, 0, 0, None)
+
+    def test_two_stacked_aggregates_no_expand(self, spark):
+        from json_schema_rs_spark.operators.textstats import ngram_diversity
+        df = spark.createDataFrame([(1, "a b c", "s")],
+                                   "doc_id long, text string, source string")
+        plan = ngram_diversity(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Expand" not in plan      # no countDistinct over the grams
+        assert "CartesianProduct" not in plan
