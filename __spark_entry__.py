@@ -3273,6 +3273,38 @@ def _q_a_srp_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_A_SRP_DUP_PAIRS = similarity.srp_dup_pairs_sql(dims=64, threshold=0.42)
 
 
+def _q_a_coverage_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-space coverage sampling: exact per-IVF-bucket quota
+    # (zero-shuffle assignment + two-phase md5 top-N); full value oracle
+    # re-derives centroids, argmax assignment, and the quota draw
+    return similarity.coverage_sample(
+        _t(spark, sf_dir, "embeddings"), per_bucket=8, n_centroids=16,
+    ).select("vec_id", "bucket_id", "sample_rank")
+
+
+_SQL_A_COVERAGE_SAMPLE = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+cen AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+sc AS (SELECT e.vec_id, cen.cid,
+              list_dot_product(e.v, cen.cv) /
+              (sqrt(list_dot_product(e.v, e.v)) *
+               sqrt(list_dot_product(cen.cv, cen.cv))) AS s
+       FROM e CROSS JOIN cen),
+asg AS (SELECT vec_id, cid AS bucket_id FROM (
+          SELECT sc.*, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cid) AS rn
+          FROM sc) WHERE rn = 1),
+ranked AS (SELECT vec_id, bucket_id,
+                  row_number() OVER (PARTITION BY bucket_id
+                                     ORDER BY md5(vec_id || '#0'))
+                    AS sample_rank
+           FROM asg)
+SELECT vec_id, bucket_id, CAST(sample_rank AS INT) AS sample_rank
+FROM ranked WHERE sample_rank <= 8
+"""
+
+
 def _q_a_cosine_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SCALE path for embedding near-dup (candidates only within IVF
     # buckets, zero-shuffle assignment): gated against a DuckDB oracle
@@ -5985,6 +6017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_ivfpq_res": _q_a_ivfpq_res,
         "a_cosine_dup_pairs": _q_a_cosine_dup,
         "a_cosine_dup_bucketed": _q_a_cosine_dup_bucketed,
+        "a_coverage_sample": _q_a_coverage_sample,
         "a_knn_join": _q_a_knn_join,
         "a_quality_propagate": _q_a_quality_propagate,
         "a_label_outliers": _q_a_label_outliers,
@@ -6164,6 +6197,7 @@ def oracle_sql() -> dict[str, str]:
         "a_ivfpq_res": _SQL_A_IVFPQ_RES,
         "a_cosine_dup_pairs": _SQL_A_COSINE_DUP,
         "a_cosine_dup_bucketed": _SQL_A_COSINE_DUP_BUCKETED,
+        "a_coverage_sample": _SQL_A_COVERAGE_SAMPLE,
         "a_knn_join": _SQL_A_KNN_JOIN,
         "a_quality_propagate": _SQL_A_QUALITY_PROPAGATE,
         "a_label_outliers": _SQL_A_LABEL_OUTLIERS,

@@ -145,6 +145,7 @@ HEADLINE = [
     "e_turn_latency",
     "s_json_keys",
     "x_ngram_diversity",
+    "a_coverage_sample",
     "e_role_latency",
     "v_vector_check",
     "a_normalize",

@@ -475,6 +475,47 @@ def _assign_buckets_bcast(
     return corpus.mapInPandas(run, schema=out_schema), [b_cen]
 
 
+def coverage_sample(
+    corpus: DataFrame,
+    per_bucket: int,
+    *,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    salt: str = "0",
+) -> DataFrame:
+    """Embedding-space coverage sampling: exactly ``per_bucket`` vectors
+    from every IVF bucket — "stratify by embedding space" for the
+    curation moves a flat hash sample gets wrong (a uniform draw
+    over-represents dense regions and can miss small clusters entirely;
+    a coverage draw keeps every region of the space in the subset —
+    eval-set construction, labeling batches, distillation seeds).
+
+    Pure composition of two proven shapes: the zero-shuffle broadcast
+    argmax assignment (:func:`assign_buckets`) and the two-phase exact
+    per-group quota (:func:`.sampling.quota_sample` — deterministic
+    md5-smallest keys, reruns diffable, buckets smaller than the quota
+    kept whole). Output = corpus columns + ``bucket_id`` +
+    ``sample_rank`` (1-based within bucket).
+
+    Centroids default to the ``n_centroids`` lowest-id corpus vectors
+    (training-free, value-exact oracles); pass
+    ``centroids=kmeans_centroids(...)`` for balanced production buckets.
+    NULL / zero-norm vectors have no bucket and are excluded — run
+    :func:`vector_violations` first if they must be surfaced."""
+    if centroids is None:
+        centroids = (corpus.orderBy(id_col).limit(n_centroids)
+                     .select(F.col(id_col).alias("centroid_id"),
+                             F.col(vec_col).alias("centroid")))
+    assigned = assign_buckets(corpus, centroids,
+                              id_col=id_col, vec_col=vec_col) \
+        .filter(F.col("bucket_id").isNotNull())
+    from .sampling import quota_sample
+    return quota_sample(assigned, "bucket_id", per_bucket,
+                        key_col=id_col, salt=salt)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

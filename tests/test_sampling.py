@@ -615,3 +615,57 @@ class TestDsir:
         assert "BroadcastHashJoin" in plan      # weight-table probe
         assert "CartesianProduct" not in plan
         assert "Python" not in plan             # all JVM codegen
+
+
+# ---------------------------------------------------------------------------
+# coverage_sample: per-IVF-bucket exact quota over embeddings
+# ---------------------------------------------------------------------------
+
+
+class TestCoverageSample:
+    @pytest.fixture(scope="class")
+    def emb(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def test_quota_and_membership_match_assignment(self, emb):
+        from json_schema_rs_spark.operators.similarity import (
+            assign_buckets, coverage_sample)
+        out = coverage_sample(emb, per_bucket=5, n_centroids=8).collect()
+        by_bucket = {}
+        for r in out:
+            by_bucket.setdefault(r.bucket_id, []).append(r)
+        # quota respected, ranks are 1..k within each bucket
+        for rows in by_bucket.values():
+            assert len(rows) <= 5
+            assert sorted(r.sample_rank for r in rows) == \
+                list(range(1, len(rows) + 1))
+        # sampled ids carry their TRUE bucket (membership = assignment)
+        cents = (emb.orderBy("vec_id").limit(8)
+                 .select(F.col("vec_id").alias("centroid_id"),
+                         F.col("embedding").alias("centroid")))
+        truth = {r.vec_id: r.bucket_id
+                 for r in assign_buckets(emb, cents).collect()}
+        for r in out:
+            assert truth[r.vec_id] == r.bucket_id
+        # the md5-smallest keys win: recompute the winners per bucket
+        want = {}
+        for vid, b in truth.items():
+            want.setdefault(b, []).append((_bucket(vid)[:32], vid))
+        for b, pairs in want.items():
+            expect = {v for _, v in sorted(
+                (hashlib.md5(f"{v}#0".encode()).hexdigest(), v)
+                for _, v in pairs)[:5]}
+            assert {r.vec_id for r in by_bucket[b]} == expect
+
+    def test_small_buckets_kept_whole_and_deterministic(self, spark):
+        from json_schema_rs_spark.operators.similarity import coverage_sample
+        rows = [(i, [float(i % 3 == 0), float(i % 3 == 1),
+                     float(i % 3 == 2)]) for i in range(9)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        a = {(r.vec_id, r.bucket_id, r.sample_rank)
+             for r in coverage_sample(df, per_bucket=10,
+                                      n_centroids=3).collect()}
+        b = {(r.vec_id, r.bucket_id, r.sample_rank)
+             for r in coverage_sample(df, per_bucket=10,
+                                      n_centroids=3).collect()}
+        assert a == b and len(a) == 9  # all rows survive under-quota
