@@ -5113,6 +5113,30 @@ FROM t
 """
 
 
+def _q_x_pack_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # packing-efficiency dashboard: exact integer pack counts + padding
+    # waste per shard key at a given budget — one group hash aggregate
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "toks", F.size(F.split(F.col("text"), " ")).cast("bigint"))
+    return packing.pack_report(docs, "toks", 2000, group_col="lang")
+
+
+_SQL_X_PACK_REPORT = """
+WITH t AS (SELECT lang, len(string_split(text, ' '))::BIGINT AS toks
+           FROM documents),
+r AS (SELECT lang, count(*) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS total_tokens
+      FROM t GROUP BY lang)
+SELECT lang, n_docs, total_tokens,
+       (total_tokens + 1999) // 2000 AS n_packs,
+       ((total_tokens + 1999) // 2000) * 2000 AS capacity,
+       round(total_tokens * 1.0 /
+             nullif(((total_tokens + 1999) // 2000) * 2000, 0), 6)
+         AS fill_frac
+FROM r ORDER BY lang
+"""
+
+
 def _q_x_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sliding-window context chunking: row-local posexplode fan-out,
     # zero shuffle; window 16 / stride 8 so the ~30-word synthetic docs
@@ -6066,6 +6090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_mix_temperature": _q_x_mix_temperature,
         "x_soft_dedup": _q_x_soft_dedup,
         "x_pack_chunks": _q_x_pack,
+        "x_pack_report": _q_x_pack_report,
         "x_chunk_windows": _q_x_chunks,
         "x_turn_windows": _q_x_turn_windows,
         "x_render_conv": _q_x_render_conv,
@@ -6243,6 +6268,7 @@ def oracle_sql() -> dict[str, str]:
         "x_mix_temperature": _SQL_X_MIX_TEMPERATURE,
         "x_soft_dedup": _SQL_X_SOFT_DEDUP,
         "x_pack_chunks": _SQL_X_PACK,
+        "x_pack_report": _SQL_X_PACK_REPORT,
         "x_chunk_windows": _SQL_X_CHUNKS,
         "x_turn_windows": _SQL_X_TURN_WINDOWS,
         "x_render_conv": _SQL_X_RENDER_CONV,

@@ -146,6 +146,7 @@ HEADLINE = [
     "s_json_keys",
     "x_ngram_diversity",
     "a_coverage_sample",
+    "x_pack_report",
     "e_role_latency",
     "v_vector_check",
     "a_normalize",

@@ -70,6 +70,46 @@ def pack_sequences(
                           F.floor(F.col("_pack_offset") / budget)))
 
 
+def pack_report(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    *,
+    group_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Packing-efficiency dashboard for :func:`pack_sequences`'
+    concatenate-and-chunk scheme: per group key,
+    ``(group, n_docs, total_tokens, n_packs, capacity, fill_frac)``.
+
+    Under contiguous concatenation a group's sequence occupies exactly
+    ``ceil(total_tokens / budget)`` packs, so utilization is a pure
+    integer computation — no window, no join with the packed output:
+    ONE hash aggregate on the group key (map-side partials absorb the
+    corpus; output is group-cardinality-sized at any scale).
+    ``fill_frac = total / (n_packs * budget)`` answers the budget-tuning
+    question directly ("at 4k tokens this shard key wastes 31% of every
+    batch — merge shards or shrink the budget"); only the LAST pack of a
+    group can be partial, so ``1 - fill_frac`` is exactly the padding
+    waste. Token-less groups report 0 packs and NULL fill."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    total = F.sum(F.coalesce(F.col(token_col), F.lit(0))).cast("bigint")
+    rolled = df.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"), total.alias("total_tokens"))
+    # exact integer ceil-division — no double arithmetic, safe past 2^53
+    n_packs = F.expr(f"(total_tokens + {budget - 1}) div {budget}")
+    return (rolled
+            .withColumn("n_packs", n_packs.cast("bigint"))
+            .withColumn("capacity",
+                        (F.col("n_packs") * budget).cast("bigint"))
+            .withColumn("fill_frac",
+                        F.round(F.col("total_tokens")
+                                / F.nullif(F.col("capacity"), F.lit(0)),
+                                round_digits))
+            .orderBy(group_col))
+
+
 def chunk_windows(
     df: DataFrame,
     text_col: str = "text",

@@ -400,3 +400,55 @@ class TestTurnWindows:
                 ._jdf.queryExecution().executedPlan().toString())
         assert plan.count("Exchange") == 1
         assert "Join" not in plan
+
+
+class TestPackReport:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, toks bigint, grp string")
+
+    def test_exact_pack_counts_and_fill(self, spark):
+        from json_schema_rs_spark.operators.packing import pack_report
+        df = self._df(spark, [
+            (1, 600, "a"), (2, 600, "a"), (3, 300, "a"),  # 1500/1000 -> 2
+            (4, 1000, "b"),                               # exactly full
+            (5, 0, "c"), (6, None, "c"),                  # token-less
+        ])
+        out = {r.grp: r for r in pack_report(df, "toks", 1000,
+                                             group_col="grp").collect()}
+        a = out["a"]
+        assert (a.n_docs, a.total_tokens, a.n_packs, a.capacity,
+                a.fill_frac) == (3, 1500, 2, 2000, 0.75)
+        b = out["b"]
+        assert (b.n_packs, b.capacity, b.fill_frac) == (1, 1000, 1.0)
+        c = out["c"]
+        assert (c.n_docs, c.total_tokens, c.n_packs, c.capacity,
+                c.fill_frac) == (2, 0, 0, 0, None)
+
+    def test_consistent_with_pack_sequences(self, spark):
+        # n_packs must equal the distinct chunk count the packed offsets
+        # imply: ceil(total/budget) == floor((total-1)/budget)+1
+        from json_schema_rs_spark.operators.packing import (
+            pack_report, pack_sequences)
+        import random
+        rng = random.Random(7)
+        rows = [(i, rng.randrange(1, 900), f"g{i % 3}") for i in range(60)]
+        df = self._df(spark, rows)
+        rep = {r.grp: r.n_packs
+               for r in pack_report(df, "toks", 1000,
+                                    group_col="grp").collect()}
+        packed = pack_sequences(df, "toks", 1000, group_col="grp",
+                                id_col="doc_id")
+        import collections
+        totals = collections.Counter()
+        for r in df.collect():
+            totals[r.grp] += r.toks or 0
+        for g, tot in totals.items():
+            assert rep[g] == (tot + 999) // 1000
+
+    def test_bad_budget_raises(self, spark):
+        from json_schema_rs_spark.operators.packing import pack_report
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            pack_report(self._df(spark, [(1, 1, "a")]), "toks", 0,
+                        group_col="grp")
