@@ -3273,6 +3273,28 @@ def _q_a_srp_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_A_SRP_DUP_PAIRS = similarity.srp_dup_pairs_sql(dims=64, threshold=0.42)
 
 
+def _q_a_mean_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-label mean embedding (group centroids) under the order-free
+    # integer micro-unit contract — bit-identical cross-engine
+    return similarity.mean_embedding_by(
+        _t(spark, sf_dir, "embeddings"), "label")
+
+
+_SQL_A_MEAN_EMBEDDING = """
+WITH e AS (SELECT label,
+                  list_transform(embedding,
+                    x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS m
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+d AS (SELECT label, unnest(m) AS v, generate_subscripts(m, 1) AS i FROM e),
+s AS (SELECT label, i, CAST(sum(v) AS BIGINT) AS sv, count(*) AS n
+      FROM d GROUP BY label, i)
+SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
+       list(sv / (n * 1000000.0) ORDER BY i) AS embedding
+FROM s GROUP BY label ORDER BY label
+"""
+
+
 def _q_a_coverage_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding-space coverage sampling: exact per-IVF-bucket quota
     # (zero-shuffle assignment + two-phase md5 top-N); full value oracle
@@ -6042,6 +6064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_cosine_dup_pairs": _q_a_cosine_dup,
         "a_cosine_dup_bucketed": _q_a_cosine_dup_bucketed,
         "a_coverage_sample": _q_a_coverage_sample,
+        "a_mean_embedding": _q_a_mean_embedding,
         "a_knn_join": _q_a_knn_join,
         "a_quality_propagate": _q_a_quality_propagate,
         "a_label_outliers": _q_a_label_outliers,
@@ -6223,6 +6246,7 @@ def oracle_sql() -> dict[str, str]:
         "a_cosine_dup_pairs": _SQL_A_COSINE_DUP,
         "a_cosine_dup_bucketed": _SQL_A_COSINE_DUP_BUCKETED,
         "a_coverage_sample": _SQL_A_COVERAGE_SAMPLE,
+        "a_mean_embedding": _SQL_A_MEAN_EMBEDDING,
         "a_knn_join": _SQL_A_KNN_JOIN,
         "a_quality_propagate": _SQL_A_QUALITY_PROPAGATE,
         "a_label_outliers": _SQL_A_LABEL_OUTLIERS,

@@ -147,6 +147,7 @@ HEADLINE = [
     "x_ngram_diversity",
     "a_coverage_sample",
     "x_pack_report",
+    "a_mean_embedding",
     "e_role_latency",
     "v_vector_check",
     "a_normalize",

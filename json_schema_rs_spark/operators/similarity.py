@@ -1267,6 +1267,66 @@ def semantic_dedup(
                           groups, id_col=id_col, score_col=score_col)
 
 
+def mean_embedding_by(
+    df: DataFrame,
+    group_col: str,
+    *,
+    vec_col: str = "embedding",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Per-group mean embedding (group centroid) —
+    ``(group, n_vectors, embedding: array<double>)`` ordered by group.
+
+    The aggregation step every group-grain semantic operation needs:
+    source centroids for inter-source similarity, label centroids for
+    nearest-centroid classification, conversation embeddings from turn
+    embeddings (feed the result to the cosine / dedup family — its
+    ``vec_col`` contract is unchanged).
+
+    Exactness contract (the ``lm_quality`` / ``exact_corr`` micro-unit
+    rule): each element is fixed-pointed ONCE to ``micro`` units
+    (``round(x * 1e6)`` — float32 inputs widen exactly, the product is
+    the identical double on any engine, HALF_UP == half-away-from-zero
+    for every sign), so the per-dimension accumulations are ORDER-FREE
+    integer sums and the mean is one exact-integer IEEE division
+    ``sum / (n * 1e6)`` — bit-identical regardless of row order,
+    partitioning, or engine. A plain ``avg(double)`` would be
+    summation-order dependent and only rounding-level comparable.
+
+    Scale shape: ONE hash aggregate on the group key with ``dims``
+    integer-sum expressions (map-side partial combine absorbs the
+    corpus; only (group, dims x int64) partial rows shuffle — vectors
+    never do), then row-local array assembly. NULL / empty / wrong-dims
+    vectors are excluded (dims = the first valid row's length); NULL
+    ELEMENTS contribute nothing to their dimension's sum while the row
+    still counts (sum skips NULLs — both engines) — run
+    :func:`vector_violations` first when that must be surfaced."""
+    valid = df.filter(F.col(vec_col).isNotNull()
+                      & (F.size(F.col(vec_col)) > 0))
+    dims_row = valid.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dims_row is None:
+        gtype = df.schema[group_col].dataType.simpleString()
+        return arrow_local_df(
+            df.sparkSession, [],
+            f"{group_col} {gtype}, n_vectors bigint, "
+            "embedding array<double>")
+    dims = dims_row["d"]
+    valid = valid.filter(F.size(F.col(vec_col)) == dims)
+    sums = [
+        F.sum(F.round(F.element_at(F.col(vec_col), i + 1).cast("double")
+                      * micro).cast("bigint")).alias(f"__s{i}")
+        for i in range(dims)
+    ]
+    agg = valid.groupBy(group_col).agg(
+        *sums, F.count("*").alias("n_vectors"))
+    mean_arr = F.array(*[
+        F.col(f"__s{i}") / (F.col("n_vectors") * float(micro))
+        for i in range(dims)])
+    return (agg.select(group_col, "n_vectors",
+                       mean_arr.alias("embedding"))
+            .orderBy(group_col))
+
+
 def embedding_drift(df_a: DataFrame, df_b: DataFrame,
                     vec_col: str = "embedding", *,
                     round_digits: int = 6) -> DataFrame:

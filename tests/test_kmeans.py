@@ -76,3 +76,68 @@ def test_trained_centroids_plug_into_ivf(spark, corpus):
     plan = assign_buckets(corpus, cents)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# mean_embedding_by: per-group centroids under the integer micro contract
+# ---------------------------------------------------------------------------
+
+
+class TestMeanEmbeddingBy:
+    def test_exact_micro_mean_and_exclusions(self, spark):
+        from json_schema_rs_spark.operators.similarity import (
+            mean_embedding_by)
+        rows = [
+            (1, [1.0, 2.0], "a"),
+            (2, [3.0, 4.0], "a"),
+            (3, [5.0, 6.0], "b"),
+            (4, None, "b"),            # NULL vector excluded
+            (5, [], "b"),              # empty excluded
+            (6, [1.0, 2.0, 3.0], "b"),  # wrong dims excluded
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, grp string")
+        out = {r.grp: r for r in mean_embedding_by(df, "grp").collect()}
+        assert out["a"].n_vectors == 2
+        assert out["a"].embedding == [2.0, 3.0]
+        assert out["b"].n_vectors == 1
+        assert out["b"].embedding == [5.0, 6.0]
+
+    def test_order_free_bit_identical(self, spark):
+        # same rows, reversed order + different partitioning -> the SAME
+        # bytes (this is the point of the integer micro-unit contract)
+        from json_schema_rs_spark.operators.similarity import (
+            mean_embedding_by)
+        import random
+        rng = random.Random(3)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)], f"g{i % 2}")
+                for i in range(40)]
+        mk = lambda rs, parts: spark.createDataFrame(  # noqa: E731
+            rs, "vec_id long, embedding array<float>, grp string"
+        ).repartition(parts)
+        a = {r.grp: r.embedding
+             for r in mean_embedding_by(mk(rows, 1), "grp").collect()}
+        b = {r.grp: r.embedding
+             for r in mean_embedding_by(mk(rows[::-1], 7), "grp").collect()}
+        assert a == b
+
+    def test_null_element_skips_dimension_keeps_row(self, spark):
+        from json_schema_rs_spark.operators.similarity import (
+            mean_embedding_by)
+        df = spark.createDataFrame(
+            [(1, [1.0, None], "g"), (2, [3.0, 5.0], "g")],
+            "vec_id long, embedding array<double>, grp string")
+        r = mean_embedding_by(df, "grp").collect()[0]
+        assert r.n_vectors == 2
+        # dim 0 averages both rows; dim 1's NULL contributes nothing but
+        # the row still counts in the denominator
+        assert r.embedding == [2.0, 2.5]
+
+    def test_empty_input_keeps_group_dtype(self, spark):
+        from json_schema_rs_spark.operators.similarity import (
+            mean_embedding_by)
+        df = spark.createDataFrame(
+            [], "vec_id long, embedding array<float>, label int")
+        out = mean_embedding_by(df, "label")
+        assert out.count() == 0
+        assert dict(out.dtypes)["label"] == "int"
