@@ -2921,6 +2921,49 @@ def _q_d_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    n=3, threshold=0.8, bands=32)
 
 
+def _q_d_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # asymmetric (quote/embedding) near-dups: both engines salt every
+    # 31st doc with a boilerplate-wrapped copy, then containment
+    # |A∩B|/min(|A|,|B|) flags the subset relation Jaccard misses
+    docs = _t(spark, sf_dir, "documents")
+    wrappers = docs.filter(F.col("doc_id") % 31 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("wrapper header boilerplate intro "),
+                 F.col("text"),
+                 F.lit(" outro footer closing boilerplate")).alias("text"))
+    base = docs.select("doc_id", "text")
+    return dedup.ngram_containment_pairs(
+        base.unionByName(wrappers), n=3, threshold=0.9)
+
+
+_SQL_D_CONTAINMENT = """
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         'wrapper header boilerplate intro ' || text ||
+         ' outro footer closing boilerplate'
+  FROM documents WHERE doc_id % 31 = 0),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM u),
+sh AS (SELECT doc_id,
+              list_distinct([concat_ws(' ', ws[i], ws[i+1], ws[i+2])
+                             for i in range(1, len(ws) - 1)]) AS s
+       FROM w),
+ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+sz AS (SELECT doc_id, len(s) AS n FROM sh)
+SELECT doc_a, doc_b, inter AS n_inter,
+       sa.n AS size_a, sb.n AS size_b,
+       inter::DOUBLE / least(sa.n, sb.n) AS containment,
+       inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
+FROM p JOIN sz sa ON p.doc_a = sa.doc_id
+       JOIN sz sb ON p.doc_b = sb.doc_id
+WHERE inter::DOUBLE / least(sa.n, sb.n) >= 0.9
+"""
+
+
 def _q_d_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs -> transitive dedup GROUPS (connected components, min-id
     # survivor). Built on the LSH pairs above, whose exactness gate holds
@@ -6043,6 +6086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_incremental_dedup": _q_d_incremental,
         "d_incremental_fuzzy": _q_d_incremental_fuzzy,
         "d_ngram_jaccard": _q_d_ngram,
+        "d_containment": _q_d_containment,
         "d_source_overlap": _q_d_source_overlap,
         "d_source_dup_rate": _q_d_source_dup_rate,
         "d_minhash_lsh": _q_d_minhash,
@@ -6226,6 +6270,7 @@ def oracle_sql() -> dict[str, str]:
         "d_incremental_dedup": _SQL_D_INCREMENTAL,
         "d_incremental_fuzzy": _SQL_D_INCREMENTAL_FUZZY,
         "d_ngram_jaccard": _SQL_D_NGRAM,
+        "d_containment": _SQL_D_CONTAINMENT,
         "d_source_overlap": _SQL_D_SOURCE_OVERLAP,
         "d_source_dup_rate": _SQL_D_SOURCE_DUP_RATE,
         "d_minhash_lsh": _SQL_D_NGRAM,

@@ -148,6 +148,7 @@ HEADLINE = [
     "a_coverage_sample",
     "x_pack_report",
     "a_mean_embedding",
+    "d_containment",
     "e_role_latency",
     "v_vector_check",
     "a_normalize",

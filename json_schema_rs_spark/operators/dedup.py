@@ -203,6 +203,27 @@ def ngram_jaccard_pairs(
     sum-of-squared-posting-lengths, not |docs|²; ``max_df`` drops shingles
     whose posting list exceeds it (a shingle shared by thousands of docs
     carries no near-dup signal but dominates the join)."""
+    inter = _pair_intersections(df, text_col, id_col, n=n, max_df=max_df)
+    jac = (F.col("_inter").cast("double")
+           / (F.col("_sza") + F.col("_szb") - F.col("_inter")))
+    return (inter.select("doc_a", "doc_b", jac.alias("jaccard"))
+                 .filter(F.col("jaccard") >= threshold))
+
+
+def _pair_intersections(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int,
+    max_df: Optional[int],
+) -> DataFrame:
+    """Shared inverted-shingle-index pair core for the exact-set
+    similarity operators: ``(doc_a, doc_b, _inter, _sza, _szb)`` with
+    ``doc_a < doc_b`` — distinct-n-gram intersection counts plus both
+    set sizes. Cost is sum-of-squared-posting-lengths (never |docs|²);
+    ``max_df`` caps posting lists (stop-shingles carry no signal but
+    dominate the join)."""
     df = _spread(df, id_col)
     sh = shingle_hashes(df, text_col, n=n).select(
         F.col(id_col).alias("_id"), "shingle_hashes",
@@ -220,11 +241,48 @@ def ngram_jaccard_pairs(
               .agg(F.count(F.lit(1)).alias("_inter")))
     sza = sh.select(F.col("_id").alias("doc_a"), F.col("_sz").alias("_sza"))
     szb = sh.select(F.col("_id").alias("doc_b"), F.col("_sz").alias("_szb"))
+    return inter.join(sza, "doc_a").join(szb, "doc_b")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_df: Optional[int] = None,
+) -> DataFrame:
+    """Asymmetric near-duplicate pairs the Jaccard operator structurally
+    misses: ``containment = |A∩B| / min(|A|, |B|)`` over distinct word
+    ``n``-gram sets — a short document quoted whole inside a long one
+    scores containment ≈ 1 while its Jaccard ≈ |short|/|long| ≈ 0 and no
+    symmetric threshold ever fires. This is the quote/embedding-dup
+    detector (boilerplate wrappers around syndicated articles, prompts
+    pasted into transcripts, README files inside code dumps).
+
+    Returns ``(doc_a, doc_b, n_inter, size_a, size_b, containment,
+    jaccard)`` with ``doc_a < doc_b`` and ``containment >= threshold``;
+    the smaller set size names the contained side, and ``jaccard`` rides
+    along free for contrast (containment high + jaccard low = true
+    subset relation, both high = ordinary near-dup).
+
+    Scale shape: identical to :func:`ngram_jaccard_pairs` (the shared
+    inverted-index core — posting-list joins, ``max_df`` stop-shingle
+    cap); both similarity columns are single exact-integer IEEE
+    divisions, value-exact cross-engine."""
+    inter = _pair_intersections(df, text_col, id_col, n=n, max_df=max_df)
+    cont = (F.col("_inter").cast("double")
+            / F.least(F.col("_sza"), F.col("_szb")))
     jac = (F.col("_inter").cast("double")
            / (F.col("_sza") + F.col("_szb") - F.col("_inter")))
-    return (inter.join(sza, "doc_a").join(szb, "doc_b")
-                 .select("doc_a", "doc_b", jac.alias("jaccard"))
-                 .filter(F.col("jaccard") >= threshold))
+    return (inter.select(
+                "doc_a", "doc_b",
+                F.col("_inter").alias("n_inter"),
+                F.col("_sza").alias("size_a"),
+                F.col("_szb").alias("size_b"),
+                cont.alias("containment"), jac.alias("jaccard"))
+            .filter(F.col("containment") >= threshold))
 
 
 def _minhash_params(num_perm: int, seed: int) -> list[tuple[int, int]]:

@@ -450,3 +450,53 @@ class TestDedupSummary:
         # every Exchange moves only id/group/long columns, never text
         for ex in re.findall(r"Exchange [^\n]*", plan):
             assert "text" not in ex
+
+
+# ---------------------------------------------------------------------------
+# ngram_containment_pairs: the asymmetric (quote) near-dup detector
+# ---------------------------------------------------------------------------
+
+
+class TestContainmentPairs:
+    def _pairs(self, spark, rows, **kw):
+        from json_schema_rs_spark.operators.dedup import (
+            ngram_containment_pairs)
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {(r.doc_a, r.doc_b): r
+                for r in ngram_containment_pairs(df, **kw).collect()}
+
+    def test_quote_scores_containment_not_jaccard(self, spark):
+        short = "alpha beta gamma delta epsilon zeta"
+        long = ("intro one two three four five six seven eight nine ten "
+                + short +
+                " closing eleven twelve thirteen fourteen fifteen sixteen")
+        out = self._pairs(spark, [(1, long), (2, short)], threshold=0.9)
+        r = out[(1, 2)]
+        # every 3-gram of the short doc occurs in the long one
+        assert r.containment == 1.0
+        assert r.size_b == r.n_inter
+        assert r.jaccard < 0.25          # symmetric measure misses it
+        # disjoint docs produce no pair at all
+        out2 = self._pairs(spark, [(1, long), (2, "x y z w v u")],
+                           threshold=0.0)
+        assert (1, 2) not in out2
+
+    def test_identical_docs_score_one_on_both(self, spark):
+        t = "one two three four five six"
+        r = self._pairs(spark, [(1, t), (2, t)], threshold=0.9)[(1, 2)]
+        assert (r.containment, r.jaccard) == (1.0, 1.0)
+
+    def test_matches_jaccard_operator_on_symmetric_pairs(self, spark):
+        # the refactor must leave ngram_jaccard_pairs' values untouched:
+        # the containment op's jaccard column equals the jaccard op's
+        from json_schema_rs_spark.operators.dedup import (
+            ngram_containment_pairs, ngram_jaccard_pairs)
+        rows = [(i, f"shared common phrase body tail{i % 2} end{i % 3}")
+                for i in range(8)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        jc = {(r.doc_a, r.doc_b): r.jaccard
+              for r in ngram_jaccard_pairs(df, threshold=0.0).collect()}
+        ct = {(r.doc_a, r.doc_b): r.jaccard
+              for r in ngram_containment_pairs(df,
+                                               threshold=0.0).collect()}
+        assert jc == ct and jc
