@@ -26,7 +26,7 @@ from json_schema_rs_spark.operators import (
     decontam, dedup, multimodal, packing, prep, sampling, similarity,
     stats, textstats)
 from json_schema_rs_spark.operators.json_mode import (
-    json_key_profile, validate_json_column)
+    json_key_profile, spec_from_json_profile, validate_json_column)
 from json_schema_rs_spark.operators.table_checks import (
     monotonic_ts_violations,
     referential_violations,
@@ -765,6 +765,54 @@ typed AS (SELECT key,
 SELECT key, kind, count(*) AS n_values,
        round(count(*) / (SELECT n FROM tot), 6) AS frac_of_docs
 FROM typed GROUP BY key, kind ORDER BY key, kind
+"""
+
+
+def _q_v_json_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the JSON-mode discovery arc end-to-end: profile snapshot A's
+    # payloads (json_key_profile), derive a spec (spec_from_json_profile
+    # -> required=["k"], typed k/name/flag), validate drifted snapshot B
+    # — envelope drift becomes typed violation rows
+    ev = _t(spark, sf_dir, "events")
+    eid, sc = F.col("event_id"), (lambda c: c.cast("string"))
+    pay_a = (
+        F.when(eid % 3 == 0, F.concat(F.lit('{"k": '), sc(eid % 100),
+                                      F.lit(', "name": "e'), sc(eid),
+                                      F.lit('"}')))
+        .when(eid % 3 == 1, F.concat(F.lit('{"k": '), sc(eid % 100),
+                                     F.lit("}")))
+        .otherwise(F.concat(F.lit('{"k": '), sc(eid % 100),
+                            F.lit(', "flag": true}'))))
+    spec = spec_from_json_profile(json_key_profile(
+        ev.select("event_id", pay_a.alias("payload")), "payload"))
+    pay_b = (
+        F.when(eid % 5 == 0, F.concat(F.lit('{"k": '), sc(eid % 100),
+                                      F.lit(', "name": "e'), sc(eid),
+                                      F.lit('"}')))
+        .when(eid % 5 == 1, F.lit('{"name": "late"}'))
+        .when(eid % 5 == 2, F.lit('{"k": "str"}'))
+        .when(eid % 5 == 3, F.concat(F.lit('{"k": '), sc(eid % 100),
+                                     F.lit(', "flag": 1}')))
+        .otherwise(F.concat(F.lit('{"k": '), sc(eid % 100),
+                            F.lit(', "extra": 9}'))))
+    return validate_json_column(
+        ev.select("event_id", pay_b.alias("payload")), spec, "payload",
+        key_cols=("event_id",))
+
+
+_SQL_V_JSON_SPEC = """
+SELECT event_id, '/payload/k' AS instance_path,
+       'MissingRequired' AS code,
+       '/payload/k: missing required property "k"' AS message
+FROM events WHERE event_id % 5 = 1
+UNION ALL
+SELECT event_id, '/payload/k', 'ExpectedInteger',
+       '/payload/k: expected integer, got string'
+FROM events WHERE event_id % 5 = 2
+UNION ALL
+SELECT event_id, '/payload/flag', 'ExpectedBoolean',
+       '/payload/flag: expected boolean, got number'
+FROM events WHERE event_id % 5 = 3
 """
 
 
@@ -6024,6 +6072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_oneof_multi": _q_v_oneof_multi,
         "v_json_payload": _q_v_json_payload,
         "s_json_keys": _q_s_json_keys,
+        "v_json_spec": _q_v_json_spec,
         "v_array_items": _q_v_array_items,
         "v_ref_allof": _q_v_ref_allof,
         "v_enum_stream": _q_v_enum_stream,
@@ -6215,6 +6264,7 @@ def oracle_sql() -> dict[str, str]:
         "v_oneof_multi": _SQL_V_ONEOF_MULTI,
         "v_json_payload": _SQL_V_JSON_PAYLOAD,
         "s_json_keys": _SQL_S_JSON_KEYS,
+        "v_json_spec": _SQL_V_JSON_SPEC,
         "v_array_items": _SQL_V_ARRAY_ITEMS,
         "v_ref_allof": _SQL_V_REF_ALLOF,
         "v_enum_stream": _SQL_V_ENUM,

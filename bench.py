@@ -149,6 +149,7 @@ HEADLINE = [
     "x_pack_report",
     "a_mean_embedding",
     "d_containment",
+    "v_json_spec",
     "e_role_latency",
     "v_vector_check",
     "a_normalize",

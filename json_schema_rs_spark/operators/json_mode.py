@@ -195,6 +195,63 @@ def json_key_profile(
             .orderBy("key", "kind"))
 
 
+def spec_from_json_profile(
+    profile,
+    *,
+    required_min_frac: float = 1.0,
+) -> dict:
+    """MEASURED payload profile -> constraint spec: the JSON-mode twin of
+    :func:`..plans.infer.spec_from_profile` (typed columns) closing the
+    discovery arc — :func:`json_key_profile` over last week's payloads,
+    this function, then :func:`validate_json_column` over this week's:
+    envelope drift becomes typed violation rows.
+
+    ``profile`` is a :func:`json_key_profile` result (DataFrame or its
+    collected rows — vocabulary-sized either way). Pure driver logic:
+
+    - a key whose presence fraction (summed over kinds) >=
+      ``required_min_frac`` goes in ``required``;
+    - a key observed with exactly ONE kind that is a JSON-Schema type
+      (not ``null``/``other``) gets ``{"type": kind}`` — multi-kind keys
+      stay unconstrained rather than guessing (the reference validates
+      first-type-only, union types unsupported, design.md:405), and a
+      key ever seen as JSON null gets no type (``type:"integer"`` would
+      fire ``ExpectedInteger`` on the very null that was profiled);
+    - every observed key appears in ``properties`` (so
+      ``additionalProperties`` policies can be layered on by hand).
+
+    By construction the PROFILED payloads validate clean under the
+    returned spec (every required/type fact was measured on them)."""
+    rows = profile.collect() if isinstance(profile, DataFrame) else profile
+    by_key: dict[str, dict] = {}
+    for r in rows:
+        d = by_key.setdefault(r["key"], {"kinds": set(), "frac": 0.0})
+        d["kinds"].add(r["kind"])
+        d["frac"] += r["frac_of_docs"] or 0.0
+    properties: dict[str, dict] = {}
+    required: list[str] = []
+    typed_kinds = {"object", "array", "string", "integer", "number",
+                   "boolean"}
+    for key in sorted(by_key):
+        info = by_key[key]
+        node: dict = {}
+        if len(info["kinds"]) == 1:
+            (kind,) = info["kinds"]
+            if kind in typed_kinds:
+                node = {"type": kind}
+        properties[key] = node
+        # fracs are 6dp-rounded; allow one rounding ulp per contributing
+        # kind so an everywhere-present multi-kind key can't sum to
+        # 0.999999 and silently miss the required list
+        tol = 5e-7 * len(info["kinds"])
+        if info["frac"] >= required_min_frac - tol:
+            required.append(key)
+    spec: dict = {"type": "object", "properties": properties}
+    if required:
+        spec["required"] = required
+    return spec
+
+
 # ---------------------------------------------------------------------------
 # Negative result (round 2), recorded so it is not re-attempted blindly:
 # a VARIANT-based vectorized fast path (try_parse_json + per-property

@@ -133,3 +133,52 @@ def test_key_profile_plan_is_jvm_only(spark):
     assert "Python" not in plan         # zero Python stages
     assert "Generate" in plan           # the variant_explode generator
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# spec_from_json_profile: profile -> spec -> validate (the discovery arc)
+# ---------------------------------------------------------------------------
+
+from json_schema_rs_spark.operators.json_mode import (  # noqa: E402
+    spec_from_json_profile)
+
+
+def test_spec_derivation_rules(spark):
+    df = spark.createDataFrame(
+        [(1, '{"k": 1, "mixed": "s", "maybe_null": 1}'),
+         (2, '{"k": 2, "mixed": 3, "opt": true}'),
+         (3, '{"k": 3, "maybe_null": null}')],
+        "id long, payload string")
+    spec = spec_from_json_profile(json_key_profile(df, "payload"))
+    assert spec["required"] == ["k"]
+    props = spec["properties"]
+    assert props["k"] == {"type": "integer"}
+    assert props["opt"] == {"type": "boolean"}
+    assert props["mixed"] == {}        # multi-kind: no guessed type
+    assert props["maybe_null"] == {}   # seen as JSON null: no type
+
+    # the profiled snapshot validates clean under its own spec
+    clean = validate_json_column(df, spec, "payload", key_cols=("id",))
+    assert clean.count() == 0
+
+
+def test_drift_fires_typed_violations(spark):
+    base = spark.createDataFrame(
+        [(1, '{"k": 1}'), (2, '{"k": 2}')], "id long, payload string")
+    spec = spec_from_json_profile(json_key_profile(base, "payload"))
+    drifted = spark.createDataFrame(
+        [(3, '{"k": "oops"}'), (4, '{"other": 1}')],
+        "id long, payload string")
+    got = sorted((r.id, r.code) for r in validate_json_column(
+        drifted, spec, "payload", key_cols=("id",)).collect())
+    assert got == [(3, "ExpectedInteger"), (4, "MissingRequired")]
+
+
+def test_required_tolerates_multi_kind_rounding(spark):
+    # a key present in EVERY doc but split across kinds whose 6dp fracs
+    # sum to 0.999999 must still be required
+    rows = [(i, '{"x": %s}' % ('1' if i % 3 == 0 else '"s"'))
+            for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, payload string")
+    spec = spec_from_json_profile(json_key_profile(df, "payload"))
+    assert spec["required"] == ["x"]
