@@ -729,6 +729,28 @@ def _jkp_payload_col() -> Column:
         .otherwise(F.lit(None).cast("string")))
 
 
+def _q_s_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # quantile-clip repair: exact [p05, p95] envelope from the
+    # histogram-refinement quantiles, zero-shuffle codegen clip
+    return stats.winsorize(
+        _t(spark, sf_dir, "events").select("event_id", "value"),
+        "value", 0.05, 0.95)
+
+
+_SQL_S_WINSORIZE = """
+WITH b AS (SELECT quantile_disc(value, 0.05) AS lo,
+                  quantile_disc(value, 0.95) AS hi
+           FROM events)
+SELECT event_id, value,
+       CASE WHEN value IS NULL THEN NULL
+            WHEN value < lo THEN lo
+            WHEN value > hi THEN hi
+            ELSE value END AS value_winsorized,
+       value IS NOT NULL AND (value < lo OR value > hi) AS was_clipped
+FROM events, b
+"""
+
+
 def _q_s_json_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     # JSON schema discovery: per (top-level key, JSON-Schema type kind)
     # document counts + presence fraction over a payload column — the
@@ -6071,6 +6093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_oneof_none": _q_v_oneof_none,
         "v_oneof_multi": _q_v_oneof_multi,
         "v_json_payload": _q_v_json_payload,
+        "s_winsorize": _q_s_winsorize,
         "s_json_keys": _q_s_json_keys,
         "v_json_spec": _q_v_json_spec,
         "v_array_items": _q_v_array_items,
@@ -6263,6 +6286,7 @@ def oracle_sql() -> dict[str, str]:
         "v_oneof_none": _SQL_V_ONEOF_NONE,
         "v_oneof_multi": _SQL_V_ONEOF_MULTI,
         "v_json_payload": _SQL_V_JSON_PAYLOAD,
+        "s_winsorize": _SQL_S_WINSORIZE,
         "s_json_keys": _SQL_S_JSON_KEYS,
         "v_json_spec": _SQL_V_JSON_SPEC,
         "v_array_items": _SQL_V_ARRAY_ITEMS,

@@ -150,6 +150,7 @@ HEADLINE = [
     "a_mean_embedding",
     "d_containment",
     "v_json_spec",
+    "s_winsorize",
     "e_role_latency",
     "v_vector_check",
     "a_normalize",

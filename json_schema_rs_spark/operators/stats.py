@@ -722,6 +722,49 @@ def exact_quantiles(df: DataFrame, value_col: str,
     return arrow_local_df(spark, results, "q double, value double, n bigint")
 
 
+def winsorize(df: DataFrame, value_col: str,
+              q_lo: float = 0.01, q_hi: float = 0.99, *,
+              out_col: Optional[str] = None,
+              bins: int = 2048) -> DataFrame:
+    """Quantile-clip repair — the ACTING complement of
+    :func:`exact_quantiles` (the check↔repair symmetry the engine uses
+    throughout: gap-free↔reindex, referential↔coerce, budget↔truncate):
+    clip ``value_col`` to its own exact ``[q_lo, q_hi]`` quantile
+    envelope so a handful of corrupt extremes (a 10^9-token "document",
+    a negative latency) stop dominating every mean/σ downstream. Output
+    = input columns + ``out_col`` (default ``{value_col}_winsorized``,
+    SAME dtype — the bounds are actual data values of the column, so the
+    cast back is lossless) + ``was_clipped``.
+
+    Scale shape: the two bounds come from ONE :func:`exact_quantiles`
+    call (shared first-round histogram, scans only, ``bins`` longs to
+    the driver per round — no sort, no value buffering), then the repair
+    itself is a zero-shuffle codegen projection
+    (``least(greatest(x, lo), hi)``). NULLs pass through unclipped with
+    ``was_clipped = false``. Exactness: quantile values follow the
+    ``quantile_disc`` convention, so clipped outputs are exact data
+    values any SQL engine re-derives with zero float arithmetic."""
+    out_col = out_col or f"{value_col}_winsorized"
+    qrows = {r["q"]: r["value"]
+             for r in exact_quantiles(df, value_col, (q_lo, q_hi),
+                                      bins=bins).collect()}
+    lo, hi = qrows[q_lo], qrows[q_hi]
+    col = F.col(value_col)
+    if lo is None:                       # empty / all-NULL input
+        return df.withColumn(out_col, col) \
+                 .withColumn("was_clipped", F.lit(False))
+    dtype = df.schema[value_col].dataType
+    lo_l = F.lit(lo).cast(dtype)
+    hi_l = F.lit(hi).cast(dtype)
+    # greatest/least SKIP nulls (greatest(NULL, lo) == lo), so the NULL
+    # passthrough needs an explicit guard
+    clipped = F.when(col.isNull(), F.lit(None).cast(dtype)) \
+               .otherwise(F.least(F.greatest(col, lo_l), hi_l))
+    return (df.withColumn(out_col, clipped)
+              .withColumn("was_clipped",
+                          col.isNotNull() & ((col < lo_l) | (col > hi_l))))
+
+
 def exact_corr(df: DataFrame, x_col: str, y_col: str, *,
                group_col: Optional[str] = None,
                scale_digits: int = 6,

@@ -1220,3 +1220,56 @@ class TestExactQuantilesBy:
                exact_quantiles_by(df, "g", "x", (0.5,)).collect()}
         assert out[("k", 0.5)] == (7.0, 5)
         assert out[("m", 0.5)] == (1.0, 2)   # ceil(0.5*2)-1 = 0
+
+
+class TestWinsorize:
+    def test_clip_values_flags_and_dtype(self, spark):
+        from json_schema_rs_spark.operators.stats import winsorize
+        rows = [(i, v) for i, v in enumerate(
+            [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])]
+        df = spark.createDataFrame(rows, "id long, v int")
+        out = winsorize(df, "v", 0.1, 0.9)
+        assert dict(out.dtypes)["v_winsorized"] == "int"  # dtype kept
+        got = {r.id: (r.v_winsorized, r.was_clipped)
+               for r in out.collect()}
+        # n=10: rank(0.1)=ceil(1)-1=0 -> lo=1; rank(0.9)=ceil(9)-1=8 -> hi=9
+        assert got[9] == (9, True)     # 1000 clipped to p90
+        assert got[0] == (1, False)
+        assert all(not c for i, (_, c) in got.items() if i != 9)
+
+    def test_null_passthrough_and_empty(self, spark):
+        from json_schema_rs_spark.operators.stats import winsorize
+        df = spark.createDataFrame([(1, None), (2, 5.0), (3, -99.0)],
+                                   "id long, v double")
+        got = {r.id: (r.v_winsorized, r.was_clipped)
+               for r in winsorize(df, "v", 0.5, 0.5).collect()}
+        assert got[1] == (None, False)
+        # both quantiles = median (5.0 at n=2? ranks: ceil(0.5*2)-1=0 -> -99)
+        empty = spark.createDataFrame([], "id long, v double")
+        out = winsorize(empty, "v").collect()
+        assert out == []
+
+    def test_matches_sorted_rank_definition(self, spark):
+        from json_schema_rs_spark.operators.stats import winsorize
+        import math, random
+        rng = random.Random(11)
+        vals = [rng.uniform(-50, 50) for _ in range(137)]
+        df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                                   "id long, v double")
+        sv = sorted(vals)
+        n = len(sv)
+        lo = sv[max(math.ceil(0.05 * n) - 1, 0)]
+        hi = sv[max(math.ceil(0.95 * n) - 1, 0)]
+        got = {r.id: r.v_winsorized
+               for r in winsorize(df, "v", 0.05, 0.95).collect()}
+        for i, v in enumerate(vals):
+            assert got[i] == min(max(v, lo), hi)
+
+    def test_repair_plan_is_zero_shuffle(self, spark):
+        from json_schema_rs_spark.operators.stats import winsorize
+        df = spark.createDataFrame([(i, float(i)) for i in range(50)],
+                                   "id long, v double")
+        plan = winsorize(df, "v")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan
