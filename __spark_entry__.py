@@ -3408,6 +3408,35 @@ FROM s GROUP BY label ORDER BY label
 """
 
 
+def _q_a_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pairwise cosine between per-label mean embeddings — semantic
+    # complement of d_source_overlap; exact micro-sum centroids +
+    # ordered driver fold, label-count^2 output
+    return similarity.group_centroid_similarity(
+        _t(spark, sf_dir, "embeddings"), "label")
+
+
+_SQL_A_SOURCE_SIMILARITY = """
+WITH e AS (SELECT label,
+                  list_transform(embedding,
+                    x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS m
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+d AS (SELECT label, unnest(m) AS v, generate_subscripts(m, 1) AS i FROM e),
+s AS (SELECT label, i, CAST(sum(v) AS BIGINT) AS sv, count(*) AS n
+      FROM d GROUP BY label, i),
+c AS (SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
+             list(sv / (n * 1000000.0) ORDER BY i) AS m
+      FROM s GROUP BY label)
+SELECT a.label AS group_a, b.label AS group_b,
+       round(list_dot_product(a.m, b.m) /
+             (sqrt(list_dot_product(a.m, a.m)) *
+              sqrt(list_dot_product(b.m, b.m))), 6) AS cos_sim,
+       a.n_vectors AS n_a, b.n_vectors AS n_b
+FROM c a JOIN c b ON a.label < b.label
+"""
+
+
 def _q_a_coverage_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding-space coverage sampling: exact per-IVF-bucket quota
     # (zero-shuffle assignment + two-phase md5 top-N); full value oracle
@@ -6181,6 +6210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_cosine_dup_bucketed": _q_a_cosine_dup_bucketed,
         "a_coverage_sample": _q_a_coverage_sample,
         "a_mean_embedding": _q_a_mean_embedding,
+        "a_source_similarity": _q_a_source_similarity,
         "a_knn_join": _q_a_knn_join,
         "a_quality_propagate": _q_a_quality_propagate,
         "a_label_outliers": _q_a_label_outliers,
@@ -6366,6 +6396,7 @@ def oracle_sql() -> dict[str, str]:
         "a_cosine_dup_bucketed": _SQL_A_COSINE_DUP_BUCKETED,
         "a_coverage_sample": _SQL_A_COVERAGE_SAMPLE,
         "a_mean_embedding": _SQL_A_MEAN_EMBEDDING,
+        "a_source_similarity": _SQL_A_SOURCE_SIMILARITY,
         "a_knn_join": _SQL_A_KNN_JOIN,
         "a_quality_propagate": _SQL_A_QUALITY_PROPAGATE,
         "a_label_outliers": _SQL_A_LABEL_OUTLIERS,

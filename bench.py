@@ -151,6 +151,7 @@ HEADLINE = [
     "d_containment",
     "v_json_spec",
     "s_winsorize",
+    "a_source_similarity",
     "e_role_latency",
     "v_vector_check",
     "a_normalize",

@@ -1327,6 +1327,58 @@ def mean_embedding_by(
             .orderBy(group_col))
 
 
+def group_centroid_similarity(
+    df: DataFrame,
+    group_col: str,
+    *,
+    vec_col: str = "embedding",
+    micro: int = 1_000_000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pairwise cosine between per-group MEAN embeddings —
+    ``(group_a, group_b, cos_sim, n_a, n_b)`` for ``group_a < group_b``
+    — the semantic complement of :func:`..operators.decontam.
+    source_overlap` (lexical shingles): two sources can share few exact
+    n-grams yet be near-identical in embedding space (translations,
+    paraphrase mirrors, re-renders), and the ingest-triage question
+    "is src_A semantically a re-crawl of src_B" is answered here before
+    any pair-level dedup spend.
+
+    Exactness: centroids come from :func:`mean_embedding_by` (order-free
+    integer micro sums, bit-identical cross-engine); the pairwise cosine
+    is a DIMENSION-ORDERED driver fold over those exact doubles (the
+    engine's standard fold contract), rounded at ``round_digits``.
+    Scale shape: one corpus-absorbing mean aggregate (vectors never
+    shuffle), then group-count² driver arithmetic — group cardinality is
+    dashboard-sized by definition (sources, languages, labels). Groups
+    with a zero-norm centroid emit NULL cosine."""
+    import math
+
+    rows = mean_embedding_by(df, group_col, vec_col=vec_col,
+                             micro=micro).collect()
+    spark = df.sparkSession
+    gtype = df.schema[group_col].dataType.simpleString()
+    schema = (f"group_a {gtype}, group_b {gtype}, cos_sim double, "
+              "n_a bigint, n_b bigint")
+    out = []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            dot = la = lb = 0.0
+            for x, y in zip(a["embedding"], b["embedding"]):  # ordered
+                dot += x * y
+                la += x * x
+                lb += y * y
+            # sqrt(la)*sqrt(lb), NOT sqrt(la*lb) — the cosine-family
+            # oracle convention (list_dot_product / (sqrt*sqrt))
+            cos = (round(dot / (math.sqrt(la) * math.sqrt(lb)),
+                         round_digits)
+                   if la > 0 and lb > 0 else None)
+            out.append((a[group_col], b[group_col], cos,
+                        a["n_vectors"], b["n_vectors"]))
+    return arrow_local_df(spark, out, schema)
+
+
 def embedding_drift(df_a: DataFrame, df_b: DataFrame,
                     vec_col: str = "embedding", *,
                     round_digits: int = 6) -> DataFrame:

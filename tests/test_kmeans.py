@@ -141,3 +141,32 @@ class TestMeanEmbeddingBy:
         out = mean_embedding_by(df, "label")
         assert out.count() == 0
         assert dict(out.dtypes)["label"] == "int"
+
+
+class TestGroupCentroidSimilarity:
+    def test_identical_groups_score_one_orthogonal_zero(self, spark):
+        from json_schema_rs_spark.operators.similarity import (
+            group_centroid_similarity)
+        rows = (
+            [(i, [1.0, 0.0], "a") for i in range(3)]
+            + [(10 + i, [1.0, 0.0], "b") for i in range(2)]  # same dir
+            + [(20 + i, [0.0, 1.0], "c") for i in range(2)]  # orthogonal
+        )
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, grp string")
+        out = {(r.group_a, r.group_b): r
+               for r in group_centroid_similarity(df, "grp").collect()}
+        assert out[("a", "b")].cos_sim == 1.0
+        assert out[("a", "c")].cos_sim == 0.0
+        assert (out[("a", "b")].n_a, out[("a", "b")].n_b) == (3, 2)
+        assert len(out) == 3  # C(3,2) pairs
+
+    def test_zero_norm_centroid_emits_null(self, spark):
+        from json_schema_rs_spark.operators.similarity import (
+            group_centroid_similarity)
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0], "z"), (2, [1.0, 1.0], "a")],
+            "vec_id long, embedding array<float>, grp string")
+        out = {(r.group_a, r.group_b): r.cos_sim
+               for r in group_centroid_similarity(df, "grp").collect()}
+        assert out[("a", "z")] is None
