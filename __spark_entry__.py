@@ -3408,6 +3408,40 @@ FROM s GROUP BY label ORDER BY label
 """
 
 
+def _q_a_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # nearest-centroid (Rocchio) label audit: exact micro-sum label
+    # centroids + zero-shuffle broadcast argmax; full value oracle
+    return similarity.centroid_classify(_t(spark, sf_dir, "embeddings"))
+
+
+_SQL_A_CENTROID_CLASSIFY = """
+WITH e AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> x::DOUBLE) AS v,
+                  list_transform(embedding,
+                    x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS m
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) = 64),
+d AS (SELECT label, unnest(m) AS mv, generate_subscripts(m, 1) AS i
+      FROM e WHERE label IS NOT NULL),
+s AS (SELECT label, i, CAST(sum(mv) AS BIGINT) AS sv, count(*) AS n
+      FROM d GROUP BY label, i),
+c AS (SELECT label AS cid, list(sv / (n * 1000000.0) ORDER BY i) AS cv
+      FROM s GROUP BY label),
+sc AS (SELECT e.vec_id, e.label, c.cid,
+              list_dot_product(e.v, c.cv) /
+              (sqrt(list_dot_product(e.v, e.v)) *
+               sqrt(list_dot_product(c.cv, c.cv))) AS sim
+       FROM e CROSS JOIN c),
+asg AS (SELECT vec_id, label, cid AS predicted_label FROM (
+          SELECT sc.*, row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, cid) AS rn
+          FROM sc) WHERE rn = 1)
+SELECT vec_id, label, predicted_label,
+       predicted_label = label AS agrees
+FROM asg
+"""
+
+
 def _q_a_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairwise cosine between per-label mean embeddings — semantic
     # complement of d_source_overlap; exact micro-sum centroids +
@@ -6211,6 +6245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_coverage_sample": _q_a_coverage_sample,
         "a_mean_embedding": _q_a_mean_embedding,
         "a_source_similarity": _q_a_source_similarity,
+        "a_centroid_classify": _q_a_centroid_classify,
         "a_knn_join": _q_a_knn_join,
         "a_quality_propagate": _q_a_quality_propagate,
         "a_label_outliers": _q_a_label_outliers,
@@ -6397,6 +6432,7 @@ def oracle_sql() -> dict[str, str]:
         "a_coverage_sample": _SQL_A_COVERAGE_SAMPLE,
         "a_mean_embedding": _SQL_A_MEAN_EMBEDDING,
         "a_source_similarity": _SQL_A_SOURCE_SIMILARITY,
+        "a_centroid_classify": _SQL_A_CENTROID_CLASSIFY,
         "a_knn_join": _SQL_A_KNN_JOIN,
         "a_quality_propagate": _SQL_A_QUALITY_PROPAGATE,
         "a_label_outliers": _SQL_A_LABEL_OUTLIERS,

@@ -152,6 +152,7 @@ HEADLINE = [
     "v_json_spec",
     "s_winsorize",
     "a_source_similarity",
+    "a_centroid_classify",
     "e_role_latency",
     "v_vector_check",
     "a_normalize",

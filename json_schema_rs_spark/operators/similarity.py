@@ -1327,6 +1327,44 @@ def mean_embedding_by(
             .orderBy(group_col))
 
 
+def centroid_classify(
+    df: DataFrame,
+    *,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Nearest-centroid classification (Rocchio) over the labeled slice's
+    OWN centroids: every vector gets ``predicted_label`` = the label
+    whose mean embedding it is most cosine-similar to, plus ``agrees``
+    (predicted == own label; NULL-labeled vectors get a prediction and a
+    NULL ``agrees`` — that's the label-propagation use). Output =
+    ``(id, label, predicted_label, agrees)``.
+
+    The cheap embedding-space label audit: aggregate disagreement rates
+    per label expose systematically mislabeled slices (the per-vector
+    sibling of :func:`label_outliers`, which needs the kNN graph; this
+    needs only |labels| centroids and one corpus scan).
+
+    Composition of proven shapes: :func:`mean_embedding_by` (order-free
+    micro-sum centroids, NULL-labeled rows excluded from training) +
+    :func:`assign_buckets` (broadcast argmax, ZERO shuffle, ties →
+    lowest label). Zero-norm / NULL / wrong-dims vectors get NULL
+    prediction."""
+    cents = (mean_embedding_by(df.filter(F.col(label_col).isNotNull()),
+                               label_col, vec_col=vec_col, micro=micro)
+             .select(F.col(label_col).alias("centroid_id"),
+                     F.col("embedding").alias("centroid")))
+    assigned = assign_buckets(df, cents, id_col=id_col, vec_col=vec_col)
+    return assigned.select(
+        id_col, label_col,
+        F.col("bucket_id").alias("predicted_label"),
+        F.when(F.col("bucket_id").isNotNull(),
+               F.col("bucket_id") == F.col(label_col))
+         .alias("agrees"))
+
+
 def group_centroid_similarity(
     df: DataFrame,
     group_col: str,

@@ -170,3 +170,39 @@ class TestGroupCentroidSimilarity:
         out = {(r.group_a, r.group_b): r.cos_sim
                for r in group_centroid_similarity(df, "grp").collect()}
         assert out[("a", "z")] is None
+
+
+class TestCentroidClassify:
+    def test_separated_clusters_classify_cleanly(self, spark):
+        from json_schema_rs_spark.operators.similarity import (
+            centroid_classify)
+        rows = (
+            [(i, [1.0, 0.0, 0.05 * i], 0) for i in range(4)]
+            + [(10 + i, [0.0, 1.0, 0.05 * i], 1) for i in range(4)]
+            # one vector labeled 0 but sitting in cluster 1
+            + [(20, [0.0, 1.0, 0.0], 0)]
+            # unlabeled: gets a prediction, NULL agreement
+            + [(21, [1.0, 0.0, 0.0], None)]
+            # invalid vector: NULL prediction
+            + [(22, None, 0)]
+        )
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int")
+        out = {r.vec_id: r for r in centroid_classify(df).collect()}
+        for i in range(4):
+            assert out[i].predicted_label == 0 and out[i].agrees
+            assert out[10 + i].predicted_label == 1 and out[10 + i].agrees
+        assert out[20].predicted_label == 1 and out[20].agrees is False
+        assert out[21].predicted_label == 0 and out[21].agrees is None
+        assert out[22].predicted_label is None and out[22].agrees is None
+
+    def test_assignment_is_shuffle_free(self, spark, sf_dir):
+        from json_schema_rs_spark.operators.similarity import (
+            centroid_classify)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        plan = centroid_classify(emb)._jdf.queryExecution() \
+            .executedPlan().toString()
+        # the classify scan itself never exchanges the corpus (the
+        # centroid TRAINING aggregate runs as its own earlier job)
+        assert "Exchange" not in plan
+        assert "CartesianProduct" not in plan
