@@ -4847,6 +4847,37 @@ FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
 
+_OOV_VOCAB = ["key", "agg", "row", "scan", "slow", "fast", "table",
+              "value", "part", "hash", "merge", "batch", "spark", "a",
+              "the"]
+
+
+def _q_x_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokenizer-fit: per-doc OOV rate against a literal vocabulary —
+    # row-local array_contains codegen, zero shuffle
+    return textstats.oov_stats(_t(spark, sf_dir, "documents"), _OOV_VOCAB)
+
+
+_SQL_X_OOV_RATE = r"""
+WITH w AS (SELECT doc_id,
+                  list_transform(
+                    list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                      '\s+'),
+                                x -> x <> ''),
+                    x -> lower(x)) AS ws
+           FROM documents),
+o AS (SELECT doc_id, len(ws) AS n_tokens,
+             len(list_filter(ws, x -> NOT list_contains(
+                 ['key', 'agg', 'row', 'scan', 'slow', 'fast', 'table',
+                  'value', 'part', 'hash', 'merge', 'batch', 'spark',
+                  'a', 'the'], x))) AS n_oov
+      FROM w)
+SELECT doc_id, n_tokens, n_oov,
+       round(n_oov * 1.0 / nullif(n_tokens, 0), 6) AS oov_rate
+FROM o
+"""
+
+
 def _q_x_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-source distinct-n corpus diversity (Li et al. 2016): two
     # stacked hash aggregates over xxhash64 gram longs + a group-sized
@@ -6269,6 +6300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_rep_ngram": _q_x_rep_ngram,
         "x_dup_ngrams": _q_x_dup_ngrams,
         "x_ngram_diversity": _q_x_ngram_diversity,
+        "x_oov_rate": _q_x_oov_rate,
         "x_dedup_spans": _q_x_dedup_spans,
         "x_decontam_spans": _q_x_decontam_spans,
         "x_lm_quality": _q_x_lm_quality,
@@ -6454,6 +6486,7 @@ def oracle_sql() -> dict[str, str]:
         "x_rep_ngram": _SQL_X_REP_NGRAM,
         "x_dup_ngrams": _SQL_X_DUP_NGRAMS,
         "x_ngram_diversity": _SQL_X_NGRAM_DIVERSITY,
+        "x_oov_rate": _SQL_X_OOV_RATE,
         "x_dedup_spans": _SQL_X_DEDUP_SPANS,
         "x_decontam_spans": _SQL_X_DECONTAM_SPANS,
         "x_lm_quality": _SQL_X_LM_QUALITY,

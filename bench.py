@@ -153,6 +153,7 @@ HEADLINE = [
     "s_winsorize",
     "a_source_similarity",
     "a_centroid_classify",
+    "x_oov_rate",
     "e_role_latency",
     "v_vector_check",
     "a_normalize",

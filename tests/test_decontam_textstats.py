@@ -857,3 +857,42 @@ class TestNgramDiversity:
             .executedPlan().toString()
         assert "Expand" not in plan      # no countDistinct over the grams
         assert "CartesianProduct" not in plan
+
+
+class TestOovStats:
+    def _run(self, spark, rows, vocab, **kw):
+        from json_schema_rs_spark.operators.textstats import oov_stats
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r.doc_id: r for r in oov_stats(df, vocab, **kw).collect()}
+
+    def test_rates_and_edge_handling(self, spark):
+        out = self._run(spark, [
+            (1, "the cat sat"),          # cat/sat OOV
+            (2, "THE The the"),          # lowercase fold: all in-vocab
+            (3, "dog!"),                 # punctuation NOT stripped -> OOV
+            (4, ""), (5, None),          # token-less
+            (6, "  the   cat  "),        # empty runs dropped
+        ], vocab=["the", "dog"])
+        assert (out[1].n_tokens, out[1].n_oov) == (3, 2)
+        assert out[2].n_oov == 0 and out[2].oov_rate == 0.0
+        assert (out[3].n_tokens, out[3].n_oov) == (1, 1)  # "dog!" != "dog"
+        for i in (4, 5):
+            assert (out[i].n_tokens, out[i].n_oov,
+                    out[i].oov_rate) == (0, 0, None)
+        assert (out[6].n_tokens, out[6].n_oov) == (2, 1)
+        assert out[1].oov_rate == round(2 / 3, 6)
+
+    def test_case_sensitive_mode_and_empty_vocab(self, spark):
+        out = self._run(spark, [(1, "The the")], vocab=["the"],
+                        lowercase=False)
+        assert (out[1].n_tokens, out[1].n_oov) == (2, 1)
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            self._run(spark, [(1, "x")], vocab=[])
+
+    def test_plan_is_row_local(self, spark):
+        from json_schema_rs_spark.operators.textstats import oov_stats
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        plan = oov_stats(df, ["a"])._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan
