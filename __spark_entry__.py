@@ -729,6 +729,60 @@ def _jkp_payload_col() -> Column:
         .otherwise(F.lit(None).cast("string")))
 
 
+def _q_t_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ingest-freshness check at a FIXED reference instant (determinism
+    # rule: never wall clock); 30-min staleness bound splits the five
+    # event feeds into both polarities at sf0.01
+    from json_schema_rs_spark.operators.table_checks import (
+        freshness_stats)
+    return freshness_stats(
+        _t(spark, sf_dir, "events"), "ts",
+        as_of="2024-01-31 00:00:00", max_age_seconds=1800,
+        group_col="event_type")
+
+
+_SQL_T_FRESHNESS = """
+SELECT event_type, count(*) AS n_rows, max(ts) AS max_ts,
+       (epoch_us(date_trunc('second', TIMESTAMP '2024-01-31 00:00:00'))
+        - epoch_us(date_trunc('second', max(ts)))) // 1000000
+         AS age_seconds,
+       coalesce((epoch_us(date_trunc('second',
+                          TIMESTAMP '2024-01-31 00:00:00'))
+                 - epoch_us(date_trunc('second', max(ts)))) // 1000000
+                > 1800, TRUE) AS stale
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _q_t_dup_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # duplicate-key payload divergence: both engines inject the same
+    # retry (identical payload) and conflict (altered payload)
+    # duplicates, then diagnose which duplicated keys truly disagree
+    ev = _t(spark, sf_dir, "events").select("event_id", "props")
+    retries = ev.filter(F.col("event_id") % 97 == 0)
+    conflicts = ev.filter(F.col("event_id") % 89 == 0).select(
+        "event_id", F.concat(F.col("props"), F.lit("X")).alias("props"))
+    dirty = ev.unionByName(retries).unionByName(conflicts)
+    from json_schema_rs_spark.operators.table_checks import (
+        duplicate_conflict_stats)
+    return duplicate_conflict_stats(
+        dirty, keys=("event_id",), payload_col="props")
+
+
+_SQL_T_DUP_CONFLICTS = """
+WITH dirty AS (
+  SELECT event_id, props FROM events
+  UNION ALL SELECT event_id, props FROM events WHERE event_id % 97 = 0
+  UNION ALL SELECT event_id, props || 'X' FROM events
+  WHERE event_id % 89 = 0),
+c AS (SELECT event_id, count(*) AS occurrences,
+             count(DISTINCT coalesce(props, chr(1))) AS n_variants
+      FROM dirty GROUP BY event_id)
+SELECT event_id, occurrences, n_variants, n_variants > 1 AS conflict
+FROM c WHERE occurrences > 1
+"""
+
+
 def _q_s_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quantile-clip repair: exact [p05, p95] envelope from the
     # histogram-refinement quantiles, zero-shuffle codegen clip
@@ -6187,6 +6241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_oneof_none": _q_v_oneof_none,
         "v_oneof_multi": _q_v_oneof_multi,
         "v_json_payload": _q_v_json_payload,
+        "t_freshness": _q_t_freshness,
+        "t_dup_conflicts": _q_t_dup_conflicts,
         "s_winsorize": _q_s_winsorize,
         "s_json_keys": _q_s_json_keys,
         "v_json_spec": _q_v_json_spec,
@@ -6383,6 +6439,8 @@ def oracle_sql() -> dict[str, str]:
         "v_oneof_none": _SQL_V_ONEOF_NONE,
         "v_oneof_multi": _SQL_V_ONEOF_MULTI,
         "v_json_payload": _SQL_V_JSON_PAYLOAD,
+        "t_freshness": _SQL_T_FRESHNESS,
+        "t_dup_conflicts": _SQL_T_DUP_CONFLICTS,
         "s_winsorize": _SQL_S_WINSORIZE,
         "s_json_keys": _SQL_S_JSON_KEYS,
         "v_json_spec": _SQL_V_JSON_SPEC,

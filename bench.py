@@ -154,6 +154,8 @@ HEADLINE = [
     "a_source_similarity",
     "a_centroid_classify",
     "x_oov_rate",
+    "t_freshness",
+    "t_dup_conflicts",
     "e_role_latency",
     "v_vector_check",
     "a_normalize",

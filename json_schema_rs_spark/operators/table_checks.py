@@ -61,6 +61,80 @@ def uniqueness_violations(
     )
 
 
+def duplicate_conflict_stats(
+    df: DataFrame,
+    keys: Sequence[str] = ("conv_id", "turn_idx"),
+    *,
+    payload_col: str = "text",
+) -> DataFrame:
+    """Diagnosis tier between the uniqueness CHECK and the reindex
+    REPAIR: for every duplicated key, do the copies AGREE on the
+    payload? ``(keys..., occurrences, n_variants, conflict)`` — an
+    idempotent-retry duplicate (``n_variants == 1``) is safe to drop
+    blind, while a true conflict (``> 1``) needs the survivor policy
+    :func:`reindex_turns` applies (and tells you which policy matters:
+    a pipeline producing only retries can dedup with ``DISTINCT``; one
+    producing conflicts cannot).
+
+    Scale shape: ONE hash aggregate on the key carrying a 16-byte md5
+    digest of the payload (`count` + `count_distinct(digest)` — the
+    payload itself never shuffles, exactly the `transcript_diff`
+    projection rule); NULL payloads take a digest sentinel so NULL vs
+    'x' counts as a conflict while NULL vs NULL does not."""
+    keys = list(keys)
+    digest = F.coalesce(F.md5(F.col(payload_col).cast("string")),
+                        F.lit("<null>"))
+    counts = (df.select(*keys, digest.alias("_d"))
+                .groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("occurrences"),
+                     F.countDistinct("_d").alias("n_variants")))
+    return (counts.filter(F.col("occurrences") > 1)
+                  .withColumn("conflict", F.col("n_variants") > 1))
+
+
+def freshness_stats(
+    df: DataFrame,
+    ts_col: str = "ts",
+    *,
+    as_of: str,
+    max_age_seconds: int,
+    group_col: Optional[str] = None,
+) -> DataFrame:
+    """Data-freshness check (the classic ingest-health expectation):
+    per group — or one global row — ``(group?, n_rows, max_ts,
+    age_seconds, stale)`` where ``age_seconds`` is the exact
+    whole-second age of the newest row at ``as_of`` (an explicit
+    reference instant, NEVER wall clock — reruns must reproduce, the
+    engine-wide determinism rule) and ``stale`` flags groups whose
+    feed has gone quiet for more than ``max_age_seconds``.
+
+    A silent source is invisible to every row-level check (no rows, no
+    violations) — staleness is the one signal that catches "the crawler
+    stopped Tuesday". Scale shape: ONE hash aggregate (max/count,
+    map-side combined, group-cardinality output). Exactness: age is an
+    integer microsecond difference floor-divided to seconds — no float,
+    no timezone arithmetic (both engines compare UTC instants); groups
+    with only NULL timestamps report NULL age and ``stale = true``
+    (unknown recency is stale by definition)."""
+    gcols = [group_col] if group_col else []
+    agg = df.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max(F.col(ts_col)).alias("max_ts"))
+    # second-boundary-crossing count (the conversation_bounds /
+    # DuckDB date_diff parity rule): truncate BOTH endpoints to the
+    # second, so the µs difference is an exact multiple of 1e6 and the
+    # integer division is exact for any sign — no float, no
+    # truncate-vs-floor ambiguity on future timestamps
+    age = F.expr(
+        f"(unix_micros(date_trunc('second', to_timestamp('{as_of}'))) "
+        f"- unix_micros(date_trunc('second', max_ts))) div 1000000")
+    out = (agg.withColumn("age_seconds", age)
+              .withColumn("stale",
+                          F.coalesce(F.col("age_seconds")
+                                     > max_age_seconds, F.lit(True))))
+    return out.orderBy(*gcols) if gcols else out
+
+
 def referential_violations(
     df: DataFrame,
     column: str,

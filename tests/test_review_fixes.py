@@ -228,3 +228,87 @@ class TestDropLoopedTurns:
         plan = (drop_looped_turns(df)
                 ._jdf.queryExecution().executedPlan().toString())
         assert plan.count("Exchange") == 1 and "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# freshness_stats / duplicate_conflict_stats (validation-family additions)
+# ---------------------------------------------------------------------------
+
+
+class TestFreshnessStats:
+    def test_ages_staleness_and_null_group(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            freshness_stats)
+        df = spark.createDataFrame(
+            [("a", "2024-01-01 10:00:00"),
+             ("a", "2024-01-01 11:59:30"),
+             ("b", "2024-01-01 09:00:00"),
+             ("c", None)],
+            "src string, ts string").withColumn(
+            "ts", __import__("pyspark.sql.functions",
+                             fromlist=["F"]).to_timestamp("ts"))
+        out = {r.src: r for r in freshness_stats(
+            df, "ts", as_of="2024-01-01 12:00:00",
+            max_age_seconds=600, group_col="src").collect()}
+        assert (out["a"].age_seconds, out["a"].stale) == (30, False)
+        assert (out["b"].age_seconds, out["b"].stale) == (10800, True)
+        # only-NULL timestamps: unknown recency is stale by definition
+        assert out["c"].max_ts is None and out["c"].age_seconds is None
+        assert out["c"].stale is True
+
+    def test_future_timestamp_negative_age(self, spark):
+        from pyspark.sql import functions as F
+        from json_schema_rs_spark.operators.table_checks import (
+            freshness_stats)
+        df = spark.createDataFrame([("a", "2024-01-01 12:01:30")],
+                                   "src string, ts string") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        r = freshness_stats(df, "ts", as_of="2024-01-01 12:00:00",
+                            max_age_seconds=60,
+                            group_col="src").collect()[0]
+        assert r.age_seconds == -90 and r.stale is False
+
+    def test_global_single_row(self, spark):
+        from pyspark.sql import functions as F
+        from json_schema_rs_spark.operators.table_checks import (
+            freshness_stats)
+        df = spark.createDataFrame(
+            [("x", "2024-01-01 00:00:00")], "src string, ts string") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        out = freshness_stats(df, "ts", as_of="2024-01-02 00:00:00",
+                              max_age_seconds=86400).collect()
+        assert len(out) == 1 and out[0].age_seconds == 86400
+        assert out[0].stale is False    # exactly at the bound
+
+
+class TestDuplicateConflictStats:
+    def test_retry_vs_conflict_vs_unique(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            duplicate_conflict_stats)
+        df = spark.createDataFrame(
+            [("c1", 0, "same"), ("c1", 0, "same"),          # retry
+             ("c1", 1, "x"), ("c1", 1, "y"),                # conflict
+             ("c2", 0, "only"),                             # unique
+             ("c3", 0, None), ("c3", 0, None),              # NULL retry
+             ("c4", 0, None), ("c4", 0, "v")],              # NULL conflict
+            "conv_id string, turn_idx int, text string")
+        out = {(r.conv_id, r.turn_idx): r
+               for r in duplicate_conflict_stats(df).collect()}
+        assert ("c2", 0) not in out
+        assert (out[("c1", 0)].n_variants,
+                out[("c1", 0)].conflict) == (1, False)
+        assert (out[("c1", 1)].occurrences,
+                out[("c1", 1)].conflict) == (2, True)
+        assert out[("c3", 0)].conflict is False   # NULL == NULL
+        assert out[("c4", 0)].conflict is True    # NULL vs value
+
+    def test_payload_never_shuffles(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            duplicate_conflict_stats)
+        df = spark.createDataFrame(
+            [("c", i % 3, "t" * 50) for i in range(30)],
+            "conv_id string, turn_idx int, text string")
+        plan = duplicate_conflict_stats(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        # the projection before the exchange carries the digest, not text
+        assert "text" not in plan.split("Exchange")[1][:400]
