@@ -729,6 +729,31 @@ def _jkp_payload_col() -> Column:
         .otherwise(F.lit(None).cast("string")))
 
 
+def _q_t_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # functional-dependency check: both engines derive lang -> script
+    # (FD holds) then corrupt every 401st doc's script — violating
+    # determinant groups surface with two concrete witnesses
+    docs = _t(spark, sf_dir, "documents")
+    script = F.when(F.col("doc_id") % 401 == 0, F.lit("CORRUPT"))               .otherwise(F.concat(F.lit("script-"), F.col("lang")))
+    from json_schema_rs_spark.operators.table_checks import (
+        functional_dependency_violations)
+    return functional_dependency_violations(
+        docs.select("lang", script.alias("script")), ["lang"], "script")
+
+
+_SQL_T_FD_CHECK = """
+WITH d AS (SELECT lang,
+                  CASE WHEN doc_id % 401 = 0 THEN 'CORRUPT'
+                       ELSE 'script-' || lang END AS script
+           FROM documents),
+a AS (SELECT lang, count(*) AS n_rows,
+             count(DISTINCT script) AS n_values,
+             min(script) AS example_lo, max(script) AS example_hi
+      FROM d GROUP BY lang)
+SELECT * FROM a WHERE n_values > 1
+"""
+
+
 def _q_t_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ingest-freshness check at a FIXED reference instant (determinism
     # rule: never wall clock); 30-min staleness bound splits the five
@@ -4906,6 +4931,26 @@ _OOV_VOCAB = ["key", "agg", "row", "scan", "slow", "fast", "table",
               "the"]
 
 
+def _q_x_top_tokens_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-language vocabulary heads: the stratified top_tokens sibling;
+    # vocab-sized agg + skew-safe two-phase exact top-k per group
+    return textstats.top_tokens_by(_t(spark, sf_dir, "documents"),
+                                   "lang", k=20)
+
+
+_SQL_X_TOP_TOKENS_BY = """
+WITH tk AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+            FROM documents),
+c AS (SELECT lang, token, count(*) AS n FROM tk GROUP BY 1, 2),
+r AS (SELECT lang, token, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, token) AS rank
+      FROM c)
+SELECT lang, token, n AS n_occurrences, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 20 ORDER BY lang, rank
+"""
+
+
 def _q_x_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenizer-fit: per-doc OOV rate against a literal vocabulary —
     # row-local array_contains codegen, zero shuffle
@@ -6241,6 +6286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_oneof_none": _q_v_oneof_none,
         "v_oneof_multi": _q_v_oneof_multi,
         "v_json_payload": _q_v_json_payload,
+        "t_fd_check": _q_t_fd_check,
         "t_freshness": _q_t_freshness,
         "t_dup_conflicts": _q_t_dup_conflicts,
         "s_winsorize": _q_s_winsorize,
@@ -6357,6 +6403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dup_ngrams": _q_x_dup_ngrams,
         "x_ngram_diversity": _q_x_ngram_diversity,
         "x_oov_rate": _q_x_oov_rate,
+        "x_top_tokens_by": _q_x_top_tokens_by,
         "x_dedup_spans": _q_x_dedup_spans,
         "x_decontam_spans": _q_x_decontam_spans,
         "x_lm_quality": _q_x_lm_quality,
@@ -6439,6 +6486,7 @@ def oracle_sql() -> dict[str, str]:
         "v_oneof_none": _SQL_V_ONEOF_NONE,
         "v_oneof_multi": _SQL_V_ONEOF_MULTI,
         "v_json_payload": _SQL_V_JSON_PAYLOAD,
+        "t_fd_check": _SQL_T_FD_CHECK,
         "t_freshness": _SQL_T_FRESHNESS,
         "t_dup_conflicts": _SQL_T_DUP_CONFLICTS,
         "s_winsorize": _SQL_S_WINSORIZE,
@@ -6545,6 +6593,7 @@ def oracle_sql() -> dict[str, str]:
         "x_dup_ngrams": _SQL_X_DUP_NGRAMS,
         "x_ngram_diversity": _SQL_X_NGRAM_DIVERSITY,
         "x_oov_rate": _SQL_X_OOV_RATE,
+        "x_top_tokens_by": _SQL_X_TOP_TOKENS_BY,
         "x_dedup_spans": _SQL_X_DEDUP_SPANS,
         "x_decontam_spans": _SQL_X_DECONTAM_SPANS,
         "x_lm_quality": _SQL_X_LM_QUALITY,

@@ -156,6 +156,8 @@ HEADLINE = [
     "x_oov_rate",
     "t_freshness",
     "t_dup_conflicts",
+    "t_fd_check",
+    "x_top_tokens_by",
     "e_role_latency",
     "v_vector_check",
     "a_normalize",

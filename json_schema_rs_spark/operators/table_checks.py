@@ -92,6 +92,41 @@ def duplicate_conflict_stats(
                   .withColumn("conflict", F.col("n_variants") > 1))
 
 
+def functional_dependency_violations(
+    df: DataFrame,
+    determinants: Sequence[str],
+    dependent: str,
+) -> DataFrame:
+    """Functional-dependency check: determinant groups where the
+    dependent column takes MORE than one value —
+    ``(determinants..., n_rows, n_values, example_lo, example_hi)``.
+
+    The cross-column consistency rule the keyword ladder can't express
+    (every V-check sees one column at a time): "conv_id determines
+    model_version", "sku determines currency", "lang determines
+    script". A violating group means two pipelines disagree about the
+    same entity — the table-level sibling of `const` (one mandated
+    value) with the mandate learned from the data itself.
+
+    Scale shape: ONE hash aggregate on the determinant key —
+    ``count_distinct(dependent)`` plus bounded ``min``/``max`` witnesses
+    (two concrete disagreeing values for the report; never a
+    ``collect_set`` that a hot group could blow up). Map-side partials
+    absorb the corpus; output ≤ determinant cardinality. NULL dependents
+    are ignored by ``count_distinct`` (the enum-check convention: NULL
+    is absent, not a value), so NULL-vs-value does NOT violate — the
+    uniqueness/conflict family owns presence questions."""
+    dets = list(determinants)
+    if not dets:
+        raise ValueError("determinants must be non-empty")
+    agg = df.groupBy(*dets).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(F.col(dependent)).alias("n_values"),
+        F.min(F.col(dependent)).alias("example_lo"),
+        F.max(F.col(dependent)).alias("example_hi"))
+    return agg.filter(F.col("n_values") > 1)
+
+
 def freshness_stats(
     df: DataFrame,
     ts_col: str = "ts",

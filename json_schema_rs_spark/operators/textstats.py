@@ -9,7 +9,7 @@ rounding) so a SQL oracle can verify it byte-for-byte.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # BPE-ish pre-tokenizer: letter runs, single digits, single non-space
@@ -176,6 +176,57 @@ def top_tokens(df: DataFrame, text_col: str = "text",
                  F.countDistinct(id_col).alias("n_docs"))
             .orderBy(F.desc("n_occurrences"), F.asc("token"))
             .limit(k))
+
+
+def top_tokens_by(df: DataFrame, group_col: str,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  *, k: int = 20) -> DataFrame:
+    """Per-GROUP vocabulary heads: the ``k`` most frequent whitespace
+    tokens within each group —
+    ``(group, token, n_occurrences, rank)`` — the stratified sibling of
+    :func:`top_tokens` (a global head is dominated by the majority
+    source/language; mixing and language-balance decisions need each
+    stratum's own head).
+
+    Scale shape: the same vocabulary-sized (group, token) hash aggregate
+    with map-side combine (corpus text never shuffles), then an exact
+    top-``k`` per group WITHOUT funneling hot groups through one
+    reducer: a zero-shuffle per-partition local top-``k`` over the
+    aggregated rows (a superset of the global winners — the
+    ``quota_sample`` / ``review_queue`` two-phase shape) and one final
+    window over the ≤ k x groups x partitions survivors. Ordering is
+    total (count desc, token asc) so every head is unique and
+    cross-engine reproducible."""
+    from ..functions.exprs import explode_rows
+    from .dedup import _spread
+    toks = explode_rows(
+        _spread(df, id_col).withColumn("__tb_words",
+                                       F.split(F.col(text_col), " ")),
+        [group_col], F.col("__tb_words"), "token")
+    counts = (toks.groupBy(group_col, "token")
+              .agg(F.count("*").alias("n_occurrences")))
+    schema = counts.schema
+    gname = group_col
+
+    def local_topk(batches):
+        import pandas as pd
+        acc = None
+        for pdf in batches:
+            acc = pdf if acc is None else pd.concat([acc, pdf],
+                                                    ignore_index=True)
+            acc = (acc.sort_values(["n_occurrences", "token"],
+                                   ascending=[False, True],
+                                   kind="mergesort")
+                      .groupby(gname, sort=False, dropna=False).head(k))
+        if acc is not None:
+            yield acc
+
+    local = counts.mapInPandas(local_topk, schema=schema)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("n_occurrences"), F.asc("token"))
+    return (local.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= k)
+                 .orderBy(group_col, "rank"))
 
 
 def top_ngram_fraction(df: DataFrame, text_col: str = "text",

@@ -896,3 +896,37 @@ class TestOovStats:
         plan = oov_stats(df, ["a"])._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan and "Python" not in plan
+
+
+class TestTopTokensBy:
+    def test_per_group_heads_exact(self, spark):
+        from json_schema_rs_spark.operators.textstats import top_tokens_by
+        rows = [
+            (1, "a a a b b c", "g1"),
+            (2, "b b", "g1"),
+            (3, "z z y", "g2"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        out = [(r.lang, r.token, r.n_occurrences, r.rank)
+               for r in top_tokens_by(df, "lang", k=2).collect()]
+        assert out == [("g1", "b", 4, 1), ("g1", "a", 3, 2),
+                       ("g2", "z", 2, 1), ("g2", "y", 1, 2)]
+
+    def test_tie_break_is_token_asc(self, spark):
+        from json_schema_rs_spark.operators.textstats import top_tokens_by
+        df = spark.createDataFrame([(1, "b a c", "g")],
+                                   "doc_id long, text string, lang string")
+        out = [r.token for r in top_tokens_by(df, "lang", k=3).collect()]
+        assert out == ["a", "b", "c"]
+
+    def test_matches_global_head_on_single_group(self, spark, sf_dir):
+        from json_schema_rs_spark.operators.textstats import (
+            top_tokens, top_tokens_by)
+        from pyspark.sql import functions as F
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .withColumn("one", F.lit("g"))
+        a = [(r.token, r.n_occurrences)
+             for r in top_tokens(docs, k=15).collect()]
+        b = [(r.token, r.n_occurrences)
+             for r in top_tokens_by(docs, "one", k=15).collect()]
+        assert a == b

@@ -312,3 +312,33 @@ class TestDuplicateConflictStats:
             .executedPlan().toString()
         # the projection before the exchange carries the digest, not text
         assert "text" not in plan.split("Exchange")[1][:400]
+
+
+class TestFunctionalDependency:
+    def test_violating_groups_with_witnesses(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            functional_dependency_violations)
+        df = spark.createDataFrame(
+            [("en", "latin"), ("en", "latin"),
+             ("ru", "cyrillic"), ("ru", "latin"),   # violation
+             ("ja", None), ("ja", "kana")],          # NULL ignored
+            "lang string, script string")
+        out = {r.lang: r for r in functional_dependency_violations(
+            df, ["lang"], "script").collect()}
+        assert set(out) == {"ru"}
+        r = out["ru"]
+        assert (r.n_values, r.example_lo, r.example_hi) == \
+            (2, "cyrillic", "latin")
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            functional_dependency_violations(df, [], "script")
+
+    def test_multi_determinant(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            functional_dependency_violations)
+        df = spark.createDataFrame(
+            [("a", 1, "x"), ("a", 1, "y"), ("a", 2, "x")],
+            "k1 string, k2 int, v string")
+        out = functional_dependency_violations(df, ["k1", "k2"],
+                                               "v").collect()
+        assert [(r.k1, r.k2, r.n_values) for r in out] == [("a", 1, 2)]
