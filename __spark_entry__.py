@@ -4931,6 +4931,52 @@ _OOV_VOCAB = ["key", "agg", "row", "scan", "slow", "fast", "table",
               "the"]
 
 
+def _q_v_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # declared-vs-detected language check: both engines salt every 23rd
+    # doc with German stopwords and every 29th with CJK, then flag docs
+    # whose confident detection disagrees with the lang column
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.withColumn("text", F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 23 == 0,
+               F.lit(" der und die das nicht ein der und die das nicht"
+                     " ein der und die das nicht ein")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 29 == 0,
+               F.lit(" \u4e2d\u6587")).otherwise(F.lit(""))))
+    return textstats.language_mismatch_violations(salted)
+
+
+_SQL_V_LANG_MISMATCH = """
+WITH s AS (SELECT doc_id, lang,
+  text || CASE WHEN doc_id % 23 = 0
+               THEN ' der und die das nicht ein der und die das nicht'
+                    || ' ein der und die das nicht ein' ELSE '' END
+       || CASE WHEN doc_id % 29 = 0
+               THEN ' ' || chr(20013) || chr(25991) ELSE '' END AS text
+  FROM documents),
+c AS (SELECT doc_id, lang, text,
+  len(list_filter(string_split(text, ' '),
+      w -> list_contains(['der','die','das','und','nicht','ein','ist','zu','mit'], w))) AS de,
+  len(list_filter(string_split(text, ' '),
+      w -> list_contains(['el','la','los','las','que','y','de','un','una','en'], w))) AS es,
+  len(list_filter(string_split(text, ' '),
+      w -> list_contains(['the','a','of','and','to','in','is','it','that','for'], w))) AS en
+FROM s),
+p AS (SELECT doc_id, lang,
+  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       WHEN de > es AND de > en THEN 'de'
+       WHEN es > en THEN 'es'
+       WHEN en > 0 THEN 'en'
+       ELSE 'und' END AS pred
+FROM c)
+SELECT doc_id, '/lang' AS instance_path,
+       'LanguageMismatch' AS code,
+       '/lang: declared language "' || lang
+         || '" but text reads as "' || pred || '"' AS message
+FROM p WHERE lang IS NOT NULL AND pred <> 'und' AND pred <> lang
+"""
+
+
 def _q_x_top_tokens_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-language vocabulary heads: the stratified top_tokens sibling;
     # vocab-sized agg + skew-safe two-phase exact top-k per group
@@ -6403,6 +6449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_dup_ngrams": _q_x_dup_ngrams,
         "x_ngram_diversity": _q_x_ngram_diversity,
         "x_oov_rate": _q_x_oov_rate,
+        "v_lang_mismatch": _q_v_lang_mismatch,
         "x_top_tokens_by": _q_x_top_tokens_by,
         "x_dedup_spans": _q_x_dedup_spans,
         "x_decontam_spans": _q_x_decontam_spans,
@@ -6593,6 +6640,7 @@ def oracle_sql() -> dict[str, str]:
         "x_dup_ngrams": _SQL_X_DUP_NGRAMS,
         "x_ngram_diversity": _SQL_X_NGRAM_DIVERSITY,
         "x_oov_rate": _SQL_X_OOV_RATE,
+        "v_lang_mismatch": _SQL_V_LANG_MISMATCH,
         "x_top_tokens_by": _SQL_X_TOP_TOKENS_BY,
         "x_dedup_spans": _SQL_X_DEDUP_SPANS,
         "x_decontam_spans": _SQL_X_DECONTAM_SPANS,

@@ -158,6 +158,7 @@ HEADLINE = [
     "t_dup_conflicts",
     "t_fd_check",
     "x_top_tokens_by",
+    "v_lang_mismatch",
     "e_role_latency",
     "v_vector_check",
     "a_normalize",

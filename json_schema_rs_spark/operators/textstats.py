@@ -153,6 +153,55 @@ def language_id(df: DataFrame, text_col: str = "text",
     return df.select(F.col(id_col), pred.alias("lang_pred"))
 
 
+def language_mismatch_violations(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Declared-vs-detected language check, in the engine's violation-row
+    contract: ``(id, instance_path, code, message)`` with code
+    ``LanguageMismatch`` for every document whose :func:`language_id`
+    prediction is confident (not ``und``) and disagrees with its
+    ``lang_col`` metadata.
+
+    Metadata language tags are the single most-wrong column in web
+    corpora (the crawler inherits them from HTTP headers/HTML attrs);
+    every language-stratified decision downstream — `stratified_sample`
+    quotas, `mix_sources` recipes, per-lang vocabulary heads — silently
+    inherits the error, so this check runs where referential checks run.
+    NULL declared language is NOT flagged (presence is the required
+    check's job); an unconfident detector (``und``) abstains rather
+    than guessing.
+
+    Scale shape: the detector is row-local codegen (charset regex +
+    stopword counts), so the whole check is a zero-shuffle scan
+    projection — no joins, no Python (plan-asserted in tests)."""
+    words = F.split(F.col(text_col), " ")
+    de = _count_in(words, STOPWORDS["de"])
+    es = _count_in(words, STOPWORDS["es"])
+    en = _count_in(words, STOPWORDS["en"])
+    pred = (
+        F.when(F.regexp_count(F.col(text_col), F.lit(_CJK_REGEX)) > 0, "zh")
+        .when((de > es) & (de > en), "de")
+        .when(es > en, "es")
+        .when(en > 0, "en")
+        .otherwise("und")
+    )
+    bad = (F.col(lang_col).isNotNull() & (pred != "und")
+           & (pred != F.col(lang_col)))
+    return (df.withColumn("_pred", pred).filter(bad)
+              .select(
+                  F.col(id_col),
+                  F.lit("/" + lang_col).alias("instance_path"),
+                  F.lit("LanguageMismatch").alias("code"),
+                  F.concat(
+                      F.lit(f"/{lang_col}: declared language \""),
+                      F.col(lang_col),
+                      F.lit("\" but text reads as \""),
+                      F.col("_pred"), F.lit("\"")).alias("message")))
+
+
 def top_tokens(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id", *, k: int = 100) -> DataFrame:
     """Corpus-level vocabulary head: the ``k`` most frequent whitespace

@@ -930,3 +930,33 @@ class TestTopTokensBy:
         b = [(r.token, r.n_occurrences)
              for r in top_tokens_by(docs, "one", k=15).collect()]
         assert a == b
+
+
+class TestLanguageMismatch:
+    def test_flags_and_abstentions(self, spark):
+        from json_schema_rs_spark.operators.textstats import (
+            language_mismatch_violations)
+        rows = [
+            (1, "the cat is in the house and it is big", "en"),  # agree
+            (2, "der hund ist nicht das und ein", "en"),         # de != en
+            (3, "xqz wvu pqr", "en"),            # detector 'und': abstain
+            (4, "the dog is here and it is fine", None),  # NULL: skip
+            (5, "中文文本", "en"),        # zh != en
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        out = {r.doc_id: r
+               for r in language_mismatch_violations(df).collect()}
+        assert set(out) == {2, 5}
+        assert out[2].code == "LanguageMismatch"
+        assert out[2].message == \
+            '/lang: declared language "en" but text reads as "de"'
+        assert 'reads as "zh"' in out[5].message
+
+    def test_plan_zero_shuffle(self, spark):
+        from json_schema_rs_spark.operators.textstats import (
+            language_mismatch_violations)
+        df = spark.createDataFrame([(1, "the a", "en")],
+                                   "doc_id long, text string, lang string")
+        plan = language_mismatch_violations(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan
