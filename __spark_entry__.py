@@ -808,6 +808,49 @@ FROM c WHERE occurrences > 1
 """
 
 
+def _q_s_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # robust (median/MAD) outlier flags; k tightened so the uniform-ish
+    # value column flags both polarities; exact quantile_disc med/MAD
+    return stats.mad_outliers(
+        _t(spark, sf_dir, "events").select("event_id", "value"),
+        "value", k=1.8)
+
+
+_SQL_S_MAD_OUTLIERS = """
+WITH m AS (SELECT quantile_disc(value, 0.5) AS med FROM events),
+d AS (SELECT quantile_disc(abs(value - (SELECT med FROM m)), 0.5) AS mad
+      FROM events WHERE value IS NOT NULL)
+SELECT event_id, value,
+       round(0.6745 * (value - (SELECT med FROM m))
+             / (SELECT mad FROM d), 6) AS robust_z,
+       value IS NOT NULL AND
+       abs(value - (SELECT med FROM m))
+         > 1.8 * (SELECT mad FROM d) / 0.6745 AS is_outlier
+FROM events
+"""
+
+
+def _q_s_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # first-class equal-width histogram, same fixed-edge rule the PSI
+    # drift family bins with; one scan, bins-sized everything after
+    return stats.histogram(_t(spark, sf_dir, "events"), "value",
+                           lo=0.0, hi=500.0, nbins=20)
+
+
+_SQL_S_HISTOGRAM = """
+WITH src AS (SELECT least(greatest(
+                 CAST(floor((value - 0.0) / 25.0) AS INT), 0), 19) AS bin
+             FROM events WHERE value IS NOT NULL),
+c AS (SELECT bin, count(*) AS n FROM src GROUP BY bin),
+g AS (SELECT CAST(range AS INT) AS bin FROM range(20)),
+d AS (SELECT g.bin, coalesce(c.n, 0) AS n FROM g LEFT JOIN c USING (bin)),
+t AS (SELECT sum(n) AS tot FROM d)
+SELECT bin, 0.0 + bin * 25.0 AS lo_edge, 0.0 + (bin + 1) * 25.0 AS hi_edge,
+       n, round(n * 1.0 / nullif(tot, 0), 6) AS frac
+FROM d, t ORDER BY bin
+"""
+
+
 def _q_s_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quantile-clip repair: exact [p05, p95] envelope from the
     # histogram-refinement quantiles, zero-shuffle codegen clip
@@ -6335,6 +6378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_fd_check": _q_t_fd_check,
         "t_freshness": _q_t_freshness,
         "t_dup_conflicts": _q_t_dup_conflicts,
+        "s_mad_outliers": _q_s_mad_outliers,
+        "s_histogram": _q_s_histogram,
         "s_winsorize": _q_s_winsorize,
         "s_json_keys": _q_s_json_keys,
         "v_json_spec": _q_v_json_spec,
@@ -6536,6 +6581,8 @@ def oracle_sql() -> dict[str, str]:
         "t_fd_check": _SQL_T_FD_CHECK,
         "t_freshness": _SQL_T_FRESHNESS,
         "t_dup_conflicts": _SQL_T_DUP_CONFLICTS,
+        "s_mad_outliers": _SQL_S_MAD_OUTLIERS,
+        "s_histogram": _SQL_S_HISTOGRAM,
         "s_winsorize": _SQL_S_WINSORIZE,
         "s_json_keys": _SQL_S_JSON_KEYS,
         "v_json_spec": _SQL_V_JSON_SPEC,

@@ -159,6 +159,8 @@ HEADLINE = [
     "t_fd_check",
     "x_top_tokens_by",
     "v_lang_mismatch",
+    "s_histogram",
+    "s_mad_outliers",
     "e_role_latency",
     "v_vector_check",
     "a_normalize",

@@ -377,6 +377,61 @@ def psi(
     )
 
 
+def histogram(
+    df: DataFrame,
+    column: str,
+    *,
+    lo: float,
+    hi: float,
+    nbins: int = 32,
+    clamp: bool = True,
+) -> DataFrame:
+    """Equal-width histogram of a numeric column as a first-class query
+    — ``(bin, lo_edge, hi_edge, n, frac)`` with every bin present (empty
+    ones included, count 0) ordered by bin. The same CALLER-FIXED
+    ``[lo, hi)`` edge rule as :func:`psi` (fixed edges keep the result
+    deterministic with no discovery pre-pass; the drift operators
+    consume the same binning, so a dashboard histogram and the PSI that
+    alerts on it can never disagree about shape). ``clamp=True`` folds
+    out-of-range values into the edge bins (the psi rule);
+    ``clamp=False`` drops them. NULLs are dropped either way.
+
+    Scale shape: ONE hash aggregate keyed on bin id (map-side combine;
+    ≤ ``nbins`` groups survive the shuffle), densified against a
+    ``range(nbins)`` frame (bins-sized), totals via the same tiny
+    single-partition window as psi — the corpus is scanned exactly
+    once. Edges are computed from exact ``lo + i*step`` arithmetic both
+    engines reproduce."""
+    if nbins <= 0:
+        raise ValueError(f"nbins must be positive, got {nbins}")
+    step = (float(hi) - float(lo)) / nbins
+    v = F.col(column).cast("double")
+    raw = F.floor((v - F.lit(float(lo))) / F.lit(step)).cast("int")
+    if clamp:
+        b = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1))
+        src = df.filter(v.isNotNull())
+    else:
+        b = raw
+        src = df.filter(v.isNotNull() & (v >= lo) & (v < hi))
+    counts = src.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"))
+    grid = df.sparkSession.range(nbins).select(
+        F.col("id").cast("int").alias("bin"))
+    dense = grid.join(counts, "bin", "left").select(
+        "bin", F.coalesce("n", F.lit(0)).alias("n"))
+    wall = _totals_window()
+    return (dense
+            .withColumn("lo_edge", F.lit(float(lo))
+                        + F.col("bin") * F.lit(step))
+            .withColumn("hi_edge", F.lit(float(lo))
+                        + (F.col("bin") + 1) * F.lit(step))
+            .withColumn("frac", F.round(
+                F.col("n") / F.nullif(F.sum("n").over(wall)
+                                      .cast("double"), F.lit(0.0)), 6))
+            .select("bin", "lo_edge", "hi_edge", "n", "frac")
+            .orderBy("bin"))
+
+
 def js_divergence(df_a: DataFrame, df_b: DataFrame, column: str) -> DataFrame:
     """Jensen-Shannon divergence (natural log; bounded by ln 2) between
     the category distributions of ``column`` in two samples — the
@@ -763,6 +818,52 @@ def winsorize(df: DataFrame, value_col: str,
     return (df.withColumn(out_col, clipped)
               .withColumn("was_clipped",
                           col.isNotNull() & ((col < lo_l) | (col > hi_l))))
+
+
+def mad_outliers(df: DataFrame, column: str, *,
+                 k: float = 3.5, bins: int = 2048,
+                 round_digits: int = 6) -> DataFrame:
+    """Robust outlier flagging via median absolute deviation (the
+    Iglewicz-Hoaglin modified z-score): adds ``robust_z`` (=
+    ``0.6745·(x − median) / MAD``, rounded) and ``is_outlier``
+    (``|robust_z| > k``; their recommended k = 3.5) to the input.
+    Mean/σ outlier rules break exactly when outliers are present (the
+    outliers inflate σ and hide themselves); median/MAD have a 50%
+    breakdown point, which is why this is the data-quality standard.
+
+    Exactness contract: median and MAD come from :func:`exact_quantiles`
+    (actual data values, the ``quantile_disc`` convention, no float
+    arithmetic in their derivation); the flag compares
+    ``abs(x − med) > k · MAD / 0.6745`` — every operand an identical
+    double on any engine, the threshold built with one fixed operation
+    order. Degenerate MAD = 0 (a majority-constant column): any value
+    different from the median is an outlier, ``robust_z`` is NULL.
+
+    Scale shape: two :func:`exact_quantiles` passes (median of x, then
+    median of ``|x − med|`` — scans + ``bins``-long driver rounds, no
+    sort, no value buffering) and one zero-shuffle codegen projection
+    for the flags. NULLs pass through unflagged."""
+    med_row = exact_quantiles(df, column, (0.5,), bins=bins).collect()[0]
+    med = med_row["value"]
+    col = F.col(column).cast("double")
+    if med is None:                      # empty / all-NULL input
+        return (df.withColumn("robust_z",
+                              F.lit(None).cast("double"))
+                  .withColumn("is_outlier", F.lit(False)))
+    dev = df.select(F.abs(col - F.lit(med)).alias("_adev"))
+    mad = exact_quantiles(dev, "_adev", (0.5,),
+                          bins=bins).collect()[0]["value"]
+    if mad == 0.0:
+        return (df.withColumn("robust_z", F.lit(None).cast("double"))
+                  .withColumn("is_outlier",
+                              col.isNotNull() & (col != med)))
+    z = F.round(F.lit(0.6745) * (col - F.lit(med)) / F.lit(mad),
+                round_digits)
+    thr = k * mad / 0.6745               # one fixed operation order
+    return (df.withColumn("robust_z", z)
+              .withColumn("is_outlier",
+                          col.isNotNull()
+                          & (F.abs(col - F.lit(med)) > F.lit(thr))))
 
 
 def exact_corr(df: DataFrame, x_col: str, y_col: str, *,

@@ -1273,3 +1273,67 @@ class TestWinsorize:
             .executedPlan().toString()
         assert "Exchange" not in plan
         assert "Python" not in plan
+
+
+class TestHistogram:
+    def test_dense_bins_clamp_and_frac(self, spark):
+        from json_schema_rs_spark.operators.stats import histogram
+        df = spark.createDataFrame(
+            [(float(v),) for v in [-5, 0, 1, 9, 10, 19, 25, 99]]
+            + [(None,)], "v double")
+        out = [(r.bin, r.lo_edge, r.hi_edge, r.n, r.frac)
+               for r in histogram(df, "v", lo=0.0, hi=20.0,
+                                  nbins=2).collect()]
+        # -5 clamps into bin 0; 25/99 clamp into bin 1; NULL dropped
+        assert out == [(0, 0.0, 10.0, 4, 0.5), (1, 10.0, 20.0, 4, 0.5)]
+
+    def test_drop_mode_and_empty_bins_present(self, spark):
+        from json_schema_rs_spark.operators.stats import histogram
+        df = spark.createDataFrame([(0.0,), (25.0,)], "v double")
+        out = {r.bin: r.n for r in histogram(
+            df, "v", lo=0.0, hi=20.0, nbins=4, clamp=False).collect()}
+        assert out == {0: 1, 1: 0, 2: 0, 3: 0}
+
+    def test_matches_psi_binning(self, spark):
+        # the histogram and the PSI that alerts on it share edge rules:
+        # per-bin counts must agree with psi's internal binning
+        from json_schema_rs_spark.operators.stats import histogram, psi
+        import random
+        rng = random.Random(5)
+        rows = [(rng.uniform(-10, 110),) for _ in range(300)]
+        df = spark.createDataFrame(rows, "v double")
+        h = {r.bin: r.n for r in histogram(df, "v", lo=0.0, hi=100.0,
+                                           nbins=10).collect()}
+        assert sum(h.values()) == 300
+        r = psi(df, df, "v", lo=0.0, hi=100.0, nbins=10).collect()[0]
+        assert r.psi == 0.0 and r.n_a == 300
+
+
+class TestMadOutliers:
+    def test_flags_match_manual_mad(self, spark):
+        from json_schema_rs_spark.operators.stats import mad_outliers
+        import statistics
+        vals = [10.0, 11.0, 12.0, 10.5, 11.5, 9.5, 10.2, 11.8, 50.0]
+        df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                                   "id long, v double")
+        out = {r.id: r for r in mad_outliers(df, "v", k=3.5).collect()}
+        sv = sorted(vals)
+        import math
+        med = sv[max(math.ceil(0.5 * len(sv)) - 1, 0)]
+        devs = sorted(abs(v - med) for v in vals)
+        mad = devs[max(math.ceil(0.5 * len(devs)) - 1, 0)]
+        for i, v in enumerate(vals):
+            expect = abs(v - med) > 3.5 * mad / 0.6745
+            assert out[i].is_outlier == expect, (i, v)
+        assert out[8].is_outlier  # the planted extreme
+
+    def test_degenerate_mad_and_nulls(self, spark):
+        from json_schema_rs_spark.operators.stats import mad_outliers
+        df = spark.createDataFrame(
+            [(0, 5.0), (1, 5.0), (2, 5.0), (3, 7.0), (4, None)],
+            "id long, v double")
+        out = {r.id: r for r in mad_outliers(df, "v").collect()}
+        # MAD == 0: any deviation from the median is an outlier
+        assert out[3].is_outlier is True and out[3].robust_z is None
+        assert out[0].is_outlier is False
+        assert out[4].is_outlier is False   # NULL unflagged
