@@ -3530,6 +3530,33 @@ FROM s GROUP BY label ORDER BY label
 """
 
 
+def _q_a_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-dimension embedding stats (dead/constant/exploding dims — the
+    # encoder sanity check); micro-int sums, one dim-keyed aggregate
+    return similarity.dimension_profile(_t(spark, sf_dir, "embeddings"))
+
+
+_SQL_A_DIM_PROFILE = """
+WITH e AS (SELECT list_transform(embedding,
+                    x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS m
+           FROM embeddings WHERE embedding IS NOT NULL),
+d AS (SELECT unnest(m) AS mv, generate_subscripts(m, 1) - 1 AS dim FROM e),
+a AS (SELECT dim, count(mv) AS n, CAST(sum(mv) AS BIGINT) AS s,
+             sum(mv * mv) AS ss,
+             CAST(sum(CASE WHEN mv = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero
+      FROM d WHERE mv IS NOT NULL GROUP BY dim)
+SELECT CAST(dim AS INT) AS dim, n,
+       round(s / (n * 1000000.0), 6) AS mean,
+       round(sqrt(greatest(
+           CAST(ss AS DOUBLE) / n / 1000000000000.0
+           - (s / (n * 1000000.0)) * (s / (n * 1000000.0)), 0.0)), 6)
+         AS std,
+       n_zero, n_zero = n AS dead
+FROM a ORDER BY dim
+"""
+
+
 def _q_a_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nearest-centroid (Rocchio) label audit: exact micro-sum label
     # centroids + zero-shuffle broadcast argmax; full value oracle
@@ -6156,6 +6183,40 @@ FROM f
 """
 
 
+def _q_e_split_convs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # conversation-identity repair: split reused ids at >30-min gaps,
+    # renumber within each split — one exchange, all three windows on
+    # the same sort (temporal.split_conversations)
+    from json_schema_rs_spark.operators.temporal import (
+        split_conversations)
+    out = split_conversations(
+        _t(spark, sf_dir, "events").select("user_id", "event_id", "ts"),
+        conv_col="user_id", idx_col="event_id", ts_col="ts",
+        gap_seconds=1800)
+    return out.select("event_id", "new_conv_id", "new_turn_idx")
+
+
+_SQL_E_SPLIT_CONVS = """
+WITH o AS (SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS st,
+    row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT *,
+    sum(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) - 1 AS seq,
+    max(CASE WHEN st = 1 THEN rn END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS srn
+  FROM o)
+SELECT event_id, user_id || ':' || seq AS new_conv_id,
+       CAST(rn - srn AS INT) AS new_turn_idx
+FROM s
+"""
+
+
 def _q_e_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the events stream (temporal.py):
     30-min inactivity gap per user, (ts, event_id) tie order; one row
@@ -6470,6 +6531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_mean_embedding": _q_a_mean_embedding,
         "a_source_similarity": _q_a_source_similarity,
         "a_centroid_classify": _q_a_centroid_classify,
+        "a_dim_profile": _q_a_dim_profile,
         "a_knn_join": _q_a_knn_join,
         "a_quality_propagate": _q_a_quality_propagate,
         "a_label_outliers": _q_a_label_outliers,
@@ -6538,6 +6600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_conv_fuzzy_groups": _q_d_conv_fuzzy_groups,
         "d_conv_canonical": _q_d_conv_canonical,
         # temporal operators + schema-registry routing
+        "e_split_convs": _q_e_split_convs,
         "e_sessionize": _q_e_sessionize,
         "e_asof_join": _q_e_asof_join,
         "e_turn_latency": _q_e_turn_latency,
@@ -6665,6 +6728,7 @@ def oracle_sql() -> dict[str, str]:
         "a_mean_embedding": _SQL_A_MEAN_EMBEDDING,
         "a_source_similarity": _SQL_A_SOURCE_SIMILARITY,
         "a_centroid_classify": _SQL_A_CENTROID_CLASSIFY,
+        "a_dim_profile": _SQL_A_DIM_PROFILE,
         "a_knn_join": _SQL_A_KNN_JOIN,
         "a_quality_propagate": _SQL_A_QUALITY_PROPAGATE,
         "a_label_outliers": _SQL_A_LABEL_OUTLIERS,
@@ -6729,6 +6793,7 @@ def oracle_sql() -> dict[str, str]:
         "d_conv_fuzzy": _SQL_D_CONV_FUZZY,
         "d_conv_fuzzy_groups": _SQL_D_CONV_FUZZY_GROUPS,
         "d_conv_canonical": _SQL_D_CONV_CANONICAL,
+        "e_split_convs": _SQL_E_SPLIT_CONVS,
         "e_sessionize": _SQL_E_SESSIONIZE,
         "e_asof_join": _SQL_E_ASOF_JOIN,
         "e_turn_latency": _SQL_E_TURN_LATENCY,

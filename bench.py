@@ -161,6 +161,8 @@ HEADLINE = [
     "v_lang_mismatch",
     "s_histogram",
     "s_mad_outliers",
+    "e_split_convs",
+    "a_dim_profile",
     "e_role_latency",
     "v_vector_check",
     "a_normalize",

@@ -1327,6 +1327,60 @@ def mean_embedding_by(
             .orderBy(group_col))
 
 
+def dimension_profile(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    micro: int = 1_000_000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-DIMENSION statistics of an embedding column —
+    ``(dim, n, mean, std, n_zero, dead)`` ordered by dim — the encoder
+    sanity check nothing else here runs: a dimension whose std is 0 (or
+    whose values are all zero) is dead weight in every dot product, a
+    constant-shifted dimension skews every centroid, and a dimension
+    with 100× the others' variance dominates cosine — all three are
+    encoder/export bugs that per-VECTOR hygiene
+    (:func:`vector_violations`) cannot see.
+
+    Exactness: the micro-unit contract — elements fixed-pointed once to
+    ``micro`` units; per-dim ``sum`` is an order-free int64 sum and
+    ``sum of squares`` an order-free DECIMAL(38,0) sum (squares reach
+    1e12 per element — 128-bit headroom holds past 10^12 rows); mean is
+    the exact-int division ``s/(n·1e6)``, std one fixed operation order
+    over the same exact integers, rounded. ``n_zero`` counts elements
+    that are zero AT the micro resolution (|x| < 0.5/micro), ``dead``
+    flags all-zero dimensions.
+
+    Scale shape: one ``posexplode`` (row-local fan-out ×dims) into ONE
+    hash aggregate keyed on dim — map-side partials absorb the corpus,
+    exactly ``dims`` groups survive the shuffle. NULL vectors skipped;
+    NULL elements don't contribute to their dimension's n."""
+    vals = (df.filter(F.col(vec_col).isNotNull())
+              .select(F.posexplode(F.col(vec_col)).alias("dim", "_x"))
+              .filter(F.col("_x").isNotNull()))
+    m = F.round(F.col("_x").cast("double") * micro).cast("bigint")
+    md = m.cast("decimal(19,0)")
+    agg = (vals.select("dim", m.alias("_m"), (md * md).alias("_m2"))
+               .groupBy("dim")
+               .agg(F.count("_m").alias("n"),
+                    F.sum("_m").alias("_s"),
+                    F.sum("_m2").alias("_ss"),
+                    F.sum((F.col("_m") == 0).cast("long"))
+                     .alias("n_zero")))
+    mean = F.col("_s") / (F.col("n") * float(micro))
+    var = (F.col("_ss").cast("double") / F.col("n") / float(micro) ** 2
+           - mean * mean)
+    return (agg.select(
+                "dim", "n",
+                F.round(mean, round_digits).alias("mean"),
+                F.round(F.sqrt(F.greatest(var, F.lit(0.0))),
+                        round_digits).alias("std"),
+                "n_zero",
+                (F.col("n_zero") == F.col("n")).alias("dead"))
+            .orderBy("dim"))
+
+
 def centroid_classify(
     df: DataFrame,
     *,

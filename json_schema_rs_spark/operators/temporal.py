@@ -84,6 +84,58 @@ def sessionize(
                  F.col("session_seq").cast("string")))
 
 
+def split_conversations(
+    df: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+    gap_seconds: float = 1800.0,
+) -> DataFrame:
+    """ACTING complement of :func:`sessionize` for transcripts (the
+    gap-free↔reindex symmetry applied to conversation identity): a
+    reused ``conv_id`` whose inter-turn gap exceeds ``gap_seconds`` is
+    really several conversations sharing an id — split it. Returns the
+    input plus
+
+    - ``new_conv_id`` — ``"<conv>:<session_seq>"`` (first session keeps
+      seq 0, so an already-clean table maps 1:1);
+    - ``new_turn_idx`` — 0-based dense position within the NEW
+      conversation (gap-free by construction, so the repaired table
+      passes both the uniqueness and gap-free checks when the original
+      (conv, idx) keys were unique);
+    - ``orig_*`` joinability is free: ``conv_col``/``idx_col`` are kept
+      untouched.
+
+    Scale shape: ONE exchange on ``conv_col``; the session marks, the
+    running session ordinal, AND the within-session renumber all ride
+    the same ``(ts, idx)``-sorted window — the renumber is
+    ``row_number − last(session-start row_number)`` over the same sort,
+    not a second partitioning (no (conv, seq) re-shuffle). Microsecond-
+    exact gaps, ``idx_col`` breaks timestamp ties deterministically."""
+    w = Window.partitionBy(conv_col).orderBy(ts_col, idx_col)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    is_start = prev_ts.isNull() | (
+        (_micros(F.col(ts_col)) - _micros(prev_ts))
+        > F.lit(int(gap_seconds * 1_000_000)))
+    rn = F.row_number().over(w)
+    out = (df.withColumn("_rn", rn)
+             .withColumn("_seq",
+                         F.sum(is_start.cast("long")).over(run) - 1)
+             .withColumn("_start_rn",
+                         F.last(F.when(is_start, rn),
+                                ignorenulls=True).over(run)))
+    return (out.withColumn(
+                "new_conv_id",
+                F.concat(F.col(conv_col).cast("string"), F.lit(":"),
+                         F.col("_seq").cast("string")))
+               .withColumn("new_turn_idx",
+                           (F.col("_rn") - F.col("_start_rn"))
+                           .cast("int"))
+               .drop("_rn", "_seq", "_start_rn"))
+
+
 def session_stats(
     df: DataFrame,
     *,

@@ -206,3 +206,40 @@ class TestCentroidClassify:
         # centroid TRAINING aggregate runs as its own earlier job)
         assert "Exchange" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestDimensionProfile:
+    def test_stats_dead_and_null_handling(self, spark):
+        from json_schema_rs_spark.operators.similarity import (
+            dimension_profile)
+        rows = [
+            (1, [1.0, 0.0, 2.0, 0.5]),
+            (2, [3.0, 0.0, 2.0, None]),
+            (3, None),                      # NULL vector skipped
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        out = {r.dim: r for r in dimension_profile(df).collect()}
+        # dim 0: mean 2.0, std 1.0
+        assert (out[0].n, out[0].mean, out[0].std) == (2, 2.0, 1.0)
+        # dim 1: all zero -> dead
+        assert out[1].dead and out[1].n_zero == 2 and out[1].std == 0.0
+        # dim 2: constant nonzero -> std 0, not dead
+        assert out[2].std == 0.0 and not out[2].dead
+        # dim 3: NULL element drops from n
+        assert out[3].n == 1 and out[3].mean == 0.5
+
+    def test_matches_numpy_at_6dp(self, spark):
+        from json_schema_rs_spark.operators.similarity import (
+            dimension_profile)
+        import numpy as np
+        rng = np.random.RandomState(9)
+        mat = rng.uniform(-1, 1, size=(200, 8))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+            "vec_id long, embedding array<double>")
+        out = {r.dim: r for r in dimension_profile(df).collect()}
+        q = np.round(mat * 1e6) / 1e6     # the micro quantization
+        for d in range(8):
+            assert abs(out[d].mean - q[:, d].mean()) < 2e-6
+            assert abs(out[d].std - q[:, d].std()) < 2e-6

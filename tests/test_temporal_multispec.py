@@ -349,3 +349,64 @@ class TestRolePairLatency:
         # the aggregate is map-side combined so only pair keys move
         assert plan.count("Exchange") == 2
         assert "partial" in plan.lower()
+
+
+class TestSplitConversations:
+    def test_split_renumber_and_clean_identity(self, spark):
+        from pyspark.sql import functions as F
+        from json_schema_rs_spark.operators.temporal import (
+            split_conversations)
+        rows = [
+            # conv A: two sessions (gap 1h between idx 1 and 2)
+            ("A", 0, "2024-01-01 10:00:00"),
+            ("A", 1, "2024-01-01 10:05:00"),
+            ("A", 2, "2024-01-01 11:30:00"),
+            ("A", 3, "2024-01-01 11:31:00"),
+            # conv B: already clean
+            ("B", 0, "2024-01-01 09:00:00"),
+            ("B", 1, "2024-01-01 09:10:00"),
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, ts string") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        out = {(r.conv_id, r.turn_idx): (r.new_conv_id, r.new_turn_idx)
+               for r in split_conversations(df,
+                                            gap_seconds=1800).collect()}
+        assert out[("A", 0)] == ("A:0", 0)
+        assert out[("A", 1)] == ("A:0", 1)
+        assert out[("A", 2)] == ("A:1", 0)   # new conversation at gap
+        assert out[("A", 3)] == ("A:1", 1)
+        # clean conversation maps 1:1 (seq 0, same indices)
+        assert out[("B", 0)] == ("B:0", 0)
+        assert out[("B", 1)] == ("B:0", 1)
+
+    def test_single_exchange_plan(self, spark):
+        from pyspark.sql import functions as F
+        from json_schema_rs_spark.operators.temporal import (
+            split_conversations)
+        df = spark.createDataFrame(
+            [("A", 0, "2024-01-01 10:00:00")],
+            "conv_id string, turn_idx int, ts string") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        plan = split_conversations(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert plan.count("Exchange") <= 2  # conv hash + nothing per-seq
+        # all three windows ride one partitioning: exactly one hashpartitioning of conv_id
+        assert plan.count("hashpartitioning") <= 2
+
+    def test_repaired_table_passes_gapfree(self, spark):
+        from pyspark.sql import functions as F
+        from json_schema_rs_spark.operators.table_checks import (
+            turn_gap_violations, uniqueness_violations)
+        from json_schema_rs_spark.operators.temporal import (
+            split_conversations)
+        rows = [("C", i, f"2024-01-01 10:{i:02d}:00") for i in range(3)] \
+            + [("C", i, f"2024-01-02 10:{i:02d}:00") for i in range(3, 5)]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, ts string") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        rep = split_conversations(df, gap_seconds=3600) \
+            .select(F.col("new_conv_id").alias("conv_id"),
+                    F.col("new_turn_idx").alias("turn_idx"), "ts")
+        assert uniqueness_violations(rep).count() == 0
+        assert turn_gap_violations(rep).count() == 0
