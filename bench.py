@@ -276,6 +276,7 @@ def main() -> None:
     qs = entry_mod.queries()
     for name in HEADLINE:
         fn = qs[name]
+        print(f"bench: {name}", file=sys.stderr, flush=True)
         c, e = timed(lambda: fn(spark, SF_DIR), runs=3)
         qsecs[name] = round(e, 3)
         csecs[name] = round(c, 3)

@@ -880,12 +880,13 @@ def exact_corr(df: DataFrame, x_col: str, y_col: str, *,
     by construction), so ALL five accumulations (Σx, Σy, Σxy, Σx²,
     Σy²) are integer sums — order-free, bit-exact cross-engine; the
     Pearson formula then runs once per group on exact integers
-    (n·Σxy − ΣxΣy over the root of the exact variances). Magnitudes:
-    micro values ~1e6 ⇒ Σx² terms ~1e12; overflow guard: keep group
-    row counts below ~1e6 at 6-digit scale or lower ``scale_digits``
-    (the numerator products are computed in DOUBLE after the exact
-    integer aggregation, so only the per-term sums must fit int64).
-    Zero variance on either side → NULL r (undefined).
+    (n·Σxy − ΣxΣy over the root of the exact variances), converted to
+    DOUBLE only for the final closed form. The sums accumulate in
+    DECIMAL(38,0) (128-bit headroom — micro² terms reach 1e12–1e17 and
+    a 10^12-row group would overflow int64; decimal sums stay exact to
+    1e38, and DuckDB's HUGEINT mirrors them), so there is NO row-count
+    guard to trip at scale. Zero variance on either side → NULL r
+    (undefined).
 
     One hash aggregate with map-side combine — group-cardinality
     output, corpus never shuffles."""
@@ -895,11 +896,13 @@ def exact_corr(df: DataFrame, x_col: str, y_col: str, *,
                       & F.col(y_col).isNotNull())
             .select(*([group_col] if group_col else []),
                     xm.alias("_x"), ym.alias("_y")))
+    xd = F.col("_x").cast("decimal(19,0)")
+    yd = F.col("_y").cast("decimal(19,0)")
     aggs = [F.count("*").alias("n"),
-            F.sum("_x").alias("sx"), F.sum("_y").alias("sy"),
-            F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
-            F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
-            F.sum(F.col("_y") * F.col("_y")).alias("syy")]
+            F.sum(xd).alias("sx"), F.sum(yd).alias("sy"),
+            F.sum(xd * yd).alias("sxy"),
+            F.sum(xd * xd).alias("sxx"),
+            F.sum(yd * yd).alias("syy")]
     g = (base.groupBy(group_col).agg(*aggs) if group_col
          else base.agg(*aggs))
     n = F.col("n").cast("double")
