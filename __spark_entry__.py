@@ -729,6 +729,65 @@ def _jkp_payload_col() -> Column:
         .otherwise(F.lit(None).cast("string")))
 
 
+def _q_t_ref_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # referential HEALTH dashboard (the check says which rows violate;
+    # this is the SLO number): one zero-shuffle conditional-sum agg
+    from json_schema_rs_spark.operators.table_checks import (
+        referential_coverage)
+    return referential_coverage(
+        _t(spark, sf_dir, "events"), "event_type",
+        ["click", "view", "signup", "error"])
+
+
+_SQL_T_REF_COVERAGE = """
+WITH a AS (SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN event_type IN ('click','view','signup','error')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null
+  FROM events)
+SELECT n_rows, n_matched, n_null,
+       n_rows - n_null - n_matched AS n_miss,
+       round(n_matched * 1.0 / nullif(n_rows - n_null, 0), 6)
+         AS coverage,
+       round(n_null * 1.0 / nullif(n_rows, 0), 6) AS null_rate
+FROM a
+"""
+
+
+def _q_t_role_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dialogue-protocol mining: top role trigrams — the DISCOVERY
+    # complement of the role-transition DFA check
+    from json_schema_rs_spark.operators.table_checks import (
+        role_pattern_stats)
+    tx = _transcripts_from_events(_t(spark, sf_dir, "events"))
+    return role_pattern_stats(tx, n=3, k=25)
+
+
+_SQL_T_ROLE_PATTERNS = f"""
+WITH tx AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) - 1 AS INT)
+           AS turn_idx,
+         {_ROLE_MAP} AS role
+  FROM events),
+g AS (SELECT conv_id,
+        concat_ws('>', lag(coalesce(role, '?'), 2) OVER w,
+                       lag(coalesce(role, '?'), 1) OVER w,
+                       coalesce(role, '?')) AS pat,
+        lag(1, 2) OVER w AS fullflag
+      FROM tx WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+c AS (SELECT pat, count(*) AS n_occurrences,
+             count(DISTINCT conv_id) AS n_convs
+      FROM g WHERE fullflag IS NOT NULL GROUP BY pat)
+SELECT pat AS pattern, n_occurrences, n_convs,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, pat)
+            AS INT) AS rank
+FROM c ORDER BY n_occurrences DESC, pattern LIMIT 25
+"""
+
+
 def _q_t_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # functional-dependency check: both engines derive lang -> script
     # (FD holds) then corrupt every 401st doc's script — violating
@@ -6436,6 +6495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_oneof_none": _q_v_oneof_none,
         "v_oneof_multi": _q_v_oneof_multi,
         "v_json_payload": _q_v_json_payload,
+        "t_ref_coverage": _q_t_ref_coverage,
+        "t_role_patterns": _q_t_role_patterns,
         "t_fd_check": _q_t_fd_check,
         "t_freshness": _q_t_freshness,
         "t_dup_conflicts": _q_t_dup_conflicts,
@@ -6641,6 +6702,8 @@ def oracle_sql() -> dict[str, str]:
         "v_oneof_none": _SQL_V_ONEOF_NONE,
         "v_oneof_multi": _SQL_V_ONEOF_MULTI,
         "v_json_payload": _SQL_V_JSON_PAYLOAD,
+        "t_ref_coverage": _SQL_T_REF_COVERAGE,
+        "t_role_patterns": _SQL_T_ROLE_PATTERNS,
         "t_fd_check": _SQL_T_FD_CHECK,
         "t_freshness": _SQL_T_FRESHNESS,
         "t_dup_conflicts": _SQL_T_DUP_CONFLICTS,

@@ -163,6 +163,8 @@ HEADLINE = [
     "s_mad_outliers",
     "e_split_convs",
     "a_dim_profile",
+    "t_ref_coverage",
+    "t_role_patterns",
     "e_role_latency",
     "v_vector_check",
     "a_normalize",

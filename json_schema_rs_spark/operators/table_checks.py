@@ -228,6 +228,93 @@ def referential_violations(
     )
 
 
+def referential_coverage(
+    df: DataFrame,
+    column: str,
+    vocab: Sequence[str],
+    *,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Dashboard counterpart of :func:`referential_violations`: ONE row
+    ``(n_rows, n_matched, n_null, n_miss, coverage, null_rate)`` — the
+    check says WHICH rows violate, this says HOW HEALTHY the column is
+    (the number an ingest SLO is written against: "tool must stay ≥
+    99.9% in-vocabulary"). ``coverage = matched / non-null`` (NULLs are
+    absent, not wrong — the enum convention), ``null_rate`` reported
+    separately so a feed going silent can't masquerade as clean.
+
+    One zero-shuffle codegen'd conditional-sum aggregate over a literal
+    ``isin`` (the check's small-vocab compilation path); both ratios are
+    single exact-int IEEE divisions."""
+    if not vocab:
+        raise ValueError("vocab must be non-empty")
+    col = F.col(column)
+    matched = F.sum(col.isin(*list(vocab)).cast("long"))
+    nulls = F.sum(col.isNull().cast("long"))
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        matched.alias("n_matched"),
+        nulls.alias("n_null"))
+    return agg.select(
+        "n_rows", "n_matched", "n_null",
+        (F.col("n_rows") - F.col("n_null")
+         - F.col("n_matched")).alias("n_miss"),
+        F.round(F.col("n_matched")
+                / F.nullif(F.col("n_rows") - F.col("n_null"),
+                           F.lit(0)), round_digits).alias("coverage"),
+        F.round(F.col("n_null") / F.nullif(F.col("n_rows"), F.lit(0)),
+                round_digits).alias("null_rate"))
+
+
+def role_pattern_stats(
+    df: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    n: int = 3,
+    k: int = 25,
+) -> DataFrame:
+    """Dialogue-protocol mining: the ``k`` most frequent role
+    ``n``-grams across all conversations —
+    ``(pattern, n_occurrences, n_convs, rank)`` with ``pattern`` like
+    ``"user>assistant>tool"``. The DISCOVERY complement of the
+    role-transition DFA check (:func:`role_transition_violations`
+    verifies a protocol you already wrote down; this tells you what
+    protocol the corpus actually speaks, and its tail is where the
+    weird flows live — run it before authoring the transition table).
+
+    Scale shape: ONE conv exchange (the shared window sort on
+    ``(conv, idx)``) builds the n-gram with ``n−1`` lags in the same
+    window pass; the pattern rollup is a hash aggregate over at most
+    ``|roles|^n`` keys (map-side combine absorbs the corpus), and the
+    head is a TakeOrdered under the total (count desc, pattern asc)
+    order — unique and cross-engine reproducible. NULL roles render as
+    ``"?"`` so dirty rows form visible patterns instead of vanishing;
+    conversations shorter than ``n`` contribute nothing."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    r = F.coalesce(F.col(role_col).cast("string"), F.lit("?"))
+    parts = [F.lag(r, n - 1 - i).over(w) for i in range(n - 1)] + [r]
+    pattern = F.concat_ws(">", *parts)
+    # a row carries a full n-gram iff its (n-1)-back neighbor exists;
+    # probing a constant keeps the test independent of NULL roles
+    full = F.lag(F.lit(1), n - 1).over(w).isNotNull()
+    grams = (df.withColumn("_pat", pattern)
+               .withColumn("_full", full)
+               .filter(F.col("_full")))
+    counts = (grams.groupBy("_pat")
+              .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                   F.countDistinct(F.col(conv_col)).alias("n_convs")))
+    out = (counts.orderBy(F.desc("n_occurrences"), F.asc("_pat"))
+           .limit(k)
+           .select(F.col("_pat").alias("pattern"),
+                   "n_occurrences", "n_convs"))
+    w2 = Window.orderBy(F.desc("n_occurrences"), F.asc("pattern"))
+    return out.withColumn("rank", F.row_number().over(w2))
+
+
 def turn_gap_violations(
     df: DataFrame,
     *,

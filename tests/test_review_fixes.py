@@ -342,3 +342,60 @@ class TestFunctionalDependency:
         out = functional_dependency_violations(df, ["k1", "k2"],
                                                "v").collect()
         assert [(r.k1, r.k2, r.n_values) for r in out] == [("a", 1, 2)]
+
+
+class TestReferentialCoverage:
+    def test_counts_and_ratios(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            referential_coverage)
+        df = spark.createDataFrame(
+            [("a",), ("a",), ("b",), ("zz",), (None,)], "v string")
+        r = referential_coverage(df, "v", ["a", "b"]).collect()[0]
+        assert (r.n_rows, r.n_matched, r.n_null, r.n_miss) == (5, 3, 1, 1)
+        assert r.coverage == 0.75 and r.null_rate == 0.2
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            referential_coverage(df, "v", [])
+
+    def test_zero_shuffle_plan(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            referential_coverage)
+        df = spark.createDataFrame([("a",)], "v string")
+        plan = referential_coverage(df, "v", ["a"])._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Join" not in plan
+
+
+class TestRolePatternStats:
+    def test_trigram_counts_and_nulls(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            role_pattern_stats)
+        rows = (
+            [("c1", i, r) for i, r in enumerate(
+                ["user", "assistant", "user", "assistant"])]
+            + [("c2", 0, "user"), ("c2", 1, None), ("c2", 2, "user")]
+            + [("c3", 0, "user"), ("c3", 1, "assistant")]  # too short
+        )
+        df = spark.createDataFrame(rows,
+                                   "conv_id string, turn_idx int, role string")
+        out = {r.pattern: r for r in role_pattern_stats(df, n=3).collect()}
+        assert out["user>assistant>user"].n_occurrences == 1
+        assert out["assistant>user>assistant"].n_occurrences == 1
+        assert out["user>?>user"].n_occurrences == 1  # NULL visible
+        assert sum(r.n_occurrences for r in out.values()) == 3
+        # ranks are 1..k under the total order
+        ranks = sorted(r.rank for r in out.values())
+        assert ranks == list(range(1, len(out) + 1))
+
+    def test_bigram_mode_and_bad_n(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            role_pattern_stats)
+        df = spark.createDataFrame(
+            [("c", 0, "u"), ("c", 1, "a"), ("c", 2, "u")],
+            "conv_id string, turn_idx int, role string")
+        out = {r.pattern: r.n_occurrences
+               for r in role_pattern_stats(df, n=2).collect()}
+        assert out == {"u>a": 1, "a>u": 1}
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            role_pattern_stats(df, n=1)
