@@ -5126,6 +5126,48 @@ FROM r WHERE rank <= 20 ORDER BY lang, rank
 """
 
 
+def _q_x_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # graded quality retention: equal-mass quartiles by exact quantile
+    # edges, per-bucket deterministic keep rates (bottom 20% ... top
+    # 100%) — the curation recipe without a hard gate's cliff
+    docs = _t(spark, sf_dir, "documents")
+    q = textstats.quality_score(docs).select("doc_id", "quality")
+    return sampling.quality_bucket_sample(
+        q, "quality", [0.2, 0.5, 0.8, 1.0], key_col="doc_id")
+
+
+_SQL_X_QUALITY_BUCKETS = """
+WITH b AS (SELECT doc_id, length(text)::DOUBLE AS nc,
+  len(string_split(text, ' '))::DOUBLE AS nw,
+  len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE AS np,
+  len(list_filter(string_split(text, ' '),
+      w -> list_contains(['the','a','of','and','to','in','is','it','that','for'], w)))::DOUBLE AS ns
+FROM documents),
+q AS (SELECT doc_id,
+  round(0.4 * least(nc / 500.0, 1.0) + 0.3 * least(ns / nw * 5, 1.0)
+      + 0.2 * least(((nc - (nw - 1)) / nw) / 8, 1.0)
+      + 0.1 * (1.0 - least(coalesce(np / nullif(nc, 0), 0.0) * 10, 1.0)),
+      6) AS quality
+FROM b),
+e AS (SELECT quantile_disc(quality, 0.25) AS e1,
+             quantile_disc(quality, 0.50) AS e2,
+             quantile_disc(quality, 0.75) AS e3 FROM q),
+t AS (SELECT doc_id, quality,
+        CAST(quality >= (SELECT e1 FROM e) AS INT)
+      + CAST(quality >= (SELECT e2 FROM e) AS INT)
+      + CAST(quality >= (SELECT e3 FROM e) AS INT) AS score_bucket
+      FROM q)
+SELECT doc_id, quality, score_bucket
+FROM t
+WHERE substr(md5(doc_id || '#qb0'), 1, 8) <
+      CASE score_bucket
+        WHEN 0 THEN printf('%08x', CAST(floor(0.2 * 4294967296) AS BIGINT))
+        WHEN 1 THEN printf('%08x', CAST(floor(0.5 * 4294967296) AS BIGINT))
+        WHEN 2 THEN printf('%08x', CAST(floor(0.8 * 4294967296) AS BIGINT))
+        ELSE 'g' END
+"""
+
+
 def _q_x_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenizer-fit: per-doc OOV rate against a literal vocabulary —
     # row-local array_contains codegen, zero shuffle
@@ -6616,6 +6658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_rep_ngram": _q_x_rep_ngram,
         "x_dup_ngrams": _q_x_dup_ngrams,
         "x_ngram_diversity": _q_x_ngram_diversity,
+        "x_quality_buckets": _q_x_quality_buckets,
         "x_oov_rate": _q_x_oov_rate,
         "v_lang_mismatch": _q_v_lang_mismatch,
         "x_top_tokens_by": _q_x_top_tokens_by,
@@ -6813,6 +6856,7 @@ def oracle_sql() -> dict[str, str]:
         "x_rep_ngram": _SQL_X_REP_NGRAM,
         "x_dup_ngrams": _SQL_X_DUP_NGRAMS,
         "x_ngram_diversity": _SQL_X_NGRAM_DIVERSITY,
+        "x_quality_buckets": _SQL_X_QUALITY_BUCKETS,
         "x_oov_rate": _SQL_X_OOV_RATE,
         "v_lang_mismatch": _SQL_V_LANG_MISMATCH,
         "x_top_tokens_by": _SQL_X_TOP_TOKENS_BY,

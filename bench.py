@@ -165,6 +165,7 @@ HEADLINE = [
     "a_dim_profile",
     "t_ref_coverage",
     "t_role_patterns",
+    "x_quality_buckets",
     "e_role_latency",
     "v_vector_check",
     "a_normalize",

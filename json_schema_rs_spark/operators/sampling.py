@@ -438,6 +438,63 @@ def quota_sample(
 # shuffles at any stage.
 # ---------------------------------------------------------------------------
 
+def quality_bucket_sample(
+    df: DataFrame,
+    score_col: str,
+    fractions: "Sequence[float]",
+    *,
+    key_col: str = "doc_id",
+    salt: str = "qb0",
+    bins: int = 2048,
+) -> DataFrame:
+    """Quality-aware downsampling: partition the corpus into
+    ``len(fractions)`` equal-MASS score buckets (exact quantile edges)
+    and keep each bucket at its own deterministic rate — the curation
+    recipe "keep all of the top quality decile, 20% of the bottom"
+    without a hard gate's cliff (hard gates discard the gradient;
+    graded retention keeps some low-end diversity while spending most
+    of the token budget on the top). Output = surviving rows +
+    ``score_bucket`` (0 = lowest scores).
+
+    Determinism/exactness: bucket edges are ACTUAL data values from
+    :func:`..operators.stats.exact_quantiles` (the ``quantile_disc``
+    convention — an oracle re-derives them with zero float arithmetic);
+    bucket membership is ``sum(score >= edge_i)`` (ties land in the
+    higher bucket, both engines identically); the keep decision is the
+    same md5-cut used by every sampler here — rerun/engine reproducible
+    and key-coherent. Edge caveat (documented, inherent to value
+    edges): heavy duplication at an edge value makes bucket MASSES
+    unequal — membership stays exact.
+
+    Scale shape: one shared-histogram quantile call (scans only), then
+    a single zero-shuffle codegen projection+filter (CASE chain over
+    ≤ len(fractions) literal edges + the md5 cut). NULL scores are
+    dropped (unscored rows have no bucket — score first)."""
+    from .stats import exact_quantiles
+
+    nb = len(fractions)
+    if nb < 2:
+        raise ValueError("need at least 2 buckets")
+    for f in fractions:
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction must be in [0, 1], got {f}")
+    qs = [i / nb for i in range(1, nb)]
+    edges = [r["value"] for r in
+             exact_quantiles(df, score_col, qs, bins=bins).collect()]
+    col = F.col(score_col).cast("double")
+    if edges[0] is None:                 # empty / all-NULL input
+        return (df.filter(F.lit(False))
+                  .withColumn("score_bucket", F.lit(0)))
+    bucket = sum((col >= F.lit(e)).cast("int") for e in edges)
+    hexes = [_threshold(f) for f in fractions]
+    thr = F.array(*[F.lit(h) for h in hexes])
+    keep = bucket_hex(key_col, salt) < F.element_at(
+        thr, F.col("score_bucket") + 1)
+    return (df.filter(col.isNotNull())
+              .withColumn("score_bucket", bucket)
+              .filter(keep))
+
+
 def _dsir_words(text_col: str) -> Column:
     return F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
                     lambda x: x != "")

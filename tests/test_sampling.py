@@ -669,3 +669,54 @@ class TestCoverageSample:
              for r in coverage_sample(df, per_bucket=10,
                                       n_centroids=3).collect()}
         assert a == b and len(a) == 9  # all rows survive under-quota
+
+
+class TestQualityBucketSample:
+    def test_bucket_membership_and_rates(self, spark):
+        from json_schema_rs_spark.operators.sampling import (
+            quality_bucket_sample)
+        rows = [(i, float(i)) for i in range(100)] + [(100, None)]
+        df = spark.createDataFrame(rows, "doc_id long, s double")
+        out = quality_bucket_sample(df, "s", [0.0, 1.0],
+                                    key_col="doc_id").collect()
+        got = {r.doc_id: r.score_bucket for r in out}
+        # bottom half (s < median) kept at 0.0 -> none survive;
+        # top half kept at 1.0 -> all survive; NULL dropped
+        assert set(got.values()) == {1}
+        # quantile_disc median of 0..99 is 49; ties go UP, so s >= 49
+        assert min(got) == 49 and len(got) == 51
+        assert 100 not in got
+
+    def test_deterministic_and_hashlib_exact(self, spark):
+        from json_schema_rs_spark.operators.sampling import (
+            quality_bucket_sample)
+        rows = [(i, float(i % 10)) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, s double")
+        out1 = {(r.doc_id, r.score_bucket) for r in quality_bucket_sample(
+            df, "s", [0.25, 0.75], key_col="doc_id").collect()}
+        out2 = {(r.doc_id, r.score_bucket) for r in quality_bucket_sample(
+            df, "s", [0.25, 0.75], key_col="doc_id").collect()}
+        assert out1 == out2
+        # recompute the expected survivors with hashlib
+        svals = sorted(v for _, v in rows)
+        import math
+        edge = svals[max(math.ceil(0.5 * len(svals)) - 1, 0)]
+        want = set()
+        for i, v in rows:
+            b = 1 if v >= edge else 0
+            frac = [0.25, 0.75][b]
+            hx = hashlib.md5(f"{i}#qb0".encode()).hexdigest()[:8]
+            thr = format(min(int(frac * 2**32), 2**32 - 1), "08x") \
+                if frac < 1.0 else "g"
+            if hx < thr:
+                want.add((i, b))
+        assert out1 == want
+
+    def test_bad_args(self, spark):
+        from json_schema_rs_spark.operators.sampling import (
+            quality_bucket_sample)
+        df = spark.createDataFrame([(1, 1.0)], "doc_id long, s double")
+        with pytest.raises(ValueError):
+            quality_bucket_sample(df, "s", [0.5])
+        with pytest.raises(ValueError):
+            quality_bucket_sample(df, "s", [0.5, 1.5])
