@@ -729,6 +729,45 @@ def _jkp_payload_col() -> Column:
         .otherwise(F.lit(None).cast("string")))
 
 
+def _q_t_key_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cross-table key sync: both engines desync documents vs embeddings
+    # the same way (every 41st doc unembedded, every 43rd embedding
+    # orphaned to a shifted id) — the multimodal-pipeline health number
+    from json_schema_rs_spark.operators.table_checks import (
+        key_sync_stats)
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 41 != 0)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.when(F.col("vec_id") % 43 == 0, F.col("vec_id") + 1000000)
+         .otherwise(F.col("vec_id")).alias("vec_id"))
+    return key_sync_stats(docs, emb, "doc_id", "vec_id")
+
+
+_SQL_T_KEY_SYNC = """
+WITH a AS (SELECT DISTINCT doc_id AS k FROM documents
+           WHERE doc_id % 41 <> 0 AND doc_id IS NOT NULL),
+b AS (SELECT DISTINCT CASE WHEN vec_id % 43 = 0 THEN vec_id + 1000000
+                           ELSE vec_id END AS k
+      FROM embeddings WHERE vec_id IS NOT NULL),
+j AS (SELECT coalesce(a.k, b.k) AS k,
+             a.k IS NOT NULL AS ina, b.k IS NOT NULL AS inb
+      FROM a FULL OUTER JOIN b ON a.k = b.k)
+SELECT CAST(sum(CASE WHEN ina THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       CAST(sum(CASE WHEN inb THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       CAST(sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_both,
+       CAST(sum(CASE WHEN ina THEN 1 ELSE 0 END)
+            - sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_only_a,
+       CAST(sum(CASE WHEN inb THEN 1 ELSE 0 END)
+            - sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_only_b,
+       round(sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END) * 1.0
+             / nullif(count(*), 0), 6) AS sync
+FROM j
+"""
+
+
 def _q_t_ref_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # referential HEALTH dashboard (the check says which rows violate;
     # this is the SLO number): one zero-shuffle conditional-sum agg
@@ -6537,6 +6576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_oneof_none": _q_v_oneof_none,
         "v_oneof_multi": _q_v_oneof_multi,
         "v_json_payload": _q_v_json_payload,
+        "t_key_sync": _q_t_key_sync,
         "t_ref_coverage": _q_t_ref_coverage,
         "t_role_patterns": _q_t_role_patterns,
         "t_fd_check": _q_t_fd_check,
@@ -6745,6 +6785,7 @@ def oracle_sql() -> dict[str, str]:
         "v_oneof_none": _SQL_V_ONEOF_NONE,
         "v_oneof_multi": _SQL_V_ONEOF_MULTI,
         "v_json_payload": _SQL_V_JSON_PAYLOAD,
+        "t_key_sync": _SQL_T_KEY_SYNC,
         "t_ref_coverage": _SQL_T_REF_COVERAGE,
         "t_role_patterns": _SQL_T_ROLE_PATTERNS,
         "t_fd_check": _SQL_T_FD_CHECK,

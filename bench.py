@@ -166,6 +166,7 @@ HEADLINE = [
     "t_ref_coverage",
     "t_role_patterns",
     "x_quality_buckets",
+    "t_key_sync",
     "e_role_latency",
     "v_vector_check",
     "a_normalize",

@@ -92,6 +92,47 @@ def duplicate_conflict_stats(
                   .withColumn("conflict", F.col("n_variants") > 1))
 
 
+def key_sync_stats(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_a: str,
+    key_b: str,
+    *,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Cross-TABLE referential health: are two tables keyed to the same
+    entity set? ONE row ``(n_a, n_b, n_both, n_only_a, n_only_b,
+    sync)`` over DISTINCT keys — the check a multimodal/derived-column
+    pipeline needs between its parallel tables (documents ↔ embeddings,
+    transcripts ↔ tool-call logs): a re-run that embedded only half the
+    refresh leaves `n_only_a` growing while every single-table check
+    stays green. ``sync = n_both / n_union`` (key-set Jaccard).
+
+    Scale shape: each side reduces to its DISTINCT key set first
+    (map-side partial distinct — only unique keys shuffle), then ONE
+    full-outer equi-join of the two skinny key sets feeds a
+    conditional-sum aggregate. NULL keys are dropped on both sides (a
+    NULL key identifies nothing; presence checks own that)."""
+    ka = (df_a.select(F.col(key_a).alias("_k")).filter(F.col("_k").isNotNull())
+          .distinct().withColumn("_a", F.lit(1)))
+    kb = (df_b.select(F.col(key_b).alias("_k")).filter(F.col("_k").isNotNull())
+          .distinct().withColumn("_b", F.lit(1)))
+    j = ka.join(kb, "_k", "full_outer")
+    agg = j.agg(
+        F.sum(F.coalesce(F.col("_a"), F.lit(0))).alias("n_a"),
+        F.sum(F.coalesce(F.col("_b"), F.lit(0))).alias("n_b"),
+        F.sum((F.col("_a").isNotNull()
+               & F.col("_b").isNotNull()).cast("long")).alias("n_both"),
+        F.count(F.lit(1)).alias("n_union"))
+    return agg.select(
+        "n_a", "n_b", "n_both",
+        (F.col("n_a") - F.col("n_both")).alias("n_only_a"),
+        (F.col("n_b") - F.col("n_both")).alias("n_only_b"),
+        F.round(F.col("n_both")
+                / F.nullif(F.col("n_union"), F.lit(0)),
+                round_digits).alias("sync"))
+
+
 def functional_dependency_violations(
     df: DataFrame,
     determinants: Sequence[str],

@@ -399,3 +399,27 @@ class TestRolePatternStats:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             role_pattern_stats(df, n=1)
+
+
+class TestKeySyncStats:
+    def test_counts_and_jaccard(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            key_sync_stats)
+        a = spark.createDataFrame(
+            [(1,), (2,), (3,), (3,), (None,)], "doc_id long")
+        b = spark.createDataFrame([(2,), (3,), (9,)], "vec_id long")
+        r = key_sync_stats(a, b, "doc_id", "vec_id").collect()[0]
+        # distinct non-null: A={1,2,3}, B={2,3,9}; both={2,3}; union=4
+        assert (r.n_a, r.n_b, r.n_both, r.n_only_a, r.n_only_b) == \
+            (3, 3, 2, 1, 1)
+        assert r.sync == 0.5
+
+    def test_perfect_and_disjoint(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            key_sync_stats)
+        a = spark.createDataFrame([(1,), (2,)], "k long")
+        r = key_sync_stats(a, a, "k", "k").collect()[0]
+        assert r.sync == 1.0 and r.n_only_a == 0
+        b = spark.createDataFrame([(5,), (6,)], "k long")
+        r2 = key_sync_stats(a, b, "k", "k").collect()[0]
+        assert r2.sync == 0.0 and r2.n_both == 0
