@@ -6282,6 +6282,28 @@ def _q_m_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_media_meta(media)
 
 
+def _q_m_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-type media storage dashboard: byte-length aggregates only, no
+    # decode, payloads never shuffle (operators/multimodal.py)
+    media = multimodal.attach_media(_t(spark, sf_dir, "documents"))
+    return multimodal.media_size_stats(media)
+
+
+_SQL_M_MEDIA_STATS = """
+WITH m AS (SELECT doc_id,
+  ['image','audio','video'][(doc_id % 3)::INT + 1] AS media_type,
+  octet_length(encode(text)) AS n FROM documents)
+SELECT media_type, count(*) AS n_items,
+       CAST(sum(CASE WHEN n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(coalesce(sum(n), 0) AS BIGINT) AS total_bytes,
+       round(coalesce(sum(n), 0) * 1.0
+             / nullif(count(n), 0), 6) AS avg_bytes,
+       CAST(coalesce(max(n), 0) AS BIGINT) AS max_bytes
+FROM m GROUP BY media_type ORDER BY media_type
+"""
+
+
 _SQL_M_MEDIA = """
 WITH m AS (SELECT doc_id,
   ['image','audio','video'][(doc_id % 3)::INT + 1] AS media_type,
@@ -6752,6 +6774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_multi_spec": _q_v_multi_spec,
         # multimodal plumbing
         "m_media_meta": _q_m_media,
+        "m_media_stats": _q_m_media_stats,
         "m_frame_plan": _q_m_frames,
     }
 
@@ -6948,5 +6971,6 @@ def oracle_sql() -> dict[str, str]:
         "e_role_latency": _SQL_E_ROLE_LATENCY,
         "v_multi_spec": _SQL_V_MULTI_SPEC,
         "m_media_meta": _SQL_M_MEDIA,
+        "m_media_stats": _SQL_M_MEDIA_STATS,
         "m_frame_plan": _SQL_M_FRAMES,
     }

@@ -167,6 +167,7 @@ HEADLINE = [
     "t_role_patterns",
     "x_quality_buckets",
     "t_key_sync",
+    "m_media_stats",
     "e_role_latency",
     "v_vector_check",
     "a_normalize",

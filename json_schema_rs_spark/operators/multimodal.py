@@ -102,6 +102,39 @@ def extract_media_meta(media: DataFrame, *,
     return media.mapInPandas(run, schema=META_SCHEMA)
 
 
+def media_size_stats(media: DataFrame, *,
+                     type_col: str = "media_type",
+                     content_col: str = "content",
+                     round_digits: int = 6) -> DataFrame:
+    """Storage/ingest dashboard over a binary media column — per media
+    type ``(media_type, n_items, n_null, total_bytes, avg_bytes,
+    max_bytes)`` ordered by type — the capacity-planning numbers a
+    100 TB multimodal ingest is budgeted against (and the first place a
+    corrupted export shows: a type whose avg_bytes collapses to 3 bytes
+    is writing placeholders, visible long before any decode).
+
+    No decode anywhere: ``length(binary)`` is JVM-side byte length, so
+    the whole operator is ONE map-side-combined hash aggregate on the
+    type key — payload bytes never shuffle, nothing touches Python.
+    ``avg_bytes`` is one exact-int IEEE division rounded; NULL payloads
+    count in ``n_items``/``n_null`` but contribute no bytes."""
+    ln = F.length(F.col(content_col))
+    agg = media.groupBy(type_col).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col(content_col).isNull().cast("long")).alias("n_null"),
+        F.coalesce(F.sum(ln), F.lit(0)).cast("bigint")
+         .alias("total_bytes"),
+        F.max(ln).alias("max_bytes"),
+        F.sum(ln.isNotNull().cast("long")).alias("_nnn"))
+    return (agg.select(
+                type_col, "n_items", "n_null", "total_bytes",
+                F.round(F.col("total_bytes")
+                        / F.nullif(F.col("_nnn"), F.lit(0)),
+                        round_digits).alias("avg_bytes"),
+                F.coalesce("max_bytes", F.lit(0)).alias("max_bytes"))
+            .orderBy(type_col))
+
+
 def frame_sample_plan(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing for video payloads: emits one planned
     ``(doc_id, frame_idx, offset_ms)`` row per sampled frame from the

@@ -86,3 +86,30 @@ class TestPrepCorpus:
         assert "BroadcastExchange" in plan
         # the dedup digest aggregate is map-side combined
         assert plan.count("HashAggregate") >= 2
+
+
+class TestMediaSizeStats:
+    def test_aggregates_and_nulls(self, spark):
+        from pyspark.sql import functions as F
+        from json_schema_rs_spark.operators.multimodal import (
+            media_size_stats)
+        df = spark.createDataFrame(
+            [("image", b"abcd"), ("image", b"ab"), ("image", None),
+             ("audio", b"123456")],
+            "media_type string, content binary")
+        out = {r.media_type: r for r in media_size_stats(df).collect()}
+        img = out["image"]
+        assert (img.n_items, img.n_null, img.total_bytes,
+                img.avg_bytes, img.max_bytes) == (3, 1, 6, 3.0, 4)
+        assert out["audio"].total_bytes == 6
+
+    def test_no_python_and_payload_not_shuffled(self, spark):
+        from json_schema_rs_spark.operators.multimodal import (
+            attach_media, media_size_stats)
+        docs = spark.createDataFrame([(i, "x" * 100) for i in range(20)],
+                                     "doc_id long, text string")
+        plan = media_size_stats(attach_media(docs))._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "Python" not in plan
+        # only (type, partial-aggregate) rows cross the exchange
+        assert "content" not in plan.split("Exchange")[1][:300]
