@@ -929,8 +929,10 @@ def incremental_fuzzy_dedup(
     batch band rows BROADCAST into the ledger band scan (batch ≪
     corpus — the mirror image of fuzzy_contamination_pairs' broadcast
     direction), so the ledger never shuffles; candidate ids (skew- and
-    contamination-bounded) broadcast into the corpus scan to fetch and
-    shingle ONLY candidate docs; the final anti-join is batch-grain."""
+    contamination-bounded) broadcast-SEMI-join onto the raw corpus
+    BEFORE the shingle projection, so only candidate docs are fetched
+    and shingled — structural, not optimizer-dependent (plan-asserted);
+    the final anti-join is batch-grain."""
     from .decontam import _band_rows
     assert num_perm % bands == 0
     batch = _spread(batch, id_col)
@@ -944,7 +946,16 @@ def incremental_fuzzy_dedup(
             .select("_bid", "_lid").distinct())
     bsh = shingle_hashes(batch, text_col, n=n, seed=seed).select(
         F.col(id_col).alias("_bid"), F.col("shingle_hashes").alias("_shb"))
-    csh = shingle_hashes(corpus, text_col, n=n, seed=seed).select(
+    # candidate-only corpus shingling, STRUCTURALLY: semi-join the
+    # candidate id set onto the raw corpus FIRST, then shingle — the
+    # n-gram/xxhash projection sits above the broadcast semi-join by
+    # construction (plan-asserted in tests/test_physical_plans.py)
+    # instead of trusting Catalyst to defer a full-corpus shingle
+    # projection past the join. Re-shingling the whole kept corpus every
+    # batch is exactly the cost this operator exists to avoid.
+    cand_ids = cand.select(F.col("_lid").alias(id_col)).distinct()
+    cand_docs = corpus.join(F.broadcast(cand_ids), id_col, "left_semi")
+    csh = shingle_hashes(cand_docs, text_col, n=n, seed=seed).select(
         F.col(id_col).alias("_lid"), F.col("shingle_hashes").alias("_shl"))
     size_ok = (F.greatest(F.size("_shb"), F.size("_shl")) * F.lit(threshold)
                <= F.least(F.size("_shb"), F.size("_shl")))

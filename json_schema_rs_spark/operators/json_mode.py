@@ -155,11 +155,13 @@ def json_key_profile(
 
     Numeric kind boundary (both engines, pinned by the oracle entry):
     a JSON number is ``integer`` iff it lexes as an int64 (no ``.``/
-    exponent) — Spark's variant parser types those BIGINT and DuckDB's
-    ``json_type`` says BIGINT/UBIGINT; anything fractional/exponential is
-    ``number`` (Spark DECIMAL/DOUBLE, DuckDB DOUBLE). This matches the
-    reference's serde-driven "1.0 is not an integer" stance
-    (`validator/mod.rs:291-297`)."""
+    exponent, value within i64) — Spark's variant parser types those
+    TINYINT..BIGINT and DuckDB's ``json_type`` says BIGINT; anything
+    fractional, exponential, or above i64::MAX is ``number`` (Spark
+    DECIMAL/DOUBLE — a uint64-range int parses as DECIMAL(20,0) —
+    DuckDB DOUBLE/UBIGINT). This matches the reference's serde
+    ``as_i64`` rule: "1.0 is not an integer" and ints past i64::MAX
+    fail the integer check (`validator/mod.rs:291-297`)."""
     from pyspark.sql import functions as F
 
     # variant_explode is a table-valued generator: LATERAL-join form

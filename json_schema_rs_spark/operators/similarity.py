@@ -1443,7 +1443,9 @@ def group_centroid_similarity(
     Scale shape: one corpus-absorbing mean aggregate (vectors never
     shuffle), then group-count² driver arithmetic — group cardinality is
     dashboard-sized by definition (sources, languages, labels). Groups
-    with a zero-norm centroid emit NULL cosine."""
+    with a zero-norm centroid emit NULL cosine; a NULL centroid element
+    (the mean_embedding_by output for a dimension NULL in every row of
+    the group) counts as 0.0 — that dimension contributes nothing."""
     import math
 
     rows = mean_embedding_by(df, group_col, vec_col=vec_col,
@@ -1458,6 +1460,11 @@ def group_centroid_similarity(
             a, b = rows[i], rows[j]
             dot = la = lb = 0.0
             for x, y in zip(a["embedding"], b["embedding"]):  # ordered
+                # mean_embedding_by emits a NULL element when a dimension
+                # is NULL in every row of a group; treat it as 0.0 (the
+                # dimension contributes nothing) instead of crashing
+                x = 0.0 if x is None else x
+                y = 0.0 if y is None else y
                 dot += x * y
                 la += x * x
                 lb += y * y

@@ -394,7 +394,10 @@ def histogram(
     consume the same binning, so a dashboard histogram and the PSI that
     alerts on it can never disagree about shape). ``clamp=True`` folds
     out-of-range values into the edge bins (the psi rule);
-    ``clamp=False`` drops them. NULLs are dropped either way.
+    ``clamp=False`` drops them. NULLs and NaNs are dropped either way
+    (a NaN compares false everywhere, so without the explicit filter it
+    would silently clamp into bin 0), and ``hi > lo`` is required — a
+    zero-width range has no bins to put anything in.
 
     Scale shape: ONE hash aggregate keyed on bin id (map-side combine;
     ≤ ``nbins`` groups survive the shuffle), densified against a
@@ -404,15 +407,18 @@ def histogram(
     engines reproduce."""
     if nbins <= 0:
         raise ValueError(f"nbins must be positive, got {nbins}")
+    if not (float(hi) > float(lo)):
+        raise ValueError(f"hi must be > lo, got lo={lo!r} hi={hi!r}")
     step = (float(hi) - float(lo)) / nbins
     v = F.col(column).cast("double")
     raw = F.floor((v - F.lit(float(lo))) / F.lit(step)).cast("int")
+    finite = v.isNotNull() & ~F.isnan(v)
     if clamp:
         b = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1))
-        src = df.filter(v.isNotNull())
+        src = df.filter(finite)
     else:
         b = raw
-        src = df.filter(v.isNotNull() & (v >= lo) & (v < hi))
+        src = df.filter(finite & (v >= lo) & (v < hi))
     counts = src.groupBy(b.alias("bin")).agg(
         F.count(F.lit(1)).alias("n"))
     grid = df.sparkSession.range(nbins).select(

@@ -118,11 +118,17 @@ def key_sync_stats(
     kb = (df_b.select(F.col(key_b).alias("_k")).filter(F.col("_k").isNotNull())
           .distinct().withColumn("_b", F.lit(1)))
     j = ka.join(kb, "_k", "full_outer")
+    # sum() over zero rows is NULL — coalesce so two empty (or all-NULL-
+    # key) inputs report zeros (with NULL sync) instead of NULL counts
+    # that propagate through the n_only_a/n_only_b arithmetic
     agg = j.agg(
-        F.sum(F.coalesce(F.col("_a"), F.lit(0))).alias("n_a"),
-        F.sum(F.coalesce(F.col("_b"), F.lit(0))).alias("n_b"),
-        F.sum((F.col("_a").isNotNull()
-               & F.col("_b").isNotNull()).cast("long")).alias("n_both"),
+        F.coalesce(F.sum(F.coalesce(F.col("_a"), F.lit(0))),
+                   F.lit(0)).alias("n_a"),
+        F.coalesce(F.sum(F.coalesce(F.col("_b"), F.lit(0))),
+                   F.lit(0)).alias("n_b"),
+        F.coalesce(F.sum((F.col("_a").isNotNull()
+                          & F.col("_b").isNotNull()).cast("long")),
+                   F.lit(0)).alias("n_both"),
         F.count(F.lit(1)).alias("n_union"))
     return agg.select(
         "n_a", "n_b", "n_both",
@@ -191,7 +197,18 @@ def freshness_stats(
     integer microsecond difference floor-divided to seconds — no float,
     no timezone arithmetic (both engines compare UTC instants); groups
     with only NULL timestamps report NULL age and ``stale = true``
-    (unknown recency is stale by definition)."""
+    (unknown recency is stale by definition). ``as_of`` must be an
+    ISO-8601 instant — validated on the driver (a malformed reference
+    instant is a caller bug and raises ``ValueError``; it must NOT
+    silently become NULL age + stale=true for every group) and bound
+    as a literal, never interpolated into SQL text."""
+    from datetime import datetime
+
+    try:
+        datetime.fromisoformat(str(as_of).replace("Z", "+00:00"))
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"as_of must be an ISO-8601 timestamp, got {as_of!r}")
     gcols = [group_col] if group_col else []
     agg = df.groupBy(*gcols).agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -201,10 +218,13 @@ def freshness_stats(
     # second, so the µs difference is an exact multiple of 1e6 and the
     # integer division is exact for any sign — no float, no
     # truncate-vs-floor ambiguity on future timestamps
-    age = F.expr(
-        f"(unix_micros(date_trunc('second', to_timestamp('{as_of}'))) "
-        f"- unix_micros(date_trunc('second', max_ts))) div 1000000")
-    out = (agg.withColumn("age_seconds", age)
+    asof_us = F.unix_micros(
+        F.date_trunc("second", F.to_timestamp(F.lit(str(as_of)))))
+    out = (agg.withColumn("_asof_us", asof_us)
+              .withColumn("age_seconds", F.expr(
+                  "(_asof_us - unix_micros(date_trunc('second', max_ts)))"
+                  " div 1000000"))
+              .drop("_asof_us")
               .withColumn("stale",
                           F.coalesce(F.col("age_seconds")
                                      > max_age_seconds, F.lit(True))))

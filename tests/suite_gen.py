@@ -1065,6 +1065,294 @@ def gen_ext_anchors_unevaluated():
 
 
 
+# ---------------------------------------------------------------------------
+# Round-4 families: the official-suite shapes the round-3 verdict named as
+# still untested — $defs-inside-items ref targets, surrogate-pair length
+# edges, heterogeneous-type enum members, nested unevaluated* interactions.
+# ---------------------------------------------------------------------------
+
+
+def gen_defs_in_items():
+    """``items`` whose subschema is (or contains) a ``$ref`` target —
+    the ref-resolution shapes the official suite exercises under
+    ``$defs``/``items`` composition: per-element refs, transitive hops
+    reached from inside ``items``, defs ANCHORED inside the items
+    subschema itself (pointer into a non-root location), and refs to
+    defs that are themselves array schemas."""
+    out = []
+    # items -> $ref to a root-level def, per element
+    out.append(_group(
+        "items ref to root def",
+        {"type": "object",
+         "$defs": {"pos": {"type": "integer", "minimum": 1}},
+         "properties": {"xs": {"type": "array",
+                               "items": {"$ref": "#/$defs/pos"}}}},
+        [_t("empty ok", {"xs": []}, True),
+         _t("all pos", {"xs": [1, 2, 3]}, True),
+         _t("zero at 0", {"xs": [0]}, False),
+         _t("neg at tail", {"xs": [3, 2, -1]}, False),
+         _t("single ok", {"xs": [7]}, True)],
+        {"xs": "array<bigint>"}))
+    # items -> transitive hop (ref -> ref -> constraint)
+    out.append(_group(
+        "items transitive ref hop",
+        {"type": "object",
+         "$defs": {"name": {"type": "string", "minLength": 2},
+                   "hop": {"$ref": "#/$defs/name"}},
+         "properties": {"xs": {"type": "array",
+                               "items": {"$ref": "#/$defs/hop"}}}},
+        [_t("ok", {"xs": ["ab", "cde"]}, True),
+         _t("short member", {"xs": ["ab", "c"]}, False),
+         _t("empty ok", {"xs": []}, True),
+         _t("empty string member", {"xs": [""]}, False)],
+        {"xs": "array<string>"}))
+    # def anchored INSIDE the items subschema, referenced by pointer into
+    # that non-root location: the reference resolves ONLY #/$defs/... and
+    # #/definitions/... fragments (ref_resolver.rs:86-106 ->
+    # UnsupportedFragment), so every element is invalid when present —
+    # the dangling-ref contract, not a resolution
+    out.append(_group(
+        "items-local $defs pointer target unsupported",
+        {"type": "object",
+         "properties": {"xs": {
+             "type": "array",
+             "items": {
+                 "$defs": {"s": {"type": "string", "minLength": 2}},
+                 "$ref": "#/properties/xs/items/$defs/s"}}}},
+        [_t("element present -> UnsupportedFragment", {"xs": ["ab"]}, False),
+         _t("short also invalid (ref, not length)", {"xs": ["a"]}, False),
+         _t("empty array ok", {"xs": []}, True)],
+        {"xs": "array<string>"}))
+    # ref target that is itself an ARRAY schema (items + minItems live
+    # in the def; the property is just a $ref)
+    out.append(_group(
+        "property ref to array def",
+        {"type": "object",
+         "$defs": {"arr": {"type": "array", "minItems": 1,
+                           "items": {"type": "integer", "maximum": 9}}},
+         "properties": {"xs": {"$ref": "#/$defs/arr"}}},
+        [_t("ok", {"xs": [1, 9]}, True),
+         _t("too big member", {"xs": [10]}, False),
+         _t("empty violates minItems", {"xs": []}, False)],
+        {"xs": "array<bigint>"}))
+    # nested arrays: items -> ref -> def whose items is another ref
+    # (array<array<...>> instances; interpreter-only shape)
+    out.append(_group(
+        "items ref to def with inner items ref",
+        {"$defs": {"inner": {"type": "integer", "minimum": 0},
+                   "row": {"type": "array",
+                           "items": {"$ref": "#/$defs/inner"}}},
+         "type": "array", "items": {"$ref": "#/$defs/row"}},
+        [_t("ok", [[0, 1], [2]], True),
+         _t("neg in inner", [[0], [-1]], False),
+         _t("outer non-array member", [1], False),
+         _t("empty", [], True)]))
+    # dangling ref INSIDE items: every element invalid when present
+    out.append(_group(
+        "items dangling ref",
+        {"type": "object",
+         "$defs": {"real": {"type": "integer"}},
+         "properties": {"xs": {"type": "array",
+                               "items": {"$ref": "#/$defs/nope"}}}},
+        [_t("element present -> invalid", {"xs": [1]}, False),
+         _t("empty array ok (no element to fail)", {"xs": []}, True)],
+        {"xs": "array<bigint>"}))
+    return out
+
+
+def gen_surrogate_length_edges():
+    """Length edges past the round-3 unicode set: astral (surrogate-pair
+    in UTF-16) code points at exact min/max boundaries — an engine
+    counting UTF-16 units or bytes instead of code points diverges on
+    every one of these. Flags (2 regional indicators), keycaps
+    (digit + VS16 + combining keycap), first/last astral scalars, and
+    astral runs straddling each bound."""
+    probes = [
+        ("\U00010000", 1),                      # first astral scalar
+        ("\U0010FFFF\U0010FFFF", 2),            # max scalar x2
+        ("\uffff", 1),                          # BMP max (no pair)
+        ("\U0001F1FA\U0001F1F8", 2),            # flag: 2 regional indicators
+        ("1\ufe0f\u20e3", 3),                   # keycap: digit+VS16+keycap
+        ("a\U0001F600", 2),                     # BMP + astral mix
+        ("\U0001F600a\U0001F600", 3),           # astral sandwich
+        ("\U0001F3F3\ufe0f\u200d\U0001F308", 4),  # rainbow flag ZWJ seq
+        ("\U0001F600" * 2, 2),
+        ("\U0001F600" * 3, 3),
+        ("\U0001F600" * 5, 5),
+    ]
+    out = []
+    for mn, mx in [(1, 1), (2, 2), (3, 3), (2, 4), (4, 5), (0, 2)]:
+        out.append(_group(
+            f"surrogate-pair length edges [{mn},{mx}]",
+            {"type": "object",
+             "properties": {"s": {"type": "string",
+                                  "minLength": mn, "maxLength": mx}}},
+            [_t(f"cp len {n}: {s!r}", {"s": s}, mn <= n <= mx)
+             for s, n in probes],
+            {"s": "string"}))
+    return out
+
+
+def gen_enum_hetero():
+    """``enum`` with heterogeneous-type members — membership is serde
+    VALUE equality (validator/mod.rs enum rule): an integer instance can
+    only match an integer member (never "1" or 1.0), a string only a
+    string member, a boolean only a boolean member; null matches a null
+    member (interpreter shape — a typed column's NULL means absent)."""
+    members = [1, "1", 2.5, True, None]
+    out = []
+    out.append(_group(
+        "enum hetero vs integer column",
+        {"type": "object", "properties": {"x": {"enum": members}}},
+        [_t("int 1 matches int member", {"x": 1}, True),
+         _t("int 2 no member", {"x": 2}, False),
+         _t("int 0 no member (True is not 0/1)", {"x": 0}, False)],
+        {"x": "bigint"}))
+    out.append(_group(
+        "enum hetero vs string column",
+        {"type": "object", "properties": {"s": {"enum": members}}},
+        [_t('"1" matches string member', {"s": "1"}, True),
+         _t('"2.5" is not the number 2.5', {"s": "2.5"}, False),
+         _t('"true" is not boolean true', {"s": "true"}, False),
+         _t('"True" no member', {"s": "True"}, False)],
+        {"s": "string"}))
+    out.append(_group(
+        "enum hetero vs double column",
+        {"type": "object", "properties": {"f": {"enum": members}}},
+        [_t("2.5 matches float member", {"f": 2.5}, True),
+         # serde equality: float 1.0 is NOT the integer member 1
+         _t("1.0 is not integer member 1", {"f": 1.0}, False),
+         _t("2.25 no member", {"f": 2.25}, False)],
+        {"f": "double"}))
+    out.append(_group(
+        "enum hetero vs boolean column",
+        {"type": "object", "properties": {"b": {"enum": members}}},
+        [_t("true matches", {"b": True}, True),
+         _t("false no member", {"b": False}, False)],
+        {"b": "boolean"}))
+    # mixed-kind instances incl. null and containers: interpreter shape
+    out.append(_group(
+        "enum hetero mixed instances",
+        {"enum": [1, "1", 2.5, True, None, [1, 2], {"k": 1}]},
+        [_t("null matches null member", None, True),
+         _t("array member deep-equal", [1, 2], True),
+         _t("array order matters", [2, 1], False),
+         _t("object member deep-equal", {"k": 1}, True),
+         _t("object value float mismatch", {"k": 1.0}, False),
+         _t("float 1.0 is not int member 1", 1.0, False),
+         _t("int 1 is not float-in-array", 1, True),
+         _t("false no member", False, False)]))
+    return out
+
+
+def gen_nested_unevaluated():
+    """``unevaluatedProperties`` / ``unevaluatedItems`` interacting with
+    the annotation-producing keywords NESTED around them (allOf, $ref,
+    if/then, prefixItems) — the 2020-12 flow rules the official suite
+    leans on hardest. Extension groups (E16 + friends)."""
+    out = []
+    # NOTE on scope: this engine inherits the reference's keyword ladder
+    # — $ref/allOf/anyOf/oneOf evaluate EXCLUSIVELY of siblings
+    # (validator/mod.rs precedence), so 2020-12 annotation flow through
+    # them does not exist and unevaluated* combined with them is a LOUD
+    # SpecParseError (plans/spec.py:504-515; pinned in
+    # test_extensions.py). The groups here cover the flows the engine
+    # DOES define: properties, patternProperties, dependentSchemas,
+    # if/then/else, prefixItems.
+    # patternProperties-matched props count as evaluated
+    out.append(_xg(
+        "ext unevaluatedProperties with patternProperties",
+        {"type": "object",
+         "properties": {"a": {"type": "integer"}},
+         "patternProperties": {"^x_": {"type": "string"}},
+         "unevaluatedProperties": False},
+        [_t("named + pattern evaluated", {"a": 1, "x_k": "v"}, True),
+         _t("pattern only", {"x_k": "v"}, True),
+         _t("extra fails", {"a": 1, "x_k": "v", "z": 1}, False),
+         _t("only extra", {"z": 1}, False),
+         _t("empty ok", {}, True)],
+        {"a": "bigint", "x_k": "string", "z": "bigint"}))
+    # dependentSchemas branch properties evaluated ONLY when triggered
+    out.append(_xg(
+        "ext unevaluatedProperties with dependentSchemas",
+        {"type": "object",
+         "properties": {"a": {"type": "integer"}},
+         "dependentSchemas": {"a": {"properties": {"b": {"type": "string"}}}},
+         "unevaluatedProperties": False},
+        [_t("trigger present: b evaluated", {"a": 1, "b": "x"}, True),
+         _t("no trigger: b unevaluated", {"b": "x"}, False),
+         _t("trigger + extra", {"a": 1, "c": 2}, False),
+         _t("trigger alone", {"a": 1}, True)],
+        {"a": "bigint", "b": "string", "c": "bigint"}))
+    # unevaluatedProperties as a SCHEMA (not false): extras must satisfy
+    # it (typed shape keeps the extra integer-valued; the wrong-TYPE
+    # extra lives in the interpreter-only mixed group below)
+    out.append(_xg(
+        "ext unevaluatedProperties schema form",
+        {"type": "object",
+         "properties": {"a": {"type": "string"}},
+         "unevaluatedProperties": {"type": "integer", "minimum": 0}},
+        [_t("no extras", {"a": "x"}, True),
+         _t("extra non-negative int", {"a": "x", "z": 3}, True),
+         _t("extra negative", {"a": "x", "z": -1}, False)],
+        {"a": "string", "z": "bigint"}))
+    out.append(_xg(
+        "ext unevaluatedProperties schema form mixed kinds",
+        {"type": "object",
+         "properties": {"a": {"type": "string"}},
+         "unevaluatedProperties": {"type": "integer", "minimum": 0}},
+        [_t("extra wrong type", {"a": "x", "z": "y"}, False),
+         _t("extra bool is not integer", {"z": True}, False),
+         _t("extra float is not integer", {"z": 1.0}, False),
+         _t("extra ok int", {"z": 7}, True)]))
+    # if/then interaction: then-branch properties only evaluated when
+    # the if matched (the round-3 group tested then; add ELSE flow)
+    out.append(_xg(
+        "ext unevaluatedProperties via else",
+        {"type": "object",
+         "if": {"properties": {"r": {"const": "t"}}, "required": ["r"]},
+         "then": {"properties": {"u": {}}},
+         "else": {"properties": {"w": {}}},
+         "properties": {"r": {"type": "string"}},
+         "unevaluatedProperties": False},
+        [_t("if matched: u evaluated", {"r": "t", "u": 1}, True),
+         _t("if matched: w NOT evaluated", {"r": "t", "w": 1}, False),
+         _t("else branch: w evaluated", {"r": "s", "w": 1}, True),
+         _t("else branch: u NOT evaluated", {"r": "s", "u": 1}, False),
+         _t("no r: else flow evaluates w", {"w": 1}, True)],
+        {"r": "string", "u": "bigint", "w": "bigint"}))
+    # unevaluatedItems false: prefixItems width becomes an exact cap
+    out.append(_xg(
+        "ext unevaluatedItems false exact width",
+        {"type": "object", "properties": {"xs": {
+            "type": "array",
+            "prefixItems": [{"type": "integer"},
+                            {"type": "integer", "minimum": 0}],
+            "unevaluatedItems": False}}},
+        [_t("empty", {"xs": []}, True),
+         _t("one", {"xs": [1]}, True),
+         _t("exact width", {"xs": [1, 2]}, True),
+         _t("over width", {"xs": [1, 2, 3]}, False),
+         _t("prefix violation wins its slot", {"xs": [1, -5]}, False)],
+        {"xs": "array<bigint>"}))
+    # nested objects each with their own unevaluatedProperties
+    # (struct-in-struct instance: interpreter shape)
+    out.append(_xg(
+        "ext nested unevaluatedProperties scopes",
+        {"type": "object",
+         "properties": {
+             "o": {"type": "object",
+                   "properties": {"a": {"type": "integer"}},
+                   "unevaluatedProperties": False}},
+         "unevaluatedProperties": False},
+        [_t("inner + outer clean", {"o": {"a": 1}}, True),
+         _t("inner extra fails inner scope", {"o": {"a": 1, "z": 2}}, False),
+         _t("outer extra fails outer scope", {"o": {"a": 1}, "z": 2}, False),
+         _t("empty inner", {"o": {}}, True),
+         _t("outer empty", {}, True)]))
+    return out
+
+
 def generate() -> list[dict]:
     groups = []
     for gen in (gen_type_matrix, gen_length, gen_bounds, gen_enum_const,
@@ -1076,7 +1364,9 @@ def generate() -> list[dict]:
                 gen_deep_nesting, gen_uuid_nasty, gen_bounds_grid,
                 gen_ext_numeric, gen_ext_conditional, gen_ext_object,
                 gen_ext_arrays, gen_ext_formats,
-                gen_ext_anchors_unevaluated):
+                gen_ext_anchors_unevaluated,
+                gen_defs_in_items, gen_surrogate_length_edges,
+                gen_enum_hetero, gen_nested_unevaluated):
         groups.extend(gen())
     return groups
 

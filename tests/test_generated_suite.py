@@ -38,12 +38,17 @@ EXPECTED_INTERPRETER_ONLY = {
     "required chain depth 5",               # 5-deep struct nesting
     "items of objects with required",       # array<struct> instances
     "object-array-object nesting",          # struct inside array column
+    # round-4 families
+    "items ref to def with inner items ref",  # array<array<...>> instance
+    "enum hetero mixed instances",          # null/array/object instances
+    "ext nested unevaluatedProperties scopes",  # struct-in-struct instance
+    "ext unevaluatedProperties schema form mixed kinds",  # mixed-kind extras
 }
 
 
 def test_generated_corpus_size():
-    # round-2 verdict asked for >= 500 cases with zero unexplained skips
-    assert case_count(GROUPS) >= 500, case_count(GROUPS)
+    # round-3 verdict asked for >= 800 cases with zero unexplained skips
+    assert case_count(GROUPS) >= 800, case_count(GROUPS)
     assert len(GROUPS) >= 100
 
 

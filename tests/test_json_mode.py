@@ -126,6 +126,35 @@ def test_key_profile_integer_vs_number_boundary(spark):
         ("x", "integer"): 1, ("x", "number"): 1}
 
 
+def test_key_profile_uint64_range_int_is_number(spark):
+    # the as_i64 rule (validator/mod.rs:291): an int past i64::MAX does
+    # NOT lex as int64 — Spark's variant parser types it DECIMAL(20,0),
+    # which the kind map classifies 'number'. i64::MAX itself stays
+    # 'integer'. The s_json_keys oracle mirrors this with a value-level
+    # UBIGINT split (DuckDB types EVERY non-negative JSON int UBIGINT).
+    rows = _profile(spark, [
+        '{"x": 9223372036854775807}',       # i64::MAX -> integer
+        '{"x": 9223372036854775808}',       # i64::MAX + 1 -> number
+        '{"x": 18446744073709551615}'])     # u64::MAX -> number
+    assert {(k, kind): n for k, kind, n, _ in rows} == {
+        ("x", "integer"): 1, ("x", "number"): 2}
+    # and the driver-oracle side of the same contract, via DuckDB
+    import duckdb
+    got = duckdb.sql("""
+        SELECT CASE json_type(p, '$.x')
+          WHEN 'BIGINT' THEN 'integer'
+          WHEN 'UBIGINT' THEN CASE
+            WHEN json_extract(p, '$.x')::UBIGINT
+                 > 9223372036854775807::UBIGINT THEN 'number'
+            ELSE 'integer' END
+          ELSE 'other' END
+        FROM (VALUES ('{"x": 9223372036854775807}'),
+                     ('{"x": 9223372036854775808}'),
+                     ('{"x": -5}')) t(p)
+    """).fetchall()
+    assert [r[0] for r in got] == ["integer", "number", "integer"]
+
+
 def test_key_profile_plan_is_jvm_only(spark):
     df = spark.createDataFrame([(1, '{"k": 1}')], "id long, payload string")
     plan = json_key_profile(df, "payload")._jdf.queryExecution() \

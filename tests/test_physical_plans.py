@@ -212,3 +212,36 @@ def test_message_render_plan_stays_linear(spark, sf_dir):
         key_cols=("l_orderkey", "l_linenumber")).validate(df)
     plan = _plan(rep.violations)
     assert len(plan) < 60_000, f"render plan blew up: {len(plan)} chars"
+
+
+def test_incremental_fuzzy_shingles_only_candidate_corpus_docs(spark, docs):
+    """incremental_fuzzy_dedup's reason to exist at 10^11 kept docs: the
+    corpus-side shingle projection (xxhash64 over n-grams) must sit ABOVE
+    the broadcast candidate semi-join — i.e. only LSH-candidate docs are
+    fetched and shingled per batch, never the whole kept corpus. The
+    operator now makes this structural (semi-join before shingle_hashes);
+    this pins it against refactors by walking the executed plan: between
+    the LeftSemi join and the corpus scan below it there must be no
+    xxhash64 projection, while the candidate-only shingle projection
+    appears above the join."""
+    import re
+
+    from json_schema_rs_spark.operators import dedup
+
+    corpus = docs.select("doc_id", "text")
+    led = dedup.minhash_signature(corpus).select("doc_id", "minhash")
+    batch = corpus.limit(5).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000).cast("long"))
+    out = dedup.incremental_fuzzy_dedup(batch, led, corpus)
+    plan = _plan(out)
+    m = re.search(r"LeftSemi", plan)
+    assert m, f"expected a candidate semi-join in the plan:\n{plan[:4000]}"
+    # the shingle projection feeding the exact-Jaccard verify is the
+    # join's PARENT (printed before it in pre-order)
+    assert "xxhash64" in plan[:m.start()], plan[:m.start()][-2000:]
+    # and the corpus branch BELOW the semi-join is shingle-free: nothing
+    # between the join node and the first scan under it computes hashes
+    after = plan[m.start():]
+    scan = re.search(r"Scan parquet|FileScan|Scan ExistingRDD", after)
+    assert scan, after[:2000]
+    assert "xxhash64" not in after[:scan.start()], after[:scan.start()]

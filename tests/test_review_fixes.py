@@ -423,3 +423,76 @@ class TestKeySyncStats:
         b = spark.createDataFrame([(5,), (6,)], "k long")
         r2 = key_sync_stats(a, b, "k", "k").collect()[0]
         assert r2.sync == 0.0 and r2.n_both == 0
+
+
+class TestRound4AdviceFixes:
+    """Regressions for the round-3 driver ADVICE items."""
+
+    def test_histogram_rejects_degenerate_range(self, spark):
+        from json_schema_rs_spark.operators.stats import histogram
+        df = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="hi must be > lo"):
+            histogram(df, "v", lo=5.0, hi=5.0)
+        with _pytest.raises(ValueError, match="hi must be > lo"):
+            histogram(df, "v", lo=5.0, hi=4.0)
+
+    def test_histogram_drops_nan(self, spark):
+        from json_schema_rs_spark.operators.stats import histogram
+        df = spark.createDataFrame(
+            [(0.5,), (float("nan"),), (None,), (1.5,)], "v double")
+        # without the NaN filter the NaN row would clamp into bin 0
+        out = {r.bin: r.n for r in
+               histogram(df, "v", lo=0.0, hi=2.0, nbins=2).collect()}
+        assert out == {0: 1, 1: 1}
+        out2 = {r.bin: r.n for r in
+                histogram(df, "v", lo=0.0, hi=2.0, nbins=2,
+                          clamp=False).collect()}
+        assert out2 == {0: 1, 1: 1}
+
+    def test_key_sync_empty_and_all_null_inputs_report_zeros(self, spark):
+        from json_schema_rs_spark.operators.table_checks import (
+            key_sync_stats)
+        empty = spark.createDataFrame([], "k long")
+        r = key_sync_stats(empty, empty, "k", "k").collect()[0]
+        assert (r.n_a, r.n_b, r.n_both, r.n_only_a, r.n_only_b) == \
+            (0, 0, 0, 0, 0)
+        assert r.sync is None  # 0/0 keyset Jaccard is undefined, not 0
+        nulls = spark.createDataFrame([(None,), (None,)], "k long")
+        r2 = key_sync_stats(nulls, nulls, "k", "k").collect()[0]
+        assert (r2.n_a, r2.n_b, r2.n_both) == (0, 0, 0)
+
+    def test_freshness_rejects_malformed_as_of(self, spark):
+        from pyspark.sql import functions as F
+        from json_schema_rs_spark.operators.table_checks import (
+            freshness_stats)
+        df = spark.createDataFrame([("a", "2024-01-01 10:00:00")],
+                                   "src string, ts string") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="ISO-8601"):
+            freshness_stats(df, "ts", as_of="not a timestamp",
+                            max_age_seconds=60)
+        # a quote in as_of must raise, never splice into SQL text
+        with _pytest.raises(ValueError, match="ISO-8601"):
+            freshness_stats(df, "ts", as_of="2024-01-01') --",
+                            max_age_seconds=60)
+        # and Z-suffixed / T-separated ISO forms are accepted
+        r = freshness_stats(df, "ts", as_of="2024-01-01T10:00:30Z",
+                            max_age_seconds=60).collect()[0]
+        assert r.age_seconds == 30 and r.stale is False
+
+    def test_group_centroid_similarity_null_dimension(self, spark):
+        from json_schema_rs_spark.operators.similarity import (
+            group_centroid_similarity)
+        # group "a": dim 1 NULL in its only row -> NULL centroid element;
+        # before the fix the driver fold raised TypeError (None * float)
+        df = spark.createDataFrame(
+            [("a", [1.0, None]), ("b", [0.5, 0.5])],
+            "g string, embedding array<double>")
+        rows = group_centroid_similarity(df, "g").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.group_a, r.group_b) == ("a", "b")
+        # NULL element counts as 0.0: cos = 0.5 / (1.0 * sqrt(0.5))
+        assert abs(r.cos_sim - 0.707107) < 1e-6
