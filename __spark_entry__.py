@@ -5626,6 +5626,56 @@ WHERE substr(md5(CAST(b.doc_id AS VARCHAR) || '#mixt'), 1, 8) < thr.t
 """
 
 
+def _q_x_vocab_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the acting complement of s_vocab_drift: a snapshot where every
+    # 5th doc's text drifted to uppercase is re-aligned onto the
+    # baseline's top-50 vocabulary (casefold-unique matches only), and
+    # the repaired text is returned per doc. The oracle replays the
+    # identical arc in SQL: total-order vocab head, casefold join with
+    # the HAVING-count(*)=1 ambiguity drop, posexploded token remap,
+    # position-ordered reassembly.
+    from json_schema_rs_spark.operators.textstats import (
+        remap_tokens, vocab_remap_plan)
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    cur = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.upper("text"))
+         .otherwise(F.col("text")).alias("text"))
+    plan = vocab_remap_plan(base, cur, k=50)
+    rep = remap_tokens(cur, plan, "text")
+    return rep.select("doc_id", "clean_text").orderBy("doc_id")
+
+
+_SQL_X_VOCAB_REPAIR = """
+WITH cur AS (SELECT doc_id,
+                    CASE WHEN doc_id % 5 = 0 THEN upper(text)
+                         ELSE text END AS text
+             FROM documents),
+vh AS (SELECT t AS tok
+       FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS t
+             FROM documents)
+       GROUP BY t ORDER BY count(*) DESC, t ASC LIMIT 50),
+curtok AS (SELECT t AS from_token
+           FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS t
+                 FROM cur)
+           GROUP BY t),
+cand AS (SELECT c.from_token, v.tok AS to_token
+         FROM curtok c JOIN vh v ON lower(c.from_token) = lower(v.tok)
+         WHERE c.from_token NOT IN (SELECT tok FROM vh)),
+uniq AS (SELECT from_token, min(to_token) AS to_token
+         FROM cand GROUP BY from_token HAVING count(*) = 1),
+tok AS (SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS t
+        FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS l
+              FROM cur)),
+mapped AS (SELECT doc_id, pos, coalesce(u.to_token, t.t) AS m
+           FROM tok t LEFT JOIN uniq u ON t.t = u.from_token)
+SELECT doc_id, string_agg(m, ' ' ORDER BY pos) AS clean_text
+FROM mapped GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _q_x_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # soft (duplication-weighted) dedup: each member of a near-dup
     # group survives with probability 1/group_size, so the EXPECTED
@@ -6786,6 +6836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_mix_budget": _q_x_mix_budget,
         "x_mix_temperature": _q_x_mix_temperature,
         "x_soft_dedup": _q_x_soft_dedup,
+        "x_vocab_repair": _q_x_vocab_repair,
         "x_pack_chunks": _q_x_pack,
         "x_pack_report": _q_x_pack_report,
         "x_chunk_windows": _q_x_chunks,
@@ -6975,6 +7026,7 @@ def oracle_sql() -> dict[str, str]:
         "x_dsir": _SQL_X_DSIR,
         "x_dsir_sample": _SQL_X_DSIR_SAMPLE,
         "x_prep_corpus": _SQL_X_PREP_CORPUS,
+        "x_vocab_repair": _SQL_X_VOCAB_REPAIR,
         "x_quality": _SQL_X_QUALITY,
         "x_corpus_report": _SQL_X_CORPUS_REPORT,
         "x_language_id": _SQL_X_LANGID,

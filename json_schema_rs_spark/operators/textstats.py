@@ -852,6 +852,127 @@ def vocab_drift(df_a: DataFrame, df_b: DataFrame, text_col: str = "text",
     return chi2_two_sample(cat(df_a), cat(df_b), "token_cat")
 
 
+def vocab_remap_plan(df_base: DataFrame, df_cur: DataFrame,
+                     text_col: str = "text", *, k: int = 100) -> DataFrame:
+    """The ACTING complement of :func:`vocab_drift` (the check↔repair
+    symmetry rule): derive a token re-mapping that ALIGNS a drifted
+    snapshot back onto a baseline vocabulary. A current-corpus token is
+    remapped iff it is NOT in the baseline's top-``k`` vocabulary but
+    its casefolded form equals the casefold of exactly ONE baseline
+    vocab token (the casing/normalization drift an upstream renderer
+    change typically introduces — "KEY" → "key"); ambiguous casefold
+    collisions (two vocab tokens sharing a lowercase form) are dropped
+    rather than guessed. Returns ``(from_token, to_token, n_cur)`` with
+    ``n_cur`` = the token's occurrence count in the current corpus.
+    Compose with :func:`remap_tokens` to repair, then re-run
+    :func:`vocab_drift` to show the chi² fall — the same
+    repair-then-revalidate arc as ``t_repair_validate``.
+
+    Scale shape: the baseline head is the :func:`vocab_drift` TakeOrdered
+    total-order top-k (k tokens to the driver); the current side is ONE
+    vocabulary-sized token aggregate (map-side combined); membership and
+    casefold lookup are codegen'd literals (array + map, k entries) — no
+    join anywhere, text never shuffles. Casefold = simple Unicode
+    ``lower`` on all engines (ASCII-exact parity; locale-free)."""
+    from ..functions.exprs import explode_rows
+
+    def toks(df: DataFrame) -> DataFrame:
+        return explode_rows(
+            df.select(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+                      .alias("__w")),
+            [], F.col("__w"), "__t")
+
+    head = (toks(df_base).groupBy("__t").agg(F.count("*").alias("__c"))
+            .orderBy(F.desc("__c"), F.asc("__t")).limit(k).collect())
+    vocab = [r["__t"] for r in head]
+    by_norm: dict = {}
+    for t in vocab:
+        by_norm.setdefault(t.lower(), []).append(t)
+    norm_map = {n: ts[0] for n, ts in sorted(by_norm.items())
+                if len(ts) == 1}
+    cur = (toks(df_cur).groupBy(F.col("__t").alias("from_token"))
+           .agg(F.count("*").alias("n_cur")))
+    if not norm_map:
+        return cur.filter(F.lit(False)).select(
+            "from_token", F.lit(None).cast("string").alias("to_token"),
+            "n_cur")
+    vocab_lit = F.array(*[F.lit(t) for t in vocab])
+    map_lit = F.create_map(*[F.lit(x) for kv in norm_map.items()
+                             for x in kv])
+    return (cur.filter(~F.array_contains(vocab_lit, F.col("from_token")))
+               .withColumn("to_token",
+                           F.element_at(map_lit,
+                                        F.lower(F.col("from_token"))))
+               .filter(F.col("to_token").isNotNull())
+               .select("from_token", "to_token", "n_cur"))
+
+
+def remap_tokens(df: DataFrame, mapping, text_col: str = "text", *,
+                 out_col: str = "clean_text", id_col: str = "doc_id",
+                 max_literal: int = 10_000,
+                 max_mapping: int = 10_000_000) -> DataFrame:
+    """Apply a token re-mapping to a text column — every whitespace
+    token equal to a ``from_token`` is replaced by its ``to_token``,
+    everything else (including whitespace structure) passes through
+    byte-identical; NULL text stays NULL. ``mapping`` is a dict or a
+    DataFrame whose first two columns are (from, to) — e.g.
+    :func:`vocab_remap_plan`'s output.
+
+    Scale shape, two declared strategies by mapping size:
+
+    - ``<= max_literal`` entries (the vocabulary-drift case — a remap
+      table is vocabulary-sized by construction): codegen'd map literal,
+      ``transform(split(text), t -> coalesce(map[t], t))`` — ZERO
+      shuffle, zero Python, text never moves.
+    - larger: tokens posexplode to skinny ``(id, pos, tok)`` rows, the
+      mapping BROADCASTS into a left join, and the doc re-assembles via
+      one id-grain ``array_agg`` sorted by position — text shuffles
+      once, the mapping never does. Requires ``id_col``; mappings past
+      ``max_mapping`` fail fast (a remap table larger than that is not
+      a vocabulary anymore)."""
+    if isinstance(mapping, DataFrame):
+        fcol, tcol = mapping.columns[0], mapping.columns[1]
+        rows = (mapping.select(fcol, tcol)
+                .limit(max_literal + 1).collect())
+        if len(rows) <= max_literal:
+            mapping = {r[0]: r[1] for r in rows}
+        else:
+            n = mapping.count()
+            if n > max_mapping:
+                raise ValueError(
+                    f"mapping has {n} entries > max_mapping={max_mapping}")
+            toks = df.select(
+                id_col,
+                F.posexplode_outer(
+                    F.split(F.col(text_col), " ")).alias("__p", "__t"))
+            m = mapping.select(F.col(fcol).alias("__t"),
+                               F.col(tcol).alias("__to"))
+            joined = toks.join(F.broadcast(m), "__t", "left")
+            rebuilt = (joined.filter(F.col("__p").isNotNull())
+                       .groupBy(id_col)
+                       .agg(F.array_sort(F.collect_list(F.struct(
+                           F.col("__p").alias("p"),
+                           F.coalesce("__to", "__t").alias("t"))))
+                           .alias("__a"))
+                       .select(id_col, F.array_join(
+                           F.transform("__a", lambda s: s["t"]), " ")
+                           .alias(out_col)))
+            return df.join(rebuilt, id_col, "left")
+    if not mapping:
+        return df.withColumn(out_col, F.col(text_col))
+    if len(mapping) > max_literal:
+        raise ValueError(
+            f"dict mapping has {len(mapping)} entries > "
+            f"max_literal={max_literal}; pass a DataFrame for the "
+            "broadcast-join path")
+    m = F.create_map(*[F.lit(x) for kv in sorted(mapping.items())
+                       for x in kv])
+    repaired = F.array_join(
+        F.transform(F.split(F.col(text_col), " "),
+                    lambda t: F.coalesce(F.element_at(m, t), t)), " ")
+    return df.withColumn(out_col, repaired)
+
+
 def remove_duplicated_spans(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", *, k: int = 10,
                             min_count: int = 2, seed: int = 7,

@@ -960,3 +960,90 @@ class TestLanguageMismatch:
         plan = language_mismatch_violations(df)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan and "Python" not in plan
+
+
+class TestVocabRepair:
+    """vocab_remap_plan + remap_tokens: the acting complement of
+    vocab_drift — casefold-drifted tokens re-mapped onto the baseline
+    vocabulary, ambiguous collisions dropped, repair zero-shuffle."""
+
+    def _base(self, spark):
+        rows = [(0, "the key part of the table"),
+                (1, "key value table the part"),
+                (2, "the the key value part Table")]
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_plan_maps_case_drift_and_drops_ambiguous(self, spark):
+        from json_schema_rs_spark.operators.textstats import (
+            vocab_remap_plan)
+        base = self._base(spark)
+        # current snapshot drifts: KEY (unambiguous -> key), TABLE
+        # (ambiguous: baseline vocab holds both 'table' and 'Table'),
+        # VALUE (unambiguous), 'novel' (no casefold match)
+        cur = spark.createDataFrame(
+            [(10, "KEY VALUE TABLE novel the")],
+            "doc_id bigint, text string")
+        plan = {r.from_token: (r.to_token, r.n_cur)
+                for r in vocab_remap_plan(base, cur, k=10).collect()}
+        assert plan == {"KEY": ("key", 1), "VALUE": ("value", 1)}
+
+    def test_remap_repairs_and_drift_falls(self, spark):
+        from pyspark.sql import functions as F
+        from json_schema_rs_spark.operators.textstats import (
+            remap_tokens, vocab_drift, vocab_remap_plan)
+        base = self._base(spark)
+        cur = base.select("doc_id", F.upper("text").alias("text"))
+        plan = vocab_remap_plan(base, cur, k=10)
+        rep = remap_tokens(cur, plan, "text")
+        chi_before = vocab_drift(base, cur, k=10).collect()[0]["chi2"]
+        chi_after = vocab_drift(
+            base, rep.select("doc_id",
+                             F.col("clean_text").alias("text")),
+            k=10).collect()[0]["chi2"]
+        assert chi_after < chi_before
+        # unambiguous tokens repair to the baseline form; TABLE stays
+        # unmapped ('table' and 'Table' collide on casefold — ambiguous)
+        out = {r.doc_id: r.clean_text for r in rep.collect()}
+        assert out[1] == "key value TABLE the part"
+
+    def test_remap_literal_path_zero_shuffle(self, spark):
+        from json_schema_rs_spark.operators.textstats import remap_tokens
+        df = self._base(spark)
+        out = remap_tokens(df, {"key": "KEY"}, "text")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan
+        got = {r.doc_id: r.clean_text for r in out.collect()}
+        assert got[0] == "the KEY part of the table"
+
+    def test_remap_null_and_empty_text(self, spark):
+        from json_schema_rs_spark.operators.textstats import remap_tokens
+        df = spark.createDataFrame([(0, None), (1, ""), (2, "a  b")],
+                                   "doc_id bigint, text string")
+        got = {r.doc_id: r.clean_text
+               for r in remap_tokens(df, {"a": "x"}, "text").collect()}
+        assert got[0] is None
+        assert got[1] == ""
+        assert got[2] == "x  b"   # double space preserved
+
+    def test_join_path_matches_literal_path(self, spark):
+        from json_schema_rs_spark.operators.textstats import remap_tokens
+        df = self._base(spark)
+        mdf = spark.createDataFrame(
+            [("key", "k"), ("part", "p")],
+            "from_token string, to_token string")
+        lit = {r.doc_id: r.clean_text
+               for r in remap_tokens(df, mdf, "text").collect()}
+        # force the broadcast-join path by shrinking the literal cap
+        join = {r.doc_id: r.clean_text
+                for r in remap_tokens(df, mdf, "text",
+                                      max_literal=1).collect()}
+        assert lit == join
+        assert lit[0] == "the k p of the table"
+
+    def test_dict_over_cap_raises(self, spark):
+        import pytest as _pytest
+        from json_schema_rs_spark.operators.textstats import remap_tokens
+        df = self._base(spark)
+        big = {f"t{i}": "x" for i in range(20)}
+        with _pytest.raises(ValueError, match="max_literal"):
+            remap_tokens(df, big, "text", max_literal=10)
