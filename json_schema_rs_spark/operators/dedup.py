@@ -942,8 +942,14 @@ def incremental_fuzzy_dedup(
                        num_perm=num_perm, bands=bands, out_id="_bid")
     lband = _band_rows(sig_ledger.select(id_col, "minhash"), id_col,
                        num_perm=num_perm, bands=bands, out_id="_lid")
+    # the candidate pair table is consumed TWICE below (the corpus
+    # semi-join's id set and the _bid attach); an eager localCheckpoint
+    # materializes the skinny (skew- and contamination-bounded) table
+    # once so the batch signature kernel + ledger band scan behind it
+    # don't execute twice — the one-job build cost lands in compile
+    # time, paid once per batch (the stats.py tiny-aggregate pattern)
     cand = (lband.join(F.broadcast(bband), ["band", "bkey"])
-            .select("_bid", "_lid").distinct())
+            .select("_bid", "_lid").distinct().localCheckpoint(eager=True))
     bsh = shingle_hashes(batch, text_col, n=n, seed=seed).select(
         F.col(id_col).alias("_bid"), F.col("shingle_hashes").alias("_shb"))
     # candidate-only corpus shingling, STRUCTURALLY: semi-join the

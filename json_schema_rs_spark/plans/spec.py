@@ -431,6 +431,10 @@ def _parse_extensions(n: SchemaNode, doc: dict, *, strict: bool) -> None:
         n.pattern_properties = _parse_node_map(
             pp, "patternProperties", strict, extensions=True)
     if "propertyNames" in doc:
+        # NOTE: the subschema is evaluated under the engine's TYPED
+        # keyword ladder (the reference's typeless rule, V21): write it
+        # as {"type": "string", ...} — a typeless {"minLength": 2}
+        # asserts nothing, exactly as it would at any other node.
         n.property_names = sub("propertyNames")
     if "dependentSchemas" in doc:
         n.dependent_schemas = _parse_node_map(

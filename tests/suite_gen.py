@@ -1353,6 +1353,111 @@ def gen_nested_unevaluated():
     return out
 
 
+def gen_multipleof_float_edges():
+    """``multipleOf`` under the engine's pinned IEEE rule
+    ``(x / m) % 1.0 == 0`` — the float-trap cases (0.3 vs 0.1, 2.4 vs
+    0.2) where decimal intuition and binary doubles disagree; both
+    engines share IEEE-754 doubles so the verdicts are reproducible."""
+    probes = [  # (value, multipleOf) -> rule computed below
+        (0.3, 0.1), (0.2, 0.1), (1.0, 0.1), (2.4, 0.2), (0.75, 0.25),
+        (4.5, 1.5), (5.0, 0.5), (1e16, 10.0), (-0.2, 0.1), (0.0, 0.1),
+    ]
+    out = []
+    for mo in sorted({m for _, m in probes}):
+        vals = [v for v, m in probes if m == mo]
+        out.append(_xg(
+            f"ext multipleOf IEEE edges m={mo}",
+            {"type": "object",
+             "properties": {"x": {"type": "number", "multipleOf": mo}}},
+            [_t(f"x={v}", {"x": v}, (v / mo) % 1.0 == 0) for v in vals],
+            {"x": "double"}))
+    # integer instances against a fractional multipleOf
+    out.append(_xg(
+        "ext multipleOf fractional on integer column",
+        {"type": "object",
+         "properties": {"n": {"type": "integer", "multipleOf": 0.5}}},
+        [_t("4 is 8*0.5", {"n": 4}, True),
+         _t("7 is 14*0.5", {"n": 7}, True)],
+        {"n": "bigint"}))
+    return out
+
+
+def gen_dependent_required_matrix():
+    """``dependentRequired`` with multiple triggers and chained
+    dependencies — each trigger fires independently; a chain a->b->c,d
+    is NOT transitive (only PRESENT triggers fire)."""
+    schema = {"type": "object",
+              "dependentRequired": {"a": ["b"], "b": ["c", "d"]},
+              "properties": {"a": {}, "b": {}, "c": {}, "d": {}}}
+
+    def rule(inst):
+        ok = True
+        if "a" in inst:
+            ok &= "b" in inst
+        if "b" in inst:
+            ok &= "c" in inst and "d" in inst
+        return ok
+
+    insts = [{}, {"a": 1}, {"a": 1, "b": 2}, {"b": 2, "c": 3},
+             {"a": 1, "b": 2, "c": 3, "d": 4}, {"b": 1, "c": 2, "d": 3},
+             {"c": 1, "d": 2}, {"d": 5}, {"a": 1, "c": 2, "d": 3}]
+    return [_xg(
+        "ext dependentRequired chain matrix", schema,
+        [_t(str(sorted(i)), i, rule(i)) for i in insts],
+        {"a": "bigint", "b": "bigint", "c": "bigint", "d": "bigint"})]
+
+
+def gen_property_names():
+    """``propertyNames`` with a TYPED subschema (the engine ladder rule:
+    a typeless subschema asserts nothing — pinned by the last group):
+    every present key is judged as a string instance."""
+    out = []
+    out.append(_xg(
+        "ext propertyNames length and pattern",
+        {"type": "object",
+         "propertyNames": {"type": "string", "minLength": 2,
+                           "pattern": "^[a-z_]+$"}},
+        [_t("both keys ok", {"ab": 1, "cd_e": 2}, True),
+         _t("short key", {"a": 1}, False),
+         # NB: uppercase key must not case-collide with a lowercase
+         # column (Spark resolves columns case-insensitively by default)
+         _t("uppercase key", {"XY": 1}, False),
+         _t("digit in key", {"k9": 1}, False),
+         _t("empty object ok", {}, True)],
+        {"ab": "bigint", "cd_e": "bigint", "a": "bigint",
+         "XY": "bigint", "k9": "bigint"}))
+    out.append(_xg(
+        "ext propertyNames typeless subschema asserts nothing",
+        {"type": "object",
+         "propertyNames": {"minLength": 100}},
+        [_t("any key passes (reference typeless rule)", {"a": 1}, True),
+         _t("empty ok", {}, True)],
+        {"a": "bigint"}))
+    return out
+
+
+def gen_contains_unique():
+    """``contains``/``min``/``maxContains`` interacting with
+    ``uniqueItems`` on the same array — independent checks that can each
+    fire (or both) on one instance."""
+    schema = {"type": "object", "properties": {"xs": {
+        "type": "array", "uniqueItems": True,
+        "contains": {"type": "integer", "minimum": 5},
+        "maxContains": 2}}}
+
+    def rule(xs):
+        uniq = len(set(xs)) == len(xs)
+        cnt = sum(1 for x in xs if isinstance(x, int) and x >= 5)
+        return uniq and 1 <= cnt <= 2
+
+    arrays = [[5, 6], [5, 5], [5, 6, 7], [1, 2], [], [5],
+              [1, 5, 1], [9, 8, 1, 1], [4, 5, 6, 7]]
+    return [_xg(
+        "ext contains bounds with uniqueItems", schema,
+        [_t(str(xs), {"xs": xs}, rule(xs)) for xs in arrays],
+        {"xs": "array<bigint>"})]
+
+
 def generate() -> list[dict]:
     groups = []
     for gen in (gen_type_matrix, gen_length, gen_bounds, gen_enum_const,
@@ -1366,7 +1471,9 @@ def generate() -> list[dict]:
                 gen_ext_arrays, gen_ext_formats,
                 gen_ext_anchors_unevaluated,
                 gen_defs_in_items, gen_surrogate_length_edges,
-                gen_enum_hetero, gen_nested_unevaluated):
+                gen_enum_hetero, gen_nested_unevaluated,
+                gen_multipleof_float_edges, gen_dependent_required_matrix,
+                gen_property_names, gen_contains_unique):
         groups.extend(gen())
     return groups
 
