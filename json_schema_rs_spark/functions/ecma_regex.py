@@ -284,11 +284,11 @@ def _parse_class(s: _Scanner) -> tuple[str, str, bool]:
         cp1, j1, p1, multi1 = _parse_class_char(s)
         n_items += 1
         if j1 == _NEG_S:
+            # \S contributes via the set-algebra construction below, not
+            # as a class member (neither dialect's \S is ECMA's)
             neg_s_seen = True
-            jparts.append("\\S")      # placeholder; discarded if unsupported
-            pparts.append("\\S")
             if s.peek() == "-" and s.peek(1) not in ("]", ""):
-                s.take()
+                s.take()              # Annex B: dash after escape literal
                 jparts.append("\\-")
                 pparts.append("\\-")
             continue
@@ -302,9 +302,10 @@ def _parse_class(s: _Scanner) -> tuple[str, str, bool]:
             cp2, j2, p2, multi2 = _parse_class_char(s)
             n_items += 1
             if j2 == _NEG_S:
+                # Annex B: dash BEFORE a class escape is a literal dash
                 neg_s_seen = True
-                jparts.append(j1 + "\\-\\S")
-                pparts.append(p1 + "\\-\\S")
+                jparts.append(j1 + "\\-")
+                pparts.append(p1 + "\\-")
                 continue
             if multi2:
                 jparts.append(j1 + "\\-" + j2)
@@ -318,13 +319,24 @@ def _parse_class(s: _Scanner) -> tuple[str, str, bool]:
             jparts.append(j1)
             pparts.append(p1)
     if neg_s_seen:
-        # [\S] alone IS expressible: complement the ECMA whitespace set
-        if n_items == 1:
+        # \S has no faithful class-member form in either dialect (Java \S
+        # and ASCII \S both mis-handle NBSP and the unicode spaces), but
+        # every mix IS expressible with set algebra over the explicit
+        # ECMA whitespace set — both targets accept the constructions,
+        # and each is one quantifiable atom consuming exactly one char:
+        if not jparts:
+            # [\S] (possibly repeated): complement of the WS set;
+            # [^\S…] with nothing else: the WS set itself
             out = _S_CLASS if negated else _NOT_S_CLASS
             return out, out, True
-        # \S unioned with other members has no single-class form in either
-        # dialect (Java \S / ASCII \S both mis-handle NBSP etc.)
-        return "", "", False
+        jrest, prest = "".join(jparts), "".join(pparts)
+        if not negated:
+            # [\S x…] = ¬WS ∪ rest → alternation of the two classes
+            return (f"(?:{_NOT_S_CLASS}|[{jrest}])",
+                    f"(?:{_NOT_S_CLASS}|[{prest}])", True)
+        # [^\S x…] = WS ∩ ¬rest → lookahead-guarded negated class
+        return (f"(?:(?={_S_CLASS})[^{jrest}])",
+                f"(?:(?={_S_CLASS})[^{prest}])", True)
     neg = "^" if negated else ""
     return f"[{neg}{''.join(jparts)}]", f"[{neg}{''.join(pparts)}]", True
 

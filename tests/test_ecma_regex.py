@@ -135,6 +135,25 @@ MATCH_CASES = [
     # non-capturing / nested groups
     ("(?:ab)+c", "ababc", True),
     ("((a)b)\\2", "aba", True),
+    # \S unioned with other class members (round-4: was valid-but-
+    # untranslatable; now the set-algebra construction — found by
+    # tools/regex_fuzz.py). ECMA \S = complement of the unicode WS set,
+    # so NBSP must stay OUT of [\S1] and IN [^\S1].
+    ("[\\S1]", "1", True),
+    ("[\\S1]", "x", True),
+    ("[\\S1]", " ", False),
+    ("[\\S1]", " ", False),
+    ("[^\\S1]", " ", True),
+    ("[^\\S1]", " ", True),
+    ("[^\\S1]", "1", False),
+    ("[^\\S1]", "x", False),
+    ("[\\S1]{2}", "1x", True),      # quantifier on the (?:...) atom
+    ("[\\S1]{2}", "1 ", False),
+    ("[a-\\S]", "-", True),         # dash before \S is a literal dash
+    ("[a-\\S]", " ", False),
+    ("[\\S-a]", "-", True),         # dash after \S is a literal dash
+    ("[\\S\\S]", "x", True),        # repeated \S alone stays one class
+    ("[\\S\\S]", " ", False),
 ]
 
 INVALID_CASES = [
