@@ -2175,6 +2175,20 @@ def _q_s_w1_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arrow_local_df(spark, [(float(w1),)], "w1 double")
 
 
+def _q_s_sketch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the sketch-LEDGER arc: sketch two snapshots once each (one narrow
+    # multi-column pass per snapshot), then compute per-column KS/W1
+    # entirely from the persisted-shape sketch rows — zero corpus rescan
+    # (approximate -> rows-only driver check; ledger round-trip
+    # bit-equality and accuracy vs exact asserted in tests)
+    ev = _t(spark, sf_dir, "events")
+    ska = stats.sketch_snapshot(ev.filter(F.col("event_id") % 2 == 0),
+                                ["value", "user_id"], snapshot_id="even")
+    skb = stats.sketch_snapshot(ev.filter(F.col("event_id") % 2 == 1),
+                                ["value", "user_id"], snapshot_id="odd")
+    return stats.drift_from_sketches(ska, skb)
+
+
 def _q_s_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return stats.ks_exact(
@@ -6749,6 +6763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_vocab_drift": _q_s_vocab_drift,
         "s_emb_drift": _q_s_emb_drift,
         "s_ks_sketch": _q_s_ks_sketch,
+        "s_sketch_drift": _q_s_sketch_drift,
         "s_psi_drift": _q_s_psi,
         "s_source_psi": _q_s_source_psi,
         "s_js_drift": _q_s_js,

@@ -186,6 +186,7 @@ HEADLINE = [
     "s_js_drift",
     "s_ks_drift",
     "s_ks_sketch",
+    "s_sketch_drift",
     "s_w1_sketch",
     "t_conv_bounds",
     "t_expectations",

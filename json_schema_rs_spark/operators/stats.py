@@ -317,6 +317,114 @@ def w1_sketch(df_a: DataFrame, df_b: DataFrame, column: str, *,
     return w1_from_digests(da, db)
 
 
+_SKETCH_LEDGER_SCHEMA = ("snapshot_id string, column string, n double, "
+                         "means array<double>, weights array<double>, "
+                         "mn double, mx double")
+
+
+def sketch_snapshot(df: DataFrame, columns: Sequence[str], *,
+                    snapshot_id: str,
+                    compression: float = 200.0) -> DataFrame:
+    """Persistable distribution sketch of a snapshot — one row per
+    column ``(snapshot_id, column, n, means, weights, mn, mx)`` holding
+    the merged t-digest, ready to append to a SKETCH-LEDGER table. The
+    at-scale point: day-over-day drift monitoring should never rescan
+    yesterday's 100 TB snapshot — sketch each snapshot ONCE at ingest,
+    persist the (columns × compression)-sized rows, and run every later
+    comparison from the ledger (:func:`drift_from_sketches`, zero corpus
+    scan). The sketch-vs-exact accuracy bar is the same one
+    `s_ks_sketch`/`s_w1_sketch` are gated on — column_digest is this
+    exact digest.
+
+    Scale shape: ONE narrow ``mapInPandas`` pass over the snapshot
+    computes ALL columns' per-partition digests together (Arrow batches,
+    vectorized NumPy adds; one tiny digest row per column per
+    partition), merged per column on the driver — O(partitions ×
+    columns × compression) driver bytes, no shuffle at all. NaNs/NULLs
+    are excluded from the digest (``n`` counts digested values)."""
+    cols = list(columns)
+    src = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+
+    def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        digests = {c: TDigest(compression) for c in cols}
+        for pdf in batches:
+            for c in cols:
+                digests[c].add(pdf[c].to_numpy(dtype="float64",
+                                               na_value=math.nan))
+        out = {"column": [], "means": [], "weights": [], "mn": [], "mx": []}
+        for c in cols:
+            d = digests[c]
+            if d.total_weight > 0:
+                means, weights, mn, mx = d.to_arrays()
+                out["column"].append(c)
+                out["means"].append(means)
+                out["weights"].append(weights)
+                out["mn"].append(mn)
+                out["mx"].append(mx)
+        if out["column"]:
+            yield pd.DataFrame(out)
+
+    part_schema = T.StructType(
+        [T.StructField("column", T.StringType())]
+        + list(_DIGEST_SCHEMA.fields))
+    rows = src.mapInPandas(per_partition, schema=part_schema).collect()
+    merged: dict = {}
+    for r in rows:
+        d = TDigest.from_arrays(r["means"], r["weights"], r["mn"], r["mx"],
+                                compression)
+        merged[r["column"]] = d if r["column"] not in merged \
+            else merged[r["column"]].merge(d)
+    out_rows = []
+    for c in cols:
+        if c not in merged:
+            continue
+        d = merged[c]
+        means, weights, mn, mx = d.to_arrays()
+        out_rows.append((snapshot_id, c, float(d.total_weight),
+                         means, weights, mn, mx))
+    return arrow_local_df(df.sparkSession, out_rows, _SKETCH_LEDGER_SCHEMA)
+
+
+def drift_from_sketches(sk_a: DataFrame, sk_b: DataFrame, *,
+                        round_digits: int = 6,
+                        max_rows: int = 10_000) -> DataFrame:
+    """Distribution drift computed ENTIRELY from two persisted sketch
+    frames (:func:`sketch_snapshot` rows, typically read back from the
+    sketch-ledger table): per column shared by both sides,
+    ``(column, ks, w1, n_a, n_b)`` — KS and Wasserstein-1 from the
+    t-digests, **zero corpus scan on either side**. This is the ledger
+    join that makes the §3.5 drift family O(compression) per comparison
+    at 10^12 turns: the snapshots were each scanned once, at their own
+    ingest time, possibly days apart.
+
+    Sketch frames are ledger-row-sized by construction; reads are capped
+    at ``max_rows`` with a fail-fast (a million-row input here means the
+    caller passed a corpus, not a ledger slice)."""
+    def load(sk: DataFrame, side: str) -> dict:
+        rows = sk.limit(max_rows + 1).collect()
+        if len(rows) > max_rows:
+            raise ValueError(
+                f"sketch frame {side} exceeds max_rows={max_rows}; "
+                "pass ledger sketch rows, not a corpus")
+        return {r["column"]: r for r in rows}
+
+    a, b = load(sk_a, "a"), load(sk_b, "b")
+    spark = sk_a.sparkSession
+    out = []
+    for c in sorted(set(a) & set(b)):
+        ra, rb = a[c], b[c]
+        da = TDigest.from_arrays(ra["means"], ra["weights"], ra["mn"],
+                                 ra["mx"])
+        db = TDigest.from_arrays(rb["means"], rb["weights"], rb["mn"],
+                                 rb["mx"])
+        out.append((c, round(ks_from_digests(da, db), round_digits),
+                    round(w1_from_digests(da, db), round_digits),
+                    float(ra["n"]), float(rb["n"])))
+    return arrow_local_df(
+        spark, out,
+        "column string, ks double, w1 double, n_a double, n_b double")
+
+
 def psi(
     df_a: DataFrame,
     df_b: DataFrame,

@@ -1337,3 +1337,69 @@ class TestMadOutliers:
         assert out[3].is_outlier is True and out[3].robust_z is None
         assert out[0].is_outlier is False
         assert out[4].is_outlier is False   # NULL unflagged
+
+
+class TestSketchLedger:
+    """sketch_snapshot + drift_from_sketches: drift from PERSISTED
+    sketches, no corpus rescan — the 100 TB day-over-day monitor."""
+
+    def _snapshots(self, spark):
+        import random
+        rng = random.Random(11)
+        a = [(rng.gauss(0, 1), rng.uniform(0, 10)) for _ in range(4000)]
+        b = [(rng.gauss(0.8, 1.0), rng.uniform(0, 10)) for _ in range(4000)]
+        da = spark.createDataFrame(a, "x double, y double").repartition(8)
+        db = spark.createDataFrame(b, "x double, y double").repartition(8)
+        return da, db
+
+    def test_ledger_roundtrip_drift_matches_direct_sketch(self, spark,
+                                                          tmp_path):
+        import json_schema_rs_spark.operators.stats as S
+        da, db = self._snapshots(spark)
+        ska = S.sketch_snapshot(da, ["x", "y"], snapshot_id="day1")
+        skb = S.sketch_snapshot(db, ["x", "y"], snapshot_id="day2")
+        # persist to the ledger and read back — drift from the ledger
+        # rows must be BIT-IDENTICAL to drift from the fresh frames
+        path = str(tmp_path / "sketch_ledger")
+        ska.unionByName(skb).write.mode("overwrite").parquet(path)
+        led = spark.read.parquet(path)
+        fresh = {r.column: r for r in
+                 S.drift_from_sketches(ska, skb).collect()}
+        replay = {r.column: r for r in S.drift_from_sketches(
+            led.filter("snapshot_id = 'day1'"),
+            led.filter("snapshot_id = 'day2'")).collect()}
+        assert set(fresh) == {"x", "y"}
+        for c in fresh:
+            assert fresh[c].ks == replay[c].ks
+            assert fresh[c].w1 == replay[c].w1
+        assert fresh["x"].n_a == 4000.0 and fresh["x"].n_b == 4000.0
+
+    def test_sketch_drift_tracks_exact(self, spark):
+        import json_schema_rs_spark.operators.stats as S
+        da, db = self._snapshots(spark)
+        ska = S.sketch_snapshot(da, ["x", "y"], snapshot_id="a")
+        skb = S.sketch_snapshot(db, ["x", "y"], snapshot_id="b")
+        got = {r.column: r for r in
+               S.drift_from_sketches(ska, skb).collect()}
+        ks_exact = S.ks_exact(da, db, "x").collect()[0].ks
+        assert abs(got["x"].ks - ks_exact) < 0.03
+        assert got["x"].ks > 0.25        # the x shift is detected
+        assert got["y"].ks < 0.08        # y is same-distribution
+
+    def test_shared_columns_only_and_cap(self, spark):
+        import pytest as _pytest
+        import json_schema_rs_spark.operators.stats as S
+        da, db = self._snapshots(spark)
+        ska = S.sketch_snapshot(da, ["x"], snapshot_id="a")
+        skb = S.sketch_snapshot(db, ["x", "y"], snapshot_id="b")
+        out = S.drift_from_sketches(ska, skb).collect()
+        assert [r.column for r in out] == ["x"]   # y has no a-side sketch
+        with _pytest.raises(ValueError, match="max_rows"):
+            S.drift_from_sketches(ska, skb, max_rows=0)
+
+    def test_all_null_column_emits_no_sketch_row(self, spark):
+        import json_schema_rs_spark.operators.stats as S
+        df = spark.createDataFrame([(1.0, None), (2.0, None)],
+                                   "x double, z double")
+        sk = S.sketch_snapshot(df, ["x", "z"], snapshot_id="s")
+        assert [r.column for r in sk.collect()] == ["x"]

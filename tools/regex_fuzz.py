@@ -186,7 +186,12 @@ def sweep(jpattern, rng: random.Random, n_patterns: int,
         if jm is None or pyrx is None:
             continue
         stats["both"] += 1
-        texts = [rand_text(rng) for _ in range(n_texts)] + ["", "a", pat]
+        # probe texts stay SHORT (<= 8 chars): nested generated
+        # quantifiers + backrefs can backtrack exponentially in BOTH
+        # engines, and neither re.search nor java.util.regex takes a
+        # timeout — a long text (an earlier version probed the pattern
+        # string itself) turns one unlucky pattern into a wedged sweep
+        texts = [rand_text(rng) for _ in range(n_texts)] + ["", "a"]
         for text in texts:
             stats["checks"] += 1
             jgot = bool(jm.matcher(text).find())
