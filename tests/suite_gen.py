@@ -1032,6 +1032,40 @@ def gen_ext_formats():
                        "s": {"type": "string", "format": "regex"}}},
                    [_t(s, {"s": s}, ok) for s, ok in rx],
                    {"s": "string"}))
+
+    # date-time: RFC-3339 shape per the engine's pinned dialect (T/t
+    # separator, 00-59 seconds — no leap second — mandatory Z/z or
+    # ±HH:MM offset with HH<=23) + the same calendar check as `date`;
+    # verdicts hand-derived from the documented dialect
+    dts = [("2024-02-29T12:00:00Z", True),     # leap-year Feb 29
+           ("2023-02-29T12:00:00Z", False),    # calendar, not shape
+           ("2024-06-15t23:59:59z", True),     # lowercase t/z
+           ("2024-06-15T23:59:60Z", False),    # leap second not in dialect
+           ("2024-06-15 12:00:00Z", False),    # space separator
+           ("2024-06-15T12:00:00", False),     # offset mandatory
+           ("2024-06-15T12:00:00+05:30", True),
+           ("2024-06-15T12:00:00-23:59", True),
+           ("2024-06-15T12:00:00+24:00", False),
+           ("2024-06-15T12:00:00.530Z", True),
+           ("2024-04-31T00:00:00Z", False),    # April 31
+           ("0000-01-01T00:00:00Z", False)]    # year >= 1
+    out.append(_xg("ext format date-time",
+                   {"type": "object", "properties": {
+                       "s": {"type": "string", "format": "date-time"}}},
+                   [_t(s, {"s": s}, ok) for s, ok in dts],
+                   {"s": "string"}))
+
+    # json-pointer: RFC-6901 ABNF by hand — "" is the whole document,
+    # every segment starts with "/", ~ only as ~0/~1
+    jps = [("", True), ("/a/b", True), ("/", True), ("//", True),
+           ("/~0", True), ("/~1", True), ("/~01", True),
+           ("/a b", True), ("/~2", False), ("/a~", False),
+           ("a", False), ("#/a", False), ("/a/~", False)]
+    out.append(_xg("ext format json-pointer",
+                   {"type": "object", "properties": {
+                       "s": {"type": "string", "format": "json-pointer"}}},
+                   [_t(s, {"s": s}, ok) for s, ok in jps],
+                   {"s": "string"}))
     return out
 
 
