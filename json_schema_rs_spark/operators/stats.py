@@ -317,9 +317,17 @@ def w1_sketch(df_a: DataFrame, df_b: DataFrame, column: str, *,
     return w1_from_digests(da, db)
 
 
+# Ledger row format version. v2 added (compression, ledger_version):
+# without the persisted compression, drift_from_sketches would silently
+# rebuild a compression-500 ledger row at the default 200 on any
+# post-load _compress(), degrading KS/W1 accuracy below what the caller
+# paid for at sketch time.
+SKETCH_LEDGER_VERSION = 2
+
 _SKETCH_LEDGER_SCHEMA = ("snapshot_id string, column string, n double, "
                          "means array<double>, weights array<double>, "
-                         "mn double, mx double")
+                         "mn double, mx double, compression double, "
+                         "ledger_version int")
 
 
 def sketch_snapshot(df: DataFrame, columns: Sequence[str], *,
@@ -381,8 +389,20 @@ def sketch_snapshot(df: DataFrame, columns: Sequence[str], *,
         d = merged[c]
         means, weights, mn, mx = d.to_arrays()
         out_rows.append((snapshot_id, c, float(d.total_weight),
-                         means, weights, mn, mx))
+                         means, weights, mn, mx, float(compression),
+                         SKETCH_LEDGER_VERSION))
     return arrow_local_df(df.sparkSession, out_rows, _SKETCH_LEDGER_SCHEMA)
+
+
+def _digest_from_ledger_row(r) -> "TDigest":
+    """Rebuild a t-digest from a ledger row AT ITS PERSISTED compression
+    (v2 rows); v1 rows (no compression column) fall back to the
+    historical default of 200 — the pre-fix behavior, kept so old
+    ledgers stay readable."""
+    d = r.asDict() if hasattr(r, "asDict") else dict(r)
+    comp = d.get("compression") or 200.0
+    return TDigest.from_arrays(d["means"], d["weights"], d["mn"], d["mx"],
+                               comp)
 
 
 def drift_from_sketches(sk_a: DataFrame, sk_b: DataFrame, *,
@@ -413,16 +433,86 @@ def drift_from_sketches(sk_a: DataFrame, sk_b: DataFrame, *,
     out = []
     for c in sorted(set(a) & set(b)):
         ra, rb = a[c], b[c]
-        da = TDigest.from_arrays(ra["means"], ra["weights"], ra["mn"],
-                                 ra["mx"])
-        db = TDigest.from_arrays(rb["means"], rb["weights"], rb["mn"],
-                                 rb["mx"])
+        da = _digest_from_ledger_row(ra)
+        db = _digest_from_ledger_row(rb)
+        if da.compression != db.compression:
+            raise ValueError(
+                f"column {c!r}: sketch compressions differ "
+                f"({da.compression} vs {db.compression}) — a KS/W1 "
+                "between digests of different resolution is not the "
+                "accuracy the caller paid for; re-sketch one side or "
+                "merge ledgers of matching compression")
         out.append((c, round(ks_from_digests(da, db), round_digits),
                     round(w1_from_digests(da, db), round_digits),
                     float(ra["n"]), float(rb["n"])))
     return arrow_local_df(
         spark, out,
         "column string, ks double, w1 double, n_a double, n_b double")
+
+
+def merge_sketch_snapshots(sk: DataFrame, *, snapshot_id: str,
+                           max_rows: int = 10_000) -> DataFrame:
+    """Compact several ledger snapshots into one — merge each column's
+    t-digests across all snapshot rows WITHOUT rescanning any corpus
+    (digest merge is associative; Dunning & Ertl §3). The multi-day
+    shape at 10^12 turns: daily ingest appends one sketch row per
+    column, and a weekly/monthly rollup is this pure ledger-to-ledger
+    merge. Rows must agree on compression per column (mixed-resolution
+    merges silently downgrade accuracy — refused, like
+    :func:`drift_from_sketches`)."""
+    rows = sk.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"sketch frame exceeds max_rows={max_rows}; pass ledger "
+            "sketch rows, not a corpus")
+    by_col: dict = {}
+    for r in rows:
+        by_col.setdefault(r["column"], []).append(r)
+    out_rows = []
+    for c in sorted(by_col):
+        comps = {(r.asDict().get("compression") or 200.0)
+                 for r in by_col[c]}
+        if len(comps) > 1:
+            raise ValueError(
+                f"column {c!r}: mixed sketch compressions {sorted(comps)} "
+                "in merge input — re-sketch to a common compression first")
+        comp = comps.pop()
+        merged = TDigest.merge_all(
+            [_digest_from_ledger_row(r) for r in by_col[c]],
+            compression=comp)
+        means, weights, mn, mx = merged.to_arrays()
+        out_rows.append((snapshot_id, c, float(merged.total_weight),
+                         means, weights, mn, mx, float(comp),
+                         SKETCH_LEDGER_VERSION))
+    return arrow_local_df(sk.sparkSession, out_rows, _SKETCH_LEDGER_SCHEMA)
+
+
+def sketch_ledger_summary(sk_a: DataFrame, sk_b: DataFrame, *,
+                          max_rows: int = 10_000) -> DataFrame:
+    """Deterministic projection of a two-snapshot ledger comparison:
+    per shared column ``(column, n_a, n_b, min_a, max_a, min_b, max_b)``
+    — every field is EXACT (value counts and true min/max ride alongside
+    the approximate centroids in each ledger row), so unlike the KS/W1
+    digests this frame has a full value oracle: an engine with the raw
+    snapshots reproduces it from plain COUNT/MIN/MAX. This is the
+    driver-checkable face of the sketch arc; the approximate drift
+    statistics stay accuracy-gated in tests."""
+    def load(sk: DataFrame, side: str) -> dict:
+        rows = sk.limit(max_rows + 1).collect()
+        if len(rows) > max_rows:
+            raise ValueError(
+                f"sketch frame {side} exceeds max_rows={max_rows}; "
+                "pass ledger sketch rows, not a corpus")
+        return {r["column"]: r for r in rows}
+
+    a, b = load(sk_a, "a"), load(sk_b, "b")
+    out = [(c, int(a[c]["n"]), int(b[c]["n"]),
+            a[c]["mn"], a[c]["mx"], b[c]["mn"], b[c]["mx"])
+           for c in sorted(set(a) & set(b))]
+    return arrow_local_df(
+        sk_a.sparkSession, out,
+        "column string, n_a bigint, n_b bigint, min_a double, "
+        "max_a double, min_b double, max_b double")
 
 
 def psi(

@@ -932,8 +932,16 @@ def remap_tokens(df: DataFrame, mapping, text_col: str = "text", *,
       a vocabulary anymore)."""
     if isinstance(mapping, DataFrame):
         fcol, tcol = mapping.columns[0], mapping.columns[1]
-        rows = (mapping.select(fcol, tcol)
-                .limit(max_literal + 1).collect())
+        # Deterministic duplicate resolution BEFORE choosing a strategy:
+        # a duplicate-keyed mapping would multiply exploded tokens
+        # through the broadcast left join while the dict path silently
+        # keeps an arbitrary row — min(to) per from makes both
+        # strategies agree (and is a no-op for vocab_remap_plan output,
+        # which already groups by from_token).
+        mapping = (mapping.select(F.col(fcol).alias("__t"),
+                                  F.col(tcol).alias("__to"))
+                   .groupBy("__t").agg(F.min("__to").alias("__to")))
+        rows = mapping.limit(max_literal + 1).collect()
         if len(rows) <= max_literal:
             mapping = {r[0]: r[1] for r in rows}
         else:
@@ -945,8 +953,7 @@ def remap_tokens(df: DataFrame, mapping, text_col: str = "text", *,
                 id_col,
                 F.posexplode_outer(
                     F.split(F.col(text_col), " ")).alias("__p", "__t"))
-            m = mapping.select(F.col(fcol).alias("__t"),
-                               F.col(tcol).alias("__to"))
+            m = mapping
             joined = toks.join(F.broadcast(m), "__t", "left")
             rebuilt = (joined.filter(F.col("__p").isNotNull())
                        .groupBy(id_col)

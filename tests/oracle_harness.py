@@ -1,16 +1,24 @@
 """Driver-style comparison harness: run each ``__spark_entry__.queries()``
-entry and its ``oracle_sql()`` twin on the same sf dir, compare row count,
-column names, and order-insensitive canonicalized values — the same gate
-the driver applies (CORRECTNESS_r{N}.json)."""
+entry and its ``oracle_sql()`` twin on the same sf dir and compare
+row count, column names, and values — through the SAME observable
+behavior as the driver's correctness gate (CORRECTNESS_r{N}.json):
+both sides go through pandas, columns sorted by name, rows sorted with
+``sort_values`` (unhashable cells crash, as they crash the driver), and
+cells compared dtype-sensitively with no rounding and no list
+normalization. Round 4 proved the old ``fetchall()``-based
+canonicalization (dtype-erased ints, normalized lists) silently masks
+driver hash failures; this delegates to ``tools.oracle_check``."""
 
 from __future__ import annotations
 
-import datetime
-import math
 import os
 import sys
 
 import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.oracle_check import compare_frames  # noqa: E402
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -24,48 +32,30 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def canon(v) -> str:
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    if isinstance(v, datetime.datetime):
-        return v.isoformat()
-    return str(v)
-
-
-def canon_rows(columns, rows) -> list[tuple]:
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
-
-
 def compare_one(name: str, spark, con, sf_dir: str, entry_mod) -> tuple[bool, str]:
     sdf = entry_mod.queries()[name](spark, sf_dir)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+    spdf = sdf.toPandas()
     sql = entry_mod.oracle_sql().get(name)
     if sql is None:
-        return True, f"rows-only: {len(srows)} rows"
-    res = con.execute(sql)
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
-    if sorted(scols) != sorted(ocols):
-        return False, f"schema mismatch: spark={sorted(scols)} oracle={sorted(ocols)}"
-    if len(srows) != len(orows):
-        return False, f"row count mismatch: spark={len(srows)} oracle={len(orows)}"
-    a, b = canon_rows(scols, srows), canon_rows(ocols, orows)
-    if a != b:
-        diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
-        return False, f"value mismatch ({sum(1 for x, y in zip(a, b) if x != y)} rows), first: {diffs}"
-    return True, f"OK ({len(srows)} rows)"
+        return True, f"rows-only: {len(spdf)} rows"
+    opdf = con.execute(sql).df()
+    try:
+        rows_ok, schema_ok, hash_ok, detail = compare_frames(spdf, opdf)
+    except Exception as exc:  # noqa: BLE001
+        return False, (f"driver-canon crash (would ERR at the driver): "
+                       f"{type(exc).__name__}: {str(exc)[:200]}")
+    if not schema_ok:
+        return False, f"schema mismatch: {detail}"
+    if not rows_ok:
+        return False, f"row count mismatch: {detail}"
+    if not hash_ok:
+        return False, f"value mismatch: {detail}"
+    return True, f"OK ({len(spdf)} rows)"
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as entry_mod
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder.master("local[8]")

@@ -1,17 +1,26 @@
-"""Local mirror of the driver's correctness gate.
+"""Driver-identical mirror of the correctness gate.
 
-Runs every ``__spark_entry__.queries()`` entry at sf0.01 next to its
-``oracle_sql()`` DuckDB statement over the same parquet tables, and
-compares row count, column names, and values (columns sorted by name,
-rows sorted by all columns, NaN==NaN). Queries with no oracle are
-reported ``no_oracle``. Exit code 1 if any mismatch.
+Round-4 lesson: the old harness canonicalized through ``fetchall()``
+(dtype-erased Python ints) and normalized lists, which silently masked a
+whole class of driver failures — DuckDB ``sum(int)`` returns HUGEINT,
+which pandas renders as **float64** (``150.0``) while Spark emits int64
+(``150``): identical values, different driver hash. Array-typed output
+columns crash the driver's pandas ``sort_values`` outright
+(``unhashable type: 'list'``).
+
+This version reproduces the driver's observable behavior: both sides go
+through **pandas** (``toPandas()`` / ``.df()``), columns sorted by name,
+rows sorted by all columns via ``sort_values`` (so list-typed columns
+crash here exactly as they crash the driver), and values compared
+dtype-sensitively cell-by-cell with **no rounding and no list
+normalization**. A query is green here iff it would hash-match in
+CORRECTNESS_r{N}.json.
 
 Usage: python tools/oracle_check.py [sf_dir] [only_query ...]
 """
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 
@@ -22,23 +31,102 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def _norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
-    if isinstance(v, list):
-        return tuple(_norm(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
-    return v
+def driver_canon(pdf):
+    """Sort columns by name, rows by all columns — the driver's shape.
+
+    Raises (like the driver) if any column holds unhashable values.
+    Returns (sorted_columns, list-of-tuples of cells) where each cell is
+    the raw pandas/numpy scalar — dtype-preserving, unrounded.
+    """
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    if len(pdf):
+        pdf = pdf.sort_values(by=cols, kind="mergesort")
+    return cols, [tuple(row) for row in pdf.itertuples(index=False,
+                                                       name=None)]
 
 
-def _canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm(r[i]) for i in order) for r in rows]
-    out.sort(key=repr)
-    return [cols[i] for i in order], out
+def _cell_key(x):
+    """Dtype-sensitive canonical form: int64 150 != float64 150.0."""
+    import math
+    if x is None:
+        return "NULL"
+    if isinstance(x, float) and math.isnan(x):
+        return "float:NaN"
+    try:
+        import numpy as np
+        if isinstance(x, np.floating):
+            return "float:NaN" if math.isnan(float(x)) else f"float:{float(x)!r}"
+        if isinstance(x, np.integer):
+            return f"int:{int(x)!r}"
+        if isinstance(x, np.bool_):
+            return f"bool:{bool(x)!r}"
+    except ImportError:  # pragma: no cover
+        pass
+    import pandas as pd
+    if x is pd.NaT:
+        return "NaT"
+    if isinstance(x, pd.Timestamp):
+        return f"ts:{x.isoformat()}"
+    if isinstance(x, bool):
+        return f"bool:{x!r}"
+    if isinstance(x, int):
+        return f"int:{x!r}"
+    if isinstance(x, float):
+        return f"float:{x!r}"
+    return f"{type(x).__name__}:{x!r}"
+
+
+def compare_frames(spdf, opdf):
+    """Driver-shaped comparison of two pandas frames.
+
+    Returns (rows_match, schema_match, hash_match, detail).
+    Raises if canonicalization itself fails (as the driver's does on
+    unhashable cells) — callers report that as err.
+    """
+    sc, sr = driver_canon(spdf)
+    oc, orr = driver_canon(opdf)
+    rows_ok = len(sr) == len(orr)
+    cols_ok = sc == oc
+    if not cols_ok:
+        return rows_ok, False, False, f"cols spark={sc} oracle={oc}"
+    if not rows_ok:
+        return False, True, False, f"rows spark={len(sr)} oracle={len(orr)}"
+    skeys = sorted(tuple(_cell_key(c) for c in row) for row in sr)
+    okeys = sorted(tuple(_cell_key(c) for c in row) for row in orr)
+    if skeys == okeys:
+        return True, True, True, ""
+    diff_i = next(i for i, (a, b) in enumerate(zip(skeys, okeys)) if a != b)
+    return True, True, False, (f"first-diff@{diff_i}: spark={skeys[diff_i]}"
+                               f" oracle={okeys[diff_i]}")
+
+
+def run_gate(spark, con, entry_mod, sf_dir, names=None):
+    """Run the driver gate over the given query names. Yields
+    (name, status, detail) where status in PASS/FAIL/NO_ORACLE/ERR."""
+    qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
+    for name in names if names is not None else list(qs):
+        try:
+            sdf = qs[name](spark, sf_dir)
+            spdf = sdf.toPandas()
+        except Exception as exc:  # noqa: BLE001
+            yield name, "ERR", f"spark: {type(exc).__name__}: {str(exc)[:200]}"
+            continue
+        if name not in osql:
+            yield name, "NO_ORACLE", f"rows={len(spdf)}"
+            continue
+        try:
+            opdf = con.execute(osql[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            yield name, "ERR", f"oracle: {type(exc).__name__}: {str(exc)[:200]}"
+            continue
+        try:
+            r, s, h, detail = compare_frames(spdf, opdf)
+        except Exception as exc:  # noqa: BLE001
+            yield name, "ERR", (f"canon: {type(exc).__name__}:"
+                                f" {str(exc)[:200]}")
+            continue
+        yield name, ("PASS" if (r and s and h) else "FAIL"), detail
 
 
 def main() -> None:
@@ -46,7 +134,7 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    only = sys.argv[2:] or None
 
     spark = (SparkSession.builder.master("local[8]")
              .appName("oracle-check")
@@ -64,53 +152,14 @@ def main() -> None:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     import __spark_entry__ as entry
-    qs, osql = entry.queries(), entry.oracle_sql()
     bad = []
-    for name in sorted(qs):
-        if only and name not in only:
-            continue
-        try:
-            sdf = qs[name](spark, sf_dir)
-            srows = [tuple(r) for r in sdf.collect()]
-            scols = list(sdf.columns)
-        except Exception as exc:  # noqa: BLE001
-            print(f"{name}: SPARK ERROR {exc}")
-            bad.append(name)
-            continue
-        if name not in osql:
-            print(f"{name}: no_oracle rows={len(srows)}")
-            continue
-        try:
-            res = con.execute(osql[name])
-            ocols = [d[0] for d in res.description]
-            orows = [tuple(r) for r in res.fetchall()]
-        except Exception as exc:  # noqa: BLE001
-            print(f"{name}: ORACLE ERROR {exc}")
-            bad.append(name)
-            continue
-        sc, sr = _canon(scols, srows)
-        oc, orr = _canon(ocols, orows)
-        ok_rows = len(sr) == len(orr)
-        ok_cols = sc == oc
-        ok_vals = sr == orr
-        status = "PASS" if (ok_rows and ok_cols and ok_vals) else "FAIL"
-        detail = ""
-        if not ok_cols:
-            detail = f" cols spark={sc} oracle={oc}"
-        elif not ok_rows:
-            detail = f" rows spark={len(sr)} oracle={len(orr)}"
-        elif not ok_vals:
-            diff = next((i for i, (a, b) in enumerate(zip(sr, orr))
-                         if a != b), None)
-            detail = (f" first-diff@{diff}:"
-                      f" spark={sr[diff] if diff is not None else '?'}"
-                      f" oracle={orr[diff] if diff is not None else '?'}")
-        print(f"{name}: {status} rows={len(sr)}{detail}")
-        if status == "FAIL":
+    for name, status, detail in run_gate(spark, con, entry, sf_dir, only):
+        print(f"{name}: {status} {detail}".rstrip(), flush=True)
+        if status in ("FAIL", "ERR"):
             bad.append(name)
     spark.stop()
     if bad:
-        print(f"FAILED: {bad}")
+        print(f"FAILED ({len(bad)}): {bad}")
         sys.exit(1)
     print("all green")
 
