@@ -187,6 +187,7 @@ HEADLINE = [
     "s_ks_drift",
     "s_ks_sketch",
     "s_sketch_drift",
+    "s_sketch_counts",
     "s_w1_sketch",
     "t_conv_bounds",
     "t_expectations",

@@ -1492,6 +1492,107 @@ def gen_contains_unique():
         {"xs": "array<bigint>"})]
 
 
+def gen_format_annotation_only():
+    """Formats the engine deliberately does NOT assert — ``time`` (the
+    jsonschema/RFC-3339 divergence documented in functions/formats.py),
+    ``duration``/``hostname``/``uri`` (no stable checker in this
+    environment), and unknown format names — must stay INERT
+    annotations in BOTH core and extensions mode: every instance,
+    however malformed for the nominal format, is valid. Draft 2020-12
+    format-annotation vocabulary behavior."""
+    out = []
+    samples = {
+        "time": ["10:00:00", "23:59:59Z", "23:59:60Z", "25:99:99",
+                 "junk", ""],
+        "duration": ["P1D", "PT20M", "P3Y6M4DT12H30M5S", "P", "-P1D",
+                     "nope"],
+        "hostname": ["example.com", "-bad-.example", "a..b", "_x",
+                     "x" * 300, ""],
+        "uri": ["https://e.com/x", "not a uri", "%%", "::::", "a b",
+                ""],
+        "x-custom-format": ["anything", ""],
+    }
+    for fmt, vals in samples.items():
+        schema = {"type": "object", "properties": {
+            "s": {"type": "string", "format": fmt}}}
+        for mode, mk in (("core", _group), ("ext", _xg)):
+            out.append(mk(
+                f"format {fmt} annotation-only {mode}", schema,
+                [_t(f"inert on {v[:20]!r}", {"s": v}, True)
+                 for v in vals],
+                {"s": "string"}))
+    return out
+
+
+def gen_ref_in_prefixitems():
+    """``$ref`` in array position — each ``prefixItems`` slot and the
+    trailing ``items`` schema resolve through ``#/$defs``. The official
+    suite exercises refs-inside-prefixItems; verdicts here come from
+    independent per-slot predicates, never the engine."""
+    schema = {
+        "$defs": {
+            "small": {"type": "integer", "maximum": 3},
+            "big": {"type": "integer", "minimum": 10},
+        },
+        "type": "object",
+        "properties": {"xs": {
+            "type": "array",
+            "prefixItems": [{"$ref": "#/$defs/small"},
+                            {"$ref": "#/$defs/big"}],
+            "items": {"$ref": "#/$defs/small"},
+        }},
+    }
+
+    def rule(xs):
+        ok = True
+        if len(xs) >= 1:
+            ok = ok and xs[0] <= 3
+        if len(xs) >= 2:
+            ok = ok and xs[1] >= 10
+        return ok and all(x <= 3 for x in xs[2:])
+
+    arrays = [[], [1], [4], [1, 10], [1, 9], [3, 12, 2], [3, 12, 7],
+              [0, 10, 1, 2], [0, 10, 1, 9], [-5, 100, 3, 3, 3],
+              [4, 10], [3, 10, -8, 0, 3, 4]]
+    return [_xg("prefixItems slots by $ref", schema,
+                [_t(str(xs), {"xs": xs}, rule(xs)) for xs in arrays],
+                {"xs": "array<bigint>"})]
+
+
+def gen_pattern_casefold():
+    """ECMA ``pattern`` matching is case-SENSITIVE and codepoint-based;
+    these pin the Unicode case edges (Kelvin sign, long s, dotted
+    capital I, sigma forms, sharp s) where a casefolding or
+    locale-aware regex engine would diverge — partial-match (search)
+    semantics per V12. Verdicts enumerated by hand from the codepoint
+    identity rule."""
+    cases = [  # pattern -> [(input, expected)]
+        ("straße", [("straße", True), ("STRASSE", False),
+                         ("strasse", False), ("xstraßey", True)]),
+        ("K", [("\u212a", False),   # KELVIN SIGN is not ASCII K
+               ("Kelvin", True), ("kelvin", False)]),
+        ("[K-L]", [("\u212a", False), ("K", True), ("k", False)]),
+        ("s", [("ſ", False),          # LATIN SMALL LONG S
+               ("so", True), ("S", False)]),
+        ("i", [("İ", False),          # DOTTED CAPITAL I
+               ("I", False), ("hi", True)]),
+        ("Σ", [("σ", False), ("ς", False),
+                    ("xΣy", True)]),
+        ("[a-z]+", [("STRASSE", False), ("STRASSEx", True),
+                    ("straße", True)]),   # 'stra' matches partially
+        ("[A-Z]+", [("straße", False), ("ß", False)]),
+    ]
+    out = []
+    for pat, tests in cases:
+        schema = {"type": "object", "properties": {
+            "s": {"type": "string", "pattern": pat}}}
+        out.append(_group(
+            f"pattern casefold {pat!r}", schema,
+            [_t(f"vs {s!r}", {"s": s}, ok) for s, ok in tests],
+            {"s": "string"}))
+    return out
+
+
 def generate() -> list[dict]:
     groups = []
     for gen in (gen_type_matrix, gen_length, gen_bounds, gen_enum_const,
@@ -1507,7 +1608,9 @@ def generate() -> list[dict]:
                 gen_defs_in_items, gen_surrogate_length_edges,
                 gen_enum_hetero, gen_nested_unevaluated,
                 gen_multipleof_float_edges, gen_dependent_required_matrix,
-                gen_property_names, gen_contains_unique):
+                gen_property_names, gen_contains_unique,
+                gen_format_annotation_only, gen_ref_in_prefixitems,
+                gen_pattern_casefold):
         groups.extend(gen())
     return groups
 

@@ -47,8 +47,11 @@ EXPECTED_INTERPRETER_ONLY = {
 
 
 def test_generated_corpus_size():
-    # round-3 verdict asked for >= 800 cases with zero unexplained skips
-    assert case_count(GROUPS) >= 800, case_count(GROUPS)
+    # round-5 verdict bar: >= 950 cases with zero unexplained skips
+    # (round 3 asked >= 800; the round-5 additions are the
+    # annotation-only format family, $ref-inside-prefixItems, and the
+    # unicode case-fold pattern edges)
+    assert case_count(GROUPS) >= 950, case_count(GROUPS)
     assert len(GROUPS) >= 100
 
 
