@@ -8,6 +8,13 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "soak: long-running restart/recovery soak tests "
+        "(deselect with -m 'not soak')")
+
+
 @pytest.fixture(scope="session")
 def spark():
     from pyspark.sql import SparkSession
