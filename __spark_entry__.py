@@ -3474,22 +3474,28 @@ def _q_v_vector_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.vector_violations(salted, 64)
 
 
+def _micro_int_str(name: str):
+    """Present an ``array<double>`` output column as a comma-joined
+    micro-int (×1e6, rounded) string: the driver's pandas hasher cannot
+    sort/hash array cells (round-4 ``unhashable type: 'list'`` crash
+    class), and micro-ints avoid any cross-engine float-formatting
+    dependence. Every array-output entry MUST route through this (its
+    DuckDB twin: ``array_to_string(list_transform(col, x ->
+    CAST(CAST(round(x * 1000000) AS BIGINT) AS VARCHAR)), ',')``); the
+    operators underneath still return the real arrays."""
+    return F.when(F.col(name).isNotNull(), F.concat_ws(
+        ",", F.transform(F.col(name),
+                         lambda x: F.round(x * 1000000)
+                                    .cast("bigint").cast("string"))))
+
+
 def _q_a_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 normalization (similarity.normalize_embeddings): NumPy kernel,
     rounding Spark-side; oracle re-derives unit vectors + norms with
-    DuckDB double arithmetic at the same fixed precision.
-
-    The unit vector is presented as a comma-joined micro-int string:
-    the driver's pandas hasher cannot sort/hash array cells (round-4
-    ``unhashable type: 'list'`` crash), and micro-ints avoid any
-    cross-engine float-formatting dependence. The operator underneath
-    still returns the real ``array<double>``."""
+    DuckDB double arithmetic at the same fixed precision; the unit
+    vector travels as a micro-int string (see _micro_int_str)."""
     out = similarity.normalize_embeddings(_t(spark, sf_dir, "embeddings"))
-    unit_str = F.when(F.col("unit").isNotNull(), F.concat_ws(
-        ",", F.transform(F.col("unit"),
-                         lambda x: F.round(x * 1000000)
-                                    .cast("bigint").cast("string"))))
-    return out.withColumn("unit", unit_str)
+    return out.withColumn("unit", _micro_int_str("unit"))
 
 
 _SQL_A_NORMALIZE = """
@@ -3689,17 +3695,11 @@ _SQL_A_SRP_DUP_PAIRS = similarity.srp_dup_pairs_sql(dims=64, threshold=0.42)
 
 def _q_a_mean_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-label mean embedding (group centroids) under the order-free
-    # integer micro-unit contract — bit-identical cross-engine. The
-    # centroid is presented as a comma-joined micro-int string because
-    # the driver's pandas hasher cannot sort/hash array cells; the
-    # operator underneath still returns the real array<double>.
+    # integer micro-unit contract — bit-identical cross-engine; the
+    # centroid travels as a micro-int string (see _micro_int_str)
     out = similarity.mean_embedding_by(
         _t(spark, sf_dir, "embeddings"), "label")
-    emb_str = F.when(F.col("embedding").isNotNull(), F.concat_ws(
-        ",", F.transform(F.col("embedding"),
-                         lambda x: F.round(x * 1000000)
-                                    .cast("bigint").cast("string"))))
-    return out.withColumn("embedding", emb_str)
+    return out.withColumn("embedding", _micro_int_str("embedding"))
 
 
 _SQL_A_MEAN_EMBEDDING = """

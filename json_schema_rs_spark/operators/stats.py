@@ -394,6 +394,30 @@ def sketch_snapshot(df: DataFrame, columns: Sequence[str], *,
     return arrow_local_df(df.sparkSession, out_rows, _SKETCH_LEDGER_SCHEMA)
 
 
+def _load_ledger(sk: DataFrame, side: str, max_rows: int) -> dict:
+    """Capped collect of a ledger slice indexed by column. Fail-fast on
+    (a) corpus-sized inputs and (b) multiple rows per column — a
+    multi-snapshot slice silently reduced to one arbitrary row would
+    yield wrong counts/extremes; compact it with
+    :func:`merge_sketch_snapshots` first."""
+    rows = sk.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"sketch frame {side} exceeds max_rows={max_rows}; "
+            "pass ledger sketch rows, not a corpus")
+    out: dict = {}
+    for r in rows:
+        if r["column"] in out:
+            raise ValueError(
+                f"sketch frame {side} holds multiple rows for column "
+                f"{r['column']!r} (snapshots "
+                f"{out[r['column']]['snapshot_id']!r} and "
+                f"{r['snapshot_id']!r}); compact multi-snapshot slices "
+                "with merge_sketch_snapshots first")
+        out[r["column"]] = r
+    return out
+
+
 def _digest_from_ledger_row(r) -> "TDigest":
     """Rebuild a t-digest from a ledger row AT ITS PERSISTED compression
     (v2 rows); v1 rows (no compression column) fall back to the
@@ -419,16 +443,11 @@ def drift_from_sketches(sk_a: DataFrame, sk_b: DataFrame, *,
 
     Sketch frames are ledger-row-sized by construction; reads are capped
     at ``max_rows`` with a fail-fast (a million-row input here means the
-    caller passed a corpus, not a ledger slice)."""
-    def load(sk: DataFrame, side: str) -> dict:
-        rows = sk.limit(max_rows + 1).collect()
-        if len(rows) > max_rows:
-            raise ValueError(
-                f"sketch frame {side} exceeds max_rows={max_rows}; "
-                "pass ledger sketch rows, not a corpus")
-        return {r["column"]: r for r in rows}
-
-    a, b = load(sk_a, "a"), load(sk_b, "b")
+    caller passed a corpus, not a ledger slice), and a side holding
+    multiple rows per column is refused (compact with
+    :func:`merge_sketch_snapshots` first)."""
+    a = _load_ledger(sk_a, "a", max_rows)
+    b = _load_ledger(sk_b, "b", max_rows)
     spark = sk_a.sparkSession
     out = []
     for c in sorted(set(a) & set(b)):
@@ -496,16 +515,12 @@ def sketch_ledger_summary(sk_a: DataFrame, sk_b: DataFrame, *,
     digests this frame has a full value oracle: an engine with the raw
     snapshots reproduces it from plain COUNT/MIN/MAX. This is the
     driver-checkable face of the sketch arc; the approximate drift
-    statistics stay accuracy-gated in tests."""
-    def load(sk: DataFrame, side: str) -> dict:
-        rows = sk.limit(max_rows + 1).collect()
-        if len(rows) > max_rows:
-            raise ValueError(
-                f"sketch frame {side} exceeds max_rows={max_rows}; "
-                "pass ledger sketch rows, not a corpus")
-        return {r["column"]: r for r in rows}
-
-    a, b = load(sk_a, "a"), load(sk_b, "b")
+    statistics stay accuracy-gated in tests. Sides holding multiple
+    rows per column are refused — a multi-snapshot slice silently
+    reduced to one arbitrary row would report one day's counts as the
+    whole side's; compact with :func:`merge_sketch_snapshots` first."""
+    a = _load_ledger(sk_a, "a", max_rows)
+    b = _load_ledger(sk_b, "b", max_rows)
     out = [(c, int(a[c]["n"]), int(b[c]["n"]),
             a[c]["mn"], a[c]["mx"], b[c]["mn"], b[c]["mx"])
            for c in sorted(set(a) & set(b))]

@@ -932,20 +932,31 @@ def remap_tokens(df: DataFrame, mapping, text_col: str = "text", *,
       a vocabulary anymore)."""
     if isinstance(mapping, DataFrame):
         fcol, tcol = mapping.columns[0], mapping.columns[1]
-        # Deterministic duplicate resolution BEFORE choosing a strategy:
-        # a duplicate-keyed mapping would multiply exploded tokens
-        # through the broadcast left join while the dict path silently
-        # keeps an arbitrary row — min(to) per from makes both
-        # strategies agree (and is a no-op for vocab_remap_plan output,
-        # which already groups by from_token).
-        mapping = (mapping.select(F.col(fcol).alias("__t"),
-                                  F.col(tcol).alias("__to"))
-                   .groupBy("__t").agg(F.min("__to").alias("__to")))
-        rows = mapping.limit(max_literal + 1).collect()
+        # Deterministic duplicate resolution: a duplicate-keyed mapping
+        # would multiply exploded tokens through the broadcast left
+        # join while the dict path silently kept an arbitrary row —
+        # min(to) per from makes both strategies agree. On the common
+        # vocabulary-sized path the min-wins fold happens DRIVER-side
+        # on the collected rows (no extra shuffle/job); only the
+        # broadcast-join path pays a groupBy, where uniqueness is a
+        # join-correctness requirement (a no-op for vocab_remap_plan
+        # output, which already groups by from_token).
+        raw = mapping.select(F.col(fcol).alias("__t"),
+                             F.col(tcol).alias("__to"))
+        rows = raw.limit(max_literal + 1).collect()
         if len(rows) <= max_literal:
-            mapping = {r[0]: r[1] for r in rows}
+            mapping = {}
+            for r in rows:
+                k, v = r[0], r[1]
+                if k in mapping:     # F.min semantics: NULLs ignored
+                    old = mapping[k]
+                    mapping[k] = (v if old is None
+                                  else old if v is None else min(old, v))
+                else:
+                    mapping[k] = v
         else:
-            n = mapping.count()
+            deduped = raw.groupBy("__t").agg(F.min("__to").alias("__to"))
+            n = deduped.count()
             if n > max_mapping:
                 raise ValueError(
                     f"mapping has {n} entries > max_mapping={max_mapping}")
@@ -953,8 +964,7 @@ def remap_tokens(df: DataFrame, mapping, text_col: str = "text", *,
                 id_col,
                 F.posexplode_outer(
                     F.split(F.col(text_col), " ")).alias("__p", "__t"))
-            m = mapping
-            joined = toks.join(F.broadcast(m), "__t", "left")
+            joined = toks.join(F.broadcast(deduped), "__t", "left")
             rebuilt = (joined.filter(F.col("__p").isNotNull())
                        .groupBy(id_col)
                        .agg(F.array_sort(F.collect_list(F.struct(

@@ -37,6 +37,14 @@ class TestDriverCanon:
         with pytest.raises(TypeError):
             driver_canon(a)
 
+    def test_single_list_column_also_raises(self):
+        # pandas' single-column sort_values does NOT raise by itself
+        # (comparison argsort, no hashing) — the gate must still reject
+        # it so an array-only output can't pass locally
+        a = pd.DataFrame({"v": [[2.0], [1.0]]})
+        with pytest.raises(TypeError):
+            driver_canon(a)
+
     def test_nan_equals_nan(self):
         a = pd.DataFrame({"v": [float("nan"), 1.0]})
         b = pd.DataFrame({"v": [1.0, float("nan")]})
@@ -104,15 +112,24 @@ class TestSketchLedgerV2:
 
     def test_drift_honors_persisted_compression(self, spark, events):
         from json_schema_rs_spark.operators import stats
-        from json_schema_rs_spark.functions.tdigest import TDigest
         sk = stats.sketch_snapshot(events, ["value"], snapshot_id="s",
                                    compression=500.0)
-        d = stats._digest_from_ledger_row(sk.collect()[0])
+        row = sk.collect()[0]
+        d = stats._digest_from_ledger_row(row)
         assert d.compression == 500.0
-        # a post-load compress must keep the paid-for resolution: at
-        # compression 500 the centroid count stays well above 200's cap
+        # a post-load compress must keep the paid-for resolution: the
+        # centroid count must not collapse toward the 200-compression
+        # envelope (the pre-fix behavior re-compressed to default 200)
+        n_before = len(row["means"])
         d._compress()
-        assert isinstance(d, TDigest)
+        assert len(d.means) == n_before, (
+            f"reload recompressed {n_before} -> {len(d.means)} centroids")
+        at_200 = stats.TDigest.from_arrays(
+            row["means"], row["weights"], row["mn"], row["mx"], 200.0)
+        at_200._buf_m, at_200._buf_w = [at_200.means], [at_200.weights]
+        at_200.means = at_200.weights = __import__("numpy").empty(0)
+        at_200._compress()
+        assert len(d.means) > len(at_200.means)
 
     def test_mixed_compression_refused(self, spark, events):
         from json_schema_rs_spark.operators import stats
@@ -162,6 +179,25 @@ class TestSketchLedgerV2:
         dm = stats._digest_from_ledger_row(m["value"])
         do = stats._digest_from_ledger_row(o["value"])
         assert ks_from_digests(dm, do) <= 0.02
+
+    def test_multi_row_per_column_slice_refused(self, spark, events):
+        # an unfiltered two-snapshot slice must not be silently reduced
+        # to one arbitrary row per column — wrong n/min/max with no
+        # error; the compactor is the declared path for that shape
+        from json_schema_rs_spark.operators import stats
+        from pyspark.sql import functions as F
+        a = stats.sketch_snapshot(events.filter(F.col("event_id") % 2 == 0),
+                                  ["value"], snapshot_id="d1")
+        b = stats.sketch_snapshot(events.filter(F.col("event_id") % 2 == 1),
+                                  ["value"], snapshot_id="d2")
+        multi = a.unionByName(b)
+        with pytest.raises(ValueError, match="multiple rows for column"):
+            stats.sketch_ledger_summary(multi, a)
+        with pytest.raises(ValueError, match="multiple rows for column"):
+            stats.drift_from_sketches(multi, a)
+        # the compactor accepts exactly this shape
+        merged = stats.merge_sketch_snapshots(multi, snapshot_id="all")
+        assert stats.sketch_ledger_summary(merged, a).count() == 1
 
     def test_summary_matches_exact_aggregates(self, spark, events):
         from json_schema_rs_spark.operators import stats

@@ -35,11 +35,25 @@ def driver_canon(pdf):
     """Sort columns by name, rows by all columns — the driver's shape.
 
     Raises (like the driver) if any column holds unhashable values.
-    Returns (sorted_columns, list-of-tuples of cells) where each cell is
-    the raw pandas/numpy scalar — dtype-preserving, unrounded.
+    pandas' multi-column ``sort_values`` raises on list cells by itself
+    (hash-based lexsort), but a SINGLE-column frame sorts via comparison
+    argsort without raising — so unhashable cells are rejected
+    explicitly, keeping the local gate strictly at-least-as-strict as
+    the driver for any column count. Returns (sorted_columns,
+    list-of-tuples of cells) where each cell is the raw pandas/numpy
+    scalar — dtype-preserving, unrounded.
     """
+    import numpy as np
     cols = sorted(pdf.columns)
     pdf = pdf[cols]
+    for c in cols:
+        if pdf[c].dtype == object:
+            for v in pdf[c]:
+                if isinstance(v, (list, dict, set, np.ndarray)):
+                    raise TypeError(
+                        f"unhashable type: {type(v).__name__!r} in "
+                        f"column {c!r} — entries must present "
+                        "array/map outputs as strings on both sides")
     if len(pdf):
         pdf = pdf.sort_values(by=cols, kind="mergesort")
     return cols, [tuple(row) for row in pdf.itertuples(index=False,
