@@ -1593,6 +1593,33 @@ def gen_pattern_casefold():
     return out
 
 
+def gen_unevaluated_items_contains():
+    """Draft 2020-12 evaluated-item tracking: an item is evaluated by
+    its ``prefixItems`` slot OR by matching ``contains``; only the rest
+    see ``unevaluatedItems``. Verdict rule (independent of the engine):
+    at least one element >= 10 (contains), and every non-slot-0 element
+    < 10 must be <= 5 (the unevaluated bound)."""
+    schema = {"type": "object", "properties": {"xs": {
+        "type": "array",
+        "prefixItems": [{"type": "integer"}],
+        "contains": {"type": "integer", "minimum": 10},
+        "unevaluatedItems": {"type": "integer", "maximum": 5}}}}
+
+    def rule(xs):
+        if not any(x >= 10 for x in xs):
+            return False
+        return all(x <= 5 for i, x in enumerate(xs)
+                   if i > 0 and x < 10)
+
+    arrays = [[], [1], [15], [1, 12, 3], [1, 12, 7], [2, 15],
+              [1, 12, 3, 99], [15, 8], [15, 6], [10], [9, 10], [1, 3],
+              [12, 5, 5, 12, 5], [12, 5, 6]]
+    return [_xg("ext unevaluatedItems after prefixItems and contains",
+                schema,
+                [_t(str(xs), {"xs": xs}, rule(xs)) for xs in arrays],
+                {"xs": "array<bigint>"})]
+
+
 def generate() -> list[dict]:
     groups = []
     for gen in (gen_type_matrix, gen_length, gen_bounds, gen_enum_const,
@@ -1610,7 +1637,7 @@ def generate() -> list[dict]:
                 gen_multipleof_float_edges, gen_dependent_required_matrix,
                 gen_property_names, gen_contains_unique,
                 gen_format_annotation_only, gen_ref_in_prefixitems,
-                gen_pattern_casefold):
+                gen_pattern_casefold, gen_unevaluated_items_contains):
         groups.extend(gen())
     return groups
 
